@@ -1,0 +1,118 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All JVM-side built-ins (split/regexp/md5) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "de", "et", "les"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol.
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _words(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def _stop_hits(lang: str, text_col: str = "text"):
+    wl = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(_words(text_col), lambda w: F.array_contains(wl, w))
+    ).cast("long")
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: per doc, count hits against each language's
+    stopword list; argmax wins with earliest-language precedence on ties
+    (expressed as a CASE chain so the identical logic runs in SQL oracles);
+    no hits at all → 'und'."""
+    hits = docs
+    for lang in STOPWORDS:
+        hits = hits.withColumn(f"hits_{lang}", _stop_hits(lang, text_col))
+    langs = sorted(STOPWORDS)
+    detected = None
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (
+                    F.col(f"hits_{lang}")
+                    >= F.col(f"hits_{other}")
+                    if langs.index(other) > langs.index(lang)
+                    else F.col(f"hits_{lang}") > F.col(f"hits_{other}")
+                )
+        branch = F.when(cond, F.lit(lang))
+        detected = branch if detected is None else detected.when(cond, F.lit(lang))
+    return hits.withColumn(
+        "detected_lang", detected.otherwise(F.lit("und"))
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + score:
+    token count, mean token length, stopword ratio, digit ratio, and a
+    0-100 composite. Mirrors the usual pretraining-corpus quality filters."""
+    words = _words(text_col)
+    n_tokens = F.size(words).cast("long")
+    n_chars = F.length(F.col(text_col))
+    n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    n_digits = F.length(
+        F.regexp_replace(F.col(text_col), r"[^0-9]", "")
+    )
+    all_stop = F.array(
+        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
+    )
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(all_stop, w))).cast(
+        "long"
+    )
+    # integer-scaled ratios (per-mille) keep the oracle comparison exact
+    stop_permille = F.floor(n_stop * 1000 / n_tokens).cast("long")
+    digit_permille = F.floor(n_digits * 1000 / F.greatest(n_nonspace, F.lit(1))).cast(
+        "long"
+    )
+    score = (
+        F.lit(100)
+        - F.when(n_tokens < 20, 40).otherwise(0)
+        - F.when(stop_permille < 50, 30).otherwise(0)
+        - F.when(digit_permille > 300, 20).otherwise(0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_permille.alias("stop_permille"),
+        digit_permille.alias("digit_permille"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting via regex pre-tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_tokens_ws"),
+    )
+
+
+def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lowercase, strip non-alphanumerics,
+    md5 → first 16 hex chars. The cheap key for cross-corpus dedup."""
+    normalized = F.lower(
+        F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
+    )

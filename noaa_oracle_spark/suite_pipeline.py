@@ -1,0 +1,308 @@
+"""Driver-facing suite entries for the training-data pipeline operators
+(dedup / similarity / text analysis) over documents + embeddings, each with a
+DuckDB oracle. Hash portability: every hash is md5-hex (identical in both
+engines); thresholds compare integers; cosine ranks on a 6-dp-rounded value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from noaa_oracle_spark.pipeline.similarity import brute_force_knn
+from noaa_oracle_spark.pipeline.text import (
+    TOKEN_RE,
+    document_fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from noaa_oracle_spark.suite import load
+
+
+def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+SQL_Q16 = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 3/10 on word-3-gram Jaccard
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold_num=3, threshold_den=10
+    )
+
+
+# Same shingling (word 3-grams from a single-space split), same integer
+# threshold arithmetic: 10*common >= 3*union.
+SQL_Q17 = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), idx AS (
+    SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+    FROM w WHERE len(words) >= 3
+), sh AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM idx
+), cnt AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, ca.n_sh + cb.n_sh - common AS union_size
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE common * 10 >= (ca.n_sh + cb.n_sh - common) * 3
+"""
+
+
+def q18_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(
+        load(spark, sf_dir, "documents"), num_hashes=8, rows_per_band=2
+    )
+
+
+# MinHash portability: min over md5('{i}|'||shingle) hex strings — identical
+# lexicographic = numeric ordering in both engines; bands of 2 hashed again.
+_MH = ",\n           ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
+)
+SQL_Q18 = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), idx AS (
+    SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+    FROM w WHERE len(words) >= 3
+), sh AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM idx
+), sig AS (
+    SELECT doc_id,
+           {_MH}
+    FROM sh GROUP BY doc_id
+), expanded AS (
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7,
+           unnest([0, 1, 2, 3]) AS band_id
+    FROM sig
+), bands AS (
+    SELECT doc_id, band_id,
+           CASE band_id
+             WHEN 0 THEN md5(mh0 || '|' || mh1)
+             WHEN 1 THEN md5(mh2 || '|' || mh3)
+             WHEN 2 THEN md5(mh4 || '|' || mh5)
+             WHEN 3 THEN md5(mh6 || '|' || mh7)
+           END AS band_hash
+    FROM expanded
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+"""
+
+
+def q19_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=16)
+
+
+_SIMHASH_SUMS = ",\n           ".join(
+    "sum(CASE WHEN substr(md5(w), {p}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(
+        p=j + 1, j=j
+    )
+    for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16)
+)
+SQL_Q19 = f"""
+WITH words AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), filtered AS (
+    SELECT doc_id, w FROM words WHERE w != ''
+), sums AS (
+    SELECT doc_id,
+           {_SIMHASH_SUMS}
+    FROM filtered GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q20_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_knn(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, round_digits=6
+    )
+
+
+SQL_Q20 = """
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+), scored AS (
+    SELECT q.q_id, e.vec_id AS n_id,
+           round(
+             list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cos_sim
+    FROM q, embeddings e
+    WHERE e.vec_id != q.q_id
+), ranked AS (
+    SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load(spark, sf_dir, "documents"))
+
+
+_ALL_STOP = ", ".join(
+    f"'{w}'"
+    for ws in (
+        ["the", "a", "of", "and", "to"],
+        ["el", "la", "de", "y", "que"],
+        ["der", "die", "das", "und", "zu"],
+        ["le", "la", "de", "et", "les"],
+    )
+    for w in ws
+)
+SQL_Q21 = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ({_ALL_STOP}))) AS n_stopwords,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(floor(n_stopwords * 1000 / n_tokens) AS BIGINT) AS stop_permille,
+       CAST(floor(n_digits * 1000 / greatest(n_nonspace, 1)) AS BIGINT)
+           AS digit_permille,
+       CAST(100
+            - (CASE WHEN n_tokens < 20 THEN 40 ELSE 0 END)
+            - (CASE WHEN floor(n_stopwords * 1000 / n_tokens) < 50
+                    THEN 30 ELSE 0 END)
+            - (CASE WHEN floor(n_digits * 1000 / greatest(n_nonspace, 1)) > 300
+                    THEN 20 ELSE 0 END) AS BIGINT) AS quality_score
+FROM base
+"""
+
+
+def q22_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = language_id(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _hits_sql(lang: str, words: list[str]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({wl}))) AS hits_{lang}"
+    )
+
+
+SQL_Q22 = f"""
+WITH hits AS (
+    SELECT lang,
+           {_hits_sql('de', ['der', 'die', 'das', 'und', 'zu'])},
+           {_hits_sql('en', ['the', 'a', 'of', 'and', 'to'])},
+           {_hits_sql('es', ['el', 'la', 'de', 'y', 'que'])},
+           {_hits_sql('fr', ['le', 'la', 'de', 'et', 'les'])}
+    FROM documents
+), detected AS (
+    SELECT lang,
+           CASE
+             WHEN hits_de > 0 AND hits_de >= hits_en AND hits_de >= hits_es
+                  AND hits_de >= hits_fr THEN 'de'
+             WHEN hits_en > 0 AND hits_en > hits_de AND hits_en >= hits_es
+                  AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_es > 0 AND hits_es > hits_de AND hits_es > hits_en
+                  AND hits_es >= hits_fr THEN 'es'
+             WHEN hits_fr > 0 AND hits_fr > hits_de AND hits_fr > hits_en
+                  AND hits_fr > hits_es THEN 'fr'
+             ELSE 'und'
+           END AS detected_lang
+    FROM hits
+)
+SELECT lang, detected_lang, count(*) AS n_docs
+FROM detected GROUP BY 1, 2
+"""
+
+
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_Q23 = """
+SELECT doc_id,
+       substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), 1, 16)
+           AS fingerprint
+FROM documents
+"""
+
+
+def q24_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+SQL_Q24 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens_ws
+FROM documents
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q16_dedup_exact": q16_dedup_exact,
+    "q17_ngram_jaccard": q17_ngram_jaccard,
+    "q18_minhash_lsh": q18_minhash_lsh,
+    "q19_simhash": q19_simhash,
+    "q20_ann_cosine": q20_ann_cosine,
+    "q21_quality_scores": q21_quality_scores,
+    "q22_language_id": q22_language_id,
+    "q23_fingerprint": q23_fingerprint,
+    "q24_token_counts": q24_token_counts,
+}
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "q16_dedup_exact": SQL_Q16,
+    "q17_ngram_jaccard": SQL_Q17,
+    "q18_minhash_lsh": SQL_Q18,
+    "q19_simhash": SQL_Q19,
+    "q20_ann_cosine": SQL_Q20,
+    "q21_quality_scores": SQL_Q21,
+    "q22_language_id": SQL_Q22,
+    "q23_fingerprint": SQL_Q23,
+    "q24_token_counts": SQL_Q24,
+}

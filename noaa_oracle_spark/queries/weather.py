@@ -48,20 +48,12 @@ def _rfc3339(dt: datetime) -> str:
 
 
 def _day_text(col) -> "F.Column":
-    """`DATE_TRUNC('day', x)::TEXT` — DuckDB renders the truncated timestamp
-    as 'YYYY-MM-DD HH:MM:SS'; we keep the identical text shape."""
-    return F.date_format(F.date_trunc("day", col), "yyyy-MM-dd HH:mm:ss")
-
-
-def _wall_ts(col) -> "F.Column":
-    """`x::TIMESTAMP` on an RFC3339 string in DuckDB parses the wall-clock
-    time and DROPS the offset. daily_observations buckets days this way
-    (weather_data.rs:657 uses ::TIMESTAMP, not ::TIMESTAMPTZ). Strip the
-    offset before casting to reproduce wall-time semantics."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(
-        F.regexp_replace(c, r"(Z|z|[+-]\d{2}:?\d{2})$", "")
-    )
+    """`DATE_TRUNC('day', x)::TEXT` — DuckDB's day-granularity date_trunc
+    returns a DATE, rendered 'YYYY-MM-DD' (verified against DuckDB 1.0;
+    daily_observations/forecasts date buckets, weather_data.rs:242, :657).
+    `x::TIMESTAMP` on an offset-bearing RFC3339 string honors the offset and
+    normalizes to UTC — identical to to_timestamp under a UTC session TZ."""
+    return F.date_format(F.date_trunc("day", col), "yyyy-MM-dd")
 
 
 def stations(observations: DataFrame) -> DataFrame:
@@ -165,13 +157,14 @@ def daily_observations(
     end: datetime | None = None,
     temperature_unit: str | None = None,
 ) -> DataFrame:
-    """Per-station per-UTC-wall-day rollup (weather_data.rs:579-704).
+    """Per-station per-UTC-day rollup (weather_data.rs:579-704).
 
-    Day bucket uses `generated_at::TIMESTAMP` — wall-clock with the RFC3339
-    offset dropped — exactly as the reference does (:657)."""
+    Day bucket is `DATE_TRUNC('day', generated_at::TIMESTAMP)::TEXT` (:657);
+    DuckDB's varchar→timestamp cast honors RFC3339 offsets and normalizes to
+    UTC, so under a UTC session TZ Spark's to_timestamp matches exactly."""
     df = _with_precip_type(_obs_filtered(observations, station_ids, start, end))
     out = (
-        df.withColumn("date", _day_text(_wall_ts("generated_at")))
+        df.withColumn("date", _day_text(ts("generated_at")))
         .groupBy("station_id", "date")
         .agg(*_obs_aggs())
     )

@@ -1,0 +1,246 @@
+"""DuckDB-dialect → Spark SQL rewriter for /raw-style raw-SQL parity.
+
+The reference's browser page loads snapshot parquet into DuckDB-WASM tables
+and runs user SQL (raw_data.js:199-231); its canned queries (raw_data.js:
+546-680) use DuckDB dialect features. Spark SQL natively accepts most of the
+dialect already (`agg FILTER (WHERE …)`, `x::TYPE` casts, `GREATEST`,
+`COALESCE`, `NULLIF`, correlated scalar subqueries); this module rewrites
+the rest as a *string-level* pre-pass — deliberately not a Catalyst rule
+(SURVEY §4: no custom optimizer work is needed for parity):
+
+  - SELECT DISTINCT ON (keys) … ORDER BY keys, rest
+        → row_number() OVER (PARTITION BY keys ORDER BY rest) = 1
+  - DATE_TRUNC('part', x)           → CAST(DATE_TRUNC(...) AS DATE) so the
+        ::TEXT rendering matches DuckDB's DATE output ('YYYY-MM-DD')
+  - ::TIMESTAMPTZ AT TIME ZONE 'UTC' / ::TIMESTAMPTZ / ::TEXT
+        → ::TIMESTAMP / ::STRING  (session TZ pinned to UTC)
+  - regexp_matches(x, p)            → regexp_like(x, p)
+  - EXTRACT(EPOCH FROM (a - b))     → (unix_timestamp(a) - unix_timestamp(b))
+  - UNION ALL BY NAME               → handled structurally: register_raw_tables
+        builds the observations/forecasts views from the schema-merging
+        reader, so raw SQL never needs the BY NAME union.
+
+Scanning is quote-aware and paren-balanced; rewrites nest (a DISTINCT ON
+body containing casts is rewritten inside-out).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+from noaa_oracle_spark.sources.catalog import SnapshotCatalog
+from noaa_oracle_spark.sources.reader import read_snapshots
+
+_DISTINCT_ON_RE = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _scan_balanced(sql: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at `start`."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = sql.index("'", i + 1)
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _find_top_level(sql: str, pattern: re.Pattern, start: int) -> int:
+    """First match of `pattern` at paren-depth 0 from `start`, or -1.
+    Skips string literals."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = sql.index("'", i + 1) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return -1  # left the enclosing scope
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = s.index("'", i + 1)
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _scope_end(sql: str, start: int) -> int:
+    """Index where the current SELECT's scope ends: the ')' closing the
+    enclosing parenthesis, or end of string."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = sql.index("'", i + 1) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        i += 1
+    return len(sql)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    m = _DISTINCT_ON_RE.search(sql)
+    if not m:
+        return sql
+    sel_start = m.start()
+    keys_open = m.end() - 1
+    keys_close = _scan_balanced(sql, keys_open)
+    keys = sql[keys_open + 1 : keys_close - 1].strip()
+    n_keys = len(_split_top_level_commas(keys))
+
+    from_pos = _find_top_level(sql, _FROM_RE, keys_close)
+    if from_pos < 0:
+        raise ValueError("DISTINCT ON without FROM")
+    select_list = sql[keys_close:from_pos].strip()
+
+    order_pos = _find_top_level(sql, _ORDER_BY_RE, from_pos)
+    scope_close = _scope_end(sql, from_pos)
+    if order_pos < 0 or order_pos > scope_close:
+        # no ORDER BY: DuckDB picks an arbitrary row; order by the keys.
+        body = sql[from_pos:scope_close].rstrip()
+        per_group_order = keys
+    else:
+        body = sql[from_pos:order_pos].rstrip()
+        order_list = sql[order_pos + len("ORDER BY") : scope_close]
+        # skip the ending of "ORDER BY" keyword length variance
+        order_list = re.sub(r"^\s*BY\b", "", order_list, flags=re.IGNORECASE)
+        items = _split_top_level_commas(order_list)
+        suffix = items[n_keys:]
+        per_group_order = ", ".join(suffix) if suffix else keys
+
+    rewritten = (
+        f"SELECT {select_list} FROM (SELECT {select_list}, "
+        f"row_number() OVER (PARTITION BY {keys} ORDER BY {per_group_order}) "
+        f"AS __rn {body}) __dedup WHERE __rn = 1"
+    )
+    out = sql[:sel_start] + rewritten + sql[scope_close:]
+    return _rewrite_distinct_on(out)  # handle further occurrences
+
+
+def _rewrite_date_trunc(sql: str) -> str:
+    """DATE_TRUNC('day'|'month'|'year', x) → CAST(… AS DATE) so ::TEXT
+    renders DuckDB's DATE shape ('YYYY-MM-DD'). Replacements run
+    right-to-left so earlier match offsets stay valid."""
+    pat = re.compile(r"DATE_TRUNC\s*\(\s*'(day|month|year)'\s*,", re.IGNORECASE)
+    for m in reversed(list(pat.finditer(sql))):
+        open_paren = sql.index("(", m.start())
+        close = _scan_balanced(sql, open_paren)
+        sql = (
+            sql[: m.start()]
+            + "CAST("
+            + sql[m.start() : close]
+            + " AS DATE)"
+            + sql[close:]
+        )
+    return sql
+
+
+def _escape_backslashes_in_literals(sql: str) -> str:
+    """DuckDB string literals are verbatim ('\\s' is backslash-s); Spark SQL
+    treats backslash as an escape by default, silently turning regex '\\s'
+    into 's'. Double every backslash inside single-quoted literals."""
+    out = []
+    i = 0
+    in_str = False
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            in_str = not in_str
+            out.append(c)
+        elif c == "\\" and in_str:
+            out.append("\\\\")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def rewrite_duckdb_sql(sql: str) -> str:
+    sql = _escape_backslashes_in_literals(sql)
+    out = _rewrite_distinct_on(sql)
+    out = _rewrite_date_trunc(out)
+    out = re.sub(
+        r"::\s*TIMESTAMPTZ\s+AT\s+TIME\s+ZONE\s+'UTC'",
+        "::TIMESTAMP",
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(r"::\s*TIMESTAMPTZ\b", "::TIMESTAMP", out, flags=re.IGNORECASE)
+    out = re.sub(r"::\s*TEXT\b", "::STRING", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bregexp_matches\s*\(", "regexp_like(", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"EXTRACT\s*\(\s*EPOCH\s+FROM\s*\(([^()]*)-([^()]*)\)\s*\)",
+        r"(unix_timestamp(\1) - unix_timestamp(\2))",
+        out,
+        flags=re.IGNORECASE,
+    )
+    return out
+
+
+def register_raw_tables(
+    spark: SparkSession, data_dir: str, obs_view: str = "observations",
+    fcst_view: str = "forecasts"
+) -> None:
+    """Register the /raw tables the way the browser page does
+    (raw_data.js:199-218): every snapshot file union_by_name'd into one
+    table per kind — here via the schema-merging reader, so raw SQL runs
+    against complete canonical columns."""
+    cat = SnapshotCatalog(data_dir)
+    read_snapshots(
+        spark, cat.all_paths("observations"), "observations"
+    ).createOrReplaceTempView(obs_view)
+    read_snapshots(
+        spark, cat.all_paths("forecasts"), "forecasts"
+    ).createOrReplaceTempView(fcst_view)
+
+
+def run_raw_sql(spark: SparkSession, sql: str):
+    """Run DuckDB-dialect SQL against the registered raw views."""
+    return spark.sql(rewrite_duckdb_sql(sql))

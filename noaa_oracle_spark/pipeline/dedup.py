@@ -25,25 +25,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition to the session's default parallelism before
+    CPU-heavy per-row work. Single parquet files scan as ONE partition —
+    without this, shingling/hashing runs on one core regardless of
+    cluster size; the small exchange is trivial next to the per-row cost.
+    At real scale (many input splits) it is a near-no-op rebalance."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built with transform+slice over the split array — one projection, no UDF.
-    """
-    words = F.split(F.col(text_col), " ")
-    # Guard: F.sequence(1, 0) would yield a *descending* [1, 0] in Spark, so
-    # docs shorter than n words get an explicit empty array instead.
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Shape: materialize the split array once, posexplode positions, then
+    build each shingle by direct element_at lookups into the carried array
+    — every operator whole-stage-codegen'd, no shuffle before the dedup.
+    Two rejected alternatives, both measured on this workload:
+      - higher-order `transform(sequence(...), i -> ...slice...)`: HOF
+        lambdas evaluate INTERPRETED per element (~20 ms/doc, ~100×);
+      - posexplode + LEAD windows: WindowExec breaks codegen and adds a
+        sort+shuffle (~5 ms/doc).
+    GenerateExec passes the array by reference, so carrying `words`
+    through the explode copies nothing."""
+    ex = spread(docs).select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("words"),
+    ).select(
+        F.col(id_col),
+        F.col("words"),
+        F.posexplode("words").alias("pos", "w0"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.expr(f"element_at(words, pos + {i + 1})") for i in range(n)]
+    )
     return (
-        docs.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        ex.filter(F.col("pos") + n <= F.size("words"))
+        .select(F.col(id_col), shingle.alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def _pairs_within_groups(
+    grouped: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """All (a < b) id pairs co-occurring in a group, via posting-list
+    explosion: groupBy(group) → sorted id array → nested transform emitting
+    the upper-triangle pairs.
+
+    Versus a self-join on the group key this (a) evaluates the upstream
+    subtree ONCE instead of twice, (b) replaces a sort-merge join with a
+    map-side explode, and (c) shuffles each id once per group instead of
+    the whole row. Pair-count is inherently quadratic in posting-list
+    length either way — the classic inverted-index bound.
+    """
+    lists = grouped.groupBy(*group_cols).agg(
+        F.collect_set(F.col(id_col)).alias("ids")
+    )
+    # double explode + a<b filter: generates k² candidates per group but
+    # every operator is codegen'd (GenerateExec); the nested-transform
+    # upper-triangle construction is interpreted per element and loses
+    # badly despite emitting half the rows.
+    return (
+        lists.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
 
 
@@ -75,25 +121,21 @@ def ngram_jaccard_pairs(
     predicate is evaluated on integers (den*common >= num*union) so results
     are exact and engine-portable. Join explodes only co-occurring shingles
     (posting lists), never the full n² pair space."""
-    sh = _word_shingles(docs, text_col, id_col, n)
+    # sh has two consumers (pair counts + per-doc totals) and Spark
+    # re-evaluates a subtree per consumer — persist so shingling (and its
+    # spread-exchange) runs once; storage is ~#shingles strings, evicted
+    # LRU. At cluster scale this is the standard materialize-the-shared-
+    # stage pattern.
+    sh = _word_shingles(docs, text_col, id_col, n).persist()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        _pairs_within_groups(sh, ["shingle"], id_col)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    joined = common.join(ca, "doc_a").join(cb, "doc_b")
+    joined = common.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("common")
     return (
         joined.filter(
@@ -167,21 +209,9 @@ def minhash_lsh_candidates(
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .dropDuplicates()
-    )
+    return _pairs_within_groups(
+        exploded, ["band_id", "band_hash"], id_col
+    ).dropDuplicates()
 
 
 def simhash_fingerprints(
@@ -196,7 +226,7 @@ def simhash_fingerprints(
     vote is the high bit of hex digit j of md5(word). `bits` ≤ 32 uses the
     first `bits` hex digits. Everything is integer/string built-ins, so the
     same computation runs verbatim in DuckDB for the oracle."""
-    words = docs.select(
+    words = spread(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     ).filter(F.col("w") != "")

@@ -56,7 +56,9 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    c = spread(corpus).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("n_id"))

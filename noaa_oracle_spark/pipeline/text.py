@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from noaa_oracle_spark.pipeline.dedup import spread
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
@@ -35,7 +37,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stopword list; argmax wins with earliest-language precedence on ties
     (expressed as a CASE chain so the identical logic runs in SQL oracles);
     no hits at all → 'und'."""
-    hits = docs
+    hits = spread(docs)
     for lang in STOPWORDS:
         hits = hits.withColumn(f"hits_{lang}", _stop_hits(lang, text_col))
     langs = sorted(STOPWORDS)
@@ -85,7 +87,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         - F.when(stop_permille < 50, 30).otherwise(0)
         - F.when(digit_permille > 300, 20).otherwise(0)
     ).cast("long")
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
@@ -97,7 +99,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE-ish token counting via regex pre-tokenization."""
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
         .cast("long")
@@ -112,7 +114,7 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     normalized = F.lower(
         F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
     )

@@ -12,7 +12,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle-partition default is decoupled from core count: locally, small
+# benchmarks pay ~10 ms scheduling per task per stage, so fewer/fatter
+# shuffle partitions win; at real scale AQE's coalescePartitions +
+# skew-split decide the effective number anyway, making this an initial
+# hint rather than a hard parallelism cap.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    or os.environ.get("SPARK_GRAFT_CPUS", "32")
+)
 
 
 def get_spark(

@@ -1,0 +1,130 @@
+"""Plan-shape assertions: the physical plans the engine is designed to
+produce actually materialize. These are the 100 TB safeguards — if a filter
+stops reaching the parquet scan or a dimension join stops broadcasting,
+these fail long before a cluster run would reveal it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.queries.weather import daily_observations, observation_data
+from noaa_oracle_spark.sources.catalog import SnapshotCatalog
+from noaa_oracle_spark.sources.reader import read_snapshots
+from tests.weather_fixtures import write_observation_fixtures
+
+UTC = timezone.utc
+
+
+@pytest.fixture(scope="module")
+def obs(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans"))
+    write_observation_fixtures(d)
+    cat = SnapshotCatalog(d)
+    return read_snapshots(spark, cat.all_paths("observations"), "observations")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_station_filter_pushdown(spark, obs):
+    """The station IN-list must reach the parquet scan as PushedFilters —
+    at 100 TB this is row-group pruning on the dictionary-encoded
+    station_id column (SURVEY §4: predicate pushdown)."""
+    df = observation_data(
+        obs,
+        ["KATL", "KBOS"],
+        datetime(2026, 1, 15, tzinfo=UTC),
+        datetime(2026, 1, 18, tzinfo=UTC),
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("station_id" in l and "In(" in l for l in pushed), pushed
+
+
+def test_column_pruning(spark, obs):
+    """A projection that needs 3 columns must not scan 19 — ReadSchema
+    should carry only what the aggregate uses."""
+    df = obs.groupBy("station_id").agg(F.max("temperature_value"))
+    plan = _formatted(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "temperature_value" in read[0]
+    assert "wx_string" not in read[0] and "dewpoint_value" not in read[0]
+
+
+def test_aggregate_strategy(spark, obs):
+    """Documents a measured plan property (AQE finalizes plans only on
+    execution, so collect first):
+
+    - numeric-only rollups hash-aggregate inside WholeStageCodegen — the
+      fast path for the 100 TB daily rollups;
+    - the reference's string extremes (MAX(temperature_unit_code),
+      MIN/MAX(begin_time) — weather_data.rs:363-372) force SortAggregate:
+      Spark's hash aggregation needs fixed-width mutable buffers. Accepted
+      for parity; the scale mitigation (if these queries ever dominate) is
+      splitting the string aggs into a narrow side aggregation joined back
+      on the group keys."""
+    numeric = obs.groupBy("station_id").agg(
+        F.min("temperature_value").alias("tlo"),
+        F.max("wind_speed").alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    numeric.collect()
+    p = _plan(numeric)
+    # codegen'd operators print with the `*(n)` stage marker
+    assert "HashAggregate" in p and "*(" in p
+
+    full = daily_observations(
+        obs, None, datetime(2026, 1, 15, tzinfo=UTC), datetime(2026, 1, 18, tzinfo=UTC)
+    )
+    full.collect()
+    assert "SortAggregate" in _plan(full)  # string MAX — known, accepted
+
+
+def test_dim_join_broadcasts(spark):
+    """suite q03/q25: tiny dims must plan as broadcast joins, not
+    sort-merge (SURVEY §4 join strategy)."""
+    from noaa_oracle_spark.suite import q25_star_revenue
+
+    plan = _plan(q25_star_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scoring_kernel_broadcasts(spark):
+    from noaa_oracle_spark.scoring import score_entries
+    from tests.test_scoring_golden import CHOICES, E1, E2, E3, E4, FORECASTS, OBSERVATIONS
+
+    entries = spark.createDataFrame([(e,) for e in (E1, E2, E3, E4)], ["entry_id"])
+    choices = spark.createDataFrame(
+        CHOICES,
+        "entry_id string, station string, temp_low string, temp_high string, "
+        "wind_speed string, wind_direction string, rain_amt string, "
+        "snow_amt string, humidity string",
+    )
+    forecasts = spark.createDataFrame(
+        [(s, tl, th, w, None, None, None, None) for s, tl, th, w in FORECASTS],
+        "station_id string, temp_low long, temp_high long, wind_speed long, "
+        "wind_direction long, rain_amt double, snow_amt double, humidity_max long",
+    )
+    observations = spark.createDataFrame(
+        [(s, tl, th, w, None, None, None, None) for s, tl, th, w in OBSERVATIONS],
+        "station_id string, temp_low double, temp_high double, wind_speed long, "
+        "wind_direction long, rain_amt double, snow_amt double, humidity long",
+    )
+    scored = score_entries(entries, choices, forecasts, observations)
+    scored.collect()
+    plan = _plan(scored)
+    # choices ⋈ forecast ⋈ observed must broadcast the weather dims; the
+    # final entries ⋈ per-entry join may legitimately shuffle at scale.
+    assert plan.count("BroadcastHashJoin") >= 2, plan

@@ -17,7 +17,7 @@ from noaa_oracle_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from noaa_oracle_spark.pipeline.similarity import brute_force_knn
+from noaa_oracle_spark.pipeline.similarity import brute_force_knn, lsh_bucketed_knn
 from noaa_oracle_spark.pipeline.text import (
     TOKEN_RE,
     document_fingerprint,
@@ -283,6 +283,76 @@ FROM documents
 """
 
 
+def q27_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-search scale path: random-hyperplane LSH buckets
+    restrict candidates before exact cosine ranking. Hyperplanes derive
+    deterministically from md5, so the identical bucketing runs in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucketed_knn(
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, num_planes=8
+    )
+
+
+def _plane_sql(p: int) -> str:
+    """SQL for dot(embedding, hyperplane_p) > 0 → bit 2^p; component i
+    (0-based) is ±1 from the high bit of md5('{p}|{i}')."""
+    comp = (
+        f"CASE WHEN substr(md5('{p}|' || (i-1)), 1, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, len(embedding)+1), "
+        f"i -> embedding[i]::DOUBLE * ({comp})))"
+    )
+    return f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)"
+
+
+_BUCKET_SQL = " + ".join(_plane_sql(p) for p in range(8))
+
+SQL_Q27 = f"""
+WITH bucketed AS (
+    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS q_id, embedding AS q_vec, bucket
+    FROM bucketed WHERE vec_id < 10
+), scored AS (
+    SELECT q.q_id, c.vec_id AS n_id,
+           round(
+             list_sum(list_transform(range(1, len(q.q_vec) + 1),
+                      i -> q.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cos_sim
+    FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id != q.q_id
+), ranked AS (
+    SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+def q28_latest_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY … LIMIT result shaping (T2/T3 — the raw page's default
+    `ORDER BY station_id, generated_at DESC LIMIT 200`, raw_data.js:98-99)
+    with a total order for determinism."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(200)
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+
+
+SQL_Q28 = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 200
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -293,6 +363,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_language_id": q22_language_id,
     "q23_fingerprint": q23_fingerprint,
     "q24_token_counts": q24_token_counts,
+    "q27_lsh_ann": q27_lsh_ann,
+    "q28_latest_limit": q28_latest_limit,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -305,4 +377,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q22_language_id": SQL_Q22,
     "q23_fingerprint": SQL_Q23,
     "q24_token_counts": SQL_Q24,
+    "q27_lsh_ann": SQL_Q27,
+    "q28_latest_limit": SQL_Q28,
 }

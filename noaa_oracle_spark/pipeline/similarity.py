@@ -100,32 +100,63 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return out.cast("int")
 
 
+def _table_buckets(
+    vec: Column, dim: int, num_planes: int, num_tables: int
+) -> Column:
+    """Array of (table, bucket) memberships; table t uses hyperplanes
+    t·num_planes … t·num_planes+num_planes−1."""
+    entries = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(num_planes):
+            d = _dot(_as_double(vec), _hyperplane(dim, t * num_planes + p))
+            bits.append(F.when(d > 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"), bucket.cast("int").alias("bucket")
+            )
+        )
+    return F.array(*entries)
+
+
 def lsh_bucketed_knn(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to vectors sharing a bucket
+    in ANY of `num_tables` hash tables (OR-amplification — the standard
+    recall lever; a single table's recall on unstructured embeddings decays
+    ~2× per extra plane, measured 0.30→0.02 from 2→5 planes here).
 
-    The join is an equi-join on bucket id — at scale the corpus is written
-    bucketed/partitioned by this key so a query touches one partition. Recall
-    is tunable via num_planes (fewer planes → bigger buckets → higher
-    recall, more work)."""
+    The join is an equi-join on (table, bucket) — at scale the corpus is
+    written bucketed by this key so a query touches num_tables partitions;
+    candidate volume ≈ num_tables · corpus / 2^num_planes per query."""
+    membership = lambda col: F.explode(  # noqa: E731
+        _table_buckets(col, dim, num_planes, num_tables)
+    ).alias("tb")
     q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
-    )
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        membership(F.col(vec_col)),
+    ).select("q_id", "q_vec", "tb.table", "tb.bucket")
     c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        membership(F.col(vec_col)),
+    ).select("n_id", "n_vec", "tb.table", "tb.bucket")
+    pairs = (
+        F.broadcast(q)
+        .join(c, ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
     )
-    pairs = F.broadcast(q).join(c, "bucket").filter(F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id",
         "n_id",

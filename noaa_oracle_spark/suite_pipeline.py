@@ -283,48 +283,69 @@ FROM documents
 """
 
 
+_LSH_PLANES = 3
+_LSH_TABLES = 4
+
+
 def q27_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The similarity-search scale path: random-hyperplane LSH buckets
-    restrict candidates before exact cosine ranking. Hyperplanes derive
-    deterministically from md5, so the identical bucketing runs in SQL."""
+    """The similarity-search scale path: multi-table random-hyperplane LSH
+    (OR-amplified for recall) restricts candidates before exact cosine
+    ranking. Hyperplanes derive deterministically from md5, so the
+    identical bucketing runs in SQL."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_bucketed_knn(
-        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5, num_planes=8
+        emb.filter(F.col("vec_id") < 10), emb, dim=64, k=5,
+        num_planes=_LSH_PLANES, num_tables=_LSH_TABLES,
     )
 
 
-def _plane_sql(p: int) -> str:
-    """SQL for dot(embedding, hyperplane_p) > 0 → bit 2^p; component i
-    (0-based) is ±1 from the high bit of md5('{p}|{i}')."""
+def _plane_term(global_p: int, weight: int) -> str:
+    """SQL for dot(embedding, hyperplane_{global_p}) > 0 → `weight`;
+    component i (0-based) is ±1 from the high bit of md5('{global_p}|{i}')."""
     comp = (
-        f"CASE WHEN substr(md5('{p}|' || (i-1)), 1, 1) IN "
+        f"CASE WHEN substr(md5('{global_p}|' || (i-1)), 1, 1) IN "
         "('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END"
     )
     dot = (
         f"list_sum(list_transform(range(1, len(embedding)+1), "
         f"i -> embedding[i]::DOUBLE * ({comp})))"
     )
-    return f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)"
+    return f"(CASE WHEN {dot} > 0 THEN {weight} ELSE 0 END)"
 
 
-_BUCKET_SQL = " + ".join(_plane_sql(p) for p in range(8))
+def _table_sql(t: int) -> str:
+    bucket = " + ".join(
+        _plane_term(t * _LSH_PLANES + p, 2 ** p) for p in range(_LSH_PLANES)
+    )
+    return (
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"CAST({bucket} AS INT) AS bucket FROM embeddings"
+    )
+
+
+_BUCKETED_SQL = "\n    UNION ALL\n    ".join(
+    _table_sql(t) for t in range(_LSH_TABLES)
+)
 
 SQL_Q27 = f"""
 WITH bucketed AS (
-    SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket
-    FROM embeddings
+    {_BUCKETED_SQL}
 ), q AS (
-    SELECT vec_id AS q_id, embedding AS q_vec, bucket
+    SELECT vec_id AS q_id, embedding AS q_vec, tbl, bucket
     FROM bucketed WHERE vec_id < 10
+), cand AS (
+    SELECT DISTINCT q.q_id, q.q_vec, c.vec_id AS n_id, c.embedding AS n_vec
+    FROM q JOIN bucketed c
+      ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id != q.q_id
 ), scored AS (
-    SELECT q.q_id, c.vec_id AS n_id,
+    SELECT q_id, n_id,
            round(
-             list_sum(list_transform(range(1, len(q.q_vec) + 1),
-                      i -> q.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE))
-             / (sqrt(list_sum(list_transform(q.q_vec, x -> x::DOUBLE * x::DOUBLE)))
-                * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+             list_sum(list_transform(range(1, len(q_vec) + 1),
+                      i -> q_vec[i]::DOUBLE * n_vec[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q_vec, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(n_vec, x -> x::DOUBLE * x::DOUBLE)))),
              6) AS cos_sim
-    FROM q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id != q.q_id
+    FROM cand
 ), ranked AS (
     SELECT q_id, n_id, cos_sim,
            row_number() OVER (PARTITION BY q_id

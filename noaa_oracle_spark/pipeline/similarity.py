@@ -1,6 +1,6 @@
-"""Approximate-nearest-neighbor search over an embedding column.
+"""Similarity search and embedding-space dedup over an embedding column.
 
-Two tiers:
+Three ANN tiers plus a near-dup pair generator:
   - brute_force_knn: exact cosine top-k via a broadcast query-side cross
     join — the correctness baseline. Per-row cost is O(dim); the candidate
     side is never shuffled, so it scales linearly with corpus size.
@@ -8,6 +8,13 @@ Two tiers:
     from matching buckets; the 100 TB path where even a linear scan per
     query is too slow. Hyperplanes are derived deterministically from md5 so
     results are reproducible (and testable) without a stored model.
+  - ivf_knn: inverted-file index (IVF-flat) — corpus partitioned into nlist
+    centroid cells; queries probe only the nprobe nearest cells. The
+    data-dependent counterpart to LSH: cells follow the corpus distribution,
+    so probe cost tracks cluster occupancy rather than a fixed 2^planes.
+  - embedding_cosine_pairs: all (a < b) pairs above a cosine threshold —
+    the embedding-space near-duplicate detector that closes the dedup
+    ladder (exact → simhash → minhash-LSH → n-gram Jaccard → embedding).
 
 All vector math uses higher-order functions (zip_with/aggregate/transform) —
 JVM-side, no Python UDFs, whole-stage-codegen friendly.
@@ -203,4 +210,118 @@ def lsh_bucketed_knn(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", "cos_sim")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every corpus vector to its nearest
+    of `nlist` centroids, then answer each query from the `nprobe` nearest
+    cells only.
+
+    Centroids here are the nlist lowest-id corpus vectors — the
+    deterministic seed pick that k-means would start from (production would
+    refine with Lloyd iterations; the index structure and query path are
+    identical either way, and determinism is what makes the DuckDB oracle
+    reproduce it bit-for-bit).
+
+    Plan shape: centroids broadcast to both the assignment scan and the
+    query probe (nlist is small by construction); the candidate join is an
+    equi-join on the cell id — at scale the corpus is written partitioned
+    by `c_id`, so a query touches nprobe partitions and candidate volume is
+    the occupancy of those cells, not the corpus. Assignment and ranking
+    order on the 6-dp-rounded cosine with id tiebreaks so the cell choice
+    (and therefore the result set) is engine-portable."""
+    cent = corpus.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+
+    def nearest_cells(side: DataFrame, vid: str, vvec: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cent)).select(
+            vid,
+            vvec,
+            "c_id",
+            F.round(cosine(F.col(vvec), F.col("c_vec")), 6).alias("a_sim"),
+        )
+        w = Window.partitionBy(vid).orderBy(F.desc("a_sim"), F.asc("c_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n)
+            .select(vid, vvec, "c_id")
+        )
+
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    assigned = nearest_cells(
+        spread(corpus).select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        ),
+        "n_id",
+        "n_vec",
+        1,
+    )
+    probes = nearest_cells(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+        "q_vec",
+        nprobe,
+    )
+    # each corpus vector lives in exactly one cell and probe cells are
+    # distinct per query, so candidates are already pair-unique
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "c_id")
+        .filter(F.col("q_id") != F.col("n_id"))
+    )
+    scored = cand.select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: all (a < b) with
+    round(cosine(a, b), round_digits) >= threshold.
+
+    This is the exact variant — an upper-triangle block-nested-loop
+    (broadcast one side, stream the other), O(n²/2) comparisons with no
+    shuffle of the streamed side. It is the verification kernel; at corpus
+    scale the pair space is first restricted by LSH buckets (compose with
+    `lsh_bucket`/`_bucket_udf` the way `lsh_bucketed_knn` does) or by IVF
+    cells, then THIS predicate confirms candidates exactly. Comparing on
+    the rounded value keeps the borderline pairs engine-portable."""
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    a = spread(vectors).select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(
+        cosine(F.col("vec_a"), F.col("vec_b")), round_digits
+    ).alias("cos_sim")
+    return pairs.select("doc_a", "doc_b", cos).filter(
+        F.col("cos_sim") >= threshold
     )

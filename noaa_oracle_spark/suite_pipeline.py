@@ -17,7 +17,12 @@ from noaa_oracle_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from noaa_oracle_spark.pipeline.similarity import brute_force_knn, lsh_bucketed_knn
+from noaa_oracle_spark.pipeline.similarity import (
+    brute_force_knn,
+    embedding_cosine_pairs,
+    ivf_knn,
+    lsh_bucketed_knn,
+)
 from noaa_oracle_spark.pipeline.text import (
     TOKEN_RE,
     document_fingerprint,
@@ -374,6 +379,84 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 200
 """
 
 
+# shared cosine fragment for the SQL oracles (1-based DuckDB list indexing)
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) "
+    "* sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+)
+
+
+def q29_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at threshold 0.4 — the last
+    rung of the dedup ladder (semantic dups that share no shingles)."""
+    return embedding_cosine_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+SQL_Q29 = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT * FROM (
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.4
+"""
+
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: data-dependent centroid cells, nprobe-limited search —
+    the clustered-corpus counterpart to q27's LSH path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb.filter(F.col("vec_id") < 10), emb, k=5,
+        nlist=_IVF_NLIST, nprobe=_IVF_NPROBE,
+    )
+
+
+SQL_Q30 = f"""
+WITH cent AS (
+    SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+    WHERE vec_id < {_IVF_NLIST}
+), assigned AS (
+    SELECT n_id, n_vec, c_id FROM (
+        SELECT e.vec_id AS n_id, e.embedding AS n_vec, cent.c_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a='e.embedding', b='cent.c_vec')}
+                            DESC, cent.c_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent
+    ) WHERE r = 1
+), probes AS (
+    SELECT q_id, q_vec, c_id FROM (
+        SELECT e.vec_id AS q_id, e.embedding AS q_vec, cent.c_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a='e.embedding', b='cent.c_vec')}
+                            DESC, cent.c_id ASC) AS r
+        FROM embeddings e CROSS JOIN cent
+        WHERE e.vec_id < 10
+    ) WHERE r <= {_IVF_NPROBE}
+), scored AS (
+    SELECT p.q_id, a.n_id,
+           {_COS_SQL.format(a='p.q_vec', b='a.n_vec')} AS cos_sim
+    FROM probes p JOIN assigned a ON p.c_id = a.c_id AND p.q_id != a.n_id
+), ranked AS (
+    SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -386,6 +469,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_token_counts": q24_token_counts,
     "q27_lsh_ann": q27_lsh_ann,
     "q28_latest_limit": q28_latest_limit,
+    "q29_embedding_dedup": q29_embedding_dedup,
+    "q30_ivf_ann": q30_ivf_ann,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -400,4 +485,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q24_token_counts": SQL_Q24,
     "q27_lsh_ann": SQL_Q27,
     "q28_latest_limit": SQL_Q28,
+    "q29_embedding_dedup": SQL_Q29,
+    "q30_ivf_ann": SQL_Q30,
 }

@@ -693,6 +693,76 @@ GROUP BY user_id
 """
 
 
+def q31_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy + grouping_id. The reference has no
+    grouping sets (SURVEY §2.5 'notably absent'); this is the Spark-native
+    generalization of its daily-rollup family — one pass computes detail,
+    per-flag subtotal, and grand total (Catalyst expands to an Expand node,
+    so it stays a single shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+SQL_Q31 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q32_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.8) —
+    customer keys partitioned into with-orders and orderless via set ops,
+    tagged and unioned into one result. Both become left-semi/anti joins
+    in the physical plan — broadcastable, no distinct-sort."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    has_orders = c.intersect(o).withColumn("tag", F.lit("has_orders"))
+    no_orders = c.subtract(o).withColumn("tag", F.lit("no_orders"))
+    return has_orders.unionByName(no_orders)
+
+
+SQL_Q32 = """
+SELECT c_custkey, 'has_orders' AS tag FROM (
+    SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS tag FROM (
+    SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+)
+"""
+
+
+def q33_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) beside plain aggregates (absent from the reference,
+    SURVEY §2.5). Catalyst rewrites mixed distinct/non-distinct into the
+    two-phase Expand plan automatically — the hand-written equivalent of
+    which is exactly what engines without it have to maintain."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+SQL_Q33 = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -711,6 +781,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_scoring_kernel": q15_scoring_kernel,
     "q25_star_revenue": q25_star_revenue,
     "q26_sessionization": q26_sessionization,
+    "q31_rollup_subtotals": q31_rollup_subtotals,
+    "q32_set_ops": q32_set_ops,
+    "q33_distinct_aggregates": q33_distinct_aggregates,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -731,4 +804,7 @@ ORACLE_SQL: dict[str, str] = {
     "q15_scoring_kernel": SQL_Q15,
     "q25_star_revenue": SQL_Q25,
     "q26_sessionization": SQL_Q26,
+    "q31_rollup_subtotals": SQL_Q31,
+    "q32_set_ops": SQL_Q32,
+    "q33_distinct_aggregates": SQL_Q33,
 }

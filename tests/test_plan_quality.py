@@ -128,3 +128,42 @@ def test_scoring_kernel_broadcasts(spark):
     # choices ⋈ forecast ⋈ observed must broadcast the weather dims; the
     # final entries ⋈ per-entry join may legitimately shuffle at scale.
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_rollup_single_shuffle(spark):
+    """suite q31: ROLLUP must plan as one Expand + one shuffle (partial →
+    exchange → final hash agg), not one aggregation pass per grouping set."""
+    from noaa_oracle_spark.suite import q31_rollup_subtotals
+
+    df = q31_rollup_subtotals(spark, "/root/testdata/sf0.001")
+    df.collect()
+    # AQE prints Final and Initial sections; count shuffles in the final only
+    p = _plan(df).split("== Initial Plan ==")[0]
+    assert "Expand" in p
+    assert p.count("ShuffleQueryStage") == 1, p
+
+
+def test_set_ops_semi_anti_broadcast(spark):
+    """suite q32: INTERSECT/EXCEPT must become broadcast semi/anti joins —
+    the shapes that stay shuffle-free on the big side at scale."""
+    from noaa_oracle_spark.suite import q32_set_ops
+
+    df = q32_set_ops(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = _plan(df)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_embedding_pairs_single_stage(spark):
+    """suite q29: the pair kernel must be ONE map stage — a spread exchange
+    feeding MapInPandas, with no shuffle of the O(n²) pair space (pairs are
+    generated and filtered inside the kernel)."""
+    from noaa_oracle_spark.suite_pipeline import q29_embedding_dedup
+
+    df = q29_embedding_dedup(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = _plan(df)
+    assert "MapInPandas" in p
+    assert "Exchange hashpartitioning" not in p, p

@@ -763,6 +763,78 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's most recent
+    preceding click (ts >=, LEFT). Implemented via the union+window
+    formulation (operators/asof.py) — one shuffle, no range explosion;
+    DuckDB's native ASOF LEFT JOIN is the oracle."""
+    from noaa_oracle_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        purchases, clicks, ["user_id"], "ts", "ts",
+        ["event_id", "value"], prefix="click_",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("click_event_id"),
+        F.col("click_value"),
+    )
+
+
+SQL_Q34 = """
+WITH clicks AS (
+    SELECT * FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+), purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.event_id AS click_event_id, c.value AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (absent from the reference;
+    the daily-rollup family generalized to distributional stats). Uses
+    Spark's exact `percentile` — the approx_percentile sketch is the 100 TB
+    variant when exactness can be traded (no cross-engine oracle for the
+    sketch, so the exact form is the gate)."""
+    o = load(spark, sf_dir, "orders")
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_Q35 = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -784,6 +856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_rollup_subtotals": q31_rollup_subtotals,
     "q32_set_ops": q32_set_ops,
     "q33_distinct_aggregates": q33_distinct_aggregates,
+    "q34_asof_join": q34_asof_join,
+    "q35_percentiles": q35_percentiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -807,4 +881,6 @@ ORACLE_SQL: dict[str, str] = {
     "q31_rollup_subtotals": SQL_Q31,
     "q32_set_ops": SQL_Q32,
     "q33_distinct_aggregates": SQL_Q33,
+    "q34_asof_join": SQL_Q34,
+    "q35_percentiles": SQL_Q35,
 }

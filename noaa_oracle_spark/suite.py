@@ -835,6 +835,50 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join: clicks (any user) within the hour before each
+    purchase, counted per purchase. Naive form is an O(n·m) nested loop;
+    operators/rangejoin.py bins the time axis so it runs as an equi-join on
+    the bucket id. LEFT semantics restored by re-joining counts to the full
+    purchase set with COALESCE(0)."""
+    from noaa_oracle_spark.operators.rangejoin import binned_range_join
+
+    e = load(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    pairs = binned_range_join(purchases, clicks, "p_us", "c_us", hour_us)
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    return purchases.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        F.col("p_us").alias("ts_us"),
+        F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+    )
+
+
+SQL_Q36 = """
+WITH purchases AS (
+    SELECT event_id AS purchase_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT event_id AS click_id, epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id, p_us AS ts_us, count(click_id) AS n_clicks_1h
+FROM purchases LEFT JOIN clicks
+  ON c_us >= p_us - 3600000000 AND c_us <= p_us
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -858,6 +902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_distinct_aggregates": q33_distinct_aggregates,
     "q34_asof_join": q34_asof_join,
     "q35_percentiles": q35_percentiles,
+    "q36_range_join": q36_range_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -883,4 +928,5 @@ ORACLE_SQL: dict[str, str] = {
     "q33_distinct_aggregates": SQL_Q33,
     "q34_asof_join": SQL_Q34,
     "q35_percentiles": SQL_Q35,
+    "q36_range_join": SQL_Q36,
 }

@@ -167,3 +167,16 @@ def test_embedding_pairs_single_stage(spark):
     p = _plan(df)
     assert "MapInPandas" in p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_range_join_not_nested_loop(spark):
+    """suite q36: the binned interval join must plan as a hash equi-join on
+    the bucket id — a BroadcastNestedLoopJoin here means the binning
+    rewrite silently stopped applying and the query is O(n·m)."""
+    from noaa_oracle_spark.suite import q36_range_join
+
+    df = q36_range_join(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Join" in p

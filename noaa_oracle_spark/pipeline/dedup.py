@@ -214,6 +214,64 @@ def minhash_lsh_candidates(
     ).dropDuplicates()
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: the dedup
+    CLUSTERING step — candidate pairs (MinHash/Jaccard/embedding) say "these
+    two are dups"; components turn that pair soup into groups with one
+    representative (the min id), which is what a 100 TB dedup actually
+    deletes against.
+
+    `edges` is (doc_a, doc_b) pairs, any orientation. Each iteration every
+    node takes min(own label, neighbors' labels) — converges in ≤ diameter
+    iterations; near-dup clusters are shallow (pairs come from a similarity
+    threshold), so this terminates in a handful of rounds. The classic
+    log-round alternative at planetary scale is large-star/small-star
+    (Kiveris et al.) — same join/agg primitives, fewer rounds on long
+    chains. Lineage is cut per round with localCheckpoint (iterative plans
+    otherwise grow without bound); convergence is detected by counting
+    changed labels, so the loop does exact work, not a fixed schedule.
+
+    Returns (id_col, component) for EVERY node — singletons keep their own
+    id, so the output is a total partition of the corpus."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.persist()
+    labels = nodes.select(
+        F.col(id_col), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels[id_col] == neigh.src, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("neigh_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

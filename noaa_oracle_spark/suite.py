@@ -879,6 +879,51 @@ GROUP BY 1, 2
 """
 
 
+def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min gap) — the
+    merging-interval operator behind streaming sessionization; q26 builds
+    the same thing from lag+cumsum, this uses the engine primitive (works
+    identically under readStream, where the window state is managed by the
+    streaming state store). Session end = last event + gap."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+SQL_Q37 = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM (
+        SELECT user_id, ts,
+               epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   AS prev_us
+        FROM events
+    )
+), sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + 1800000000 AS end_us,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -903,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_asof_join": q34_asof_join,
     "q35_percentiles": q35_percentiles,
     "q36_range_join": q36_range_join,
+    "q37_session_window": q37_session_window,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -929,4 +975,5 @@ ORACLE_SQL: dict[str, str] = {
     "q34_asof_join": SQL_Q34,
     "q35_percentiles": SQL_Q35,
     "q36_range_join": SQL_Q36,
+    "q37_session_window": SQL_Q37,
 }

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from noaa_oracle_spark.pipeline.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -457,6 +458,34 @@ SELECT q_id, rank, n_id, cos_sim FROM ranked WHERE rank <= 5
 """
 
 
+def q38_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the q17 Jaccard pair
+    graph — pair soup → (doc, component) groups keyed by min member id.
+    Iterative min-label propagation on Spark; the oracle replays it as a
+    DuckDB recursive CTE (transitive closure + min-reachable-root)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold_num=3, threshold_den=10
+    ).select("doc_a", "doc_b")
+    return connected_components(docs, pairs)
+
+
+SQL_Q38 = f"""
+WITH RECURSIVE pairs AS (
+    {SQL_Q17}
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -471,6 +500,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_latest_limit": q28_latest_limit,
     "q29_embedding_dedup": q29_embedding_dedup,
     "q30_ivf_ann": q30_ivf_ann,
+    "q38_dedup_components": q38_dedup_components,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -487,4 +517,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q28_latest_limit": SQL_Q28,
     "q29_embedding_dedup": SQL_Q29,
     "q30_ivf_ann": SQL_Q30,
+    "q38_dedup_components": SQL_Q38,
 }

@@ -81,3 +81,66 @@ def test_streaming_latest_forecasts(spark, stream_dir, tmp_path):
     freshest = max(katl_0_6, key=lambda r: r["generated_at"])
     assert freshest["generated_at"] == "2026-01-15T03:00:00Z"
     assert freshest["max_temp"] == 45
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """q37's claim, proven: the SAME session_window aggregation runs under
+    readStream with watermarked state — batch/stream parity for the
+    sessionization operator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00",
+                    "2026-01-01 00:10:00",  # same session (gap 10m < 30m)
+                    "2026-01-01 02:00:00",  # new session
+                    "2026-01-01 00:05:00",
+                ]
+            ),
+        }
+    )
+    # pandas defaults to TIMESTAMP(NANOS), which the session reads as long
+    pdf.to_parquet(
+        src / "batch0.parquet",
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r.user_id, str(r.start), r.n_events)
+            for r in spark.sql("SELECT * FROM session_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert rows == {
+        (1, "2026-01-01 00:00:00", 2),
+        (1, "2026-01-01 02:00:00", 1),
+        (2, "2026-01-01 00:05:00", 1),
+    }

@@ -1,10 +1,16 @@
 from noaa_oracle_spark.pipeline.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from noaa_oracle_spark.pipeline.similarity import brute_force_knn, lsh_bucketed_knn
+from noaa_oracle_spark.pipeline.similarity import (
+    brute_force_knn,
+    embedding_cosine_pairs,
+    ivf_knn,
+    lsh_bucketed_knn,
+)
 from noaa_oracle_spark.pipeline.text import (
     document_fingerprint,
     language_id,
@@ -13,11 +19,14 @@ from noaa_oracle_spark.pipeline.text import (
 )
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "brute_force_knn",
+    "embedding_cosine_pairs",
+    "ivf_knn",
     "lsh_bucketed_knn",
     "document_fingerprint",
     "language_id",

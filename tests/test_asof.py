@@ -78,3 +78,38 @@ def test_asof_no_preceding_row_is_null(spark):
         right_cols=["rid"],
     ).collect()
     assert len(got) == 1 and got[0]["r_rid"] is None
+
+
+def test_binned_range_join_matches_naive(spark):
+    """Randomized boundary check for operators/rangejoin.py: bin edges are
+    the classic off-by-one trap, so the generator lands many timestamps
+    exactly ON multiples of the window."""
+    import numpy as np
+
+    from noaa_oracle_spark.operators.rangejoin import binned_range_join
+
+    rng = np.random.default_rng(3)
+    w = 100
+    l_ts = np.concatenate(
+        [rng.integers(0, 2000, 150), rng.integers(0, 20, 30) * w]
+    )
+    r_ts = np.concatenate(
+        [rng.integers(0, 2000, 150), rng.integers(0, 20, 30) * w]
+    )
+    left = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(l_ts)], "lid long, l_us long"
+    )
+    right = spark.createDataFrame(
+        [(int(i), int(t)) for i, t in enumerate(r_ts)], "rid long, r_us long"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in binned_range_join(left, right, "l_us", "r_us", w).collect()
+    }
+    expected = {
+        (li, ri)
+        for li, lt in enumerate(l_ts)
+        for ri, rt in enumerate(r_ts)
+        if lt - w <= rt <= lt
+    }
+    assert got == expected

@@ -924,6 +924,84 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q39_moving_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows (ROWS BETWEEN …) — absent from the reference
+    (SURVEY §2.6: no frame-spec windows). 7-row trailing mean + running
+    total of event value per user; sums rounded at input precision (2 dp)
+    and the mean divided from integer cents keeps floats exact across
+    engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trail = w.rowsBetween(-6, 0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.withColumn("_cents", cents)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            (F.sum("_cents").over(trail) / F.count(F.lit(1)).over(trail) / 100.0)
+            .alias("trailing_mean"),
+            (F.sum("_cents").over(run) / F.lit(100.0)).alias("running_total"),
+        )
+    )
+
+
+SQL_Q39 = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       sum(cents) OVER w7 / count(*) OVER w7 / 100.0 AS trailing_mean,
+       sum(cents) OVER wrun / 100.0 AS running_total
+FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wrun AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q40_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (rank / dense_rank / ntile — absent from the
+    reference's SQL, SURVEY §2.6; its only ranking is Rust-side top-K).
+    Customers ranked by total spend within their market segment."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spent"), F.asc("c_custkey")
+    )
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spent",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).filter(F.col("rnk") <= 25)
+
+
+SQL_Q40 = """
+WITH spend AS (
+    SELECT c_custkey, c_mktsegment,
+           round(sum(o_totalprice), 2) AS spent
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT c_custkey, c_mktsegment, spent,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spent DESC, c_custkey ASC)
+) WHERE rnk <= 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -949,6 +1027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_percentiles": q35_percentiles,
     "q36_range_join": q36_range_join,
     "q37_session_window": q37_session_window,
+    "q39_moving_aggregates": q39_moving_aggregates,
+    "q40_ranking": q40_ranking,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -976,4 +1056,6 @@ ORACLE_SQL: dict[str, str] = {
     "q35_percentiles": SQL_Q35,
     "q36_range_join": SQL_Q36,
     "q37_session_window": SQL_Q37,
+    "q39_moving_aggregates": SQL_Q39,
+    "q40_ranking": SQL_Q40,
 }

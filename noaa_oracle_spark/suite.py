@@ -1002,6 +1002,64 @@ SELECT * FROM (
 """
 
 
+def q41_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot: per-user event counts spread across event-type columns.
+    Values are enumerated explicitly — at scale an unenumerated pivot first
+    runs a distinct scan AND makes the schema data-dependent; pinning the
+    columns keeps the plan a single Expand-free hash aggregate."""
+    e = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+SQL_Q41 = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access (events.props — JSON-in-VARCHAR, mirroring the
+    reference's JSON-in-TEXT event fields, sqlite.rs:207-210):
+    get_json_object stays JVM-side; per-key aggregation after extraction."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+SQL_Q42 = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       sum(k) AS k_sum
+FROM (
+    SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1029,6 +1087,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_session_window": q37_session_window,
     "q39_moving_aggregates": q39_moving_aggregates,
     "q40_ranking": q40_ranking,
+    "q41_pivot": q41_pivot,
+    "q42_json_extract": q42_json_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1058,4 +1118,6 @@ ORACLE_SQL: dict[str, str] = {
     "q37_session_window": SQL_Q37,
     "q39_moving_aggregates": SQL_Q39,
     "q40_ranking": SQL_Q40,
+    "q41_pivot": SQL_Q41,
+    "q42_json_extract": SQL_Q42,
 }

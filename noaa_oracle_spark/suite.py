@@ -1060,6 +1060,99 @@ GROUP BY event_type
 """
 
 
+def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the RAW SQL surface — the J4
+    pattern (weather_data.rs:314-343) as a user would type it. Catalyst
+    decorrelates it into a left-outer aggregate join (SURVEY §4); the
+    DataFrame engine elsewhere pre-decorrelates by hand, this gate proves
+    the SQL path needs neither."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               (SELECT count(*) FROM v_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+               (SELECT round(max(l2.l_extendedprice), 2) FROM v_lineitem l2
+                WHERE l2.l_orderkey = o.o_orderkey) AS max_item_price
+        FROM v_orders o
+        """
+    )
+
+
+SQL_Q43 = """
+SELECT o_orderkey,
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+       (SELECT round(max(l2.l_extendedprice), 2) FROM lineitem l2
+        WHERE l2.l_orderkey = o.o_orderkey) AS max_item_price
+FROM orders o
+"""
+
+
+def q44_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as user surface (transform / filter /
+    aggregate) — per-vector L2 norm, max component, positive count over the
+    embedding column. All JVM-side lambdas, no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    as_d = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(
+        F.aggregate(as_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return e.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(F.array_max(as_d), 6).alias("max_comp"),
+        F.size(F.filter(as_d, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+SQL_Q44 = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6)
+           AS max_comp,
+       len(list_filter(list_transform(embedding, x -> x::DOUBLE),
+           x -> x > 0)) AS n_positive
+FROM embeddings
+"""
+
+
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) + per-metric rollup — the inverse of q41;
+    one Expand node, no join."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("metric").agg(
+        F.round(F.sum("val"), 2).alias("total"),
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_Q45 = """
+WITH long AS (
+    SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT metric, round(sum(val), 2) AS total,
+       min(val) AS lo, max(val) AS hi, count(*) AS n
+FROM long GROUP BY metric
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1089,6 +1182,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_ranking": q40_ranking,
     "q41_pivot": q41_pivot,
     "q42_json_extract": q42_json_extract,
+    "q43_correlated_subquery": q43_correlated_subquery,
+    "q44_array_ops": q44_array_ops,
+    "q45_unpivot": q45_unpivot,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1120,4 +1216,7 @@ ORACLE_SQL: dict[str, str] = {
     "q40_ranking": SQL_Q40,
     "q41_pivot": SQL_Q41,
     "q42_json_extract": SQL_Q42,
+    "q43_correlated_subquery": SQL_Q43,
+    "q44_array_ops": SQL_Q44,
+    "q45_unpivot": SQL_Q45,
 }

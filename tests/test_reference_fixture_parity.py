@@ -23,15 +23,15 @@ from noaa_oracle_spark.queries.weather import (
     stations,
 )
 from noaa_oracle_spark.sources.reader import read_snapshots
-from tests.test_weather_parity import (
+from noaa_oracle_spark.reference_sql import (
     CLASSIFY,
     FCST_HEADER,
     OBS_AGGS,
     OBS_HEADER,
-    _duration_ctes,
-    _paths_sql,
-    normalize,
+    duration_ctes as _duration_ctes,
+    paths_sql as _paths_sql,
 )
+from tests.test_weather_parity import normalize
 
 FIXTURE_DIR = "/root/reference/e2e/fixtures/weather_data/2026-01-17"
 _RAW_OBS = sorted(glob.glob(f"{FIXTURE_DIR}/observations_*.parquet"))

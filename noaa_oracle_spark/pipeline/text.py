@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from noaa_oracle_spark.pipeline.dedup import spread
 
@@ -117,4 +118,52 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return spread(docs).select(
         "doc_id",
         F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character k-gram, slide a window of `window`
+    consecutive positions, keep each window's minimum hash — the selected
+    set is position-robust (guaranteed to share fingerprints with any copy
+    of length ≥ k + window − 1), which whole-document hashing (the q23
+    fingerprint) is not.
+
+    "Rolling hash" names the O(1)-per-position incremental trick; the
+    SELECTION is the semantics, and computing each k-gram hash directly
+    (md5 — engine-portable) gives the identical fingerprint set. Plan:
+    posexplode positions → substring k-gram → md5 → per-doc ordered window
+    min → distinct. One shuffle (the window sort); output is the classic
+    (doc, fingerprint) inverted-index input, dedup-joinable exactly like
+    shingles."""
+    n = F.length(F.col(text_col))
+    pos = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(F.sequence(F.lit(1), n - k + 1)).alias("_i", "start"),
+    ).filter(F.length(F.col(text_col)) >= k + window - 1)
+    gram_hash = F.md5(F.expr(f"substring({text_col}, start, {k})"))
+    hashed = pos.select(
+        F.col(id_col), F.col("start"), gram_hash.alias("h")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(0, window - 1)
+    )
+    # the last window starts at n-k+1-(window-1); later rows would be
+    # partial windows, which winnowing does not emit
+    max_start = F.max("start").over(Window.partitionBy(id_col))
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .withColumn("_max", max_start)
+        .filter(F.col("start") <= F.col("_max") - (window - 1))
+        .select(F.col(id_col), F.col("fp").alias("fingerprint"))
+        .dropDuplicates()
     )

@@ -46,6 +46,25 @@ Operator-family coverage map (reference file:line cited per query):
   q24 BPE-ish token counting              pipeline  —
   q25 multi-join star revenue             J7        event_data.rs:487-509
   q26 sessionization (lag + running sum)  W-family  —
+  q27 multi-table LSH ANN                 pipeline  —
+  q28 ORDER BY / LIMIT shaping            T2/T3     raw_data.js:98-99
+  q29 embedding-cosine near-dup pairs     pipeline  —
+  q30 IVF-flat ANN (nprobe cells)         pipeline  —
+  q31 ROLLUP subtotals + grouping_id      §2.5 gap  —
+  q32 INTERSECT / EXCEPT                  §2.8 gap  —
+  q33 COUNT(DISTINCT) mixed aggregates    §2.5 gap  —
+  q34 as-of join (union+window)           §2.4 gap  download_forecast.rs:622-805 (kin)
+  q35 exact interpolated percentiles      §2.5 gap  —
+  q36 keyless binned range join           §2.4 gap  —
+  q37 native session windows              §2.6 gap  —
+  q38 dedup connected components          pipeline  —
+  q39 frame-spec moving aggregates        §2.6 gap  —
+  q40 rank / dense_rank / ntile           §2.6 gap  oracle.rs:799-820 (kin)
+  q41 native pivot                        —         —
+  q42 JSON extraction (props column)      F-family  sqlite.rs:207-210 (kin)
+  q43 correlated scalar subquery (SQL)    J4        weather_data.rs:314-343
+  q44 array higher-order functions        —         —
+  q45 unpivot / melt                      —         —
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ from noaa_oracle_spark.pipeline.text import (
     language_id,
     quality_scores,
     token_counts,
+    winnowing_fingerprints,
 )
 from noaa_oracle_spark.suite import load
 
@@ -486,6 +487,48 @@ SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
 """
 
 
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def q46_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over documents, counted per doc —
+    the position-robust fingerprinting that q23's whole-doc hash is not."""
+    fp = winnowing_fingerprints(
+        load(spark, sf_dir, "documents"), k=_WINNOW_K, window=_WINNOW_W
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+    )
+
+
+SQL_Q46 = f"""
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - {_WINNOW_K} + 1)) AS start
+    FROM documents
+    WHERE length(text) >= {_WINNOW_K} + {_WINNOW_W} - 1
+), hashed AS (
+    SELECT doc_id, start, md5(substring(text, start, {_WINNOW_K})) AS h,
+           max(start) OVER (PARTITION BY doc_id) AS max_start
+    FROM pos
+), winnowed AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS fp,
+           start, max_start
+    FROM hashed
+), fingerprints AS (
+    SELECT DISTINCT doc_id, fp FROM winnowed
+    WHERE start <= max_start - {_WINNOW_W - 1}
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+FROM fingerprints GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -501,6 +544,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_embedding_dedup": q29_embedding_dedup,
     "q30_ivf_ann": q30_ivf_ann,
     "q38_dedup_components": q38_dedup_components,
+    "q46_winnowing": q46_winnowing,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -518,4 +562,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q29_embedding_dedup": SQL_Q29,
     "q30_ivf_ann": SQL_Q30,
     "q38_dedup_components": SQL_Q38,
+    "q46_winnowing": SQL_Q46,
 }

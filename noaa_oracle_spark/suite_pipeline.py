@@ -291,7 +291,9 @@ FROM documents
 
 
 _LSH_PLANES = 3
-_LSH_TABLES = 4
+# recall@5 vs exact at sf0.1: 4 tables → 0.64, 6 → 0.78, 8 → 0.92 at equal
+# warm runtime (the bucketing matmul is one Arrow batch either way)
+_LSH_TABLES = 8
 
 
 def q27_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -137,3 +137,49 @@ def sample_video_frames(
             256,
         ).alias("frame_hash"),
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize plumbing: binary-in → binary-out mapInPandas with the target
+    dimensions as metadata. The fake codec emits a deterministic
+    content+target-derived blob (so downstream dedup/feature stages have
+    real bytes to chew on); a real codec drops in by replacing only the
+    per-batch transform — the schema, batching, and blob-stays-map-side
+    contract are what this module fixes."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real image resizing needs an imaging library "
+            "not present in this runtime"
+        )
+    tag = f"{width}x{height}".encode()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(
+                        lambda b: hashlib.sha256((b or b"") + tag).digest()
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+    )

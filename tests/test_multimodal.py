@@ -11,6 +11,7 @@ from noaa_oracle_spark.pipeline.multimodal import (
     MEDIA_SCHEMA,
     extract_image_features,
     media_metadata,
+    resize_images,
     sample_video_frames,
 )
 
@@ -59,3 +60,22 @@ def test_video_frame_sampling(media):
         0, 1000, 2000, 3000,
     ]
     assert all(len(r["frame_hash"]) == 64 for r in frames)
+
+
+def test_resize_plumbing(media):
+    """Resize: image rows only, deterministic fake bytes, target dims as
+    metadata — and re-running yields identical blobs (executor-stable)."""
+    out = resize_images(media, 32, 32).collect()
+    assert {r.media_id for r in out} == {1, 2, 5}
+    assert all(r.width == 32 and r.height == 32 for r in out)
+    assert all(isinstance(r.content, (bytes, bytearray)) for r in out)
+    again = {r.media_id: bytes(r.content) for r in resize_images(media, 32, 32).collect()}
+    assert {r.media_id: bytes(r.content) for r in out} == again
+    # different target -> different bytes (the fake codec is target-aware)
+    other = {r.media_id: bytes(r.content) for r in resize_images(media, 16, 16).collect()}
+    assert all(other[m] != b for m, b in again.items())
+
+
+def test_resize_real_codec_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32, codec="pillow")

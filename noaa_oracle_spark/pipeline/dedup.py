@@ -219,6 +219,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: the dedup
     CLUSTERING step — candidate pairs (MinHash/Jaccard/embedding) say "these
@@ -237,7 +238,53 @@ def connected_components(
     changed labels, so the loop does exact work, not a fixed schedule.
 
     Returns (id_col, component) for EVERY node — singletons keep their own
-    id, so the output is a total partition of the corpus."""
+    id, so the output is a total partition of the corpus.
+
+    Hybrid execution: similarity-thresholded pair graphs are almost always
+    TINY relative to the corpus (the whole point of thresholding), so when
+    the edge count is under `driver_edge_threshold` the components are
+    solved with union-find on the driver in one pass and broadcast-joined
+    back — no iteration, no per-round job overhead. The distributed
+    min-propagation loop below is the path for graphs that don't fit; set
+    the threshold to 0 to force it (tests do)."""
+    # the edge set is usually the output of a whole candidate-pair pipeline
+    # (shingling, banding, joins) — persist so the size probe and the
+    # consumption below evaluate it once
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        pair_rows = edges.select("doc_a", "doc_b").collect()
+        edges.unpersist()
+        for a, b in pair_rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the representative is the min member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        if parent:
+            mapping = [(x, find(x)) for x in list(parent)]
+            mdf = nodes.sparkSession.createDataFrame(
+                mapping, f"{id_col} long, _root long"
+            )
+            return nodes.select(id_col).join(
+                F.broadcast(mdf), id_col, "left"
+            ).select(
+                F.col(id_col),
+                F.coalesce("_root", F.col(id_col)).alias("component"),
+            )
+        return nodes.select(
+            F.col(id_col), F.col(id_col).alias("component")
+        )
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -269,6 +316,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels
 
 

@@ -364,6 +364,9 @@ def embedding_cosine_pairs(
         return np.sqrt(acc)
 
     rows = vectors.select(id_col, vec_col).collect()
+    schema_empty = "doc_a long, doc_b long, cos_sim double"
+    if not rows:
+        return vectors.sparkSession.createDataFrame([], schema_empty)
     b_ids = np.array([r[0] for r in rows], dtype=np.int64)
     b_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     b_nrm = fold_norms(b_mat)

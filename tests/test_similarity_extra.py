@@ -70,3 +70,10 @@ def test_embedding_pairs_vs_numpy(spark, emb):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_embedding_pairs_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_cosine_pairs(empty, threshold=0.4)
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b", "cos_sim"]

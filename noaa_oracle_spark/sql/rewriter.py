@@ -202,10 +202,77 @@ def _escape_backslashes_in_literals(sql: str) -> str:
     return "".join(out)
 
 
+_STRFTIME_TOKENS = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+}
+
+
+def _rewrite_strftime(sql: str) -> str:
+    """strftime(ts, '%Y-%m-%d') → date_format(ts, 'yyyy-MM-dd') for the
+    C-style tokens with Java-format equivalents; calls using tokens outside
+    the table are left alone (better a Spark parse error than a silently
+    different format)."""
+    pat = re.compile(r"\bstrftime\s*\(", re.IGNORECASE)
+    for m in reversed(list(pat.finditer(sql))):
+        open_paren = sql.index("(", m.start())
+        close = _scan_balanced(sql, open_paren)
+        args = _split_top_level_commas(sql[open_paren + 1 : close - 1])
+        if len(args) != 2:
+            continue
+        fmt = args[1].strip()
+        if not (fmt.startswith("'") and fmt.endswith("'")):
+            continue
+        body = fmt[1:-1]
+        for tok, java in _STRFTIME_TOKENS.items():
+            body = body.replace(tok, java)
+        if "%" in body:
+            continue  # untranslated token — leave the call untouched
+        sql = (
+            sql[: m.start()]
+            + f"date_format({args[0]}, '{body}')"
+            + sql[close:]
+        )
+    return sql
+
+
+def _rewrite_string_split(sql: str) -> str:
+    """string_split(x, 'sep') → split(x, '<regex-escaped sep>'). Spark's
+    split() takes a REGEX; DuckDB's separator is literal, so '.' or '|'
+    must be escaped before the swap (only simple literal separators are
+    rewritten)."""
+    pat = re.compile(r"\bstring_split\s*\(", re.IGNORECASE)
+    for m in reversed(list(pat.finditer(sql))):
+        open_paren = sql.index("(", m.start())
+        close = _scan_balanced(sql, open_paren)
+        args = _split_top_level_commas(sql[open_paren + 1 : close - 1])
+        if len(args) != 2:
+            continue
+        sep = args[1].strip()
+        if not (sep.startswith("'") and sep.endswith("'")):
+            continue
+        escaped = re.escape(sep[1:-1]).replace("\\", "\\\\")
+        sql = (
+            sql[: m.start()]
+            + f"split({args[0]}, '{escaped}')"
+            + sql[close:]
+        )
+    return sql
+
+
 def rewrite_duckdb_sql(sql: str) -> str:
     sql = _escape_backslashes_in_literals(sql)
     out = _rewrite_distinct_on(sql)
     out = _rewrite_date_trunc(out)
+    out = _rewrite_strftime(out)
+    out = _rewrite_string_split(out)
+    out = re.sub(r"\bepoch_us\s*\(", "unix_micros(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bepoch_ms\s*\(", "unix_millis(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bepoch\s*\(", "unix_timestamp(", out, flags=re.IGNORECASE)
     out = re.sub(
         r"::\s*TIMESTAMPTZ\s+AT\s+TIME\s+ZONE\s+'UTC'",
         "::TIMESTAMP",

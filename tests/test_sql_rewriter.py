@@ -160,6 +160,24 @@ RAW_QUERIES = {
 }
 
 
+RAW_QUERIES["strftime_bucket"] = """
+SELECT station_id,
+       strftime(generated_at::TIMESTAMP, '%Y-%m-%d %H:%M') AS minute_bucket,
+       count(*) AS n
+FROM observations GROUP BY 1, 2
+"""
+
+# '.' separator: DuckDB splits literally; unescaped it would be a
+# match-anything REGEX in Spark's split() — the rewrite must escape it
+RAW_QUERIES["epoch_and_split"] = """
+SELECT station_id,
+       epoch_us(generated_at::TIMESTAMP) AS gen_us,
+       string_split(station_id, '.') AS dot_parts,
+       string_split(wx_string, ' ') AS words
+FROM observations
+"""
+
+
 @pytest.fixture(scope="module")
 def raw_env(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("raw_weather"))

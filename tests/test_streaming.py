@@ -144,3 +144,55 @@ def test_streaming_session_window(spark, tmp_path):
         (1, "2026-01-01 02:00:00", 1),
         (2, "2026-01-01 00:05:00", 1),
     }
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """The dedup ladder's first rung under Structured Streaming: duplicate
+    texts arriving across micro-batches are suppressed by
+    dropDuplicatesWithinWatermark on the content hash — state is bounded by
+    the watermark horizon instead of growing forever."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows).to_parquet(
+            src / name, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    t = pd.to_datetime("2026-01-01 00:00:00")
+    write_batch("b0.parquet", {
+        "doc_id": [1, 2],
+        "text": ["alpha", "beta"],
+        "ts": [t, t],
+    })
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .withColumn("text_hash", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: one duplicate text ("alpha"), one new
+        write_batch("b1.parquet", {
+            "doc_id": [3, 4],
+            "text": ["alpha", "gamma"],
+            "ts": [t, t],
+        })
+        q.processAllAvailable()
+        rows = spark.sql("SELECT text FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]

@@ -1172,6 +1172,38 @@ FROM long GROUP BY metric
 """
 
 
+def q47_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native tumbling-window rollup (F.window, 6-hour buckets) — the
+    hypertable/continuous-aggregate shape; the same expression runs under
+    readStream with watermarked state. Oracle: DuckDB time_bucket."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.withColumn("_cents", cents)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("_cents") / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_Q47 = """
+SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS bucket_us,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1204,6 +1236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_correlated_subquery": q43_correlated_subquery,
     "q44_array_ops": q44_array_ops,
     "q45_unpivot": q45_unpivot,
+    "q47_tumbling_window": q47_tumbling_window,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1238,4 +1271,5 @@ ORACLE_SQL: dict[str, str] = {
     "q43_correlated_subquery": SQL_Q43,
     "q44_array_ops": SQL_Q44,
     "q45_unpivot": SQL_Q45,
+    "q47_tumbling_window": SQL_Q47,
 }

@@ -42,6 +42,10 @@ def asof_join(
 
     Output: every left row + `right_cols` (renamed `prefix`+name), NULL
     where no right row precedes."""
+    reserved = {"_asof_ts", "_asof_side", "_asof_payload", "_asof_match"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join: reserved column names in input: {clash}")
     payload = F.struct(
         *[F.col(c).alias(c) for c in right_cols]
     ).alias("_asof_payload")

@@ -35,6 +35,13 @@ def binned_range_join(
     arithmetic is engine-portable; interval/timezone math is not). Output:
     all left columns + all right columns (caller aliases collisions away
     upstream)."""
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError("binned_range_join: input already has a _bin column")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"binned_range_join: alias away shared columns first: {overlap}"
+        )
     # integer `div` — float division near bin boundaries is a correctness
     # trap (a right row binned one bucket late is silently unmatched)
     bin_l = F.expr(f"{left_ts_us} div {window_us}")

@@ -36,6 +36,8 @@ def salted_join(
     The salt hashes the full left row (xxhash64 — deterministic across
     runs/retries, unlike monotonically_increasing_id or rand, both of
     which break retry idempotency mid-shuffle)."""
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join: input already has a _salt column")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                   F.lit(num_salts))
     lx = left.withColumn("_salt", salt)

@@ -49,3 +49,24 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_reserved_column_guards(spark):
+    """Internal helper columns colliding with user columns must raise, not
+    silently corrupt the join."""
+    import pytest as _pytest
+
+    from noaa_oracle_spark.operators.asof import asof_join
+    from noaa_oracle_spark.operators.rangejoin import binned_range_join
+
+    df_salt = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(df_salt, df_salt, ["k"])
+
+    df_bin = spark.createDataFrame([(1, 2)], "a_us long, _bin long")
+    with _pytest.raises(ValueError, match="_bin"):
+        binned_range_join(df_bin, df_bin.select("a_us"), "a_us", "a_us", 10)
+
+    df_asof = spark.createDataFrame([(1, 2)], "k long, _asof_ts long")
+    with _pytest.raises(ValueError, match="_asof"):
+        asof_join(df_asof, df_asof, ["k"], "_asof_ts", "_asof_ts", ["k"])

@@ -1,0 +1,67 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+RNG sampling (`df.sample`, `sampleBy`) is not reproducible across engines,
+partitionings, or retries — a training pipeline needs the SAME document to
+land in the same split every run, on every system that touches the corpus.
+Hash sampling gives that: a row is selected iff the first 3 hex digits of
+md5(salt|key) fall below a threshold — a pure column expression, portable
+to any engine with md5 (fixed-width lowercase hex compares exactly like the
+underlying integer).
+
+Resolution is 1/4096 per threshold step (3 hex digits); fractions are
+floored to that grid. Different `salt` values give independent samples, so
+`salt="train"` / `salt="test"` build overlapping-free splits from
+complementary thresholds on the SAME salt, and independent subsamples from
+different salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRID = 4096  # 16^3
+
+
+def _threshold_hex(fraction: float) -> str:
+    """fraction → 3-hex-digit exclusive upper bound ('000'..'1000')."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * _GRID), "03x")
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(f"{salt}|"), key)), 1, 3)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen deterministically by key hash."""
+    return df.filter(
+        _bucket(F.col(key_col).cast("string"), salt)
+        < F.lit(_threshold_hex(fraction))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix primitive
+    (e.g. keep 50% of English, 20% of everything else). Selection depends
+    only on (salt, key), so adjusting one stratum's rate never reshuffles
+    another stratum's membership."""
+    thr = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(_bucket(F.col(key_col).cast("string"), salt) < thr)

@@ -489,6 +489,33 @@ SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
 """
 
 
+def q48_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (50% of 'en' docs, 20% of the
+    rest, keyed on doc_id) — reproducible train/test membership with no
+    RNG; the oracle computes the identical md5-bucket selection."""
+    from noaa_oracle_spark.pipeline.sampling import stratified_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    picked = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.2,
+        salt="train",
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+# 0.5 → 2048/4096 = '800'; 0.2 → 819/4096 = '333'
+SQL_Q48 = """
+SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+FROM documents
+WHERE substr(md5('train|' || CAST(doc_id AS VARCHAR)), 1, 3)
+      < (CASE WHEN lang = 'en' THEN '800' ELSE '333' END)
+GROUP BY lang
+"""
+
+
 _WINNOW_K = 8
 _WINNOW_W = 4
 
@@ -547,6 +574,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_ivf_ann": q30_ivf_ann,
     "q38_dedup_components": q38_dedup_components,
     "q46_winnowing": q46_winnowing,
+    "q48_stratified_sample": q48_stratified_sample,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -565,4 +593,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q30_ivf_ann": SQL_Q30,
     "q38_dedup_components": SQL_Q38,
     "q46_winnowing": SQL_Q46,
+    "q48_stratified_sample": SQL_Q48,
 }

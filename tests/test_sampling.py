@@ -1,0 +1,58 @@
+"""Deterministic hash sampling: rate accuracy, run-to-run stability,
+stratum independence, and salt independence.
+"""
+
+from __future__ import annotations
+
+from noaa_oracle_spark.pipeline.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_rate_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert s1 == s2, "same inputs must select the same rows"
+    assert abs(len(s1) / n - 0.3) < 0.08
+
+
+def test_growing_fraction_is_superset(spark):
+    """Raising the rate must only ADD rows (threshold grids nest) — the
+    property that lets a pipeline grow a sample without resampling."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_salts_give_independent_samples(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="a").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="b").select("doc_id").collect()}
+    assert a != b
+    # independent 50% samples overlap on ~25% of the corpus
+    assert abs(len(a & b) / n - 0.25) < 0.1
+
+
+def test_stratified_rates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_lang = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    got = {
+        r.lang: r.n
+        for r in stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.2
+        ).groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert abs(got["en"] / per_lang["en"] - 0.5) < 0.12
+    for lang, total in per_lang.items():
+        if lang != "en":
+            assert got.get(lang, 0) / total < 0.4

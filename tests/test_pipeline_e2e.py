@@ -1,0 +1,82 @@
+"""The training-corpus pipeline composed end-to-end, the way a real data
+job would chain the operators:
+
+    documents → quality filter → exact dedup → near-dup clustering →
+    representative selection → deterministic stratified sample → token stats
+
+Each stage is individually gate-checked elsewhere; this test pins that they
+COMPOSE (schemas line up, determinism survives chaining, and each stage
+only ever shrinks the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.dedup import (
+    connected_components,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+from noaa_oracle_spark.pipeline.sampling import stratified_hash_sample
+from noaa_oracle_spark.pipeline.text import quality_scores, token_counts
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _run_pipeline(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # 1. quality floor
+    quality = quality_scores(docs).filter(F.col("quality_score") >= 60)
+    survivors = docs.join(quality.select("doc_id"), "doc_id")
+
+    # 2. exact dedup → one representative per identical text
+    reps = exact_dedup(survivors).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    survivors = survivors.join(reps, "doc_id")
+
+    # 3. near-dup clustering → keep each cluster's min-id representative
+    pairs = ngram_jaccard_pairs(
+        survivors, threshold_num=3, threshold_den=10
+    ).select("doc_a", "doc_b")
+    comps = connected_components(survivors, pairs)
+    survivors = survivors.join(
+        comps.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
+        "doc_id",
+    )
+
+    # 4. deterministic stratified sample (en-heavy mix)
+    sampled = stratified_hash_sample(
+        survivors, "doc_id", "lang", {"en": 0.8}, default_fraction=0.5,
+        salt="corpus-v1",
+    )
+
+    # 5. corpus stats
+    stats = (
+        token_counts(sampled)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_bpe").alias("total_tokens"),
+        )
+        .first()
+    )
+    return docs.count(), quality.count(), survivors.count(), sampled, stats
+
+
+def test_pipeline_composes_and_shrinks(spark):
+    n_docs, n_quality, n_unique, sampled, stats = _run_pipeline(spark)
+    n_sampled = sampled.count()
+    assert n_docs >= n_quality >= n_unique >= n_sampled > 0
+    assert stats.n_docs == n_sampled
+    assert stats.total_tokens > 0
+
+
+def test_pipeline_is_deterministic(spark):
+    _, _, _, sampled1, stats1 = _run_pipeline(spark)
+    _, _, _, sampled2, stats2 = _run_pipeline(spark)
+    ids1 = {r.doc_id for r in sampled1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in sampled2.select("doc_id").collect()}
+    assert ids1 == ids2
+    assert stats1.total_tokens == stats2.total_tokens

@@ -65,6 +65,14 @@ Operator-family coverage map (reference file:line cited per query):
   q43 correlated scalar subquery (SQL)    J4        weather_data.rs:314-343
   q44 array higher-order functions        —         —
   q45 unpivot / melt                      —         —
+  q46 winnowing fingerprints              pipeline  —
+  q47 native tumbling windows             §2.10 kin —
+  q48 deterministic stratified sampling   pipeline  —
+  q49 LEFT SEMI / ANTI (EXISTS)           §2.4 gap  oracle.rs:510-533 (kin)
+  q50 CUBE + grouping_id                  §2.5 gap  —
+  q51 gap fill + forward-fill (locf)      W3 kin    download_forecast.rs:622-805
+  q52 width_bucket histogram              §2.9 gap  —
+  q53 blocked Levenshtein fuzzy match     pipeline  —
 """
 
 from __future__ import annotations
@@ -1204,6 +1212,212 @@ GROUP BY 1, 2
 """
 
 
+def q49_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS) — existence checks
+    the reference does via app-side lookups (oracle.rs:510-533 kin). Per
+    market segment: customers with at least one finished order vs none.
+    Both cohorts come from the same broadcast-able hash join on o_custkey;
+    no row multiplication (semi/anti never duplicate the left side)."""
+    c = load(spark, sf_dir, "customer")
+    fin = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    on = c["c_custkey"] == fin["o_custkey"]
+    w = (
+        c.join(fin, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("cohort", F.lit("has_finished"))
+    )
+    wo = (
+        c.join(fin, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("cohort", F.lit("no_finished"))
+    )
+    return w.unionByName(wo).select("c_mktsegment", "cohort", "n_customers")
+
+
+SQL_Q49 = """
+SELECT c_mktsegment, 'has_finished' AS cohort, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY 1
+UNION ALL
+SELECT c_mktsegment, 'no_finished' AS cohort, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY 1
+"""
+
+
+def q50_cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — completes the
+    grouping-sets family beside q31's ROLLUP (SURVEY §2.5 'notably absent'
+    in the reference; Spark provides it natively). One shuffle: Spark
+    expands grouping sets map-side, then a single hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_Q50 = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q51_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build the dense (user, day) calendar with
+    sequence+explode, LEFT-join the sparse daily sums, forward-fill with
+    last(ignorenulls) — the hypertable `time_bucket_gapfill`/`locf` shape
+    and the same carry-forward kernel as W3 (download_forecast.rs:622-805).
+    Scale note: the calendar is generated, not shuffled — sequence() runs
+    inside the projection; the only shuffle is the daily groupBy."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    grid = daily.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    joined = grid.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+SQL_Q51 = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, round(sum(value), 2) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+),
+grid AS (
+  SELECT u.user_id, c.d
+  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal c
+),
+joined AS (
+  SELECT g.user_id, g.d, dl.v
+  FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.d = dl.d
+)
+SELECT user_id,
+       strftime(d, '%Y-%m-%d') AS day,
+       CAST(v IS NULL AS INT) AS is_gap,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled
+FROM joined
+"""
+
+
+def q52_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket over data-derived bounds —
+    the binning primitive behind dashboard distributions. Bounds come from
+    one tiny agg broadcast to the scan; the bucket groupBy is the only
+    shuffle, and bucket ids (not raw doubles) are the group keys."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .withColumn(
+            "bucket", F.expr("width_bucket(o_totalprice, lo, hi, 20)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# DuckDB 1.0.0 has no width_bucket; the oracle spells out the postgres
+# semantics Spark implements (floor(n*(v-lo)/(hi-lo))+1, hi -> n+1).
+SQL_Q52 = """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+           FROM orders)
+SELECT CASE WHEN o_totalprice >= hi THEN 21
+            WHEN o_totalprice < lo THEN 0
+            ELSE CAST(floor(20 * (o_totalprice - lo) / (hi - lo)) AS BIGINT)
+                 + 1 END AS bucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders, b
+GROUP BY 1
+"""
+
+
+def q53_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-duplicate part names by Levenshtein
+    distance, blocked on (brand, size) so the quadratic edit-distance work
+    runs only inside small equi-join buckets — the blocking trick every
+    entity-resolution pipeline uses at scale (no cross join in the plan;
+    levenshtein() is JVM whole-stage-codegen, not a Python UDF)."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 3)
+        .select("p_brand", "part_a", "part_b", "name_a", "name_b", "lev")
+    )
+
+
+SQL_Q53 = """
+SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS lev
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1237,6 +1451,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_array_ops": q44_array_ops,
     "q45_unpivot": q45_unpivot,
     "q47_tumbling_window": q47_tumbling_window,
+    "q49_semi_anti_join": q49_semi_anti_join,
+    "q50_cube_subtotals": q50_cube_subtotals,
+    "q51_gap_fill": q51_gap_fill,
+    "q52_histogram": q52_histogram,
+    "q53_fuzzy_match": q53_fuzzy_match,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1272,4 +1491,9 @@ ORACLE_SQL: dict[str, str] = {
     "q44_array_ops": SQL_Q44,
     "q45_unpivot": SQL_Q45,
     "q47_tumbling_window": SQL_Q47,
+    "q49_semi_anti_join": SQL_Q49,
+    "q50_cube_subtotals": SQL_Q50,
+    "q51_gap_fill": SQL_Q51,
+    "q52_histogram": SQL_Q52,
+    "q53_fuzzy_match": SQL_Q53,
 }

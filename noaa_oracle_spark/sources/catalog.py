@@ -22,11 +22,21 @@ from __future__ import annotations
 
 import os
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from datetime import date, datetime, timedelta, timezone
 
 _FILENAME_RE = re.compile(
     r"^(?P<kind>observations|forecasts)_(?P<ts>.+)\.parquet$"
+)
+
+# Compacted snapshot: many hourly files merged into one, named with the
+# [min, max] snapshot-ts interval of its sources. Pruning includes it on
+# interval OVERLAP with the query window — never narrower than the union of
+# what its source files would have matched, so compaction can only widen the
+# file set; row-level generated_at predicates (P2/P3) re-narrow exactly.
+_COMPACTED_RE = re.compile(
+    r"^(?P<kind>observations|forecasts)_(?P<lo>.+)__(?P<hi>.+)"
+    r"\.compacted\.parquet$"
 )
 
 
@@ -66,6 +76,32 @@ class SnapshotFile:
     path: str
     kind: str  # "observations" | "forecasts"
     snapshot_ts: datetime
+    # earliest source snapshot for compacted files; == snapshot_ts otherwise
+    snapshot_lo: datetime | None = None
+
+    @property
+    def lo(self) -> datetime:
+        return self.snapshot_lo or self.snapshot_ts
+
+
+def parse_snapshot_name(name: str, kind: str) -> SnapshotFile | None:
+    """Parse a catalog basename of `kind`; None if it isn't one."""
+    m = _COMPACTED_RE.match(name)
+    if m and m.group("kind") == kind:
+        try:
+            lo = parse_rfc3339(m.group("lo"))
+            hi = parse_rfc3339(m.group("hi"))
+        except ValueError:
+            return None
+        return SnapshotFile("", kind, hi, lo)
+    m = _FILENAME_RE.match(name)
+    if m and m.group("kind") == kind:
+        try:
+            ts = parse_rfc3339(m.group("ts"))
+        except ValueError:
+            return None
+        return SnapshotFile("", kind, ts)
+    return None
 
 
 class SnapshotCatalog:
@@ -110,15 +146,14 @@ class SnapshotCatalog:
         files: list[SnapshotFile] = []
         for d in self._date_dirs(widened.date(), end.date()):
             for name in sorted(os.listdir(d)):
-                m = _FILENAME_RE.match(name)
-                if not m or m.group("kind") != kind:
+                sf = parse_snapshot_name(name, kind)
+                if sf is None:
                     continue
-                try:
-                    ts = parse_rfc3339(m.group("ts"))
-                except ValueError:
-                    continue
-                if widened <= ts <= end:
-                    files.append(SnapshotFile(os.path.join(d, name), kind, ts))
+                # plain snapshot: ts ∈ [widened, end]; compacted: interval
+                # overlap (lo == ts for plain files, so one condition covers
+                # both)
+                if sf.snapshot_ts >= widened and sf.lo <= end:
+                    files.append(replace(sf, path=os.path.join(d, name)))
         return files
 
     def list_paths(self, kind: str, start: datetime, end: datetime,
@@ -136,7 +171,6 @@ class SnapshotCatalog:
             if not os.path.isdir(d):
                 continue
             for name in sorted(os.listdir(d)):
-                m = _FILENAME_RE.match(name)
-                if m and m.group("kind") == kind:
+                if parse_snapshot_name(name, kind) is not None:
                     files.append(os.path.join(d, name))
         return files

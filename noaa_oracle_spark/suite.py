@@ -73,6 +73,8 @@ Operator-family coverage map (reference file:line cited per query):
   q51 gap fill + forward-fill (locf)      W3 kin    download_forecast.rs:622-805
   q52 width_bucket histogram              §2.9 gap  —
   q53 blocked Levenshtein fuzzy match     pipeline  —
+  q54 stddev/var/corr/covar moments       §2.5 gap  —
+  q55 ordered string_agg / LISTAGG        §2.5 gap  —
 """
 
 from __future__ import annotations
@@ -1418,6 +1420,66 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+def q54_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates (stddev/variance/correlation/
+    covariance) — single-pass partial-aggregable moments, so one shuffle
+    exactly like sum/count. Rounded at 6 dp: both engines compute the same
+    moments from the same doubles; rounding absorbs partial-order noise."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+SQL_Q54 = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q55_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (string_agg / LISTAGG): per nation, the
+    sorted CSV of its supplier names. Spark shape: collect_list →
+    array_sort → array_join — deterministic regardless of partitioning
+    (the sort happens after collection, so shuffle order can't leak into
+    the result)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("supplier_csv"),
+        )
+    )
+
+
+SQL_Q55 = """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1456,6 +1518,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_gap_fill": q51_gap_fill,
     "q52_histogram": q52_histogram,
     "q53_fuzzy_match": q53_fuzzy_match,
+    "q54_stats_aggregates": q54_stats_aggregates,
+    "q55_string_agg": q55_string_agg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1496,4 +1560,6 @@ ORACLE_SQL: dict[str, str] = {
     "q51_gap_fill": SQL_Q51,
     "q52_histogram": SQL_Q52,
     "q53_fuzzy_match": SQL_Q53,
+    "q54_stats_aggregates": SQL_Q54,
+    "q55_string_agg": SQL_Q55,
 }

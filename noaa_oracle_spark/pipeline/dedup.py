@@ -150,6 +150,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_ppjoin(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact thresholded-Jaccard pairs via PREFIX FILTERING (PPJoin family,
+    Xiao et al., WWW'08) — same output as `ngram_jaccard_pairs`, different
+    candidate generation that survives hot shingles at scale.
+
+    Order every doc's shingles by (global document-frequency ASC, shingle):
+    for Jaccard >= t only the first |A| - ceil(t*|A|) + 1 shingles (the
+    RAREST ones) need to be indexed — any qualifying pair provably shares a
+    prefix token under a common total order. Hot shingles (stopword
+    trigrams) sort LAST, so they fall outside almost every prefix and their
+    quadratic posting lists never explode; candidates are then verified
+    exactly with one array_intersect per pair.
+
+    Trade: two extra shuffles (df computation + join) buy candidate
+    explosion ~O(sum of RARE posting-list squares). On uniform synthetic
+    text that roughly breaks even; on real corpora with Zipfian shingles it
+    is the difference between running and dying — which is why it is the
+    documented 100 TB path and interchangeable with the inverted-index
+    operator (equality property-tested)."""
+    sh = _word_shingles(docs, text_col, id_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, shingle))),"
+                   " s -> s.shingle)").alias("shingles")
+        )
+    )
+    sz = F.size("shingles")
+    # prefix_len = L - ceil(t*L) + 1, computed in exact integer arithmetic
+    ceil_tl = (F.lit(threshold_num) * sz + F.lit(threshold_den - 1)).cast(
+        "long"
+    ) / F.lit(threshold_den)
+    prefix_len = sz - F.floor(ceil_tl).cast("int") + F.lit(1)
+    pref = arr.select(
+        F.col(id_col),
+        F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    cand = _pairs_within_groups(pref, ["shingle"], id_col).dropDuplicates()
+    a = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - F.col("common")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("common", common)
+        .withColumn("union_size", union_sz)
+        .filter(
+            F.col("common") * threshold_den
+            >= F.col("union_size") * threshold_num
+        )
+        .select("doc_a", "doc_b", "common", "union_size")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -75,6 +75,7 @@ Operator-family coverage map (reference file:line cited per query):
   q53 blocked Levenshtein fuzzy match     pipeline  —
   q54 stddev/var/corr/covar moments       §2.5 gap  —
   q55 ordered string_agg / LISTAGG        §2.5 gap  —
+  q56 time-weighted average (TWA)         W3 kin    —
 """
 
 from __future__ import annotations
@@ -1480,6 +1481,51 @@ GROUP BY 1
 """
 
 
+def q56_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the hypertable `time_weight` shape):
+    each reading holds until the next one, so TWA = Σ v_i·Δt_i / Σ Δt_i
+    with Δt from LEAD(ts). One window + one groupBy, both on user_id — a
+    single shuffle; integers (microseconds) keep the weights exact, and
+    the ratio is rounded at 6 dp for cross-engine stability."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    dt = F.lead(us).over(w) - us
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = e.select("user_id", F.col("ts"), F.col("event_id"),
+                 cents.alias("v_cents"), dt.alias("dt_us")).filter(
+        F.col("dt_us").isNotNull()
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_us"),
+        F.round(
+            (F.sum(F.col("v_cents") * F.col("dt_us")) / F.lit(100.0))
+            / F.sum("dt_us"),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+SQL_Q56 = """
+WITH d AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v_cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) - epoch_us(ts)
+           AS dt_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       sum(dt_us) AS total_us,
+       round(sum(v_cents * dt_us) / 100.0 / sum(dt_us), 6) AS twa_value
+FROM d
+WHERE dt_us IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1520,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_fuzzy_match": q53_fuzzy_match,
     "q54_stats_aggregates": q54_stats_aggregates,
     "q55_string_agg": q55_string_agg,
+    "q56_time_weighted_avg": q56_time_weighted_avg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1562,4 +1609,5 @@ ORACLE_SQL: dict[str, str] = {
     "q53_fuzzy_match": SQL_Q53,
     "q54_stats_aggregates": SQL_Q54,
     "q55_string_agg": SQL_Q55,
+    "q56_time_weighted_avg": SQL_Q56,
 }

@@ -76,6 +76,12 @@ Operator-family coverage map (reference file:line cited per query):
   q54 stddev/var/corr/covar moments       §2.5 gap  —
   q55 ordered string_agg / LISTAGG        §2.5 gap  —
   q56 time-weighted average (TWA)         W3 kin    —
+  q57 shipping priority (3-join top-k)    J-family  TPC-H Q3 shape
+  q58 6-table region volume               J-family  TPC-H Q5 shape
+  q59 outer-join count distribution       J6 kin    TPC-H Q13 shape
+  q60 NOT-IN anti + COUNT(DISTINCT)       §2.4 gap  TPC-H Q16 shape
+  q61 dual-role dimension market share    J-family  TPC-H Q8 shape
+  q62 only-late-supplier decomposition    §2.4 gap  TPC-H Q21 shape
 """
 
 from __future__ import annotations
@@ -1526,6 +1532,342 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Deep multi-join analytical family (TPC-H-shaped). The reference's joins
+# top out at 3 tables (J7, event_data.rs:487-509); a 100 TB engine lives or
+# dies on 6-way join planning — broadcast vs shuffle choice, join ordering,
+# partial aggregation placement. These six exercise exactly that, each with
+# an exact DuckDB oracle. Float stability per the module-head rules: revenue
+# terms are exact 4-dp multiples (2-dp price × 2-dp discount), so sums are
+# rounded at 4; orderings use the rounded sum + an integer tiebreaker.
+# ---------------------------------------------------------------------------
+
+
+def q57_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
+    date predicates on both fact filters, revenue per order, top 10.
+    Plan shape at scale: customer (1.5 M rows/SF) broadcasts under AQE;
+    orders⋈lineitem is the one real shuffle, keyed on orderkey; the top-k
+    is a TakeOrderedAndProject (no global sort materialization)."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q57 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q58_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→customer→orders→
+    lineitem→supplier) with the extra non-tree equality c_nationkey =
+    s_nationkey closing the cycle. region/nation/supplier broadcast; the
+    only shuffles are orders⋈lineitem on orderkey and the final n_name
+    aggregation — partial aggs upstream keep the exchange tiny."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_Q58 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q59_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a filter INSIDE the join condition
+    (customers keep their row when no qualifying order exists — a WHERE
+    would silently turn the outer join inner), then a distribution over
+    the per-customer counts. Two aggregations, two shuffles; the second
+    input is one row per customer, so the second shuffle is negligible."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_Q59 = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority <> '5-LOW'
+    GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1
+"""
+
+
+def q60_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-count per part attribute triple, with a
+    NOT-IN subquery (suppliers in arrears) compiled to a broadcast
+    anti-join and a COUNT(DISTINCT) finishing agg. lineitem stands in for
+    partsupp as the part↔supplier association, deduplicated before the
+    distinct-count so the shuffle carries pairs, not lineitems."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    s_bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    assoc = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(s_bad),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    return (
+        assoc.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q60 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+def q61_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: nation's share of regional revenue per year — the
+    nation dimension joins in TWO roles (customer's region gate, supplier's
+    nationality), so the plan must alias one relation twice without a
+    cartesian accident. Numerator and denominator are emitted separately
+    (both exact 4-dp sums) instead of their ratio — a rounded ratio can
+    flip its last digit across engines when the operands differ by 1 ulp."""
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    n_supp = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust),
+              c.c_nationkey == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp),
+              s.s_nationkey == F.col("sn_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("nation_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+SQL_Q61 = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       round(coalesce(sum(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN l_extendedprice * (1.0 - l_discount)
+                          END), 0.0), 4) AS nation_revenue,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q62_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier finished order. The textbook form is EXISTS + NOT
+    EXISTS self-joins on lineitem; both engines here run the equivalent
+    aggregation decomposition — one pass builds per-order supplier/late
+    counts, so lineitem is scanned once instead of three times (the
+    correlated form re-scans the fact table per quantifier — exactly the
+    rewrite a 100 TB plan needs). Late = shipped >60 days after order."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+             ).alias("is_late"),
+        )
+        .dropDuplicates(["l_orderkey", "l_suppkey", "is_late"])
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        li.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_Q62 = """
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+), per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+             AS n_late_supp
+    FROM li GROUP BY 1
+), waiting AS (
+    SELECT DISTINCT li.l_orderkey, li.l_suppkey
+    FROM li
+    JOIN per_order USING (l_orderkey)
+    WHERE li.is_late AND n_supp >= 2 AND n_late_supp = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM waiting
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1567,6 +1909,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_stats_aggregates": q54_stats_aggregates,
     "q55_string_agg": q55_string_agg,
     "q56_time_weighted_avg": q56_time_weighted_avg,
+    "q57_shipping_priority": q57_shipping_priority,
+    "q58_region_volume": q58_region_volume,
+    "q59_customer_distribution": q59_customer_distribution,
+    "q60_parts_supplier": q60_parts_supplier,
+    "q61_market_share": q61_market_share,
+    "q62_waiting_suppliers": q62_waiting_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1610,4 +1958,10 @@ ORACLE_SQL: dict[str, str] = {
     "q54_stats_aggregates": SQL_Q54,
     "q55_string_agg": SQL_Q55,
     "q56_time_weighted_avg": SQL_Q56,
+    "q57_shipping_priority": SQL_Q57,
+    "q58_region_volume": SQL_Q58,
+    "q59_customer_distribution": SQL_Q59,
+    "q60_parts_supplier": SQL_Q60,
+    "q61_market_share": SQL_Q61,
+    "q62_waiting_suppliers": SQL_Q62,
 }

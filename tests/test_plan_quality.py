@@ -180,3 +180,44 @@ def test_range_join_not_nested_loop(spark):
     p = _plan(df)
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Join" in p
+
+
+def test_deep_join_family_plans(spark):
+    """suite q57/q58/q60/q61: the TPC-H-shaped deep joins must keep their
+    designed physical shape — dims broadcast, the single fact-fact join is
+    the only shuffle join, top-k plans as TakeOrderedAndProject (no global
+    sort), NOT-IN compiles to a broadcast anti-join, and the dual-role
+    nation join never degenerates into a cartesian product."""
+    from noaa_oracle_spark.suite import (
+        q57_shipping_priority,
+        q58_region_volume,
+        q60_parts_supplier,
+        q61_market_share,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    p57 = _plan(q57_shipping_priority(spark, sf))
+    assert "TakeOrderedAndProject" in p57, p57
+    assert "BroadcastHashJoin" in p57
+
+    df58 = q58_region_volume(spark, sf)
+    df58.collect()
+    p58 = _plan(df58)
+    assert p58.count("BroadcastHashJoin") >= 4, p58
+    assert "CartesianProduct" not in p58
+    # orders ⋈ lineitem is the one join allowed to shuffle at scale
+    assert p58.count("SortMergeJoin") <= 1, p58
+
+    df60 = q60_parts_supplier(spark, sf)
+    df60.collect()
+    p60 = _plan(df60)
+    assert "LeftAnti" in p60, p60
+    assert "BroadcastHashJoin" in p60
+
+    df61 = q61_market_share(spark, sf)
+    df61.collect()
+    p61 = _plan(df61)
+    assert "CartesianProduct" not in p61
+    assert "BroadcastNestedLoopJoin" not in p61
+    assert p61.count("BroadcastHashJoin") >= 5, p61

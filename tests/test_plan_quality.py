@@ -221,3 +221,46 @@ def test_deep_join_family_plans(spark):
     assert "CartesianProduct" not in p61
     assert "BroadcastNestedLoopJoin" not in p61
     assert p61.count("BroadcastHashJoin") >= 5, p61
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """When a selective dim side is too big to broadcast (the 100 TB
+    fact⋈large-dim case), Spark must inject a runtime bloom filter: the
+    dim side builds bloom_filter_agg, the fact side gets a might_contain
+    pre-filter ahead of the shuffle — rows from the fact table that can't
+    join are dropped BEFORE the exchange. Locally the fact scan is far
+    below the 10 GB application-side threshold, so the thresholds are
+    scaled down to let the (default-on) rule fire; at the target scale the
+    defaults fire on their own."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        assert j.collect()  # and it still computes
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

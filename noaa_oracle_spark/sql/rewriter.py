@@ -10,6 +10,8 @@ the rest as a *string-level* pre-pass — deliberately not a Catalyst rule
 
   - SELECT DISTINCT ON (keys) … ORDER BY keys, rest
         → row_number() OVER (PARTITION BY keys ORDER BY rest) = 1
+  - QUALIFY pred → subquery + outer WHERE (struct(*) round-trip when the
+        select list is `*` and the predicate holds an inline window)
   - DATE_TRUNC('part', x)           → CAST(DATE_TRUNC(...) AS DATE) so the
         ::TEXT rendering matches DuckDB's DATE output ('YYYY-MM-DD')
   - ::TIMESTAMPTZ AT TIME ZONE 'UTC' / ::TIMESTAMPTZ / ::TEXT
@@ -164,6 +166,143 @@ def _rewrite_distinct_on(sql: str) -> str:
     return _rewrite_distinct_on(out)  # handle further occurrences
 
 
+_QUALIFY_RE = re.compile(r"QUALIFY\b", re.IGNORECASE)
+_SELECT_KW_RE = re.compile(r"SELECT\b", re.IGNORECASE)
+_LIMIT_RE = re.compile(r"LIMIT\b", re.IGNORECASE)
+_OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+_AS_ALIAS_RE = re.compile(r"\s+AS\s+(\w+)\s*$", re.IGNORECASE)
+_IDENT_PATH_RE = re.compile(r"^[\w.]+$")
+
+
+def _keyword_positions(sql: str, pattern: re.Pattern) -> list[tuple[int, int]]:
+    """(pos, paren_depth) of keyword matches outside string literals,
+    requiring a word boundary before the match."""
+    out: list[tuple[int, int]] = []
+    depth = 0
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            i = sql.index("'", i + 1) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            m = pattern.match(sql, i)
+            if m:
+                out.append((i, depth))
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _output_name(item: str) -> str:
+    """Result-column name of a select-list item: trailing AS alias, or the
+    last component of a plain identifier path."""
+    item = item.strip()
+    m = _AS_ALIAS_RE.search(item)
+    if m:
+        return m.group(1)
+    if _IDENT_PATH_RE.match(item):
+        return item.split(".")[-1]
+    raise ValueError(
+        f"QUALIFY rewrite needs an alias for select item: {item!r}"
+    )
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB QUALIFY → Spark subquery + WHERE.
+
+    Three shapes, innermost occurrence first:
+      - predicate references select-list aliases only (no OVER):
+            SELECT s FROM b QUALIFY p  →
+            SELECT * FROM (SELECT s FROM b) __qsub WHERE p
+      - predicate holds an inline window, select list is `*`:
+            struct(*) round-trip keeps every column without naming them:
+            SELECT __row.* FROM (SELECT struct(*) AS __row, (p) AS __q
+                                 FROM b) __qsub WHERE __q
+      - predicate holds an inline window, explicit select list:
+            the window evaluates in the inner scope (base columns still
+            visible); the outer projects the derived output names.
+    A trailing ORDER BY / LIMIT stays on the outer query, where select
+    aliases remain referencable."""
+    occ = _keyword_positions(sql, _QUALIFY_RE)
+    if not occ:
+        return sql
+    pos, _depth = max(occ, key=lambda t: t[1])
+
+    # innermost paren scope containing pos
+    stack: list[int] = []
+    i = 0
+    while i < pos:
+        c = sql[i]
+        if c == "'":
+            i = sql.index("'", i + 1) + 1
+            continue
+        if c == "(":
+            stack.append(i)
+        elif c == ")":
+            stack.pop()
+        i += 1
+    scope_start = (stack[-1] + 1) if stack else 0
+    scope_close = _scope_end(sql, pos)
+
+    scope = sql[scope_start:scope_close]
+    sel_rel = [
+        p for (p, d) in _keyword_positions(scope, _SELECT_KW_RE)
+        if d == 0 and scope_start + p < pos
+    ]
+    if not sel_rel:
+        raise ValueError("QUALIFY without an owning SELECT")
+    sel_pos = scope_start + sel_rel[-1]
+
+    from_pos = _find_top_level(sql, _FROM_RE, sel_pos)
+    if from_pos < 0 or from_pos > pos:
+        raise ValueError("QUALIFY without FROM")
+    select_list = sql[sel_pos + len("SELECT"):from_pos].strip()
+    if re.match(r"^\s*DISTINCT\b", select_list, re.IGNORECASE):
+        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    body = sql[from_pos:pos].rstrip()
+
+    after = pos + len("QUALIFY")
+    ends = [
+        p
+        for p in (
+            _find_top_level(sql, _ORDER_BY_RE, after),
+            _find_top_level(sql, _LIMIT_RE, after),
+        )
+        if 0 <= p <= scope_close
+    ]
+    pred_end = min(ends) if ends else scope_close
+    pred = sql[after:pred_end].strip()
+    tail = sql[pred_end:scope_close].strip()
+    tail = f" {tail}" if tail else ""
+
+    if not _OVER_RE.search(pred):
+        new = (
+            f"SELECT * FROM (SELECT {select_list} {body}) __qsub "
+            f"WHERE {pred}{tail}"
+        )
+    elif select_list == "*":
+        new = (
+            f"SELECT __row.* FROM (SELECT struct(*) AS __row, ({pred}) "
+            f"AS __q {body}) __qsub WHERE __q{tail}"
+        )
+    else:
+        items = _split_top_level_commas(select_list)
+        names = ", ".join(_output_name(it) for it in items)
+        new = (
+            f"SELECT {names} FROM (SELECT {select_list}, ({pred}) AS __q "
+            f"{body}) __qsub WHERE __q{tail}"
+        )
+
+    out = sql[:sel_pos] + new + sql[scope_close:]
+    return _rewrite_qualify(out)
+
+
 def _rewrite_date_trunc(sql: str) -> str:
     """DATE_TRUNC('day'|'month'|'year', x) → CAST(… AS DATE) so ::TEXT
     renders DuckDB's DATE shape ('YYYY-MM-DD'). Replacements run
@@ -266,7 +405,8 @@ def _rewrite_string_split(sql: str) -> str:
 
 def rewrite_duckdb_sql(sql: str) -> str:
     sql = _escape_backslashes_in_literals(sql)
-    out = _rewrite_distinct_on(sql)
+    out = _rewrite_qualify(sql)
+    out = _rewrite_distinct_on(out)
     out = _rewrite_date_trunc(out)
     out = _rewrite_strftime(out)
     out = _rewrite_string_split(out)

@@ -248,3 +248,67 @@ def test_rewriter_units():
         "unix_timestamp(end_ts ) - unix_timestamp( begin_ts)"
     )
     assert "EPOCH" not in out
+
+
+QUALIFY_QUERIES = {
+    "alias_pred": """
+SELECT station_id, generated_at,
+       row_number() OVER (PARTITION BY station_id
+                          ORDER BY generated_at DESC) AS rn
+FROM observations
+QUALIFY rn = 1
+""",
+    "star_inline_window": """
+SELECT * FROM observations
+QUALIFY row_number() OVER (PARTITION BY station_id
+                           ORDER BY generated_at DESC, temperature_value) = 1
+""",
+    "explicit_inline_window_ordered": """
+SELECT station_id, temperature_value AS temp
+FROM observations
+QUALIFY rank() OVER (PARTITION BY station_id
+                     ORDER BY generated_at) <= 2
+ORDER BY station_id, temp
+LIMIT 10
+""",
+    "subquery_qualify": """
+SELECT station_id, count(*) AS n
+FROM (
+    SELECT station_id, generated_at
+    FROM observations
+    QUALIFY row_number() OVER (PARTITION BY station_id
+                               ORDER BY generated_at) <= 3
+) t
+GROUP BY station_id
+""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUALIFY_QUERIES))
+def test_qualify_parity(spark, raw_env, name):
+    """QUALIFY (DuckDB dialect, not in Spark SQL) must produce identical
+    results through the rewriter as DuckDB running the original."""
+    sql = QUALIFY_QUERIES[name]
+    sdf = spark.sql(rewrite_duckdb_sql(sql))
+    srows, scols = sdf.collect(), sdf.columns
+    res = raw_env.execute(sql)
+    dcols = [d[0] for d in res.description]
+    assert sorted(scols) == sorted(dcols), name
+    assert _norm([tuple(r) for r in srows], scols) == _norm(
+        res.fetchall(), dcols
+    ), name
+
+
+def test_qualify_units():
+    out = rewrite_duckdb_sql("SELECT a, b AS x FROM t QUALIFY x > 1")
+    assert "WHERE x > 1" in out and "__qsub" in out
+
+    out = rewrite_duckdb_sql(
+        "SELECT * FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+    )
+    assert "struct(*) AS __row" in out and "__row.*" in out
+
+    with pytest.raises(ValueError):
+        rewrite_duckdb_sql(
+            "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
+        )

@@ -163,3 +163,96 @@ def winnowing_fingerprints(
     return per_doc.select(
         F.col(id_col), F.explode(fps).alias("fingerprint")
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition statistics per document — the prefilter a
+    pretraining pipeline runs before any expensive dedup: documents
+    dominated by one token or by repeated 2-grams are machine-generated
+    boilerplate and get dropped early.
+
+    Emits integer numerators/denominators (not ratios): cross-engine float
+    division is avoided, and the keep-rule (`4*max_word_count <= n_words`
+    — "no single word above 25%"; `5*dup_2grams <= n_2grams` — "under 20%
+    duplicate 2-grams") stays exact integer arithmetic.
+
+    Shape: one explode per statistic family over the spread() corpus, all
+    JVM built-ins; the per-doc groupBys shuffle (doc, token) pairs —
+    bounded by corpus token count, the same budget any tokenizing pass
+    pays."""
+    d = spread(docs)
+    wc = (
+        d.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("max_word_count"),
+        )
+    )
+    base = d.select(F.col(id_col), _words(text_col).alias("words"))
+    ex = base.select(
+        F.col(id_col), F.col("words"),
+        F.posexplode("words").alias("pos", "w0"),
+    ).where(F.col("pos") < F.size("words") - 1)
+    two = ex.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.col("w0"), F.expr("element_at(words, pos + 2)")
+        ).alias("g"),
+    )
+    gc = two.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_2grams"),
+        F.countDistinct("g").alias("n_distinct_2grams"),
+    )
+    out = wc.join(gc, id_col, "left")
+    dup2 = F.col("n_2grams") - F.col("n_distinct_2grams")
+    return out.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        "max_word_count",
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        F.coalesce("n_distinct_2grams", F.lit(0)).alias("n_distinct_2grams"),
+        (
+            (F.lit(4) * F.col("max_word_count") <= F.col("n_words"))
+            & (F.lit(5) * F.coalesce(dup2, F.lit(0))
+               <= F.coalesce("n_2grams", F.lit(0)))
+        ).cast("int").alias("keep"),
+    )
+
+
+def boilerplate_ngram_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 5, min_docs: int = 10,
+) -> DataFrame:
+    """Cross-document boilerplate detection: a word n-gram appearing in ≥
+    `min_docs` DISTINCT documents is boilerplate (headers, footers,
+    licenses, templates); per document, report how much of its distinct
+    n-gram mass is boilerplate. The C4/RefinedWeb-style line-dedup analog
+    for corpora without line structure.
+
+    Scale shape: (doc, gram) pairs dedup in one shuffle; gram→doc-count is
+    a second; the per-doc rollup joins gram frequencies back — all keyed
+    on the gram, so hot boilerplate grams are exactly the AQE-skew case
+    the engine already handles (session defaults in session.py)."""
+    from noaa_oracle_spark.pipeline.dedup import _word_shingles
+
+    grams = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    freq = grams.groupBy("shingle").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    per_doc = (
+        grams.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("n_docs") >= F.lit(min_docs)).cast("long")
+            ).alias("n_boilerplate"),
+        )
+    )
+    return per_doc

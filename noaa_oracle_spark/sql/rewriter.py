@@ -303,6 +303,32 @@ def _rewrite_qualify(sql: str) -> str:
     return _rewrite_qualify(out)
 
 
+_STRING_AGG_RE = re.compile(r"string_agg\s*\(", re.IGNORECASE)
+_ORDER_BY_INNER_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_string_agg(sql: str) -> str:
+    """DuckDB `string_agg(x, sep ORDER BY k)` → Spark
+    `listagg(x, sep) WITHIN GROUP (ORDER BY k)`; without ORDER BY a plain
+    listagg (both engines then leave element order unspecified)."""
+    m = _STRING_AGG_RE.search(sql)
+    if not m:
+        return sql
+    open_paren = m.end() - 1
+    close = _scan_balanced(sql, open_paren)
+    inner = sql[open_paren + 1 : close - 1]
+    om = _ORDER_BY_INNER_RE.search(inner)
+    # ORDER BY must be top-level within the call args
+    if om and _find_top_level(inner, _ORDER_BY_INNER_RE, 0) == om.start():
+        args = inner[: om.start()].rstrip().rstrip(",")
+        order = inner[om.end():].strip()
+        new = f"listagg({args}) WITHIN GROUP (ORDER BY {order})"
+    else:
+        new = f"listagg({inner})"
+    out = sql[: m.start()] + new + sql[close:]
+    return _rewrite_string_agg(out)
+
+
 def _rewrite_date_trunc(sql: str) -> str:
     """DATE_TRUNC('day'|'month'|'year', x) → CAST(… AS DATE) so ::TEXT
     renders DuckDB's DATE shape ('YYYY-MM-DD'). Replacements run
@@ -422,6 +448,10 @@ def rewrite_duckdb_sql(sql: str) -> str:
     out = re.sub(r"::\s*TIMESTAMPTZ\b", "::TIMESTAMP", out, flags=re.IGNORECASE)
     out = re.sub(r"::\s*TEXT\b", "::STRING", out, flags=re.IGNORECASE)
     out = re.sub(r"\bregexp_matches\s*\(", "regexp_like(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\barg_max\s*\(", "max_by(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\barg_min\s*\(", "min_by(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\blist\s*\(", "collect_list(", out, flags=re.IGNORECASE)
+    out = _rewrite_string_agg(out)
     out = re.sub(
         r"EXTRACT\s*\(\s*EPOCH\s+FROM\s*\(([^()]*)-([^()]*)\)\s*\)",
         r"(unix_timestamp(\1) - unix_timestamp(\2))",

@@ -82,6 +82,8 @@ Operator-family coverage map (reference file:line cited per query):
   q60 NOT-IN anti + COUNT(DISTINCT)       §2.4 gap  TPC-H Q16 shape
   q61 dual-role dimension market share    J-family  TPC-H Q8 shape
   q62 only-late-supplier decomposition    §2.4 gap  TPC-H Q21 shape
+  q63 repetition prefilter (Gopher)       pipeline  —
+  q64 cross-doc boilerplate n-grams       pipeline  —
 """
 
 from __future__ import annotations

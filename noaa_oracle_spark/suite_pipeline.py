@@ -26,9 +26,11 @@ from noaa_oracle_spark.pipeline.similarity import (
 )
 from noaa_oracle_spark.pipeline.text import (
     TOKEN_RE,
+    boilerplate_ngram_stats,
     document_fingerprint,
     language_id,
     quality_scores,
+    repetition_stats,
     token_counts,
     winnowing_fingerprints,
 )
@@ -558,6 +560,71 @@ FROM fingerprints GROUP BY doc_id
 """
 
 
+def q63_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition prefilter: integer numerators/denominators
+    for max-word share and duplicate-2-gram share, plus the keep flag."""
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+SQL_Q63 = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), wx AS (
+    SELECT doc_id, unnest(words) AS w FROM w
+), wc AS (
+    SELECT doc_id, sum(c) AS n_words,
+           count(*) AS n_distinct_words,
+           max(c) AS max_word_count
+    FROM (SELECT doc_id, w, count(*) AS c FROM wx GROUP BY 1, 2)
+    GROUP BY 1
+), gx AS (
+    SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+    FROM (SELECT doc_id, words,
+                 unnest(generate_series(1, len(words) - 1)) AS i
+          FROM w WHERE len(words) >= 2)
+), gc AS (
+    SELECT doc_id, count(*) AS n_2grams,
+           count(DISTINCT g) AS n_distinct_2grams
+    FROM gx GROUP BY 1
+)
+SELECT wc.doc_id, n_words, n_distinct_words, max_word_count,
+       coalesce(n_2grams, 0) AS n_2grams,
+       coalesce(n_distinct_2grams, 0) AS n_distinct_2grams,
+       CAST(4 * max_word_count <= n_words
+            AND 5 * coalesce(n_2grams - n_distinct_2grams, 0)
+                <= coalesce(n_2grams, 0) AS INT) AS keep
+FROM wc LEFT JOIN gc ON wc.doc_id = gc.doc_id
+"""
+
+
+def q64_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate word-5-grams (≥ 10 distinct docs) and each
+    document's boilerplate share, as integers."""
+    return boilerplate_ngram_stats(
+        load(spark, sf_dir, "documents"), n=5, min_docs=10
+    )
+
+
+SQL_Q64 = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+             || words[i+3] || ' ' || words[i+4] AS shingle
+    FROM (SELECT doc_id, words,
+                 unnest(generate_series(1, len(words) - 4)) AS i
+          FROM w WHERE len(words) >= 5)
+), freq AS (
+    SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_grams,
+       sum(CAST(n_docs >= 10 AS BIGINT)) AS n_boilerplate
+FROM sh JOIN freq USING (shingle)
+GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -575,6 +642,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_dedup_components": q38_dedup_components,
     "q46_winnowing": q46_winnowing,
     "q48_stratified_sample": q48_stratified_sample,
+    "q63_repetition_filter": q63_repetition_filter,
+    "q64_boilerplate_ngrams": q64_boilerplate_ngrams,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -594,4 +663,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q38_dedup_components": SQL_Q38,
     "q46_winnowing": SQL_Q46,
     "q48_stratified_sample": SQL_Q48,
+    "q63_repetition_filter": SQL_Q63,
+    "q64_boilerplate_ngrams": SQL_Q64,
 }

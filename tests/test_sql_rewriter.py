@@ -312,3 +312,66 @@ def test_qualify_units():
         rewrite_duckdb_sql(
             "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"
         )
+
+
+AGG_FN_QUERIES = {
+    "arg_max_min": """
+SELECT station_id,
+       arg_max(generated_at,
+               temperature_value
+               + 1e-12 * epoch(generated_at::TIMESTAMPTZ)) AS hottest_at,
+       arg_min(generated_at,
+               temperature_value
+               + 1e-12 * epoch(generated_at::TIMESTAMPTZ)) AS coldest_at
+FROM observations
+WHERE temperature_value IS NOT NULL
+GROUP BY station_id
+""",
+    "string_agg_ordered": """
+SELECT station_id,
+       string_agg(wx_string, '|' ORDER BY generated_at) AS wx_seq
+FROM observations
+WHERE wx_string IS NOT NULL AND wx_string != ''
+GROUP BY station_id
+""",
+    "list_agg_sorted": """
+SELECT station_id,
+       list_sort(list(DISTINCT wx_string)) AS wx_kinds
+FROM observations
+WHERE wx_string IS NOT NULL AND wx_string != ''
+GROUP BY station_id
+""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(AGG_FN_QUERIES))
+def test_duckdb_agg_fn_parity(spark, raw_env, name):
+    """arg_max/arg_min → max_by/min_by, string_agg ORDER BY → listagg
+    WITHIN GROUP, list() → collect_list: same results as DuckDB."""
+    sql = AGG_FN_QUERIES[name]
+    rewritten = rewrite_duckdb_sql(sql)
+    if name == "list_agg_sorted":
+        rewritten = rewritten.replace("list_sort(", "array_sort(")
+    sdf = spark.sql(rewritten)
+    srows, scols = sdf.collect(), sdf.columns
+    res = raw_env.execute(sql)
+    dcols = [d[0] for d in res.description]
+
+    def flat(rows):
+        return _norm(
+            [tuple(tuple(v) if isinstance(v, list) else v for v in r)
+             for r in rows],
+            dcols,
+        )
+
+    assert sorted(scols) == sorted(dcols), name
+    assert flat([tuple(r) for r in srows]) == flat(res.fetchall()), name
+
+
+def test_string_agg_units():
+    out = rewrite_duckdb_sql("SELECT string_agg(x, ',' ORDER BY y DESC) FROM t")
+    assert "listagg(x, ',') WITHIN GROUP (ORDER BY y DESC)" in out
+    out = rewrite_duckdb_sql("SELECT string_agg(x, '-') FROM t")
+    assert "listagg(x, '-')" in out
+    out = rewrite_duckdb_sql("SELECT arg_max(a, b), arg_min(c, d) FROM t")
+    assert "max_by(a, b)" in out and "min_by(c, d)" in out

@@ -1,0 +1,99 @@
+"""Geospatial operators: haversine distance + nearest-site join.
+
+The reference's only spatial logic is exact coordinate matching at 2-dp
+(download_forecast.rs:1186-1218, J9) — enough when both sides share NOAA's
+station registry. A weather engine over arbitrary points needs the general
+form: for each point, the nearest station (site) by great-circle distance.
+
+Scale shape: the site side is a REGISTRY (≈2,500 NOAA stations; ~100k for
+any national sensor net) — always broadcastable. The join is therefore a
+broadcast nested-loop over points × sites with an argmin, i.e. one pass
+over the points with zero shuffle of the big side, followed by a per-point
+aggregation that AQE executes as partial→final. Point sets of any size
+stream through; it is the SITE side that must stay small. For
+large × large NN (millions of sites) use the bucketed/IVF ANN path
+(pipeline/similarity.py) on projected coordinates instead — same
+cell-probe idea, spatial cells instead of centroid cells.
+
+Distances are emitted as integer METERS (round half-up at the meter): trig
+is IEEE double in both engines, so sub-millimeter ulp noise cannot move a
+meter-rounded integer except on a razor-edge tie, and integer distances
+keep the argmin tiebreak (min site id at equal distance) exact across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in float meters (haversine; inputs degrees)."""
+    dphi = F.radians(lat2 - lat1)
+    dlam = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlam / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def nearest_site_join(
+    points: DataFrame,
+    sites: DataFrame,
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    site_lat: str = "lat",
+    site_lon: str = "lon",
+) -> DataFrame:
+    """For each point, the nearest site and its distance in meters:
+    (point_id, nearest_site_id, distance_m). Ties (equal meter-rounded
+    distance) break to the smallest site id — a total order, so results
+    are deterministic and engine-independent.
+
+    Decomposed as min-distance then min-id-at-min-distance (two integer
+    aggregations) rather than an argmin over floats: the broadcast side is
+    scanned twice but it is tiny, and every comparison that decides the
+    output is on integers."""
+    s = F.broadcast(
+        sites.select(
+            F.col(site_id).alias("_site_id"),
+            F.col(site_lat).alias("_slat"),
+            F.col(site_lon).alias("_slon"),
+        )
+    )
+    p = points.select(
+        F.col(point_id).alias("_point_id"),
+        F.col(point_lat).alias("_plat"),
+        F.col(point_lon).alias("_plon"),
+    )
+    dist = F.round(
+        haversine_m(
+            F.col("_plat"), F.col("_plon"), F.col("_slat"), F.col("_slon")
+        )
+    ).cast("long")
+    pairs = p.crossJoin(s).select(
+        "_point_id", "_site_id", dist.alias("distance_m")
+    )
+    best = pairs.groupBy("_point_id").agg(
+        F.min("distance_m").alias("distance_m")
+    )
+    return (
+        pairs.join(best, ["_point_id", "distance_m"])
+        .groupBy("_point_id", "distance_m")
+        .agg(F.min("_site_id").alias("nearest_site_id"))
+        .select(
+            F.col("_point_id").alias(point_id),
+            "nearest_site_id",
+            "distance_m",
+        )
+    )

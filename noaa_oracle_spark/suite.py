@@ -84,6 +84,7 @@ Operator-family coverage map (reference file:line cited per query):
   q62 only-late-supplier decomposition    §2.4 gap  TPC-H Q21 shape
   q63 repetition prefilter (Gopher)       pipeline  —
   q64 cross-doc boilerplate n-grams       pipeline  —
+  q65 haversine nearest-site join         J9 kin    download_forecast.rs:1186-1218
 """
 
 from __future__ import annotations
@@ -1870,6 +1871,60 @@ LIMIT 20
 """
 
 
+def q65_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine nearest-site join (operators/geo.py): every customer
+    point matched to its nearest supplier site. Coordinates synthesized
+    deterministically from keys (the driver tables carry none); distances
+    integer meters; ties break to the min site id — engine-independent.
+    Generalizes the reference's 2-dp exact coordinate match
+    (download_forecast.rs:1186-1218, J9) to true great-circle NN."""
+    from noaa_oracle_spark.operators.geo import nearest_site_join
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") * 7919 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("site_id"),
+        ((F.col("s_suppkey") * 7919 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("s_suppkey") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    return nearest_site_join(c, s).select(
+        F.col("point_id").alias("c_custkey"),
+        F.col("nearest_site_id").alias("nearest_suppkey"),
+        "distance_m",
+    )
+
+
+SQL_Q65 = """
+WITH c AS (
+    SELECT c_custkey,
+           (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat,
+           (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+    FROM customer
+), s AS (
+    SELECT s_suppkey,
+           (s_suppkey * 7919 % 17000) / 100.0 - 85.0 AS lat,
+           (s_suppkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+    FROM supplier
+), pairs AS (
+    SELECT c_custkey, s_suppkey,
+           CAST(round(2.0 * 6371008.8 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2), 2)
+           ))) AS BIGINT) AS distance_m
+    FROM c CROSS JOIN s
+), best AS (
+    SELECT c_custkey, min(distance_m) AS distance_m FROM pairs GROUP BY 1
+)
+SELECT p.c_custkey, min(p.s_suppkey) AS nearest_suppkey, p.distance_m
+FROM pairs p JOIN best USING (c_custkey, distance_m)
+GROUP BY 1, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1917,6 +1972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_parts_supplier": q60_parts_supplier,
     "q61_market_share": q61_market_share,
     "q62_waiting_suppliers": q62_waiting_suppliers,
+    "q65_nearest_station": q65_nearest_station,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1966,4 +2022,5 @@ ORACLE_SQL: dict[str, str] = {
     "q60_parts_supplier": SQL_Q60,
     "q61_market_share": SQL_Q61,
     "q62_waiting_suppliers": SQL_Q62,
+    "q65_nearest_station": SQL_Q65,
 }

@@ -264,3 +264,17 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_nearest_site_join_broadcasts_sites(spark):
+    """suite q65: the NN join must broadcast the site registry and stream
+    the point side through a BroadcastNestedLoopJoin — the point side
+    (arbitrarily large at scale) must never be shuffled for the pairing
+    itself (only the tiny per-point aggregations shuffle)."""
+    from noaa_oracle_spark.suite import q65_nearest_station
+
+    df = q65_nearest_station(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = _plan(df)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p

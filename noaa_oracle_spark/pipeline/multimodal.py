@@ -183,3 +183,59 @@ def resize_images(
         .select("media_id", "content")
         .mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
     )
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("energy", T.DoubleType(), True),
+    ]
+)
+
+
+def chunk_audio(
+    media: DataFrame, window_ms: int = 5_000, codec: str = "fake"
+) -> DataFrame:
+    """Audio windowing plumbing: one row per fixed `window_ms` chunk with a
+    per-chunk energy score — the segmentation step ahead of any ASR /
+    audio-embedding stage. PCM decode is stubbed like the image codec; the
+    deterministic fake derives energy from the chunk's slice of the blob
+    (stable across partitionings), while the Arrow-batched mapInPandas
+    shape — blob stays map-side, chunks explode AFTER the per-row work —
+    is the real scale contract."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real audio decoding not available in this runtime"
+        )
+    audio = media.filter(F.col("kind") == "audio").select(
+        "media_id", "content", F.coalesce("duration_ms", F.lit(0)).alias("dur")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "chunk_idx", "start_ms", "end_ms", "energy")}
+            for mid, blob, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["dur"]
+            ):
+                blob = blob if blob is not None else b""
+                n = max(1, (int(dur) + window_ms - 1) // window_ms)
+                for i in range(n):
+                    lo = i * window_ms
+                    hi = min(int(dur), lo + window_ms)
+                    sl = blob[
+                        len(blob) * i // n : len(blob) * (i + 1) // n
+                    ]
+                    h = hashlib.sha256(sl).digest()
+                    energy = int.from_bytes(h[:4], "big") / 2**32
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(lo)
+                    out["end_ms"].append(hi)
+                    out["energy"].append(energy)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)

@@ -451,6 +451,10 @@ def rewrite_duckdb_sql(sql: str) -> str:
     out = re.sub(r"\barg_max\s*\(", "max_by(", out, flags=re.IGNORECASE)
     out = re.sub(r"\barg_min\s*\(", "min_by(", out, flags=re.IGNORECASE)
     out = re.sub(r"\blist\s*\(", "collect_list(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\blist_sort\s*\(", "array_sort(", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"\blist_contains\s*\(", "array_contains(", out, flags=re.IGNORECASE
+    )
     out = _rewrite_string_agg(out)
     out = re.sub(
         r"EXTRACT\s*\(\s*EPOCH\s+FROM\s*\(([^()]*)-([^()]*)\)\s*\)",

@@ -79,3 +79,33 @@ def test_resize_plumbing(media):
 def test_resize_real_codec_stubbed(media):
     with pytest.raises(NotImplementedError):
         resize_images(media, 32, 32, codec="pillow")
+
+
+def test_audio_chunking(media):
+    from noaa_oracle_spark.pipeline.multimodal import chunk_audio
+
+    chunks = chunk_audio(media, window_ms=5_000).collect()
+    assert chunks, "fixture has audio rows"
+    by_media = {}
+    for r in chunks:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rows in by_media.values():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # contiguous, non-overlapping windows covering [0, duration)
+        assert rows[0].start_ms == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_ms == b.start_ms
+        assert all(0.0 <= r.energy <= 1.0 for r in rows)
+    # deterministic across partitionings
+    again = chunk_audio(media.repartition(7), window_ms=5_000).collect()
+    key = lambda r: (r.media_id, r.chunk_idx)
+    assert sorted(map(tuple, again), key=lambda t: t[:2]) == sorted(
+        map(tuple, chunks), key=lambda t: t[:2]
+    )
+
+
+def test_audio_real_codec_stubbed(media):
+    from noaa_oracle_spark.pipeline.multimodal import chunk_audio
+
+    with pytest.raises(NotImplementedError):
+        chunk_audio(media, codec="pcm")

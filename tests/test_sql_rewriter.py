@@ -349,10 +349,7 @@ def test_duckdb_agg_fn_parity(spark, raw_env, name):
     """arg_max/arg_min → max_by/min_by, string_agg ORDER BY → listagg
     WITHIN GROUP, list() → collect_list: same results as DuckDB."""
     sql = AGG_FN_QUERIES[name]
-    rewritten = rewrite_duckdb_sql(sql)
-    if name == "list_agg_sorted":
-        rewritten = rewritten.replace("list_sort(", "array_sort(")
-    sdf = spark.sql(rewritten)
+    sdf = spark.sql(rewrite_duckdb_sql(sql))
     srows, scols = sdf.collect(), sdf.columns
     res = raw_env.execute(sql)
     dcols = [d[0] for d in res.description]

@@ -25,15 +25,14 @@ window, so serve answers "current best forecast" queries — the
 generated-window queries must use the raw recompute path; the state has
 deliberately forgotten superseded generations).
 
-Same single-writer model as DailyRollupStore: one refresh() at a time,
-atomic tmp+rename state swaps, manifest-after-state write ordering.
+Same single-writer model as DailyRollupStore: one refresh() at a time;
+state and manifest commit together in one atomic swap
+(incremental/statedir.py).
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from collections.abc import Sequence
 from datetime import datetime, timezone
 
@@ -41,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from noaa_oracle_spark.functions.weather import ts
+from noaa_oracle_spark.incremental import statedir
 from noaa_oracle_spark.operators.dedup import distinct_on
 from noaa_oracle_spark.queries.weather import forecasts_data
 from noaa_oracle_spark.sources.catalog import SnapshotCatalog
@@ -71,19 +71,17 @@ class LatestForecastStore:
     def _state_path(self) -> str:
         return os.path.join(self.store_dir, "state.parquet")
 
-    @property
-    def _manifest_path(self) -> str:
-        return os.path.join(self.store_dir, "manifest.json")
-
     def processed_paths(self) -> set[str]:
-        if not os.path.exists(self._manifest_path):
-            return set()
-        with open(self._manifest_path) as f:
-            return set(json.load(f)["processed"])
+        meta = statedir.read_meta(self._state_path)
+        return set(meta["processed"]) if meta else set()
 
     def refresh(self, spark: SparkSession, data_dir: str) -> int:
         """Fold every not-yet-processed forecast snapshot into the state.
-        Returns the number of new files folded."""
+        Returns the number of new files folded. Manifest commits inside
+        the state swap (statedir.publish) — and although an argmax refold
+        would be harmless (unlike the rollup's sums), the torn-commit
+        window is closed here too for uniformity."""
+        statedir.recover(self._state_path)
         catalog = SnapshotCatalog(data_dir)
         all_paths = catalog.all_paths("forecasts")
         done = self.processed_paths()
@@ -98,11 +96,9 @@ class LatestForecastStore:
             folded = _fold_latest(delta)
         tmp = self._state_path + ".tmpdir"
         folded.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self._state_path):
-            shutil.rmtree(self._state_path)
-        os.rename(tmp, self._state_path)
-        with open(self._manifest_path, "w") as f:
-            json.dump({"processed": sorted(done | set(new))}, f)
+        statedir.publish(
+            self._state_path, tmp, {"processed": sorted(done | set(new))}
+        )
         return len(new)
 
     def serve(
@@ -115,6 +111,7 @@ class LatestForecastStore:
     ) -> DataFrame:
         """forecasts_data over the state — identical output to the raw
         recompute with a wide-open generated window, at O(state) cost."""
+        statedir.recover(self._state_path)
         if not os.path.exists(self._state_path):
             raise FileNotFoundError(
                 "forecast state empty — call refresh() first"

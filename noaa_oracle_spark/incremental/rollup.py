@@ -24,12 +24,12 @@ one-shot aggregate. (Float sums may associate differently than a single
 pass — the usual 1-ulp noise any distributed partial aggregation has.)
 
 Writes follow the reference's single-writer model (sqlite.rs:24-72): one
-refresh() at a time; state swaps are atomic (tmp dir + rename) so readers
-never see a half-written state. The manifest (processed file list) rides in
-the state directory; a refresh that crashes before the manifest write is
-re-run idempotently — partials are recomputed from the files, never
-double-folded, because folding happens only against the previous manifest's
-state.
+refresh() at a time; state swaps are atomic so readers never see a
+half-written state. The manifest (processed file list) rides INSIDE the
+state directory and commits in the same rename as the state it describes
+(incremental/statedir.py), so no crash point can produce a state whose
+folded files the manifest has not recorded — the torn-commit window that
+would double-fold sums on re-run.
 
 Serving is day-granular: `serve(start_day, end_day, station_ids)` prunes on
 the (tiny) state table. That is the continuous-aggregate contract —
@@ -38,15 +38,14 @@ sub-day windows go to the raw query path.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from noaa_oracle_spark.functions.weather import in_range, magnus_humidity, ts
+from noaa_oracle_spark.incremental import statedir
 from noaa_oracle_spark.queries.weather import _day_text, _with_precip_type
 from noaa_oracle_spark.sources.catalog import SnapshotCatalog
 from noaa_oracle_spark.sources.reader import read_snapshots
@@ -115,20 +114,20 @@ class DailyRollupStore:
     def _state_path(self) -> str:
         return os.path.join(self.store_dir, "state.parquet")
 
-    @property
-    def _manifest_path(self) -> str:
-        return os.path.join(self.store_dir, "manifest.json")
-
     def processed_paths(self) -> set[str]:
-        if not os.path.exists(self._manifest_path):
-            return set()
-        with open(self._manifest_path) as f:
-            return set(json.load(f)["processed"])
+        meta = statedir.read_meta(self._state_path)
+        return set(meta["processed"]) if meta else set()
 
     def refresh(self, spark: SparkSession, data_dir: str) -> int:
         """Fold every not-yet-processed observation snapshot into the state.
         Returns the number of new files folded. Cost is O(new data) + one
-        rewrite of the (tiny: stations × days) state table."""
+        rewrite of the (tiny: stations × days) state table.
+
+        Crash safety: the manifest rides inside the state directory and is
+        published by the same atomic swap (incremental/statedir.py), so a
+        torn run can never yield a state whose files the manifest has not
+        recorded — the window that would double-fold sums on re-run."""
+        statedir.recover(self._state_path)
         catalog = SnapshotCatalog(data_dir)
         all_paths = catalog.all_paths("observations")
         done = self.processed_paths()
@@ -143,11 +142,9 @@ class DailyRollupStore:
             merged = delta
         tmp = self._state_path + ".tmpdir"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self._state_path):
-            shutil.rmtree(self._state_path)
-        os.rename(tmp, self._state_path)
-        with open(self._manifest_path, "w") as f:
-            json.dump({"processed": sorted(done | set(new))}, f)
+        statedir.publish(
+            self._state_path, tmp, {"processed": sorted(done | set(new))}
+        )
         return len(new)
 
     def serve(
@@ -159,6 +156,7 @@ class DailyRollupStore:
     ) -> DataFrame:
         """Finalize partials to the daily_observations output shape.
         Day bounds are inclusive 'YYYY-MM-DD' strings (day-granular)."""
+        statedir.recover(self._state_path)
         if not os.path.exists(self._state_path):
             raise FileNotFoundError("rollup state empty — call refresh() first")
         st = spark.read.parquet(self._state_path)

@@ -9,10 +9,14 @@ partials into the parquet state with the store's atomic tmp+rename swap.
 
 Exactly-once: Spark guarantees each file is *offered* once per checkpoint,
 but a crashed batch can be REPLAYED — foreachBatch is at-least-once. The
-fold is made idempotent the standard way: the store records the last folded
-`batch_id`; a replay of an already-folded batch is a no-op. foreachBatch
-executions are serialized per query, preserving the reference's
-single-writer mutation model (sqlite.rs:24-72).
+fold is made idempotent the standard way: the last folded `batch_id` rides
+INSIDE the state directory and commits in the same atomic swap as the
+state itself (incremental/statedir.py), so every crash point resolves to
+(state, marker) pairs that agree — a replayed batch is either entirely
+absent (refolded, correct) or entirely present (rejected by the marker,
+correct), never half-applied or double-applied. foreachBatch executions
+are serialized per query, preserving the reference's single-writer
+mutation model (sqlite.rs:24-72).
 
 A store must be maintained by EITHER the batch `refresh()` path OR one
 streaming query — not both: refresh() tracks processed files in its own
@@ -28,13 +32,12 @@ of a continuous aggregate (SCALE.md §3).
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from noaa_oracle_spark.incremental import statedir
 from noaa_oracle_spark.incremental.rollup import (
     DailyRollupStore,
     _merge,
@@ -42,17 +45,12 @@ from noaa_oracle_spark.incremental.rollup import (
 )
 from noaa_oracle_spark.streaming.snapshots import stream_snapshots
 
-
-def _batch_marker_path(store: DailyRollupStore) -> str:
-    return os.path.join(store.store_dir, "stream_batch.json")
+_MARKER = "_stream_batch.json"
 
 
 def _last_folded_batch(store: DailyRollupStore) -> int:
-    p = _batch_marker_path(store)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as f:
-        return json.load(f)["batch_id"]
+    meta = statedir.read_meta(store._state_path, _MARKER)
+    return meta["batch_id"] if meta else -1
 
 
 def fold_batch(
@@ -61,10 +59,9 @@ def fold_batch(
 ) -> bool:
     """Fold one microbatch of observation rows into the store's partial
     state. Returns False (no-op) for an already-folded batch replay or an
-    empty batch. The state swap commits BEFORE the batch marker, so a
-    crash between the two replays the batch — caught by the marker check
-    as long as the marker write is the last step (write-ahead ordering:
-    duplicate detection beats lost work)."""
+    empty batch. The batch marker commits in the same atomic swap as the
+    state (statedir.publish), so a replay after any crash sees a
+    (state, marker) pair that agrees about this batch."""
     if batch_id <= _last_folded_batch(store):
         return False
     delta = _partials(batch_df)
@@ -77,11 +74,7 @@ def fold_batch(
         merged = delta
     tmp = state_path + ".tmpdir"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    os.rename(tmp, state_path)
-    with open(_batch_marker_path(store), "w") as f:
-        json.dump({"batch_id": batch_id}, f)
+    statedir.publish(state_path, tmp, {"batch_id": batch_id}, _MARKER)
     return True
 
 

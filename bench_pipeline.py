@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Training-pipeline operators at corpus scale (beyond the driver's sf0.1
+documents table, which has only 5 k docs).
+
+Generates a synthetic corpus with planted structure — exact duplicates,
+near-duplicates (word-perturbed copies), and a hot boilerplate sentence
+shared by a fifth of the corpus (the Zipf/hot-shingle shape that kills
+naive inverted-index joins) — and times the dedup ladder end-to-end:
+
+    exact      md5 groupBy
+    minhash    MinHash+LSH banding candidates (count)
+    jaccard    exact inverted-index pair join (count)
+    ppjoin     prefix-filtered exact pair join (count) — the scale path
+    components connected components over the ppjoin pair graph
+    repetition Gopher repetition prefilter
+    winnowing  MOSS fingerprints (count)
+
+Prints one JSON line. Not part of the driver's bench contract (bench.py is
+that); this is the evidence harness behind SCALE.md §4's claims.
+
+    PIPELINE_BENCH_DOCS=100000 python bench_pipeline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("PIPELINE_BENCH_DOCS", "100000"))
+FIXTURE = f"/tmp/noaa_pipeline_bench_v1_{N_DOCS}"
+VOCAB = 5000
+SEED = 42
+
+
+def _generate() -> str:
+    path = os.path.join(FIXTURE, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(FIXTURE, exist_ok=True)
+    rng = np.random.RandomState(SEED)
+    vocab = np.array([f"w{i}" for i in range(VOCAB)])
+    boiler = " ".join(vocab[rng.randint(0, VOCAB, 12)])
+
+    texts: list[str] = []
+    n_base = int(N_DOCS * 0.85)
+    for _ in range(n_base):
+        ln = rng.randint(40, 200)
+        words = vocab[rng.randint(0, VOCAB, ln)]
+        t = " ".join(words)
+        if rng.rand() < 0.2:  # hot boilerplate in 20% of docs
+            t = boiler + " " + t
+        texts.append(t)
+    # 10% near-duplicates: perturb ~3 words of a random base doc
+    for _ in range(int(N_DOCS * 0.10)):
+        src = texts[rng.randint(0, n_base)].split(" ")
+        for _ in range(3):
+            src[rng.randint(0, len(src))] = vocab[rng.randint(0, VOCAB)]
+        texts.append(" ".join(src))
+    # 5% exact duplicates
+    while len(texts) < N_DOCS:
+        texts.append(texts[rng.randint(0, n_base)])
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path
+
+
+def main() -> None:
+    from noaa_oracle_spark.pipeline.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_ppjoin,
+    )
+    from noaa_oracle_spark.pipeline.text import (
+        repetition_stats,
+        winnowing_fingerprints,
+    )
+    from noaa_oracle_spark.session import get_spark
+
+    path = _generate()
+    spark = get_spark(app_name="noaa-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(path)
+
+    out: dict[str, dict] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+
+    run("exact", lambda: exact_dedup(docs).count())
+    run("minhash", lambda: minhash_lsh_candidates(
+        docs, num_hashes=8, rows_per_band=2).count())
+    run("jaccard", lambda: ngram_jaccard_pairs(
+        docs, threshold_num=8, threshold_den=10).count())
+    run("ppjoin", lambda: ngram_jaccard_pairs_ppjoin(
+        docs, threshold_num=8, threshold_den=10).count())
+    run("components", lambda: connected_components(
+        docs,
+        ngram_jaccard_pairs_ppjoin(
+            docs, threshold_num=8, threshold_den=10
+        ).select("doc_a", "doc_b"),
+    ).count())
+    run("repetition", lambda: repetition_stats(docs).count())
+    run("winnowing", lambda: winnowing_fingerprints(
+        docs, k=8, window=4).count())
+
+    print(json.dumps({
+        "metric": "pipeline_ops_at_corpus_scale",
+        "n_docs": N_DOCS,
+        "queries": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from noaa_oracle_spark.incremental import statedir
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), False),  # UUIDv7
@@ -135,16 +137,20 @@ class EventStore:
 
     def read(self, table: str) -> DataFrame:
         p = self._table_path(table)
+        statedir.recover(p)  # heal a crash between publication renames
         if not os.path.exists(p):
             return self.spark.createDataFrame([], _TABLES[table])
         return self.spark.read.schema(_TABLES[table]).parquet(p)
 
     def _overwrite(self, table: str, df: DataFrame) -> None:
-        """Atomic snapshot replace: write to a temp dir, rename into place.
+        """Atomic snapshot replace: write to a temp dir, park the old
+        snapshot, rename into place, drop the parked copy (with
+        statedir.recover healing any crash point on the next touch).
         Serialized by the writer lock — the Spark analog of the reference's
         one-writer channel; readers keep seeing the old snapshot until the
         rename lands."""
         p = self._table_path(table)
+        statedir.recover(p)
         tmp = p + ".tmp"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = p + ".old"

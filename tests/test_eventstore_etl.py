@@ -147,3 +147,25 @@ def test_store_validations(spark, store):
     tally = {r["status"]: r["count"] for r in store.status_tally(
         datetime(2024, 8, 11, tzinfo=UTC)).collect()}
     assert tally == {"live": 2}
+
+
+def test_read_recovers_parked_snapshot(spark, tmp_path):
+    """Crash between the publication renames leaves only `.old`; the next
+    read must restore it instead of silently serving an empty table."""
+    import os
+
+    from noaa_oracle_spark.eventstore.store import EventStore
+
+    ev = uuid_v7_at("2024-08-10T15:00:00Z")
+    store = EventStore(spark, str(tmp_path / "events"))
+    store.create_event(
+        ev, total_allowed_entries=4, number_of_places_win=1,
+        number_of_values_per_entry=3, signing_date=2_000_000_000,
+        start_observation_date=1_700_000_000,
+        end_observation_date=1_700_086_400, locations=["KATL"],
+    )
+    p = store._table_path("events")
+    os.rename(p, p + ".old")  # simulate death mid-publication
+    got = store.read("events").collect()
+    assert len(got) == 1 and got[0]["id"] == ev
+    assert not os.path.exists(p + ".old")

@@ -15,8 +15,9 @@ posting-list sizes, not n².
 
 Portability note: every hash is md5-hex, which DuckDB computes identically —
 each operator has an exact SQL oracle (see suite wiring in __spark_entry__).
-Min-of-hex-string is a valid MinHash permutation because fixed-width
-lowercase hex compares lexicographically exactly as the underlying integer.
+MinHash signatures parse the first 15 hex chars as a 60-bit integer (same
+value both engines), so the per-doc min is an integer min that stays in
+hash aggregation rather than a string min that falls back to a sort.
 """
 
 from __future__ import annotations
@@ -221,14 +222,28 @@ def minhash_signatures(
     num_hashes: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: mh_i = min over shingles of md5(i|shingle).
+    """MinHash signature per doc: mh_i = min over shingles of
+    int(md5(i|shingle)[:15 hex chars]) — a 60-bit integer hash.
 
     Seeding by prefixing the hash index gives `num_hashes` independent
-    permutations from one md5 kernel; min-of-hex == min-of-integer for
-    fixed-width hex. One groupBy — num_hashes conditional mins."""
+    permutations from one md5 kernel; truncating the hex to 15 chars keeps
+    the value a positive LONG, and min-of-long == min-of-full-hex except
+    on 60-bit collisions (~2^-60 per pair — irrelevant to LSH banding).
+    LONG matters for scale: min over a var-length string falls out of
+    HashAggregate into SortAggregate, which sorts the entire shingle
+    explosion; the integer min stays in codegen hash aggregation with
+    map-side partials. One groupBy — num_hashes conditional mins."""
     sh = _word_shingles(docs, text_col, id_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)

@@ -187,23 +187,49 @@ def lsh_bucketed_knn(
     candidate volume ≈ num_tables · corpus / 2^num_planes per query."""
     bucket_of = _bucket_udf(dim, num_planes, num_tables)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col(id_col).alias("q_id"),
         F.posexplode(bucket_of(F.col(vec_col))).alias("table", "bucket"),
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col(id_col).alias("n_id"),
         F.posexplode(bucket_of(F.col(vec_col))).alias("table", "bucket"),
     )
+    # Dedup OR-table collisions on the slim (q_id, n_id) pair stream —
+    # a hash aggregate on two longs — then attach vectors once per
+    # surviving pair. Carrying the vectors through the dedup would (a)
+    # shuffle each duplicate candidate with both embeddings aboard and
+    # (b) force first()-over-array aggregation, which falls out of
+    # HashAggregate into SortAggregate.
     pairs = (
         F.broadcast(q)
         .join(c, ["table", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .dropDuplicates(["q_id", "n_id"])
+        .select("q_id", "n_id")
+        .dropDuplicates()
     )
-    scored = pairs.select(
-        "q_id",
-        "n_id",
-        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    scored = (
+        pairs.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("q_id"),
+                    F.col(vec_col).alias("q_vec"),
+                )
+            ),
+            "q_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+            ),
+            "n_id",
+        )
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                cosine(F.col("q_vec"), F.col("n_vec")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (

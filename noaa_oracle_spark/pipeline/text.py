@@ -136,7 +136,12 @@ def winnowing_fingerprints(
 
     "Rolling hash" names the O(1)-per-position incremental trick; the
     SELECTION is the semantics, and computing each k-gram hash directly
-    (md5 — engine-portable) gives the identical fingerprint set.
+    (md5 — engine-portable) gives the identical fingerprint set. The hash
+    is the first 15 md5 hex chars as a 60-bit LONG (Spark conv == DuckDB
+    '0x…'::BIGINT): integer fingerprints keep every downstream aggregate
+    (per-doc min/count, cross-doc matching) in hash aggregation — a
+    var-length string min would fall back to SortAggregate — and the
+    window-min selection compares longs instead of strings.
 
     Plan: entirely map-side array HOFs — per doc, transform(sequence) builds
     the gram-hash array, a second transform takes each window's array_min,
@@ -149,7 +154,13 @@ def winnowing_fingerprints(
     n = F.length(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.md5(F.substr(F.col(text_col), i, F.lit(k))),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.substr(F.col(text_col), i, F.lit(k))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
     per_doc = spread(docs).filter(n >= k + window - 1).select(
         F.col(id_col), grams.alias("_grams")

@@ -87,10 +87,15 @@ def q18_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash portability: min over md5('{i}|'||shingle) hex strings — identical
-# lexicographic = numeric ordering in both engines; bands of 2 hashed again.
+# MinHash portability: min over the first 15 md5 hex chars parsed as a
+# 60-bit BIGINT — numerically identical in both engines (Spark conv(,16,10)
+# == DuckDB '0x…'::BIGINT, probed equal), and integer mins keep Spark in
+# hash aggregation; bands of 2 hashed again (BIGINT || '|' renders the same
+# decimal digits both sides).
 _MH = ",\n           ".join(
-    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(8)
+    f"min(('0x' || substring(md5('{i}|' || shingle), 1, 15))::BIGINT)"
+    f" AS mh{i}"
+    for i in range(8)
 )
 SQL_Q18 = f"""
 WITH w AS (
@@ -541,7 +546,9 @@ WITH pos AS (
     FROM documents
     WHERE length(text) >= {_WINNOW_K} + {_WINNOW_W} - 1
 ), hashed AS (
-    SELECT doc_id, start, md5(substring(text, start, {_WINNOW_K})) AS h,
+    SELECT doc_id, start,
+           ('0x' || substring(md5(substring(text, start, {_WINNOW_K})),
+                              1, 15))::BIGINT AS h,
            max(start) OVER (PARTITION BY doc_id) AS max_start
     FROM pos
 ), winnowed AS (

@@ -253,8 +253,10 @@ def boilerplate_ngram_stats(
     from noaa_oracle_spark.pipeline.dedup import _word_shingles
 
     grams = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    # _word_shingles emits DISTINCT (doc, gram) pairs, so a plain count is
+    # the distinct-doc count — without countDistinct's two-phase expand.
     freq = grams.groupBy("shingle").agg(
-        F.countDistinct(id_col).alias("n_docs")
+        F.count(F.lit(1)).alias("n_docs")
     )
     per_doc = (
         grams.join(freq, "shingle")

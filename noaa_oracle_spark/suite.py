@@ -85,6 +85,7 @@ Operator-family coverage map (reference file:line cited per query):
   q63 repetition prefilter (Gopher)       pipeline  —
   q64 cross-doc boilerplate n-grams       pipeline  —
   q65 haversine nearest-site join         J9 kin    download_forecast.rs:1186-1218
+  q66 PPJoin prefix-filtered Jaccard      pipeline  —
 """
 
 from __future__ import annotations

@@ -16,6 +16,7 @@ from noaa_oracle_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_ppjoin,
     simhash_fingerprints,
 )
 from noaa_oracle_spark.pipeline.similarity import (
@@ -632,6 +633,32 @@ GROUP BY 1
 """
 
 
+def q66_ppjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered thresholded-Jaccard pairs — the same output
+    contract as q17's inverted-index join (equality at any threshold is
+    property-tested in test_ppjoin), via the candidate generation that
+    survives Zipfian hot shingles at corpus scale (14× faster on the
+    50k-doc planted-boilerplate bench, SCALE.md §4). Gated at 0.8 — the
+    high-threshold near-dup regime prefix filtering is designed for, where
+    only ~20% of each doc's (rarest) shingles need indexing."""
+    df = ngram_jaccard_pairs_ppjoin(
+        load(spark, sf_dir, "documents"), threshold_num=8, threshold_den=10
+    )
+    return df.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("union_size").cast("long").alias("union_size"),
+    )
+
+
+# Same shape as q17's oracle with the 8/10 threshold arithmetic.
+SQL_Q66 = SQL_Q17.replace(
+    "common * 10 >= (ca.n_sh + cb.n_sh - common) * 3",
+    "common * 10 >= (ca.n_sh + cb.n_sh - common) * 8",
+)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -651,6 +678,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_stratified_sample": q48_stratified_sample,
     "q63_repetition_filter": q63_repetition_filter,
     "q64_boilerplate_ngrams": q64_boilerplate_ngrams,
+    "q66_ppjoin_jaccard": q66_ppjoin_jaccard,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -672,4 +700,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q48_stratified_sample": SQL_Q48,
     "q63_repetition_filter": SQL_Q63,
     "q64_boilerplate_ngrams": SQL_Q64,
+    "q66_ppjoin_jaccard": SQL_Q66,
 }

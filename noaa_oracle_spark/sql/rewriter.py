@@ -455,6 +455,16 @@ def rewrite_duckdb_sql(sql: str) -> str:
     out = re.sub(
         r"\blist_contains\s*\(", "array_contains(", out, flags=re.IGNORECASE
     )
+    # DuckDB star-EXCLUDE → Spark star-EXCEPT (anchored to a preceding `*`
+    # so EXCEPT-the-set-operation is never touched). GROUP BY ALL /
+    # ORDER BY ALL / `* EXCEPT (...)` itself are Spark-native and pass
+    # through; star-REPLACE has no schema-free Spark equivalent.
+    out = re.sub(
+        r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", out, flags=re.IGNORECASE
+    )
+    out = re.sub(
+        r"(\*\s*)EXCLUDE\s+(\w+)", r"\1EXCEPT (\2)", out, flags=re.IGNORECASE
+    )
     out = _rewrite_string_agg(out)
     out = re.sub(
         r"EXTRACT\s*\(\s*EPOCH\s+FROM\s*\(([^()]*)-([^()]*)\)\s*\)",

@@ -372,3 +372,48 @@ def test_string_agg_units():
     assert "listagg(x, '-')" in out
     out = rewrite_duckdb_sql("SELECT arg_max(a, b), arg_min(c, d) FROM t")
     assert "max_by(a, b)" in out and "min_by(c, d)" in out
+
+
+DIALECT_QUERIES = {
+    # star-EXCLUDE → star-EXCEPT; GROUP BY ALL / ORDER BY ALL are native in
+    # BOTH engines and must survive the rewriter untouched.
+    "star_exclude_parens": """
+SELECT * EXCLUDE (latitude, longitude, station_name) FROM observations
+WHERE wind_speed IS NOT NULL
+""",
+    "star_exclude_bare": """
+SELECT * EXCLUDE station_name FROM observations WHERE temperature_value > 0
+""",
+    "group_by_all": """
+SELECT station_id, temperature_unit_code, count(*) AS n,
+       max(wind_speed) AS max_wind
+FROM observations GROUP BY ALL
+""",
+    "order_by_all_limited": """
+SELECT station_id, count(*) AS n FROM observations
+GROUP BY ALL ORDER BY ALL
+""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(DIALECT_QUERIES))
+def test_dialect_star_and_all_parity(spark, raw_env, name):
+    sql = DIALECT_QUERIES[name]
+    sdf = spark.sql(rewrite_duckdb_sql(sql))
+    srows, scols = sdf.collect(), sdf.columns
+    res = raw_env.execute(sql)
+    dcols = [d[0] for d in res.description]
+    assert sorted(scols) == sorted(dcols), name
+    assert _norm([tuple(r) for r in srows], scols) == _norm(
+        res.fetchall(), dcols
+    ), name
+
+
+def test_exclude_units():
+    out = rewrite_duckdb_sql("SELECT * EXCLUDE (a, b) FROM t")
+    assert "* EXCEPT (a, b)" in out
+    out = rewrite_duckdb_sql("SELECT * EXCLUDE c FROM t")
+    assert "* EXCEPT (c)" in out
+    # set-operation EXCEPT is untouched
+    out = rewrite_duckdb_sql("SELECT a FROM t EXCEPT SELECT a FROM u")
+    assert "EXCEPT SELECT" in out

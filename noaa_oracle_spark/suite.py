@@ -111,12 +111,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is TIMESTAMP(NANOS); with nanosAsLong it reads as int64
+        # events.ts as TIMESTAMP(NANOS); with nanosAsLong it reads as int64
         # nanoseconds. Floor-divide to micros = the same truncation DuckDB
         # applies when casting ns → its native µs timestamps.
         # integer `div`, not `/`: ns since epoch (~1.7e18) exceeds double's
         # 2^53 exact-integer range, so float division would corrupt micros.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ,
+    # which unix_micros()/window() reject. DuckDB's native TIMESTAMP is the
+    # same naive micros; with the session zone pinned to UTC, an NTZ→LTZ cast
+    # is instant-preserving and restores full function coverage.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

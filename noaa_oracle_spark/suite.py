@@ -86,6 +86,14 @@ Operator-family coverage map (reference file:line cited per query):
   q64 cross-doc boilerplate n-grams       pipeline  —
   q65 haversine nearest-site join         J9 kin    download_forecast.rs:1186-1218
   q66 PPJoin prefix-filtered Jaccard      pipeline  —
+  q67 decorrelated min-cost supplier      J4 kin    TPC-H Q2 shape
+  q68 global-threshold HAVING             §2.5 gap  TPC-H Q11 shape
+  q69 aggregate-vs-own-max view           §2.5 gap  TPC-H Q15 shape
+  q70 correlated-AVG small-qty filter     J4 kin    TPC-H Q17 shape
+  q71 grouped-HAVING IN subquery          §2.4 gap  TPC-H Q18 shape
+  q72 disjunctive predicate pushdown      §2.2 kin  TPC-H Q19 shape
+  q73 nested semi-joins                   §2.4 gap  TPC-H Q20 shape
+  q74 scalar-AVG anti-join                §2.4 gap  TPC-H Q22 shape
 """
 
 from __future__ import annotations
@@ -1933,6 +1941,405 @@ GROUP BY 1, 3
 """
 
 
+def q67_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part, the EUROPE suppliers offering the
+    region-wide minimum price — the multi-level correlated-MIN subquery,
+    decorrelated to a window MIN over the part key (SURVEY §4: prefer the
+    window form over relying on subquery decorrelation). One shuffle (the
+    window partition on l_partkey); supplier→nation→region broadcast.
+    MIN of stored 2-dp doubles is exact, so cross-engine equality on the
+    min price is safe (no summation involved)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    # dedup on fixed-width (long, long, double) keys only — strings riding
+    # through the dedup would push first() out of hash aggregation into a
+    # SortAggregate; supplier attributes re-attach via the broadcast dim
+    best = (
+        offers.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", F.col("min_price").alias("price"))
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    return (
+        best.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "price")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+SQL_Q67 = """
+WITH eu_supp AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), offers AS (
+    SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+           l_extendedprice,
+           min(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
+    FROM lineitem
+    JOIN eu_supp ON l_suppkey = s_suppkey
+), best AS (
+    SELECT DISTINCT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+           min_price AS price
+    FROM offers
+    WHERE l_extendedprice = min_price
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, price
+FROM best
+JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, s_suppkey ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value restricted to one
+    nation's suppliers, kept only when it exceeds a fraction of the
+    GLOBAL total — the scalar-subquery-as-threshold pattern. The global
+    total is re-aggregated from the per-part partials (one fact-table
+    scan, not two) and broadcast back as a single-row cross join.
+    Determinism: 2-dp × 2-dp products summed then rounded at 4 are exact,
+    so both engines derive the identical threshold double."""
+    s1 = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    per_part = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s1), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("part_value")
+        )
+    )
+    total = per_part.agg(
+        F.round(F.sum("part_value"), 4).alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .select("l_partkey", "part_value")
+    )
+
+
+SQL_Q68 = """
+WITH per_part AS (
+    SELECT l_partkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 7
+    GROUP BY 1
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT round(sum(part_value), 4) FROM per_part) * 0.001
+"""
+
+
+def q69_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over one quarter, returning
+    the supplier(s) achieving the MAX — the aggregate-vs-its-own-max view
+    pattern. The max is an aggregate of the already-aggregated revenue
+    table (tiny), broadcast back; equality compares the same rounded
+    double on both sides so ties are engine-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+            4,
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q69 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+             AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q70_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lineitems
+    below 20% of their part's average quantity. The correlated AVG
+    subquery is decorrelated to a per-part aggregate joined back to the
+    fact rows (one extra shuffle-free broadcast instead of a per-row
+    rescan). Threshold = round(sum(qty),2)/cnt/5: the rounded sum is
+    exact, so both engines materialize the identical threshold double and
+    the strict < cannot flip."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)) / F.lit(5.0)).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(per_part),
+            F.col("l_partkey") == F.col("a_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SQL_Q70 = """
+WITH li AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3' AND p_size < 15
+), per_part AS (
+    SELECT l_partkey AS a_partkey,
+           round(sum(l_quantity), 2) / count(*) / 5.0 AS qty_threshold
+    FROM li GROUP BY 1
+)
+SELECT round(sum(l_extendedprice), 2) / 7.0 AS avg_yearly,
+       count(*) AS n_small
+FROM li
+JOIN per_part ON l_partkey = a_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q71_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold — the grouped-HAVING IN-subquery, compiled as an
+    aggregate feeding a join (no IN materialization). The per-order sum
+    shuffles on the order key already co-located with the orders join;
+    customer broadcasts. Quantity sums round at 2 (exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_Q71 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       o_totalprice, total_qty
+FROM (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q72_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — the disjunctive-pushdown stress test. Catalyst
+    extracts the common l_quantity bounds below the join and ships the
+    brand/size arms into the broadcast part scan; the whole predicate
+    stays in whole-stage codegen (no CNF blow-up)."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    arm1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+            4,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_Q72 = """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q73_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a significant volume of
+    promo parts in 1997 — a semi-join nested inside a semi-join.
+    Innermost: part keys by name prefix (broadcast semi). Middle:
+    per-supplier 1997 volume over those parts, HAVING-filtered. Outer:
+    suppliers semi-joined to the qualifying keys. Each level shrinks the
+    key set before the next join, so nothing re-scans the fact table."""
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    volume = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("vol"))
+        .filter(F.col("vol") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(volume),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
+
+
+SQL_Q73 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    HAVING round(sum(l_quantity), 2) > 50
+  )
+"""
+
+
+def q74_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO orders —
+    scalar-AVG subquery plus NOT EXISTS anti-join, tallied per segment.
+    The average divides a rounded (exact) sum, so the threshold double is
+    identical in both engines; the anti-join ships only distinct customer
+    keys. Per-segment sums of stored 2-dp balances round at 2."""
+    c = load(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    # "dormant" = no order since 1999; the unrestricted NOT EXISTS is
+    # vacuous on this data (every customer has some order)
+    o_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .dropDuplicates()
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q74 = """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT round(sum(c_acctbal), 2) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -1981,6 +2388,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_market_share": q61_market_share,
     "q62_waiting_suppliers": q62_waiting_suppliers,
     "q65_nearest_station": q65_nearest_station,
+    "q67_min_cost_supplier": q67_min_cost_supplier,
+    "q68_important_parts": q68_important_parts,
+    "q69_top_supplier": q69_top_supplier,
+    "q70_small_qty_revenue": q70_small_qty_revenue,
+    "q71_large_orders": q71_large_orders,
+    "q72_disjunctive_revenue": q72_disjunctive_revenue,
+    "q73_promo_part_suppliers": q73_promo_part_suppliers,
+    "q74_dormant_customers": q74_dormant_customers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2031,4 +2446,12 @@ ORACLE_SQL: dict[str, str] = {
     "q61_market_share": SQL_Q61,
     "q62_waiting_suppliers": SQL_Q62,
     "q65_nearest_station": SQL_Q65,
+    "q67_min_cost_supplier": SQL_Q67,
+    "q68_important_parts": SQL_Q68,
+    "q69_top_supplier": SQL_Q69,
+    "q70_small_qty_revenue": SQL_Q70,
+    "q71_large_orders": SQL_Q71,
+    "q72_disjunctive_revenue": SQL_Q72,
+    "q73_promo_part_suppliers": SQL_Q73,
+    "q74_dormant_customers": SQL_Q74,
 }

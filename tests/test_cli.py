@@ -111,3 +111,20 @@ def test_cli_raw_duckdb_dialect(data_dir, capsys):
         "GROUP BY station_id ORDER BY station_id",
     ])
     assert rows and rows[0]["station_id"] < rows[-1]["station_id"]
+
+
+def test_cli_explain(capsys):
+    assert main([
+        "explain", "--query", "q72_disjunctive_revenue",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    # the scale-relevant facts are visible: pushdown + broadcast join
+    assert "PushedFilters" in out
+    assert "BroadcastHashJoin" in out
+
+
+def test_cli_explain_unknown_query(capsys):
+    assert main(["explain", "--query", "not_a_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err

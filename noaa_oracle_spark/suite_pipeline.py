@@ -637,7 +637,7 @@ def q66_ppjoin_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin prefix-filtered thresholded-Jaccard pairs — the same output
     contract as q17's inverted-index join (equality at any threshold is
     property-tested in test_ppjoin), via the candidate generation that
-    survives Zipfian hot shingles at corpus scale (14× faster on the
+    survives Zipfian hot shingles at corpus scale (12× faster on the
     50k-doc planted-boilerplate bench, SCALE.md §4). Gated at 0.8 — the
     high-threshold near-dup regime prefix filtering is designed for, where
     only ~20% of each doc's (rarest) shingles need indexing."""

@@ -349,8 +349,8 @@ def q07_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q07 = """
 SELECT user_id, day,
        count(*) AS n_events,
-       sum(CASE WHEN next_us IS NOT NULL AND next_us - ts_us <= 1800 * 1000000
-                THEN 1 ELSE 0 END) AS chained
+       CAST(sum(CASE WHEN next_us IS NOT NULL AND next_us - ts_us <= 1800 * 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS chained
 FROM (
     SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            epoch_us(ts) AS ts_us,
@@ -528,7 +528,7 @@ SELECT lang,
             WHEN regexp_matches(text, '(^|\s)(join|hash|group)(\s|$)') THEN 'joiny'
             ELSE 'other' END AS class,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """
@@ -655,7 +655,7 @@ WITH per_day AS (
     FROM per_day
     WHERE fc IS NOT NULL AND ob IS NOT NULL
 )
-SELECT user_id, sum(points) AS total_score, count(*) AS n_days_scored
+SELECT user_id, CAST(sum(points) AS BIGINT) AS total_score, count(*) AS n_days_scored
 FROM graded GROUP BY 1
 """
 
@@ -727,7 +727,7 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q26 = """
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
     SELECT user_id,
            sum(new_session) OVER (
@@ -1108,7 +1108,7 @@ SELECT event_type,
        count(k) AS n_with_k,
        min(k) AS k_min,
        max(k) AS k_max,
-       sum(k) AS k_sum
+       CAST(sum(k) AS BIGINT) AS k_sum
 FROM (
     SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
     FROM events
@@ -1545,7 +1545,7 @@ WITH d AS (
 )
 SELECT user_id,
        count(*) AS n_intervals,
-       sum(dt_us) AS total_us,
+       CAST(sum(dt_us) AS BIGINT) AS total_us,
        round(sum(v_cents * dt_us) / 100.0 / sum(dt_us), 6) AS twa_value
 FROM d
 WHERE dt_us IS NOT NULL

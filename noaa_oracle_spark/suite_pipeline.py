@@ -516,7 +516,7 @@ def q48_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 0.5 → 2048/4096 = '800'; 0.2 → 819/4096 = '333'
 SQL_Q48 = """
-SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM documents
 WHERE substr(md5('train|' || CAST(doc_id AS VARCHAR)), 1, 3)
       < (CASE WHEN lang = 'en' THEN '800' ELSE '333' END)
@@ -580,7 +580,7 @@ WITH w AS (
 ), wx AS (
     SELECT doc_id, unnest(words) AS w FROM w
 ), wc AS (
-    SELECT doc_id, sum(c) AS n_words,
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
            count(*) AS n_distinct_words,
            max(c) AS max_word_count
     FROM (SELECT doc_id, w, count(*) AS c FROM wx GROUP BY 1, 2)
@@ -627,7 +627,7 @@ WITH w AS (
     SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1
 )
 SELECT doc_id, count(*) AS n_grams,
-       sum(CAST(n_docs >= 10 AS BIGINT)) AS n_boilerplate
+       CAST(sum(CAST(n_docs >= 10 AS BIGINT)) AS BIGINT) AS n_boilerplate
 FROM sh JOIN freq USING (shingle)
 GROUP BY 1
 """

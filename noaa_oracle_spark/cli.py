@@ -144,9 +144,12 @@ def main(argv: list[str] | None = None) -> int:
         register_raw_tables(spark, args.data_dir)
         _emit(run_raw_sql(spark, args.sql), args.limit)
     elif args.cmd == "explain":
-        import __spark_entry__ as entrymod
+        from noaa_oracle_spark.suite import QUERIES as _SUITE_QUERIES
+        from noaa_oracle_spark.suite_pipeline import (
+            PIPELINE_QUERIES as _PIPELINE_QUERIES,
+        )
 
-        qs = entrymod.queries()
+        qs = {**_SUITE_QUERIES, **_PIPELINE_QUERIES}
         if args.query not in qs:
             print(
                 f"unknown query {args.query!r}; one of: "
@@ -155,11 +158,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         df = qs[args.query](spark, args.sf_dir)
-        print(
-            df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), args.mode
-            )
-        )
+        df.explain(mode=args.mode)
     return 0
 
 

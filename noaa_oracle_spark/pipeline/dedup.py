@@ -207,7 +207,11 @@ def ngram_jaccard_pairs_ppjoin(
     b = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union_sz = F.size("sh_a") + F.size("sh_b") - F.col("common")
-    return (
+    # Eagerly materialize the (small) verified pair set so `arr` can be
+    # unpersisted before returning — same persist/consume/unpersist
+    # lifecycle as edges/sym in connected_components; otherwise every call
+    # leaks a cache entry for the session lifetime.
+    result = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("common", common)
@@ -217,7 +221,10 @@ def ngram_jaccard_pairs_ppjoin(
             >= F.col("union_size") * threshold_num
         )
         .select("doc_a", "doc_b", "common", "union_size")
+        .localCheckpoint(eager=True)
     )
+    arr.unpersist()
+    return result
 
 
 def minhash_signatures(

@@ -131,9 +131,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # which unix_micros()/window() reject. DuckDB's native TIMESTAMP is the
     # same naive micros; with the session zone pinned to UTC, an NTZ→LTZ cast
     # is instant-preserving and restores full function coverage.
-    for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    ntz = {col for col, dtype in df.dtypes if dtype == "timestamp_ntz"}
+    if ntz:
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 
@@ -2026,8 +2031,12 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-evaluate the whole subtree — Spark duplicates multi-consumer
     plans). The window's single partition holds one slim row per part,
     orders of magnitude below the fact volume it avoids rescanning.
-    Determinism: 2-dp × 2-dp products summed then rounded at 4 are exact,
-    so both engines derive the identical threshold double."""
+    Determinism: sums of 2-dp × 2-dp products are still binary doubles
+    whose partial-aggregation order differs across engines; rounding both
+    the per-part value and the threshold total at 4 dp narrows (but cannot
+    fully eliminate) the window where `part_value > total_value * 0.001`
+    could flip cross-engine. Oracle match confirmed at the tested scales;
+    this follows the suite's shared rounding convention."""
     s1 = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
     per_part = (
         load(spark, sf_dir, "lineitem")

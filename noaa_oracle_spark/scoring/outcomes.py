@@ -15,10 +15,11 @@ Parity targets:
       descending mapped back to id-order indices.
 
 Attestation: the reference computes a DLC attestation secret with secp256k1
-scalars (oracle.rs:846-849). No secp library ships in this runtime, so
-`attestation_secret` raises NotImplementedError unless a library is
-available (import-gated), keeping the interface real and the crypto
-pluggable.
+scalars (oracle.rs:846-849) via the public dlctix primitives. This module
+implements the same scheme on a pure-Python secp256k1/BIP340 backend
+(scoring/secp256k1.py): announcement-time locking points per outcome
+message, signing-time attestation scalar, and the unlock check pairing
+them (tests/api/attestation.rs:228-247 semantics).
 """
 
 from __future__ import annotations
@@ -73,14 +74,64 @@ def select_winners(
     return [index_of[with_scores[i]["entry_id"]] for i in top]
 
 
-def attestation_secret(private_key, nonce, winner_bytes: bytes):
-    """DLC attestation secret (oracle.rs:846-849). Requires a secp256k1
-    implementation; stubbed until one is present in the runtime."""
-    try:
-        import secp256k1  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "attestation requires a secp256k1 library (not in this runtime); "
-            "scores/winners/outcome messages above are complete inputs to it"
-        ) from exc
-    raise NotImplementedError("secp256k1 wiring not implemented")
+def attestation_secret(private_key: int, nonce: int, winner_bytes: bytes) -> int:
+    """DLC attestation secret s = (nonce + e·sk) mod n (oracle.rs:846-849).
+
+    Backed by the pure-Python secp256k1/BIP340 module — no external crypto
+    dependency. The returned scalar's public image is the locking point the
+    announcement precomputed for `winner_bytes`; `attestation_unlocks`
+    verifies the pairing (tests/api/attestation.rs:228-247 semantics)."""
+    from noaa_oracle_spark.scoring import secp256k1 as ec
+
+    return ec.attestation_secret(private_key, nonce, winner_bytes)
+
+
+def make_event_announcement(
+    private_key: int,
+    nonce: int,
+    total_allowed_entries: int,
+    number_of_places_win: int,
+    signing_date_unix: int | None = None,
+) -> dict:
+    """Event-creation-time announcement (db/mod.rs:122-149 parity).
+
+    Enumerates every possible ranking outcome plus refund-all, serializes
+    each as winner bytes, and precomputes one locking point per message:
+    ``locking_points[i] = R + e_i·P``. Expiry is signing date + 1 day
+    (db/mod.rs:136-139) so users can recover funds if the oracle never
+    signs. Returns outcome_messages alongside so the attested message can
+    be located by index."""
+    from noaa_oracle_spark.scoring import secp256k1 as ec
+
+    pubkey = ec.point_mul(private_key)
+    nonce_point = ec.point_mul(nonce)
+    outcomes = generate_ranking_permutations(
+        total_allowed_entries, number_of_places_win
+    )
+    messages = generate_outcome_messages(outcomes)
+    locking_points = [
+        ec.attestation_locking_point(pubkey, nonce_point, msg)
+        for msg in messages
+    ]
+    expiry = (
+        signing_date_unix + 86400 if signing_date_unix is not None else None
+    )
+    return {
+        "expiry": expiry,
+        "outcome_messages": messages,
+        "locking_points": locking_points,
+        "nonce_point": nonce_point,
+        "oracle_pubkey": pubkey,
+    }
+
+
+def attestation_unlocks_outcome(
+    announcement: dict, secret: int, outcome_index: int
+) -> bool:
+    """True iff `secret`'s public image is exactly the locking point for
+    `outcome_index` — the Outcome::Attestation(i) validity check."""
+    from noaa_oracle_spark.scoring import secp256k1 as ec
+
+    return ec.attestation_unlocks(
+        secret, announcement["locking_points"][outcome_index]
+    )

@@ -237,17 +237,26 @@ def main() -> None:
         ),
     }
 
+    # Best-of-3 post-warm for BOTH engines: single-shot measurements on a
+    # 32-thread scheduler carry 2x run-to-run noise at sub-second query
+    # times; the minimum is the steady-state interactive latency a service
+    # would observe. DuckDB keeps its reference behavior (fresh in-memory
+    # connection per run) inside the loop.
+    reps = int(os.environ.get("WEATHER_BENCH_REPS", "3"))
     out = {}
     for name, (build, sql) in cases.items():
         build().write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        df = build()
-        df.write.format("noop").mode("overwrite").save()
-        spark_sec = time.perf_counter() - t0
-        # reference behavior: fresh in-memory connection per query
-        t0 = time.perf_counter()
-        rows = duckdb.connect().execute(sql).fetchall()
-        duck_sec = time.perf_counter() - t0
+        spark_sec = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            spark_sec = min(spark_sec, time.perf_counter() - t0)
+        duck_sec = 1e9
+        rows = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = duckdb.connect().execute(sql).fetchall()
+            duck_sec = min(duck_sec, time.perf_counter() - t0)
         out[name] = {
             "spark_sec": round(spark_sec, 3),
             "duckdb_sec": round(duck_sec, 3),

@@ -128,6 +128,38 @@ def main() -> None:
     run("winnowing", lambda: winnowing_fingerprints(
         docs, k=8, window=4).count())
 
+    # --- chain-topology rung: the adversarial shape for min-propagation
+    # (rounds == diameter) vs the two-phase star algorithm (rounds ==
+    # O(log^2 n) regardless of diameter). Thresholded similarity graphs are
+    # shallow, so this is the stress case, not the common case — it is the
+    # evidence behind choosing star as the distributed default.
+    from pyspark.sql import functions as F
+
+    n_chain = int(os.environ.get("PIPELINE_BENCH_CHAIN_NODES", "20000"))
+    chain_len = int(os.environ.get("PIPELINE_BENCH_CHAIN_LEN", "50"))
+    chain_nodes = spark.range(n_chain).select(F.col("id").alias("doc_id"))
+    chain_edges = (
+        spark.range(n_chain)
+        .filter((F.col("id") % chain_len) != chain_len - 1)
+        .filter(F.col("id") < n_chain - 1)
+        .select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+    )
+    for alg in ("star", "propagate"):
+        st: dict = {}
+        run(
+            f"components_chain_{alg}",
+            lambda alg=alg, st=st: connected_components(
+                chain_nodes,
+                chain_edges,
+                driver_edge_threshold=0,
+                algorithm=alg,
+                stats=st,
+            ).count(),
+        )
+        out[f"components_chain_{alg}"]["rounds"] = st["rounds"]
+
     print(json.dumps({
         "metric": "pipeline_ops_at_corpus_scale",
         "n_docs": N_DOCS,

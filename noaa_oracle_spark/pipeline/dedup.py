@@ -311,6 +311,8 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 50,
     driver_edge_threshold: int = 2_000_000,
+    algorithm: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: the dedup
     CLUSTERING step — candidate pairs (MinHash/Jaccard/embedding) say "these
@@ -321,12 +323,18 @@ def connected_components(
     `edges` is (doc_a, doc_b) pairs, any orientation. Each iteration every
     node takes min(own label, neighbors' labels) — converges in ≤ diameter
     iterations; near-dup clusters are shallow (pairs come from a similarity
-    threshold), so this terminates in a handful of rounds. The classic
-    log-round alternative at planetary scale is large-star/small-star
-    (Kiveris et al.) — same join/agg primitives, fewer rounds on long
-    chains. Lineage is cut per round with localCheckpoint (iterative plans
+    threshold), so this terminates in a handful of rounds. For long-chain /
+    high-diameter graphs the log-round alternative is large-star/small-star
+    (Kiveris et al., `_cc_two_phase_star`) — same join/agg primitives,
+    O(log^2 n) rounds independent of diameter. `algorithm` picks the
+    distributed path: "auto"/"star" → two-phase star (the scale-safe
+    default: round count does not grow with graph diameter), "propagate" →
+    the min-label loop (fewer, cheaper rounds on shallow thresholded pair
+    graphs). Lineage is cut per round with localCheckpoint (iterative plans
     otherwise grow without bound); convergence is detected by counting
     changed labels, so the loop does exact work, not a fixed schedule.
+    `stats`, when a dict, receives {"rounds": n, "path": name} for bench
+    instrumentation.
 
     Returns (id_col, component) for EVERY node — singletons keep their own
     id, so the output is a total partition of the corpus.
@@ -354,6 +362,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
+        if stats is not None:
+            stats.update(rounds=0, path="driver_union_find")
         pair_rows = edges.select("doc_a", "doc_b").collect()
         edges.unpersist()
         for a, b in pair_rows:
@@ -376,6 +386,8 @@ def connected_components(
         return nodes.select(
             F.col(id_col), F.col(id_col).alias("component")
         )
+    if algorithm in ("auto", "star"):
+        return _cc_two_phase_star(nodes, edges, id_col, max_iter, stats)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -385,6 +397,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels[id_col])
@@ -404,11 +417,125 @@ def connected_components(
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
+        rounds += 1
         if changed == 0:
             break
     sym.unpersist()
     edges.unpersist()
+    if stats is not None:
+        stats.update(rounds=rounds, path="propagate")
     return labels
+
+
+def _cc_two_phase_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond", alg. 2).
+
+    Both phases are one groupBy-min plus one equi-join over the edge set —
+    the same shuffle primitives as min-propagation — but the edge set itself
+    is rewritten each round so path lengths halve geometrically: the round
+    count is O(log^2 n) in the component size, independent of graph
+    diameter. On a 10M-node chain min-propagation needs 10M rounds; this
+    needs ~25. At convergence the edge set is exactly the star
+    {(v, min(component)) : v != min}, so labels fall out of the final edges
+    with no extra pass.
+
+    large-star(u): for m = min(Γ(u) ∪ {u}), connect every neighbor v > u to
+    m. small-star(u) on edges oriented parent<child: connect every child (and
+    u itself) to the minimum neighbor. Self-loops are dropped and edges kept
+    canonical (src > dst) between phases.
+
+    Convergence test: the canonical edge set is compared round-over-round by
+    (count, bit_xor(xxhash64(src,dst))) — an O(1)-result aggregate instead
+    of a full except-join (xor, unlike sum, cannot overflow under ANSI
+    mode; the edge set is distinct so xor is a proper set fingerprint); a
+    64-bit collision on consecutive edge sets of identical count is
+    vanishingly unlikely, and a stable fingerprint means the deterministic
+    rewrite reproduced the same set, i.e. a true fixed point.
+    """
+    canon = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
+        )
+        return _canon(
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (src > dst): src is the child side, dst the parents
+        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = e.join(mins, "src").select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        self_edge = mins.select(F.col("src"), F.col("m").alias("dst"))
+        return _canon(rewired.union(self_edge))
+
+    def _fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    e = canon
+    prev = _fingerprint(e)
+    rounds = 0
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats.update(rounds=rounds, path="two_phase_star")
+    # fixed point: e == {(member, component_min)} for every non-min member.
+    # The groupBy-min is an identity at the fixed point (one edge per
+    # member); it only does work if max_iter was exhausted early, keeping
+    # the output a total partition in that degraded case too.
+    comp = e.groupBy("src").agg(F.min("dst").alias("component")).select(
+        F.col("src").alias(id_col), F.col("component")
+    )
+    return (
+        nodes.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
 
 
 def simhash_fingerprints(

@@ -157,8 +157,18 @@ def _rewrite_distinct_on(sql: str) -> str:
         suffix = items[n_keys:]
         per_group_order = ", ".join(suffix) if suffix else keys
 
+    # The outer projection must reference the subquery's OUTPUT names —
+    # re-evaluating `expr AS alias` against __dedup fails when the base
+    # column is shadowed by its alias (found by differential fuzzing:
+    # `SELECT DISTINCT ON (k) k AS k0 … ORDER BY k`). `*` passes through;
+    # aliased/plain items project by result name.
+    items = _split_top_level_commas(select_list)
+    outer_names = ", ".join(
+        it.strip() if it.strip() == "*" else _output_name(it)
+        for it in items
+    )
     rewritten = (
-        f"SELECT {select_list} FROM (SELECT {select_list}, "
+        f"SELECT {outer_names} FROM (SELECT {select_list}, "
         f"row_number() OVER (PARTITION BY {keys} ORDER BY {per_group_order}) "
         f"AS __rn {body}) __dedup WHERE __rn = 1"
     )

@@ -1,0 +1,213 @@
+"""Dependency-free media codecs for the multimodal operators.
+
+The runtime ships no imaging/audio libraries (no PIL, no soundfile), so
+"real codec" here means formats decodable with the standard library +
+numpy alone:
+
+  - images: PPM (P6 binary) and BMP (uncompressed 24/32-bit BI_RGB) →
+    numpy (H, W, 3) uint8 arrays; nearest-neighbor resize; P6 re-encode.
+  - audio: RIFF/WAVE PCM via the stdlib `wave` module → mono float64
+    samples in [-1, 1] plus the sample rate.
+
+These are genuine byte-level decoders — pixel geometry, bottom-up BMP row
+order, row padding, channel order, PCM widths — not fakes; the fake
+hash-codec in multimodal.py remains as the plumbing-test stand-in and the
+NotImplementedError gates now apply only to formats that truly need an
+external library (JPEG/PNG/MP3/MP4...).
+
+Everything is a pure bytes→numpy function so the same code runs inside
+Arrow-batched mapInPandas on executors and inside test oracles on the
+driver. Corrupt or foreign-format blobs raise ValueError; operator-level
+wrappers map that to NULL output columns (a 100 TB corpus always contains
+garbage rows, and one bad blob must not kill a task)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+
+def sniff_image_format(data: bytes) -> str | None:
+    """'ppm' | 'bmp' | None by magic bytes."""
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _ppm_token(buf: io.BytesIO) -> bytes:
+    """Next whitespace-delimited PPM header token, skipping `#` comments."""
+    tok = b""
+    while True:
+        c = buf.read(1)
+        if c == b"":
+            raise ValueError("truncated PPM header")
+        if c == b"#":
+            while c not in (b"\n", b""):
+                c = buf.read(1)
+            continue
+        if c.isspace():
+            if tok:
+                return tok
+            continue
+        tok += c
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary P6 PPM → (H, W, 3) uint8."""
+    buf = io.BytesIO(data)
+    if buf.read(2) != b"P6":
+        raise ValueError("not a P6 PPM")
+    width = int(_ppm_token(buf))
+    height = int(_ppm_token(buf))
+    maxval = int(_ppm_token(buf))
+    if not (0 < width and 0 < height and 0 < maxval < 65536):
+        raise ValueError("bad PPM geometry")
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raw = buf.read(width * height * 3)
+    if len(raw) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(raw, np.uint8).reshape(height, width, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary P6 PPM bytes."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3)")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, np.uint8
+    ).tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP → (H, W, 3) uint8 (RGB order).
+
+    Handles the format's quirks: BGR(A) channel order, 4-byte row padding,
+    and bottom-up row storage (negative biHeight = top-down)."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("bad BMP geometry")
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    need = pixel_off + stride * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        data, np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) → RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return rgb.copy()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-sniffing decode → (H, W, 3) uint8; ValueError on unknown."""
+    fmt = sniff_image_format(data or b"")
+    if fmt == "ppm":
+        return decode_ppm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    raise ValueError("unrecognized image format (supported: P6 PPM, BMP)")
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width, 3) — pure indexing, no
+    interpolation library needed; pixel-center sampling."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def grid_features(img: np.ndarray, dim: int) -> list[float]:
+    """`dim` floats of real pixel content: the image is mean-pooled onto a
+    k×k×3 grid (k = smallest grid covering `dim`), channel means in
+    [0, 1], flattened and truncated to `dim`. Deterministic, resolution-
+    independent, and cheap — the classic baseline 'tiny image' feature."""
+    k = 1
+    while 3 * k * k < dim:
+        k += 1
+    small = resize_nearest(img, max(k * 8, 8), max(k * 8, 8)).astype(np.float64)
+    h, w = small.shape[:2]
+    feats: list[float] = []
+    for gy in range(k):
+        for gx in range(k):
+            cell = small[
+                gy * h // k : (gy + 1) * h // k, gx * w // k : (gx + 1) * w // k
+            ]
+            feats.extend(float(c) / 255.0 for c in cell.mean(axis=(0, 1)))
+    return feats[:dim]
+
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (mono float64 samples in [-1, 1], sample_rate).
+
+    Stdlib `wave` handles the chunk walk; widths 1 (unsigned), 2 and 4
+    (signed little-endian) are mapped to floats; multi-channel input is
+    mean-downmixed."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a PCM WAV: {exc}") from exc
+    if width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width}")
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Mono float [-1, 1] → 16-bit PCM WAV bytes (test-fixture helper)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def rms_energy(x: np.ndarray) -> float:
+    """Root-mean-square of a sample window (0.0 for an empty window)."""
+    return float(np.sqrt(np.mean(x * x))) if len(x) else 0.0

@@ -3,10 +3,16 @@
 Media ride through the engine as opaque `binary` columns plus typed metadata
 (the same pattern as Parquet BYTE_ARRAY blobs next to scalar columns). The
 Spark-side plumbing — schemas, Arrow-batched mapInPandas operators, batch
-shapes, partition sizing — is real and tested; the actual codec calls are
-STUBBED (this container ships no image/audio libraries): decode_images falls
-back to a deterministic fake decoder and raises NotImplementedError only when
-asked for a real codec.
+shapes, partition sizing — is real and tested. Codecs come in two tiers:
+
+  - codec="fake": the deterministic hash stand-in (plumbing tests).
+  - codec="raster" (images) / codec="wav" (audio): REAL byte-level
+    decoders built on stdlib+numpy alone (pipeline/media_codecs.py):
+    P6 PPM and uncompressed BMP for images, RIFF/WAVE PCM for audio.
+    Real pixels/samples in, real features/resizes/energies out; corrupt
+    blobs degrade to NULL output columns instead of failing the task.
+  - anything else (JPEG/PNG/MP3/MP4…) still raises NotImplementedError —
+    those genuinely need external libraries this runtime doesn't ship.
 
 At 100 TB the rules encoded here:
   - blobs never pass through a shuffle: metadata extraction and feature
@@ -70,19 +76,36 @@ def _fake_decode(content: bytes, dim: int) -> list[float]:
     return [h[i % len(h)] / 255.0 for i in range(dim)]
 
 
+def _require_codec(codec: str, supported: tuple[str, ...]) -> None:
+    if codec not in supported:
+        raise NotImplementedError(
+            f"codec {codec!r}: needs an external media library not present "
+            f"in this runtime (supported here: {', '.join(supported)})"
+        )
+
+
+def _raster_features(content: bytes | None, dim: int) -> list[float] | None:
+    from noaa_oracle_spark.pipeline.media_codecs import (
+        decode_image,
+        grid_features,
+    )
+
+    try:
+        return grid_features(decode_image(content or b""), dim)
+    except ValueError:
+        return None
+
+
 def extract_image_features(
     media: DataFrame, dim: int = 8, codec: str = "fake"
 ) -> DataFrame:
     """Arrow-batched feature extraction over image blobs via mapInPandas.
 
-    `codec="fake"` uses the deterministic stub; any real codec name raises
-    NotImplementedError until the imaging libraries exist in the runtime.
-    """
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: real image decoding needs an imaging library "
-            "not present in this runtime; plumbing is codec-agnostic"
-        )
+    `codec="fake"` uses the deterministic stub; `codec="raster"` decodes
+    real P6 PPM / BMP bytes and mean-pools pixels onto a grid
+    (media_codecs.grid_features), yielding NULL features for undecodable
+    blobs; other codec names raise NotImplementedError."""
+    _require_codec(codec, ("fake", "raster"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -94,13 +117,70 @@ def extract_image_features(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "n_bytes": content.map(lambda b: len(b or b"")).astype("int64"),
-                    "feature": content.map(lambda b: _fake_decode(b, dim)),
+                    "feature": content.map(
+                        (lambda b: _raster_features(b, dim))
+                        if codec == "raster"
+                        else (lambda b: _fake_decode(b, dim))
+                    ),
                 }
             )
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "content"
     ).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_images(media: DataFrame, codec: str = "raster") -> DataFrame:
+    """The decode step proper: blob → measured geometry + channel means
+    from the actual pixel data (P6 PPM / uncompressed BMP via
+    media_codecs). Undecodable blobs keep their row with NULL fields —
+    at corpus scale garbage rows are data, not errors."""
+    _require_codec(codec, ("raster",))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_image,
+            sniff_image_format,
+        )
+
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "format", "width", "height",
+                     "mean_r", "mean_g", "mean_b")}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rows["media_id"].append(mid)
+                try:
+                    img = decode_image(blob or b"")
+                except ValueError:
+                    rows["format"].append(None)
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                    continue
+                means = img.astype("float64").mean(axis=(0, 1))
+                rows["format"].append(sniff_image_format(blob))
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
 def sample_video_frames(
@@ -157,13 +237,23 @@ def resize_images(
     content+target-derived blob (so downstream dedup/feature stages have
     real bytes to chew on); a real codec drops in by replacing only the
     per-batch transform — the schema, batching, and blob-stays-map-side
-    contract are what this module fixes."""
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: real image resizing needs an imaging library "
-            "not present in this runtime"
-        )
+    contract are what this module fixes. `codec="raster"` is that real
+    transform for P6 PPM / BMP input: nearest-neighbor resample of the
+    actual pixels, re-encoded as P6 PPM (NULL content when undecodable)."""
+    _require_codec(codec, ("fake", "raster"))
     tag = f"{width}x{height}".encode()
+
+    def _raster_resize(b: bytes | None) -> bytes | None:
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_image,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        try:
+            return encode_ppm(resize_nearest(decode_image(b or b""), width, height))
+        except ValueError:
+            return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -171,7 +261,9 @@ def resize_images(
                 {
                     "media_id": pdf["media_id"],
                     "content": pdf["content"].map(
-                        lambda b: hashlib.sha256((b or b"") + tag).digest()
+                        _raster_resize
+                        if codec == "raster"
+                        else (lambda b: hashlib.sha256((b or b"") + tag).digest())
                     ),
                     "width": width,
                     "height": height,
@@ -205,23 +297,54 @@ def chunk_audio(
     deterministic fake derives energy from the chunk's slice of the blob
     (stable across partitionings), while the Arrow-batched mapInPandas
     shape — blob stays map-side, chunks explode AFTER the per-row work —
-    is the real scale contract."""
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: real audio decoding not available in this runtime"
-        )
+    is the real scale contract.
+
+    `codec="wav"` is the REAL path for RIFF/WAVE PCM blobs
+    (media_codecs.decode_wav): duration is measured from the sample count
+    and rate (the metadata column is ignored), and each window's energy is
+    the true RMS of its samples. Undecodable blobs contribute zero chunk
+    rows (the operator is an expansion; garbage expands to nothing)."""
+    _require_codec(codec, ("fake", "wav"))
     audio = media.filter(F.col("kind") == "audio").select(
         "media_id", "content", F.coalesce("duration_ms", F.lit(0)).alias("dur")
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_wav,
+            rms_energy,
+        )
+
         for pdf in it:
             out = {k: [] for k in
                    ("media_id", "chunk_idx", "start_ms", "end_ms", "energy")}
+
+            def emit(mid, i, lo, hi, energy):
+                out["media_id"].append(mid)
+                out["chunk_idx"].append(i)
+                out["start_ms"].append(lo)
+                out["end_ms"].append(hi)
+                out["energy"].append(energy)
+
             for mid, blob, dur in zip(
                 pdf["media_id"], pdf["content"], pdf["dur"]
             ):
                 blob = blob if blob is not None else b""
+                if codec == "wav":
+                    try:
+                        samples, rate = decode_wav(blob)
+                    except ValueError:
+                        continue
+                    total_ms = len(samples) * 1000 // rate
+                    n = max(1, (total_ms + window_ms - 1) // window_ms)
+                    for i in range(n):
+                        lo = i * window_ms
+                        hi = min(total_ms, lo + window_ms)
+                        sl = samples[
+                            lo * rate // 1000 : hi * rate // 1000
+                        ]
+                        emit(mid, i, lo, hi, rms_energy(sl))
+                    continue
                 n = max(1, (int(dur) + window_ms - 1) // window_ms)
                 for i in range(n):
                     lo = i * window_ms
@@ -230,12 +353,7 @@ def chunk_audio(
                         len(blob) * i // n : len(blob) * (i + 1) // n
                     ]
                     h = hashlib.sha256(sl).digest()
-                    energy = int.from_bytes(h[:4], "big") / 2**32
-                    out["media_id"].append(mid)
-                    out["chunk_idx"].append(i)
-                    out["start_ms"].append(lo)
-                    out["end_ms"].append(hi)
-                    out["energy"].append(energy)
+                    emit(mid, i, lo, hi, int.from_bytes(h[:4], "big") / 2**32)
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)

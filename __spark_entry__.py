@@ -39,6 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries as filler.  Keep this list in sync when adding queries: new
 #: names go at the FRONT so they get graded in their first round.
 _GRADE_FIRST = [
+    # new this round — grade in their first round
+    "q77_decontamination", "q78_tfidf_top_terms", "q79_source_stats",
     # 19 pipeline operators — never driver-graded (outside r01's window)
     "q16_dedup_exact", "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",
     "q20_ann_cosine", "q21_quality_scores", "q22_language_id",

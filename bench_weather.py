@@ -242,7 +242,58 @@ def main() -> None:
     # times; the minimum is the steady-state interactive latency a service
     # would observe. DuckDB keeps its reference behavior (fresh in-memory
     # connection per run) inside the loop.
+    #
+    # Large-scale sweep knobs: WEATHER_BENCH_QUERIES filters the case list
+    # (the 16x/32x flagship sweep only needs forecasts_data), and
+    # WEATHER_BENCH_DUCKDB_TIMEOUT caps the reference path's wall time by
+    # running it in a subprocess — at 16x+ the reference's superlinear
+    # growth crosses the hour mark, and ">cap" is itself the measurement.
     reps = int(os.environ.get("WEATHER_BENCH_REPS", "3"))
+    only = os.environ.get("WEATHER_BENCH_QUERIES")
+    if only:
+        keep = {q.strip() for q in only.split(",")}
+        cases = {k: v for k, v in cases.items() if k in keep}
+    duck_timeout = float(os.environ.get("WEATHER_BENCH_DUCKDB_TIMEOUT", "0"))
+
+    def run_duckdb(sql: str):
+        """(best_sec | None-on-timeout, n_rows | None)."""
+        if duck_timeout <= 0:
+            best, rows = 1e9, []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = duckdb.connect().execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            return best, len(rows)
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".sql", delete=False) as f:
+            f.write(sql)
+            sql_path = f.name
+        child = (
+            "import json,sys,time,duckdb\n"
+            "sql=open(sys.argv[1]).read()\n"
+            "t0=time.perf_counter()\n"
+            "rows=duckdb.connect().execute(sql).fetchall()\n"
+            "print(json.dumps({'sec':time.perf_counter()-t0,'rows':len(rows)}))\n"
+        )
+        best, n_rows = None, None
+        for _ in range(reps):
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c", child, sql_path],
+                    capture_output=True,
+                    text=True,
+                    timeout=duck_timeout,
+                )
+                got = json.loads(p.stdout.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, Exception):
+                continue
+            best = got["sec"] if best is None else min(best, got["sec"])
+            n_rows = got["rows"]
+        os.unlink(sql_path)
+        return best, n_rows
+
     out = {}
     for name, (build, sql) in cases.items():
         build().write.format("noop").mode("overwrite").save()  # warm
@@ -251,17 +302,14 @@ def main() -> None:
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             spark_sec = min(spark_sec, time.perf_counter() - t0)
-        duck_sec = 1e9
-        rows = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            rows = duckdb.connect().execute(sql).fetchall()
-            duck_sec = min(duck_sec, time.perf_counter() - t0)
+        duck_sec, duck_rows = run_duckdb(sql)
         out[name] = {
             "spark_sec": round(spark_sec, 3),
-            "duckdb_sec": round(duck_sec, 3),
-            "rows": len(rows),
+            "duckdb_sec": round(duck_sec, 3) if duck_sec is not None else None,
+            "rows": duck_rows,
         }
+        if duck_sec is None:
+            out[name]["duckdb_timeout_sec"] = duck_timeout
 
     print(
         json.dumps(

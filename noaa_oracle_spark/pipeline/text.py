@@ -269,3 +269,86 @@ def boilerplate_ngram_stats(
         )
     )
     return per_doc
+
+
+def decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with an evaluation/benchmark set — the GPT-3/PaLM-style overlap
+    check every serious pretraining pipeline runs before training.
+
+    Returns (id, shared_grams, total_grams) for every training document
+    with ≥1 shared n-gram; the caller drops or audits them.
+
+    Scale shape: the benchmark gram set is tiny relative to a 100 TB
+    corpus (eval suites are MBs), so it is DISTINCT-ed and broadcast — the
+    corpus-side gram stream joins map-side with no shuffle of the big
+    side; the per-doc rollup is the only wide operator, keyed on doc id
+    (uniform)."""
+    from noaa_oracle_spark.pipeline.dedup import _word_shingles
+
+    train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    bench = (
+        _word_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
+    shared = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return shared.join(totals, id_col).select(
+        id_col, "shared_grams", "total_grams"
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf × ln(N/df)), the baseline
+    keyword/feature extractor. Ranking compares the 6-dp-rounded score
+    (the suite's cross-engine float convention, cf. q20 cosine) with the
+    term string as total tiebreak, so the cut is deterministic on both
+    engines even for distinct (tf, df) pairs that land on equal scores
+    (2·ln(N/a) = ln(N/b) has integer solutions).
+
+    Scale shape: tf is one shuffle on (doc, term); df reuses the tf rows
+    (already distinct per doc-term) with a term-keyed count; N rides in as
+    a broadcast 1-row aggregate instead of a driver-side collect, keeping
+    the whole plan lazy."""
+    from pyspark.sql.window import Window
+
+    words = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tfidf", "rnk")
+    )

@@ -659,6 +659,107 @@ SQL_Q66 = SQL_Q17.replace(
 )
 
 
+def q77_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 3-gram
+    with the benchmark holdout (doc_id % 97 == 0 plays the eval set; the
+    operator defaults to 5-grams, the gate uses 3 so the synthetic corpus
+    produces a discriminative overlap set). The benchmark gram set
+    broadcasts; the corpus side never shuffles before its per-doc rollup
+    (pipeline/text.decontamination)."""
+    from noaa_oracle_spark.pipeline.text import decontamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontamination(train, bench, n=3)
+
+
+SQL_Q77 = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), idx AS (
+    SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+    FROM w WHERE len(words) >= 3
+), sh AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM idx
+), bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), train AS (
+    SELECT * FROM sh WHERE doc_id % 97 <> 0
+), totals AS (
+    SELECT doc_id, count(*) AS total_grams FROM train GROUP BY 1
+), shared AS (
+    SELECT t.doc_id, count(*) AS shared_grams
+    FROM train t JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id, s.shared_grams, t.total_grams
+FROM shared s JOIN totals t USING (doc_id)
+"""
+
+
+def q78_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document; rank compares the 6-dp-rounded
+    score with term-string tiebreak (pipeline/text.tfidf_top_terms)."""
+    from noaa_oracle_spark.pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+# Same tf / df / ln(N/df) arithmetic, same 6-dp rounding before ranking.
+SQL_Q78 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM words
+    WHERE term <> '' GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+           ) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q79_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus audit: volume, exact-duplicate rate (distinct
+    md5(text) vs rows), language spread, and size profile — the
+    domain/source-level rollup a crawl pipeline uses to budget and prune
+    sources. One hash-agg on `source`; md5 stays in codegen."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_Q79 = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(n_chars), 4) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -679,6 +780,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_repetition_filter": q63_repetition_filter,
     "q64_boilerplate_ngrams": q64_boilerplate_ngrams,
     "q66_ppjoin_jaccard": q66_ppjoin_jaccard,
+    "q77_decontamination": q77_decontamination,
+    "q78_tfidf_top_terms": q78_tfidf_top_terms,
+    "q79_source_stats": q79_source_stats,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -701,4 +805,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q63_repetition_filter": SQL_Q63,
     "q64_boilerplate_ngrams": SQL_Q64,
     "q66_ppjoin_jaccard": SQL_Q66,
+    "q77_decontamination": SQL_Q77,
+    "q78_tfidf_top_terms": SQL_Q78,
+    "q79_source_stats": SQL_Q79,
 }

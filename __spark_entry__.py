@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: names go at the FRONT so they get graded in their first round.
 _GRADE_FIRST = [
     # new this round — grade in their first round
+    "q80_order_priority", "q81_revenue_filter", "q82_volume_shipping",
+    "q83_product_profit", "q84_returned_items", "q85_priority_class_counts",
+    "q86_promo_revenue",
     "q77_decontamination", "q78_tfidf_top_terms", "q79_source_stats",
     # 19 pipeline operators — never driver-graded (outside r01's window)
     "q16_dedup_exact", "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",

@@ -96,6 +96,13 @@ Operator-family coverage map (reference file:line cited per query):
   q74 scalar-AVG anti-join                §2.4 gap  TPC-H Q22 shape
   q75 explicit GROUPING SETS              §2.5 gap  —
   q76 percent_rank/cume_dist/ntile        §2.6 gap  —
+  q80 EXISTS + non-equi residual          §2.4 gap  TPC-H Q4 shape
+  q81 pure pushdown-predicate agg         §2.2 kin  TPC-H Q6 shape
+  q82 dual-role dim, symmetric pair       J-family  TPC-H Q7 shape
+  q83 profit decomposition by nation/year J-family  TPC-H Q9 shape
+  q84 returned-items top-k                T1 kin    TPC-H Q10 shape
+  q85 CASE-partitioned conditional counts A-family  TPC-H Q12 shape
+  q86 promo share numerator/denominator   A-family  TPC-H Q14 shape
 """
 
 from __future__ import annotations
@@ -2425,6 +2432,317 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+def q80_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a non-equi residual — count
+    orders per priority that have at least one line item shipped after the
+    order date. The testdata lineitem has no commit/receipt dates, so the
+    late-shipment predicate (l_shipdate > o_orderdate) stands in for
+    Q4's commitdate < receiptdate; the operator shape (semi-join with a
+    cross-relation inequality residual on top of the equi key) is
+    identical. Plan at scale: shuffle on orderkey once, semi-join keeps
+    the build side from materializing duplicates, then a tiny 5-group agg.
+    Ref kin: oracle.rs:510-533 (EXISTS-style entry gating)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q80 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q81_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side predicate aggregation — the query
+    every pushdown test dreams of. All three predicates (date range,
+    discount band, quantity cap) must reach the parquet scan as
+    PushedFilters; the agg is a single partial+final sum with no join.
+    extendedprice(2dp)×discount(2dp) is an exact 4-dp decimal, so the
+    rounded sum is engine-order-independent."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_Q81 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q82_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joins in two roles (supplier
+    side and customer side) with a symmetric pair filter — revenue between
+    two trading nations by ship year, in both directions. Plan at scale:
+    both nation aliases broadcast; the pair predicate is applied AFTER
+    both dimension attachments (it references columns from both), but the
+    per-side nation equi-joins already prune to the 2-nation subset, so
+    the big shuffle (lineitem⋈orders) carries only matching rows."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_Q82 = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q83_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    name-pattern part filter. The testdata has no partsupp/supplycost, so
+    cost is proxied as 0.5 × p_retailprice × l_quantity (same arithmetic
+    shape: revenue minus a part-attribute × quantity product). All terms
+    are exact ≤4-dp decimals (retailprice 2dp × 0.5 = 3dp × integral
+    quantity), so rounded sums match cross-engine. Plan at scale: part
+    filter broadcasts, nation broadcasts; one shuffle each for the
+    orderkey join and the (nation, year) agg."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+SQL_Q83 = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q84_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter — selective fact filter (returnflag), quarter-windowed orders,
+    customer+nation dimensions, rounded-revenue ranking with a unique
+    integer tiebreak so the LIMIT boundary is engine-stable. Plan at
+    scale: one orderkey shuffle, customer join shuffles on custkey (1.5 M
+    rows/SF — too big to broadcast at 100 TB, AQE decides locally),
+    TakeOrderedAndProject for the top-k."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q84 = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q85_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-partitioned conditional counts per
+    category — how many high- vs low-priority orders each line class
+    carried in a ship-year. The testdata has no l_shipmode, so
+    l_linestatus is the category; the operator (conditional COUNT split
+    by a priority CASE after an equi-join) is the same. Counts use
+    count(FILTER)-style conditionals, which are BIGINT in both engines
+    (DuckDB SUM(int) would be HUGEINT — the round-1 oracle-typing trap).
+    Plan at scale: one orderkey shuffle, then a 2-group agg."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q85 = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+           AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+           AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue. Numerator and
+    denominator are emitted as separate exact 4-dp sums instead of their
+    ratio (same rule as q61 — a rounded ratio can flip its last digit
+    across engines when operands differ by 1 ulp). Plan at scale: part
+    broadcasts into the month-pruned lineitem scan; zero shuffles beyond
+    the single-group agg."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev)), F.lit(0.0)
+                ),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+SQL_Q86 = """
+SELECT round(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1.0 - l_discount) END),
+                      0.0), 4) AS promo_revenue,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_daily_rollup": q01_daily_rollup,
     "q02_latest_event": q02_latest_event,
@@ -2483,6 +2801,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_dormant_customers": q74_dormant_customers,
     "q75_grouping_sets": q75_grouping_sets,
     "q76_distribution_windows": q76_distribution_windows,
+    "q80_order_priority": q80_order_priority,
+    "q81_revenue_filter": q81_revenue_filter,
+    "q82_volume_shipping": q82_volume_shipping,
+    "q83_product_profit": q83_product_profit,
+    "q84_returned_items": q84_returned_items,
+    "q85_priority_class_counts": q85_priority_class_counts,
+    "q86_promo_revenue": q86_promo_revenue,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2543,4 +2868,11 @@ ORACLE_SQL: dict[str, str] = {
     "q74_dormant_customers": SQL_Q74,
     "q75_grouping_sets": SQL_Q75,
     "q76_distribution_windows": SQL_Q76,
+    "q80_order_priority": SQL_Q80,
+    "q81_revenue_filter": SQL_Q81,
+    "q82_volume_shipping": SQL_Q82,
+    "q83_product_profit": SQL_Q83,
+    "q84_returned_items": SQL_Q84,
+    "q85_priority_class_counts": SQL_Q85,
+    "q86_promo_revenue": SQL_Q86,
 }

@@ -440,3 +440,96 @@ def embedding_cosine_pairs(
         "doc_b",
         F.round(F.col("cos_raw"), round_digits).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+def kmeans_assign(
+    points: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign every point to its nearest centroid by cosine — the map side
+    of Lloyd's k-means and the cell-routing step of an IVF index build.
+
+    Plan shape: the centroid set is BY DEFINITION tiny (k rows), so it is
+    collected and inlined as a literal array-of-structs; the assignment is
+    then a pure per-row expression fold — ZERO joins, ZERO shuffles, one
+    narrow map over the fact side. At 100 TB this is the only shape that
+    works: any join/window formulation shuffles the points on their own id
+    for no reason. The argmax folds in ascending centroid id with a strict
+    `>` on the rounded similarity, so ties go to the lowest centroid id —
+    the same total order as a (cos DESC, cid ASC) row_number pick, which
+    keeps the result engine-portable (cf. brute_force_knn's rounding rule).
+
+    Returns the input columns plus `cluster_id` and `cos_sim` (rounded).
+    """
+    rows = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_assign: empty centroid set")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("vec"),
+            )
+            for cid, vec in rows
+        ]
+    )
+    pvec = _as_double(F.col(vec_col))
+    best = F.aggregate(
+        cent_lit,
+        F.struct(
+            F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cid")
+        ),
+        lambda acc, c: F.when(
+            F.round(
+                _dot(pvec, c["vec"]) / (_norm(pvec) * _norm(c["vec"])),
+                round_digits,
+            )
+            > acc["sim"],
+            F.struct(
+                F.round(
+                    _dot(pvec, c["vec"]) / (_norm(pvec) * _norm(c["vec"])),
+                    round_digits,
+                ).alias("sim"),
+                c["cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    return points.withColumn("_best", best).select(
+        *points.columns,
+        F.col("_best.cid").alias("cluster_id"),
+        F.col("_best.sim").alias("cos_sim"),
+    )
+
+
+def kmeans_update(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One Lloyd update step: per-cluster per-dimension mean, in long form
+    (cluster_id, dim, centroid_val) — the reduce side of k-means.
+
+    Plan shape: posexplode flattens each vector to (cluster, dim, value)
+    rows JVM-side, then a single hash aggregation on (cluster, dim) with
+    map-side partial averages — one shuffle whose key space is k × dim,
+    tiny and perfectly uniform regardless of data skew. Long form avoids
+    re-assembling arrays through collect_list (an order-sensitive,
+    memory-hungry agg); callers that need array centroids pivot the k × dim
+    result on the driver, where it is trivially small.
+    """
+    return (
+        assigned.select(
+            F.col(cluster_col).alias("cluster_id"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "val"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.round(F.avg("val"), round_digits).alias("centroid_val"))
+    )

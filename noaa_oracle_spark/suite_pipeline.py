@@ -23,6 +23,8 @@ from noaa_oracle_spark.pipeline.similarity import (
     brute_force_knn,
     embedding_cosine_pairs,
     ivf_knn,
+    kmeans_assign,
+    kmeans_update,
     lsh_bucketed_knn,
 )
 from noaa_oracle_spark.pipeline.text import (
@@ -760,6 +762,120 @@ FROM documents GROUP BY 1
 """
 
 
+_KMEANS_K = 8
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seed centroids: the k lowest vec_ids (k-means needs
+    SOME seeding rule; id-order is reproducible with no RNG, like the
+    suite's md5-bucket sampling)."""
+    return load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _KMEANS_K
+    )
+
+
+def q87_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-assignment rollup: route every non-seed vector to its
+    nearest seed centroid (cosine, 6-dp rounded, lowest-cid tiebreak) and
+    report per-cluster membership plus how many members share the seed's
+    label — the purity signal an IVF build or diversity-sampling pass
+    reads. The assignment itself is the zero-shuffle literal-centroid fold
+    (kmeans_assign); the only exchange is the final k-group agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = _kmeans_centroids(spark, sf_dir)
+    assigned = kmeans_assign(emb.filter(F.col("vec_id") >= _KMEANS_K), seeds)
+    seed_labels = seeds.select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("label").alias("seed_label"),
+    )
+    return (
+        assigned.join(F.broadcast(seed_labels), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count(
+                F.when(F.col("label") == F.col("seed_label"), F.lit(1))
+            ).alias("n_label_match"),
+        )
+    )
+
+
+SQL_Q87 = """
+WITH seeds AS (
+    SELECT vec_id AS cid, embedding AS c_vec, label AS seed_label
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT e.vec_id, e.label, s.cid, s.seed_label,
+           round(
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * s.c_vec[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(s.c_vec,
+                       x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cos_sim
+    FROM embeddings e, seeds s
+    WHERE e.vec_id >= 8
+), assigned AS (
+    SELECT vec_id, label, cid, seed_label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, cid ASC) AS rnk
+    FROM scored
+)
+SELECT cid AS cluster_id,
+       count(*) AS n_members,
+       count(*) FILTER (WHERE label = seed_label) AS n_label_match
+FROM assigned WHERE rnk = 1
+GROUP BY 1
+"""
+
+
+def q88_kmeans_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration's reduce: per-cluster per-dimension mean of the
+    q87 assignment, in long form (cluster_id, dim, centroid_val). The
+    shuffle key space is k × dim — tiny and uniform no matter how skewed
+    the cluster sizes are, which is why the long form beats any
+    collect_list-of-arrays agg at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = _kmeans_centroids(spark, sf_dir)
+    assigned = kmeans_assign(emb.filter(F.col("vec_id") >= _KMEANS_K), seeds)
+    return kmeans_update(assigned)
+
+
+SQL_Q88 = """
+WITH seeds AS (
+    SELECT vec_id AS cid, embedding AS c_vec FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT e.vec_id, e.embedding, s.cid,
+           round(
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * s.c_vec[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                       x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(s.c_vec,
+                       x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cos_sim
+    FROM embeddings e, seeds s
+    WHERE e.vec_id >= 8
+), assigned AS (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, cid ASC) AS rnk
+    FROM scored
+)
+, flat AS (
+    SELECT cid, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM assigned WHERE rnk = 1
+)
+SELECT cid AS cluster_id,
+       i - 1 AS dim,
+       round(avg(embedding[i]::DOUBLE), 6) AS centroid_val
+FROM flat
+GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -783,6 +899,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_decontamination": q77_decontamination,
     "q78_tfidf_top_terms": q78_tfidf_top_terms,
     "q79_source_stats": q79_source_stats,
+    "q87_kmeans_clusters": q87_kmeans_clusters,
+    "q88_kmeans_centroid_update": q88_kmeans_centroid_update,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -808,4 +926,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q77_decontamination": SQL_Q77,
     "q78_tfidf_top_terms": SQL_Q78,
     "q79_source_stats": SQL_Q79,
+    "q87_kmeans_clusters": SQL_Q87,
+    "q88_kmeans_centroid_update": SQL_Q88,
 }

@@ -211,3 +211,50 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 def rms_energy(x: np.ndarray) -> float:
     """Root-mean-square of a sample window (0.0 for an empty window)."""
     return float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+
+
+# ---------------------------------------------------------------------------
+# video
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm_stream(data: bytes) -> list[np.ndarray]:
+    """Concatenated binary P6 frames → list of (H, W, 3) uint8 frames.
+
+    This is a real on-disk format: `ffmpeg -f image2pipe -vcodec ppm -`
+    emits exactly this byte stream, one P6 image per frame, back to back.
+    Frames may differ in geometry; a truncated trailing frame raises (the
+    stream is corrupt, not merely short)."""
+    frames: list[np.ndarray] = []
+    buf = io.BytesIO(data)
+    while True:
+        magic = buf.read(2)
+        if magic == b"":
+            break
+        if magic != b"P6":
+            raise ValueError("not a P6 PPM stream")
+        width = int(_ppm_token(buf))
+        height = int(_ppm_token(buf))
+        maxval = int(_ppm_token(buf))
+        if not (0 < width and 0 < height and 0 < maxval < 256):
+            raise ValueError("bad PPM frame geometry")
+        raw = buf.read(width * height * 3)
+        if len(raw) != width * height * 3:
+            raise ValueError("truncated PPM frame")
+        frames.append(
+            np.frombuffer(raw, np.uint8).reshape(height, width, 3).copy()
+        )
+    if not frames:
+        raise ValueError("empty PPM stream")
+    return frames
+
+
+def encode_ppm_stream(frames: "list[np.ndarray]") -> bytes:
+    """List of (H, W, 3) uint8 frames → concatenated P6 stream."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def mean_luma(img: np.ndarray) -> float:
+    """Mean Rec.601 luma of an RGB frame, in [0, 1]."""
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    return float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0)

@@ -183,16 +183,79 @@ def decode_images(media: DataFrame, codec: str = "raster") -> DataFrame:
     ).mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ms", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, codec: str = "fake"
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled timestamp with a
-    per-frame pseudo-frame hash. Real frame extraction is stubbed the same
-    way as decoding."""
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: real video decoding not available in this runtime"
+    """Frame-sampling: one output row per sampled timestamp.
+
+    `codec="fake"` is the plumbing contract — pure expressions, a
+    pseudo-frame hash per timestamp, columns (media_id, frame_ms,
+    frame_hash).
+
+    `codec="ppmstream"` is the REAL path for concatenated-P6 blobs (the
+    exact stream `ffmpeg -f image2pipe -vcodec ppm` emits;
+    media_codecs.decode_ppm_stream). Frames are assumed evenly spaced over
+    `duration_ms` (PPM streams carry no timing); each sampled timestamp
+    maps to its covering frame and the row carries the decoded frame's
+    pixel sha256 and mean Rec.601 luma — proof the actual pixels were
+    read. Columns follow VIDEO_FRAME_SCHEMA; undecodable blobs expand to
+    zero rows. Blobs stay map-side (mapInPandas, Arrow-batched); only the
+    small per-frame rows continue downstream — the same 100 TB rule as
+    chunk_audio."""
+    _require_codec(codec, ("fake", "ppmstream"))
+    if codec == "ppmstream":
+        vids = media.filter(F.col("kind") == "video").select(
+            "media_id",
+            "content",
+            F.coalesce("duration_ms", F.lit(0)).alias("dur"),
         )
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from noaa_oracle_spark.pipeline.media_codecs import (
+                decode_ppm_stream,
+                mean_luma,
+            )
+
+            for pdf in it:
+                out = {k: [] for k in (
+                    "media_id", "frame_ms", "frame_index",
+                    "frame_sha256", "mean_luma",
+                )}
+                for mid, blob, dur in zip(
+                    pdf["media_id"], pdf["content"], pdf["dur"]
+                ):
+                    try:
+                        frames = decode_ppm_stream(blob or b"")
+                    except ValueError:
+                        continue
+                    n = len(frames)
+                    # no timing in the container: spread frames evenly
+                    # over the metadata duration (or 1 frame/s if absent)
+                    total = int(dur) if dur else n * 1000
+                    for t in range(0, max(total, 1), every_ms):
+                        idx = min(n - 1, t * n // max(total, 1))
+                        img = frames[idx]
+                        out["media_id"].append(mid)
+                        out["frame_ms"].append(t)
+                        out["frame_index"].append(idx)
+                        out["frame_sha256"].append(
+                            hashlib.sha256(img.tobytes()).hexdigest()
+                        )
+                        out["mean_luma"].append(mean_luma(img))
+                yield pd.DataFrame(out)
+
+        return vids.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
     frames = media.filter(F.col("kind") == "video").select(
         "media_id",
         "content",

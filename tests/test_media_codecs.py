@@ -220,3 +220,44 @@ def test_unsupported_codecs_still_gate(real_media):
         resize_images(real_media, 4, 4, codec="jpeg")
     with pytest.raises(NotImplementedError):
         chunk_audio(real_media, codec="mp3")
+
+
+class TestPpmStream:
+    def test_roundtrip_mixed_geometry(self):
+        import numpy as np
+
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_ppm_stream,
+            encode_ppm_stream,
+        )
+
+        frames = [
+            np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3),
+            np.full((2, 3, 3), 7, np.uint8),
+        ]
+        out = decode_ppm_stream(encode_ppm_stream(frames))
+        assert len(out) == 2
+        assert all((a == b).all() for a, b in zip(frames, out))
+
+    def test_truncated_trailing_frame_raises(self):
+        import numpy as np
+        import pytest
+
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_ppm_stream,
+            encode_ppm_stream,
+        )
+
+        blob = encode_ppm_stream([np.zeros((2, 2, 3), np.uint8)] * 2)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_ppm_stream(blob[:-1])
+
+    def test_empty_and_garbage_raise(self):
+        import pytest
+
+        from noaa_oracle_spark.pipeline.media_codecs import decode_ppm_stream
+
+        with pytest.raises(ValueError):
+            decode_ppm_stream(b"")
+        with pytest.raises(ValueError):
+            decode_ppm_stream(b"JUNKJUNK")

@@ -109,3 +109,53 @@ def test_audio_real_codec_stubbed(media):
 
     with pytest.raises(NotImplementedError):
         chunk_audio(media, codec="pcm")
+
+
+def test_video_ppmstream_real_sampling(spark):
+    """Real PPM-stream decode: 5 solid-color frames over 5 s sampled at
+    1 s → one row per frame, with true pixel luma and per-frame hashes."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.media_codecs import (
+        encode_ppm_stream,
+        mean_luma,
+    )
+    from noaa_oracle_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    levels = [0, 60, 120, 180, 240]
+    frames = [np.full((4, 6, 3), v, np.uint8) for v in levels]
+    blob = encode_ppm_stream(frames)
+    rows = [
+        (10, "video", blob, "video/x-ppm-stream", 6, 4, 5_000),
+        (11, "video", b"not a stream", "video/x-ppm-stream", 1, 1, 1_000),
+        (12, "image", blob, "image/ppm", 6, 4, None),  # non-video: excluded
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sorted(
+        sample_video_frames(media, every_ms=1000, codec="ppmstream").collect(),
+        key=lambda r: r.frame_ms,
+    )
+    assert [r.media_id for r in out] == [10] * 5  # corrupt blob → 0 rows
+    assert [r.frame_index for r in out] == [0, 1, 2, 3, 4]
+    assert [r.frame_ms for r in out] == [0, 1000, 2000, 3000, 4000]
+    for r, img in zip(out, frames):
+        assert r.mean_luma == pytest.approx(mean_luma(img))
+    assert len({r.frame_sha256 for r in out}) == 5
+
+
+def test_video_ppmstream_subsampling(spark):
+    """every_ms coarser than the frame period skips frames (10 frames,
+    10 s, sampled every 3 s → indices 0,3,6,9)."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.media_codecs import encode_ppm_stream
+    from noaa_oracle_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    blob = encode_ppm_stream(
+        [np.full((2, 2, 3), 20 * i, np.uint8) for i in range(10)]
+    )
+    media = spark.createDataFrame(
+        [(1, "video", blob, None, 2, 2, 10_000)], MEDIA_SCHEMA
+    )
+    out = sample_video_frames(media, every_ms=3000, codec="ppmstream").collect()
+    assert sorted(r.frame_index for r in out) == [0, 3, 6, 9]

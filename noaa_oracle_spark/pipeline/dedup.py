@@ -179,10 +179,15 @@ def ngram_jaccard_pairs_ppjoin(
     operator (equality property-tested)."""
     sh = _word_shingles(docs, text_col, id_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # arr has THREE consumers (prefix explode + both verification sides);
-    # persist so the shingle→df-join→sorted-collect subtree runs once —
-    # same materialize-the-shared-stage pattern as ngram_jaccard_pairs.
-    # Measured 5.3 s → 3.3 s warm at sf0.1.
+    # arr has THREE consumers (prefix explode + both verification sides),
+    # but needs NO manual persist: all three consume the identical
+    # exchange subtree, so Spark's exchange reuse (on by default,
+    # spark.sql.exchangeReuseEnabled) computes the shingle→df-join→
+    # sorted-collect stage once and wires the other two consumers to its
+    # shuffle files. Measured at sf0.1: lazy+ReusedExchange 3.0 s ≈
+    # persist 3.0 s < eager localCheckpoint 5.3 s — and unlike persist
+    # there is no cache entry to leak or unpersist, and the returned pair
+    # set stays fully lazy for the caller to compose.
     arr = (
         sh.join(dfreq, "shingle")
         .groupBy(id_col)
@@ -190,7 +195,6 @@ def ngram_jaccard_pairs_ppjoin(
             F.expr("transform(array_sort(collect_list(struct(df, shingle))),"
                    " s -> s.shingle)").alias("shingles")
         )
-        .persist()
     )
     sz = F.size("shingles")
     # prefix_len = L - ceil(t*L) + 1, computed in exact integer arithmetic
@@ -207,11 +211,7 @@ def ngram_jaccard_pairs_ppjoin(
     b = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union_sz = F.size("sh_a") + F.size("sh_b") - F.col("common")
-    # Eagerly materialize the (small) verified pair set so `arr` can be
-    # unpersisted before returning — same persist/consume/unpersist
-    # lifecycle as edges/sym in connected_components; otherwise every call
-    # leaks a cache entry for the session lifetime.
-    result = (
+    return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("common", common)
@@ -221,10 +221,7 @@ def ngram_jaccard_pairs_ppjoin(
             >= F.col("union_size") * threshold_num
         )
         .select("doc_a", "doc_b", "common", "union_size")
-        .localCheckpoint(eager=True)
     )
-    arr.unpersist()
-    return result
 
 
 def minhash_signatures(

@@ -352,3 +352,62 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tfidf", "rnk")
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 4,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level (paragraph-style) dedup with reassembly: cut each doc
+    into fixed-width word spans, drop every span whose exact text occurs
+    in more than `max_freq` documents' spans corpus-wide, and stitch the
+    survivors back in order — the CCNet/RefinedWeb-style sub-document
+    dedup that strips boilerplate while keeping the unique remainder of
+    each document.
+
+    Returns (id, n_spans, n_kept, clean_text).
+
+    Scale shape: two shuffles — a span-keyed count (uniform by span text)
+    and the per-doc reassembly (uniform by doc id). The frequency join is
+    1 row per distinct span against its occurrences, so a viral
+    boilerplate span makes one hot key; AQE's skew-join split handles it
+    (or pre-salt with operators.skew for pathological corpora). The
+    reassembly sort is per-doc (array_sort over that doc's few spans),
+    never a global sort."""
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("span_freq"))
+    keep = F.col("span_freq") <= max_freq
+    return (
+        spans.join(freq, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("span_idx", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -34,6 +34,7 @@ from noaa_oracle_spark.pipeline.text import (
     language_id,
     quality_scores,
     repetition_stats,
+    span_dedup,
     token_counts,
     winnowing_fingerprints,
 )
@@ -762,6 +763,42 @@ FROM documents GROUP BY 1
 """
 
 
+def q89_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup with reassembly (pipeline.text.span_dedup):
+    4-word spans, drop spans any other document also contains, stitch the
+    survivors back in order."""
+    return span_dedup(load(spark, sf_dir, "documents"), span_words=4)
+
+
+SQL_Q89 = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), idx AS (
+    SELECT doc_id, words,
+           unnest(generate_series(0,
+               ((len(words) + 3) // 4) - 1)) AS i
+    FROM w
+), sp AS (
+    SELECT doc_id, i AS span_idx,
+           array_to_string(
+               list_slice(words, i * 4 + 1, least((i + 1) * 4, len(words))),
+               ' ') AS span
+    FROM idx
+), freq AS (
+    SELECT span, count(*) AS span_freq FROM sp GROUP BY 1
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE span_freq <= 1) AS n_kept,
+       coalesce(
+           string_agg(span, ' ' ORDER BY span_idx)
+               FILTER (WHERE span_freq <= 1),
+           '') AS clean_text
+FROM sp JOIN freq USING (span)
+GROUP BY doc_id
+"""
+
+
 _KMEANS_K = 8
 
 
@@ -901,6 +938,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_source_stats": q79_source_stats,
     "q87_kmeans_clusters": q87_kmeans_clusters,
     "q88_kmeans_centroid_update": q88_kmeans_centroid_update,
+    "q89_span_dedup": q89_span_dedup,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -928,4 +966,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q79_source_stats": SQL_Q79,
     "q87_kmeans_clusters": SQL_Q87,
     "q88_kmeans_centroid_update": SQL_Q88,
+    "q89_span_dedup": SQL_Q89,
 }

@@ -1,3 +1,7 @@
+from noaa_oracle_spark.streaming.corpus import (
+    stream_documents,
+    streaming_exact_dedup,
+)
 from noaa_oracle_spark.streaming.snapshots import (
     stream_snapshots,
     streaming_daily_observations,
@@ -5,7 +9,9 @@ from noaa_oracle_spark.streaming.snapshots import (
 )
 
 __all__ = [
+    "stream_documents",
     "stream_snapshots",
     "streaming_daily_observations",
+    "streaming_exact_dedup",
     "streaming_latest_forecasts",
 ]

@@ -316,3 +316,46 @@ def test_nearest_site_join_broadcasts_sites(spark):
     p = _plan(df)
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_q81_predicates_reach_scan(spark):
+    """TPC-H Q6 shape (q81): the date/discount/quantity predicates must
+    all arrive at the lineitem parquet scan as PushedFilters, and the
+    ReadSchema must carry only the four referenced columns — the
+    pure-pushdown query is worthless if the scan reads everything."""
+    from noaa_oracle_spark.suite import q81_revenue_filter
+
+    df = q81_revenue_filter(spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, line
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read, read  # untouched columns pruned
+
+
+def test_q84_topk_no_global_sort(spark):
+    """TPC-H Q10 shape (q84): the top-20 must run as
+    TakeOrderedAndProject — a global Sort materialization of every
+    customer group would be the classic scale bug."""
+    from noaa_oracle_spark.suite import q84_returned_items
+
+    df = q84_returned_items(spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q82_dimensions_broadcast(spark):
+    """TPC-H Q7 shape (q82): both nation roles and the supplier dimension
+    must broadcast; the only sort-merge-eligible joins are the two fact
+    joins, and no join may degrade to a nested loop."""
+    from noaa_oracle_spark.suite import q82_volume_shipping
+
+    df = q82_volume_shipping(spark, "/root/testdata/sf0.001")
+    df.collect()
+    p = _plan(df)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

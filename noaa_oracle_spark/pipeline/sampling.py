@@ -24,10 +24,18 @@ _GRID = 4096  # 16^3
 
 
 def _threshold_hex(fraction: float) -> str:
-    """fraction → 3-hex-digit exclusive upper bound ('000'..'1000')."""
+    """fraction → 3-hex-digit exclusive upper bound.
+
+    fraction 1.0 returns 'g', which sorts above every 3-hex bucket
+    ('fff' < 'g') and therefore keeps everything — the naive format of
+    4096 would be '1000', which sorts BELOW 3-char buckets lexicographically
+    and would silently keep nothing."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(fraction * _GRID), "03x")
+    n = int(fraction * _GRID)
+    if n >= _GRID:
+        return "g"
+    return format(n, "03x")
 
 
 def _bucket(key: Column, salt: str) -> Column:
@@ -64,4 +72,32 @@ def stratified_hash_sample(
         thr = F.when(
             F.col(strata_col) == value, F.lit(_threshold_hex(frac))
         ).otherwise(thr)
+    return df.filter(_bucket(F.col(key_col).cast("string"), salt) < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability ≈ its own weight column (clamped to
+    [0, 1]), deterministically by key hash — quality-proportional corpus
+    downsampling ("keep good documents more often") with the same
+    reproducibility contract as hash_sample: membership depends only on
+    (salt, key, weight), never on partitioning, retries, or engine.
+
+    For a fixed key, raising the weight only ever ADDS the row (the
+    threshold grows, the bucket doesn't move), so re-scoring a corpus
+    upward never evicts previously kept documents.
+
+    Pure column expressions (md5/substring/format_string) — codegen'd,
+    portable to any engine with md5 and printf-style hex."""
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0)
+    )
+    n = F.floor(w * _GRID)
+    thr = F.when(n >= _GRID, F.lit("g")).otherwise(
+        F.format_string("%03x", n.cast("int"))
+    )
     return df.filter(_bucket(F.col(key_col).cast("string"), salt) < thr)

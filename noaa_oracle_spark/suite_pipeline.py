@@ -799,6 +799,37 @@ GROUP BY doc_id
 """
 
 
+def q90_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling
+    (pipeline.sampling.weighted_hash_sample): weight = min(n_chars/200, 1)
+    — longer documents kept more often, long docs always kept (exercising
+    the weight-1 'g' threshold), membership reproducible from (salt, id)
+    alone."""
+    from noaa_oracle_spark.pipeline.sampling import weighted_hash_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+    )
+    picked = weighted_hash_sample(docs, "doc_id", "w", salt="wq")
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_Q90 = """
+WITH weighted AS (
+    SELECT *, least(n_chars / 200.0, 1.0) AS w FROM documents
+)
+SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM weighted
+WHERE substr(md5('wq|' || CAST(doc_id AS VARCHAR)), 1, 3)
+      < (CASE WHEN CAST(floor(w * 4096) AS INT) >= 4096 THEN 'g'
+              ELSE printf('%03x', CAST(floor(w * 4096) AS INT)) END)
+GROUP BY lang
+"""
+
+
 _KMEANS_K = 8
 
 
@@ -939,6 +970,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_kmeans_clusters": q87_kmeans_clusters,
     "q88_kmeans_centroid_update": q88_kmeans_centroid_update,
     "q89_span_dedup": q89_span_dedup,
+    "q90_weighted_sample": q90_weighted_sample,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -967,4 +999,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q87_kmeans_clusters": SQL_Q87,
     "q88_kmeans_centroid_update": SQL_Q88,
     "q89_span_dedup": SQL_Q89,
+    "q90_weighted_sample": SQL_Q90,
 }

@@ -4,6 +4,8 @@ stratum independence, and salt independence.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from noaa_oracle_spark.pipeline.sampling import (
     hash_sample,
     stratified_hash_sample,
@@ -56,3 +58,41 @@ def test_stratified_rates(spark):
     for lang, total in per_lang.items():
         if lang != "en":
             assert got.get(lang, 0) / total < 0.4
+
+
+def test_weighted_rate_tracks_weight(spark):
+    from noaa_oracle_spark.pipeline.sampling import weighted_hash_sample
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.when(F.col("id") % 2 == 0, 0.8).otherwise(0.2)).alias("w"),
+    )
+    kept = weighted_hash_sample(df, "id", "w", salt="wq").collect()
+    hi = sum(1 for r in kept if r.id % 2 == 0) / 10000
+    lo = sum(1 for r in kept if r.id % 2 == 1) / 10000
+    assert abs(hi - 0.8) < 0.03, hi
+    assert abs(lo - 0.2) < 0.03, lo
+    again = weighted_hash_sample(df, "id", "w", salt="wq").collect()
+    assert sorted(r.id for r in kept) == sorted(r.id for r in again)
+
+
+def test_weight_one_keeps_all_weight_zero_none(spark):
+    from noaa_oracle_spark.pipeline.sampling import weighted_hash_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 2).cast("double").alias("w")
+    )
+    kept = [r.id for r in weighted_hash_sample(df, "id", "w").collect()]
+    assert len(kept) == 500  # the 'g' threshold keeps ALL weight-1 rows
+    assert all(i % 2 == 1 for i in kept)
+
+
+def test_raising_weight_is_superset(spark):
+    from noaa_oracle_spark.pipeline.sampling import weighted_hash_sample
+
+    df = spark.range(5000).select(
+        F.col("id"), F.lit(0.3).alias("lo"), F.lit(0.6).alias("hi")
+    )
+    small = {r.id for r in weighted_hash_sample(df, "id", "lo", "s").collect()}
+    big = {r.id for r in weighted_hash_sample(df, "id", "hi", "s").collect()}
+    assert small <= big

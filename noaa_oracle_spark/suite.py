@@ -103,6 +103,10 @@ Operator-family coverage map (reference file:line cited per query):
   q84 returned-items top-k                T1 kin    TPC-H Q10 shape
   q85 CASE-partitioned conditional counts A-family  TPC-H Q12 shape
   q86 promo share numerator/denominator   A-family  TPC-H Q14 shape
+  q87 k-means zero-shuffle assignment     pipeline  —
+  q88 k-means Lloyd update (long form)    pipeline  —
+  q89 span-level dedup w/ reassembly      pipeline  —
+  q90 weighted deterministic sampling     pipeline  —
 """
 
 from __future__ import annotations

@@ -77,6 +77,16 @@ def _generate() -> str:
         }
     )
     pq.write_table(tbl, path)
+
+    # embeddings for the vector rungs: N_DOCS x 64 float32, deterministic
+    emb = np.random.RandomState(SEED + 1).randn(N_DOCS, 64).astype(np.float32)
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_DOCS), pa.int64()),
+            "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(etbl, os.path.join(FIXTURE, "embeddings.parquet"))
     return path
 
 
@@ -127,6 +137,31 @@ def main() -> None:
     run("repetition", lambda: repetition_stats(docs).count())
     run("winnowing", lambda: winnowing_fingerprints(
         docs, k=8, window=4).count())
+
+    from noaa_oracle_spark.pipeline.sampling import weighted_hash_sample
+    from noaa_oracle_spark.pipeline.similarity import (
+        kmeans_assign,
+        kmeans_update,
+    )
+    from noaa_oracle_spark.pipeline.text import span_dedup
+    from pyspark.sql import functions as F  # noqa: F811
+
+    run("span_dedup", lambda: span_dedup(docs).count())
+    run("weighted_sample", lambda: weighted_hash_sample(
+        docs.withColumn(
+            "w", F.least(F.length("text") / F.lit(800.0), F.lit(1.0))
+        ),
+        "doc_id", "w",
+    ).count())
+    emb = spark.read.parquet(os.path.join(FIXTURE, "embeddings.parquet"))
+    seeds = emb.filter(F.col("vec_id") < 32)
+    pts = emb.filter(F.col("vec_id") >= 32)
+    # the filter forces the argmax to evaluate — a bare count() would let
+    # Catalyst prune the entire assignment expression
+    run("kmeans_assign", lambda: kmeans_assign(pts, seeds)
+        .filter(F.col("cluster_id") >= 0).count())
+    run("kmeans_update", lambda: kmeans_update(
+        kmeans_assign(pts, seeds)).count())
 
     # --- chain-topology rung: the adversarial shape for min-propagation
     # (rounds == diameter) vs the two-phase star algorithm (rounds ==

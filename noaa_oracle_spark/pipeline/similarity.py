@@ -454,56 +454,70 @@ def kmeans_assign(
 
     Plan shape: the centroid set is BY DEFINITION tiny (k rows), so it is
     collected and inlined as a literal array-of-structs; the assignment is
-    then a pure per-row expression fold — ZERO joins, ZERO shuffles, one
-    narrow map over the fact side. At 100 TB this is the only shape that
-    works: any join/window formulation shuffles the points on their own id
-    for no reason. The argmax folds in ascending centroid id with a strict
-    `>` on the rounded similarity, so ties go to the lowest centroid id —
-    the same total order as a (cos DESC, cid ASC) row_number pick, which
-    keeps the result engine-portable (cf. brute_force_knn's rounding rule).
+    then a pure per-row expression — ZERO joins, ZERO shuffles, one narrow
+    map over the fact side. At 100 TB this is the only shape that works:
+    any join/window formulation shuffles the points on their own id for no
+    reason.
+
+    Cost discipline (HOF lambdas evaluate interpreted, not codegen'd, so
+    per-element work matters): the point's norm is computed ONCE per row
+    (hoisted column), each centroid's norm is a Python-precomputed literal
+    (an in-order fold, so it is bit-identical to a SQL `list_sum` of
+    squares — the oracle-parity requirement), and each centroid costs
+    exactly one dot product. The argmax is `array_max` over
+    (sim, -cid) structs: equal rounded sims pick the larger -cid = the
+    LOWEST centroid id — the same total order as a (cos DESC, cid ASC)
+    row_number pick, which keeps the result engine-portable (cf.
+    brute_force_knn's rounding rule).
 
     Returns the input columns plus `cluster_id` and `cos_sim` (rounded).
     """
+    import math
+
     rows = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in centroids.select(id_col, vec_col).collect()
     )
     if not rows:
         raise ValueError("kmeans_assign: empty centroid set")
+
+    def fold_norm(vec: list[float]) -> float:
+        # in-order fold == the SQL oracle's list_sum accumulation order
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
     cent_lit = F.array(
         *[
             F.struct(
-                F.lit(int(cid)).cast("long").alias("cid"),
+                F.lit(-int(cid)).cast("long").alias("neg_cid"),
+                F.lit(fold_norm(vec)).alias("norm"),
                 F.array(*[F.lit(x) for x in vec]).alias("vec"),
             )
             for cid, vec in rows
         ]
     )
     pvec = _as_double(F.col(vec_col))
-    best = F.aggregate(
+    scored = F.transform(
         cent_lit,
-        F.struct(
-            F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cid")
-        ),
-        lambda acc, c: F.when(
+        lambda c: F.struct(
             F.round(
-                _dot(pvec, c["vec"]) / (_norm(pvec) * _norm(c["vec"])),
+                _dot(pvec, c["vec"]) / (F.col("_pnorm") * c["norm"]),
                 round_digits,
-            )
-            > acc["sim"],
-            F.struct(
-                F.round(
-                    _dot(pvec, c["vec"]) / (_norm(pvec) * _norm(c["vec"])),
-                    round_digits,
-                ).alias("sim"),
-                c["cid"].alias("cid"),
-            ),
-        ).otherwise(acc),
+            ).alias("sim"),
+            c["neg_cid"].alias("neg_cid"),
+        ),
     )
-    return points.withColumn("_best", best).select(
-        *points.columns,
-        F.col("_best.cid").alias("cluster_id"),
-        F.col("_best.sim").alias("cos_sim"),
+    best = F.array_max(scored)
+    return (
+        points.withColumn("_pnorm", _norm(pvec))
+        .withColumn("_best", best)
+        .select(
+            *points.columns,
+            (-F.col("_best.neg_cid")).alias("cluster_id"),
+            F.col("_best.sim").alias("cos_sim"),
+        )
     )
 
 

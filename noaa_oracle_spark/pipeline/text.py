@@ -411,3 +411,41 @@ def span_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the SQL-expressible tier of perplexity-based
+    quality filtering (KenLM-style scoring filters on exactly this signal;
+    higher-order LMs need an external model, the unigram ladder rung does
+    not). Documents of rare words score low; repetitive common-word
+    documents score high.
+
+    Every corpus token has count ≥ 1 by construction, so no smoothing
+    term is needed and ln() never sees zero.
+
+    Scale shape: one (doc, term)-keyed explode feeding a term-keyed count
+    join — both uniform; the corpus total rides along as a broadcast
+    1-row aggregate (same pattern as tfidf_top_terms), keeping the plan
+    fully lazy. Log floats follow the suite's 6-dp rounding convention."""
+    words = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = words.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        words.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tc") / F.col("n_total"))), 6
+            ).alias("logprob"),
+        )
+    )

@@ -36,6 +36,7 @@ from noaa_oracle_spark.pipeline.text import (
     repetition_stats,
     span_dedup,
     token_counts,
+    unigram_logprob,
     winnowing_fingerprints,
 )
 from noaa_oracle_spark.suite import load
@@ -830,6 +831,31 @@ GROUP BY lang
 """
 
 
+def q91_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (pipeline.text.unigram_logprob):
+    mean unigram log-probability per document under the corpus's own
+    distribution."""
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+SQL_Q91 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), counts AS (
+    SELECT term, count(*) AS tc FROM w GROUP BY 1
+), total AS (
+    SELECT count(*) AS n_total FROM w
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(tc / n_total)), 6) AS logprob
+FROM w JOIN counts USING (term) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 _KMEANS_K = 8
 
 
@@ -971,6 +997,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_kmeans_centroid_update": q88_kmeans_centroid_update,
     "q89_span_dedup": q89_span_dedup,
     "q90_weighted_sample": q90_weighted_sample,
+    "q91_unigram_logprob": q91_unigram_logprob,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1000,4 +1027,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q88_kmeans_centroid_update": SQL_Q88,
     "q89_span_dedup": SQL_Q89,
     "q90_weighted_sample": SQL_Q90,
+    "q91_unigram_logprob": SQL_Q91,
 }

@@ -107,6 +107,7 @@ Operator-family coverage map (reference file:line cited per query):
   q88 k-means Lloyd update (long form)    pipeline  —
   q89 span-level dedup w/ reassembly      pipeline  —
   q90 weighted deterministic sampling     pipeline  —
+  q91 unigram log-prob quality score      pipeline  —
 """
 
 from __future__ import annotations

@@ -449,3 +449,55 @@ def unigram_logprob(
             ).alias("logprob"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut each document into fixed-width training windows of
+    `chunk_tokens` whitespace tokens with `overlap` tokens of context
+    carried between consecutive chunks — the pack-into-sequences step
+    between a cleaned corpus and a tokenizer sharding job.
+
+    Chunk starts advance by stride = chunk_tokens − overlap; the last
+    chunk is the remainder (never discarded — short tails are the
+    trainer's padding problem, not the pipeline's data-loss problem).
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Scale shape: a pure per-row expression expansion (sequence →
+    transform → posexplode) — no shuffle at all; the output rows inherit
+    the input's partitioning, ready for a downstream repartition to the
+    shard count. Integer-only chunk arithmetic, so the chunk boundaries
+    are engine-exact."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # 1 chunk when n <= chunk_tokens, else 1 + ceil((n - chunk)/stride)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+    )
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(words, i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_idx", "chunk_words"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.size("chunk_words").alias("n_chunk_tokens"),
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+    )

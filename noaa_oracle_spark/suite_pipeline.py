@@ -34,6 +34,7 @@ from noaa_oracle_spark.pipeline.text import (
     language_id,
     quality_scores,
     repetition_stats,
+    chunk_documents,
     span_dedup,
     token_counts,
     unigram_logprob,
@@ -856,6 +857,42 @@ GROUP BY doc_id
 """
 
 
+def q92_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking (pipeline.text.chunk_documents): 16-token
+    windows, 4 tokens of overlap (stride 12). Integer casts align Spark's
+    int chunk metadata with DuckDB's BIGINT."""
+    out = chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+SQL_Q92 = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), idx AS (
+    SELECT doc_id, words,
+           unnest(generate_series(0,
+               CASE WHEN len(words) <= 16 THEN 0
+                    ELSE (len(words) - 16 + 11) // 12 END)) AS i
+    FROM w
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       len(list_slice(words, i * 12 + 1,
+                      least(i * 12 + 16, len(words)))) AS n_chunk_tokens,
+       array_to_string(list_slice(words, i * 12 + 1,
+                                  least(i * 12 + 16, len(words))),
+                       ' ') AS chunk_text
+FROM idx
+"""
+
+
 _KMEANS_K = 8
 
 
@@ -998,6 +1035,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_span_dedup": q89_span_dedup,
     "q90_weighted_sample": q90_weighted_sample,
     "q91_unigram_logprob": q91_unigram_logprob,
+    "q92_chunk_documents": q92_chunk_documents,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1028,4 +1066,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q89_span_dedup": SQL_Q89,
     "q90_weighted_sample": SQL_Q90,
     "q91_unigram_logprob": SQL_Q91,
+    "q92_chunk_documents": SQL_Q92,
 }

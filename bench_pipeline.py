@@ -160,8 +160,11 @@ def main() -> None:
     # Catalyst prune the entire assignment expression
     run("kmeans_assign", lambda: kmeans_assign(pts, seeds)
         .filter(F.col("cluster_id") >= 0).count())
+    run("kmeans_assign_numpy", lambda: kmeans_assign(
+        pts, seeds, backend="numpy")
+        .filter(F.col("cluster_id") >= 0).count())
     run("kmeans_update", lambda: kmeans_update(
-        kmeans_assign(pts, seeds)).count())
+        kmeans_assign(pts, seeds, backend="numpy")).count())
 
     # --- chain-topology rung: the adversarial shape for min-propagation
     # (rounds == diameter) vs the two-phase star algorithm (rounds ==

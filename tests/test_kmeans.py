@@ -103,3 +103,19 @@ def test_assignment_plan_has_no_exchange(spark, emb):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_numpy_backend_matches_expr(spark, emb):
+    seeds = emb.filter(F.col("vec_id") < K)
+    pts = emb.filter(F.col("vec_id") >= K)
+    expr = {
+        (r.vec_id, r.cluster_id, r.cos_sim)
+        for r in kmeans_assign(pts, seeds, backend="expr")
+        .select("vec_id", "cluster_id", "cos_sim").collect()
+    }
+    np_ = {
+        (r.vec_id, r.cluster_id, r.cos_sim)
+        for r in kmeans_assign(pts, seeds, backend="numpy")
+        .select("vec_id", "cluster_id", "cos_sim").collect()
+    }
+    assert expr == np_

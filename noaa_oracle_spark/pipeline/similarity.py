@@ -247,16 +247,18 @@ def ivf_knn(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every corpus vector to its nearest
     of `nlist` centroids, then answer each query from the `nprobe` nearest
     cells only.
 
-    Centroids here are the nlist lowest-id corpus vectors — the
-    deterministic seed pick that k-means would start from (production would
-    refine with Lloyd iterations; the index structure and query path are
-    identical either way, and determinism is what makes the DuckDB oracle
-    reproduce it bit-for-bit).
+    Default centroids are the nlist lowest-id corpus vectors — the
+    deterministic seed pick that k-means would start from (determinism is
+    what makes the DuckDB oracle reproduce it bit-for-bit). Pass
+    `centroids` (a (id_col, vec_col) DataFrame, e.g. from `lloyd_refine`)
+    to build the index over trained cells instead — same index structure
+    and query path, better-balanced cell occupancy on clustered corpora.
 
     Plan shape: centroids broadcast to both the assignment scan and the
     query probe (nlist is small by construction); the candidate join is an
@@ -265,7 +267,12 @@ def ivf_knn(
     the occupancy of those cells, not the corpus. Assignment and ranking
     order on the 6-dp-rounded cosine with id tiebreaks so the cell choice
     (and therefore the result set) is engine-portable."""
-    cent = corpus.filter(F.col(id_col) < nlist).select(
+    cent_src = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < nlist)
+    )
+    cent = cent_src.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(_as_double(F.col(vec_col))).alias("c_nrm"),
@@ -626,4 +633,59 @@ def kmeans_update(
         .withColumn("dim", F.col("dim").cast("long"))
         .groupBy("cluster_id", "dim")
         .agg(F.round(F.avg("val"), round_digits).alias("centroid_val"))
+    )
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "numpy",
+) -> DataFrame:
+    """Train k centroids with `iters` Lloyd iterations, seeded from the k
+    lowest-id corpus vectors — the IVF index-build step (`ivf_knn`'s
+    `centroids` input).
+
+    Each iteration is one distributed assign (kmeans_assign, numpy backend
+    by default — the measured ~30× path) plus one distributed per-dimension
+    mean (kmeans_update); only the k × dim long-form result is collected to
+    re-seed the next round, which is kilobytes for any sane (k, dim).
+    Empty clusters keep their previous centroid (the standard Lloyd
+    degeneracy rule)."""
+    seeds = corpus.sort(id_col).limit(k).select(id_col, vec_col)
+    cent_rows = {
+        int(r[0]): [float(x) for x in r[1]] for r in seeds.collect()
+    }
+    # remap seed ids to dense 0..k-1 so cell ids are stable across iters
+    cent = {
+        i: vec for i, (_, vec) in enumerate(sorted(cent_rows.items()))
+    }
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cent.items())],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+        assigned = kmeans_assign(
+            corpus, cent_df, id_col=id_col, vec_col=vec_col, backend=backend
+        )
+        long_form = kmeans_update(assigned, vec_col=vec_col)
+        new = {}
+        for r in long_form.collect():
+            new.setdefault(int(r["cluster_id"]), {})[int(r["dim"])] = float(
+                r["centroid_val"]
+            )
+        cent = {
+            cid: (
+                [new[cid][d] for d in range(len(vec))]
+                if cid in new
+                else vec  # empty cluster: keep previous centroid
+            )
+            for cid, vec in cent.items()
+        }
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cent.items())],
+        f"{id_col} long, {vec_col} array<double>",
     )

@@ -77,3 +77,56 @@ def test_embedding_pairs_empty_corpus(spark):
     out = embedding_cosine_pairs(empty, threshold=0.4)
     assert out.count() == 0
     assert out.columns == ["doc_a", "doc_b", "cos_sim"]
+
+
+def test_ivf_with_lloyd_trained_centroids(spark, emb):
+    """lloyd_refine-trained cells plugged into ivf_knn: what training
+    guarantees is balanced cell OCCUPANCY (the probe-cost bound at scale
+    — a seed cell that captures half the corpus makes nprobe meaningless),
+    not higher recall on isotropic data (measured: seed 0.94 vs trained
+    0.88 recall@5 on the gaussian test embeddings — no cluster structure
+    to exploit). Assert the occupancy spread shrinks and recall stays
+    above the ANN floor."""
+    import statistics
+
+    from noaa_oracle_spark.pipeline.similarity import (
+        kmeans_assign,
+        lloyd_refine,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in brute_force_knn(q, emb, k=5).collect()}
+    trained = lloyd_refine(emb, k=16, iters=2)
+
+    def occupancy(cent_df):
+        sizes = [
+            r.n
+            for r in kmeans_assign(emb, cent_df, backend="numpy")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        sizes += [0] * (16 - len(sizes))
+        return statistics.pstdev(sizes)
+
+    seeds = emb.filter(F.col("vec_id") < 16)
+    assert occupancy(trained) < occupancy(seeds)
+
+    got = {
+        (r.q_id, r.n_id)
+        for r in ivf_knn(
+            q, emb, k=5, nlist=16, nprobe=4, centroids=trained
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+
+
+def test_lloyd_refine_shapes_and_determinism(spark, emb):
+    from noaa_oracle_spark.pipeline.similarity import lloyd_refine
+
+    a = lloyd_refine(emb, k=8, iters=1)
+    rows = a.collect()
+    assert sorted(r.vec_id for r in rows) == list(range(8))
+    assert all(len(r.embedding) == 64 for r in rows)
+    b = lloyd_refine(emb, k=8, iters=1)
+    assert sorted(map(str, rows)) == sorted(map(str, b.collect()))

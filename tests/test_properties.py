@@ -100,3 +100,65 @@ def test_distinct_on_rewrite_matches_duckdb(spark, rows):
         tuple(r) for r in spark.sql(rewrite_duckdb_sql(sql)).collect()
     )
     assert got == exp
+
+
+word_strategy = st.text(alphabet="abcd", min_size=1, max_size=3)
+texts_strategy = st.lists(
+    st.lists(word_strategy, min_size=1, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts=texts_strategy, chunk=st.integers(4, 12), ov=st.integers(0, 3))
+def test_chunking_covers_every_token_in_order(spark, texts, chunk, ov):
+    """chunk_documents invariants under random corpora: dropping each
+    chunk's leading `overlap` tokens (after the first) and concatenating
+    reproduces the document exactly; no chunk exceeds chunk_tokens."""
+    from noaa_oracle_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=ov).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        rs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert all(r.n_chunk_tokens <= chunk for r in rs)
+        words = [r.chunk_text.split(" ") for r in rs]
+        rebuilt = words[0] + sum((w[ov:] for w in words[1:]), [])
+        assert rebuilt == text.split(" "), (text, words)
+
+
+@SLOW
+@given(texts=texts_strategy, span=st.integers(2, 6))
+def test_span_dedup_invariants(spark, texts, span):
+    """span_dedup invariants: n_kept <= n_spans; a document whose every
+    span is corpus-unique survives verbatim; kept text is always a
+    subsequence of the original's span sequence."""
+    from noaa_oracle_spark.pipeline.text import span_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_words=span).collect()}
+    for i, text in enumerate(texts):
+        r = out[i]
+        assert 0 <= r.n_kept <= r.n_spans
+        words = text.split(" ")
+        spans = [
+            " ".join(words[s:s + span]) for s in range(0, len(words), span)
+        ]
+        kept = r.clean_text.split(" ") if r.clean_text else []
+        # kept text must be the in-order concatenation of a subset of spans
+        pos = 0
+        for sp in spans:
+            sp_words = sp.split(" ")
+            if kept[pos:pos + len(sp_words)] == sp_words:
+                pos += len(sp_words)
+        assert pos == len(kept), (spans, kept)
+        if r.n_kept == r.n_spans:
+            assert r.clean_text == text

@@ -48,12 +48,13 @@ TS = "l_shipdate"
 
 @pytest.fixture(scope="module")
 def engines(spark):
-    df = load(spark, SF_DIR, "lineitem")
-    df.createOrReplaceTempView("lineitem")
+    load(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
-    )
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
     yield spark, con
     con.close()
 
@@ -278,11 +279,56 @@ def dialect_fragment(r: random.Random) -> str:
     )
 
 
+OSTR = ["o_orderstatus", "o_orderpriority"]
+
+
+def _orders_pred(r: random.Random) -> str:
+    pick = r.randrange(3)
+    if pick == 0:
+        y, m = r.randint(1995, 2001), r.randint(1, 12)
+        return f"o_orderdate {r.choice(['<', '>='])} DATE '{y}-{m:02d}-01'"
+    if pick == 1:
+        return f"o_totalprice {r.choice(['<', '>'])} {r.randint(10, 300) * 1000}"
+    vals = ", ".join(f"'{v}'" for v in r.sample(["O", "F", "P"], r.randint(1, 2)))
+    return f"o_orderstatus IN ({vals})"
+
+
+def join_fragment(r: random.Random) -> str:
+    """Two-table shapes: inner-join aggregate, left-join conditional
+    counts (outer-side predicate only, so left-ness is preserved), and
+    EXISTS / NOT EXISTS semi/anti subqueries."""
+    pick = r.randrange(4)
+    if pick == 0:
+        key = r.choice(OSTR)
+        return (
+            f"SELECT {key} AS k0, count(*) AS a0, "
+            f"round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS a1 "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {pred(r)} GROUP BY {key}"
+        )
+    if pick == 1:
+        return (
+            f"SELECT o_orderstatus AS k0, count(*) AS a0, "
+            f"count(l_orderkey) AS a1, "
+            f"count(*) FILTER (WHERE o_totalprice > {r.randint(50, 200) * 1000}) AS a2 "
+            f"FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey "
+            f"WHERE {_orders_pred(r)} GROUP BY o_orderstatus"
+        )
+    neg = "NOT " if pick == 3 else ""
+    return (
+        f"SELECT o_orderpriority AS k0, count(*) AS a0 FROM orders "
+        f"WHERE {_orders_pred(r)} AND {neg}EXISTS "
+        f"(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        f"AND {pred(r, 1)}) GROUP BY o_orderpriority"
+    )
+
+
 FAMILIES = [
     ("scalar", scalar_fragment, 80),
     ("agg", agg_fragment, 80),
     ("window", window_fragment, 50),
     ("dialect", dialect_fragment, 20),
+    ("join", join_fragment, 40),
 ]
 
 

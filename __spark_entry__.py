@@ -42,6 +42,7 @@ _GRADE_FIRST = [
     # new this round — grade in their first round
     "q87_kmeans_clusters", "q88_kmeans_centroid_update", "q89_span_dedup",
     "q90_weighted_sample", "q91_unigram_logprob", "q92_chunk_documents",
+    "q93_source_quota",
     "q80_order_priority", "q81_revenue_filter", "q82_volume_shipping",
     "q83_product_profit", "q84_returned_items", "q85_priority_class_counts",
     "q86_promo_revenue",

@@ -101,3 +101,44 @@ def weighted_hash_sample(
         F.format_string("%03x", n.cast("int"))
     )
     return df.filter(_bucket(F.col(key_col).cast("string"), salt) < thr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most `cap` rows per group, chosen deterministically by key
+    hash order — the domain-cap / source-quota primitive of a training
+    mix ("no single domain exceeds N documents").
+
+    The kept subset depends only on (salt, group, keys present): hash
+    order is a uniform random permutation per group, so the cap takes an
+    unbiased sample, and re-running (or re-partitioning) never changes
+    membership. Raising the cap only ever ADDS rows (the permutation is
+    fixed; a bigger prefix of it survives).
+
+    One shuffle on the group key; a viral group is one hot window
+    partition — AQE-safe because the window function is rank-only (no
+    payload aggregation), and the alternative (exact per-group sort by
+    hash) is precisely what the cap semantics require."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket_full(F.col(key_col).cast("string"), salt),
+        F.col(key_col),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def _bucket_full(key: Column, salt: str) -> Column:
+    """Full md5 hex (not the 3-digit bucket): a per-group total order
+    needs enough bits that ties are broken by the key itself only when
+    hashes truly collide."""
+    return F.md5(F.concat(F.lit(f"{salt}|"), key))

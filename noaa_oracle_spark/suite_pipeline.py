@@ -893,6 +893,37 @@ FROM idx
 """
 
 
+def q93_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (pipeline.sampling.cap_per_group): at most 150
+    documents per source, membership decided by deterministic hash order.
+    Emits the capped counts and an id checksum so the exact kept set is
+    hash-compared, not just its size."""
+    from noaa_oracle_spark.pipeline.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", cap=150, salt="quota")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_Q93 = """
+WITH ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 150
+GROUP BY source
+"""
+
+
 _KMEANS_K = 8
 
 
@@ -1036,6 +1067,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_weighted_sample": q90_weighted_sample,
     "q91_unigram_logprob": q91_unigram_logprob,
     "q92_chunk_documents": q92_chunk_documents,
+    "q93_source_quota": q93_source_quota,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1067,4 +1099,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q90_weighted_sample": SQL_Q90,
     "q91_unigram_logprob": SQL_Q91,
     "q92_chunk_documents": SQL_Q92,
+    "q93_source_quota": SQL_Q93,
 }

@@ -96,3 +96,30 @@ def test_raising_weight_is_superset(spark):
     small = {r.id for r in weighted_hash_sample(df, "id", "lo", "s").collect()}
     big = {r.id for r in weighted_hash_sample(df, "id", "hi", "s").collect()}
     assert small <= big
+
+
+def test_cap_per_group_quota_and_monotonicity(spark):
+    from noaa_oracle_spark.pipeline.sampling import cap_per_group
+
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    small = cap_per_group(df, "grp", "id", cap=100, salt="q").collect()
+    counts = {}
+    for r in small:
+        counts[r.grp] = counts.get(r.grp, 0) + 1
+    assert counts == {"0": 100, "1": 100, "2": 100}
+    again = cap_per_group(df, "grp", "id", cap=100, salt="q").collect()
+    assert sorted(r.id for r in small) == sorted(r.id for r in again)
+    big = cap_per_group(df, "grp", "id", cap=200, salt="q").collect()
+    assert {r.id for r in small} <= {r.id for r in big}  # raising cap only adds
+
+
+def test_cap_per_group_under_cap_groups_untouched(spark):
+    from noaa_oracle_spark.pipeline.sampling import cap_per_group
+
+    df = spark.range(30).select(
+        F.col("id"), (F.col("id") % 10).cast("string").alias("grp")
+    )
+    out = cap_per_group(df, "grp", "id", cap=5).collect()
+    assert len(out) == 30  # every group has 3 rows, under the cap

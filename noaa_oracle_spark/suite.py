@@ -108,6 +108,8 @@ Operator-family coverage map (reference file:line cited per query):
   q89 span-level dedup w/ reassembly      pipeline  —
   q90 weighted deterministic sampling     pipeline  —
   q91 unigram log-prob quality score      pipeline  —
+  q92 training-window chunking            pipeline  —
+  q93 per-source quota capping            pipeline  —
 """
 
 from __future__ import annotations

@@ -2,6 +2,7 @@ from noaa_oracle_spark.streaming.corpus import (
     stream_documents,
     streaming_exact_dedup,
 )
+from noaa_oracle_spark.streaming.sessions import value_capped_sessions
 from noaa_oracle_spark.streaming.snapshots import (
     stream_snapshots,
     streaming_daily_observations,
@@ -14,4 +15,5 @@ __all__ = [
     "streaming_daily_observations",
     "streaming_exact_dedup",
     "streaming_latest_forecasts",
+    "value_capped_sessions",
 ]

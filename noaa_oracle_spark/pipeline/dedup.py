@@ -566,3 +566,35 @@ def simhash_fingerprints(
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def near_dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """The dedup ladder as one call: exact dedup → PPJoin near-dup pairs →
+    connected components → keep each cluster's min-id representative —
+    returns the filtered corpus (same schema as `docs`).
+
+    This is the composition test_pipeline_e2e pins, packaged as the
+    operator a corpus job actually invokes. Every stage is the scale-safe
+    variant: hash-agg exact dedup, prefix-filtered pair generation
+    (Zipf-resistant), star components, and a representative join that
+    broadcasts nothing larger than the cluster map."""
+    reps = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
+        F.col("rep_doc_id").alias(id_col)
+    )
+    uniq = docs.join(reps, id_col)
+    pairs = ngram_jaccard_pairs_ppjoin(
+        uniq, text_col=text_col, id_col=id_col, n=n,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(uniq.select(id_col), pairs, id_col=id_col)
+    keep = comp.groupBy("component").agg(
+        F.min(id_col).alias(id_col)
+    ).select(id_col)
+    return uniq.join(keep, id_col)

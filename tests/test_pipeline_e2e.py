@@ -80,3 +80,26 @@ def test_pipeline_is_deterministic(spark):
     ids2 = {r.doc_id for r in sampled2.select("doc_id").collect()}
     assert ids1 == ids2
     assert stats1.total_tokens == stats2.total_tokens
+
+
+def test_near_dedup_corpus_one_call(spark):
+    """near_dedup_corpus: exact dup collapses, near-dup cluster keeps its
+    min-id representative, unique docs survive verbatim."""
+    from noaa_oracle_spark.pipeline.dedup import near_dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base),
+        (2, base),                      # exact duplicate of 1
+        (3, near),                      # near-duplicate of 1 (1 word off)
+        (4, "completely different words in this document entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in near_dedup_corpus(
+            docs, threshold_num=1, threshold_den=2
+        ).collect()
+    )
+    assert kept == [1, 4]

@@ -277,6 +277,7 @@ def decontamination(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     n-gram with an evaluation/benchmark set — the GPT-3/PaLM-style overlap
@@ -285,11 +286,14 @@ def decontamination(
     Returns (id, shared_grams, total_grams) for every training document
     with ≥1 shared n-gram; the caller drops or audits them.
 
-    Scale shape: the benchmark gram set is tiny relative to a 100 TB
-    corpus (eval suites are MBs), so it is DISTINCT-ed and broadcast — the
-    corpus-side gram stream joins map-side with no shuffle of the big
-    side; the per-doc rollup is the only wide operator, keyed on doc id
-    (uniform)."""
+    Scale shape: the benchmark gram set is usually tiny relative to a
+    100 TB corpus (eval suites are MBs), so by default it is DISTINCT-ed
+    and broadcast — the corpus-side gram stream joins map-side with no
+    shuffle of the big side; the per-doc rollup is the only wide
+    operator, keyed on doc id (uniform). For a benchmark set too large
+    for executor memory (a union of hundreds of eval suites), pass
+    ``broadcast_bench=False``: the join shuffles on the gram hash instead
+    — same exact result, one extra exchange, no memory ceiling."""
     from noaa_oracle_spark.pipeline.dedup import _word_shingles
 
     train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
@@ -298,9 +302,10 @@ def decontamination(
         .select("shingle")
         .distinct()
     )
+    bench_side = F.broadcast(bench) if broadcast_bench else bench
     totals = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
     shared = (
-        train.join(F.broadcast(bench), "shingle")
+        train.join(bench_side, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )

@@ -53,32 +53,130 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    backend: str = "expr",
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    Plan shape: broadcast(queries) × corpus → per-pair cosine → window
-    top-k on (rounded cosine desc, neighbor id asc). The corpus side stays
-    partition-local; only the k·|queries| winners shuffle. Ranking on the
-    rounded value keeps the order reproducible across engines."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
+    Plan shape: broadcast(queries) × corpus → per-pair cosine → per-batch
+    top-k → final window top-k on (rounded cosine desc, neighbor id asc).
+    The corpus side stays partition-local; only k·|queries| candidates per
+    partition shuffle. Ranking on the rounded value keeps the order
+    reproducible across engines.
+
+    ``backend="expr"`` (default) is the pure-Column, oracle-exact form.
+    ``backend="numpy"`` streams corpus Arrow batches against a broadcast
+    query matrix with the same dimension-ordered accumulation as the other
+    numpy kernels — per-pair doubles are the IEEE-identical left fold, and
+    results are equality-tested against the expr form; use it when the
+    query set is large enough that interpreted HOF cosines dominate."""
+    if backend not in ("expr", "numpy"):
+        raise ValueError(f"unknown backend {backend!r}")
     from noaa_oracle_spark.pipeline.dedup import spread
 
-    c = spread(corpus).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    )
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
-    cos = cosine(F.col("q_vec"), F.col("n_vec"))
-    if round_digits is not None:
-        cos = F.round(cos, round_digits)
-    scored = pairs.select("q_id", "n_id", cos.alias("cos_sim"))
+    if backend == "numpy":
+        scored = _knn_candidates_numpy(
+            queries, corpus, k, id_col, vec_col, round_digits or 6
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        c = spread(corpus).select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        )
+        pairs = (
+            F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+        )
+        cos = cosine(F.col("q_vec"), F.col("n_vec"))
+        if round_digits is not None:
+            cos = F.round(cos, round_digits)
+        scored = pairs.select("q_id", "n_id", cos.alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", "cos_sim")
     )
+
+
+def _knn_candidates_numpy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """numpy candidate stage for brute_force_knn: per Arrow batch of the
+    corpus, score against the broadcast query matrix and emit only each
+    query's top-k WITHIN the batch — the final global window sees
+    k·|queries| rows per batch instead of the full pair space."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    def fold_norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    if not q_rows:
+        raise ValueError("brute_force_knn: empty query set")
+    q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in q_rows])
+    q_nrm = fold_norms(q_mat)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        ids_q, mat_q, nrm_q = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+            mat_n = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm_n = fold_norms(mat_n)
+            dot = np.multiply.outer(mat_q[:, 0], mat_n[:, 0])
+            for i in range(1, mat_q.shape[1]):
+                dot = dot + np.multiply.outer(mat_q[:, i], mat_n[:, i])
+            sims = np.round(
+                dot / np.multiply.outer(nrm_q, nrm_n), round_digits
+            )
+            sims[:, :] = np.where(
+                ids_n[None, :] == ids_q[:, None], -np.inf, sims
+            )
+            kk = min(k, sims.shape[1])
+            # per-batch top-k under the SAME total order the global window
+            # uses — (sim desc, n_id asc) — so a tie at the k-th boundary
+            # keeps the same candidate the expr form would keep
+            idx = np.lexsort(
+                (np.broadcast_to(ids_n, sims.shape), -sims), axis=-1
+            )[:, :kk]
+            rows = {
+                "q_id": np.repeat(ids_q, kk),
+                "n_id": ids_n[idx].ravel(),
+                "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["cos_sim"] != -np.inf]
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
 
 def _hyperplane_signs(dim: int, plane: int) -> list[bool]:

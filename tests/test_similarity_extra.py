@@ -130,3 +130,16 @@ def test_lloyd_refine_shapes_and_determinism(spark, emb):
     assert all(len(r.embedding) == 64 for r in rows)
     b = lloyd_refine(emb, k=8, iters=1)
     assert sorted(map(str, rows)) == sorted(map(str, b.collect()))
+
+
+def test_brute_force_numpy_backend_matches_expr(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    expr = sorted(
+        (r.q_id, r.rank, r.n_id, r.cos_sim)
+        for r in brute_force_knn(q, emb, k=5, backend="expr").collect()
+    )
+    np_ = sorted(
+        (r.q_id, r.rank, r.n_id, r.cos_sim)
+        for r in brute_force_knn(q, emb, k=5, backend="numpy").collect()
+    )
+    assert expr == np_

@@ -126,6 +126,11 @@ def cap_per_group(
     hash) is precisely what the cap semantics require."""
     from pyspark.sql.window import Window
 
+    if "_rn" in df.columns:
+        raise ValueError(
+            "cap_per_group: input column '_rn' collides with the reserved "
+            "rank temp name; rename it first"
+        )
     w = Window.partitionBy(group_col).orderBy(
         _bucket_full(F.col(key_col).cast("string"), salt),
         F.col(key_col),

@@ -74,8 +74,16 @@ def brute_force_knn(
     from noaa_oracle_spark.pipeline.dedup import spread
 
     if backend == "numpy":
+        if round_digits is None:
+            # the numpy kernel ranks on np.round-ed values; an unrounded
+            # variant would silently diverge from the expr path's
+            # "no rounding" contract, so refuse rather than guess
+            raise ValueError(
+                "backend='numpy' requires round_digits (the kernel ranks "
+                "on rounded cosines); use backend='expr' for raw values"
+            )
         scored = _knn_candidates_numpy(
-            queries, corpus, k, id_col, vec_col, round_digits or 6
+            queries, corpus, k, id_col, vec_col, round_digits
         )
     else:
         q = queries.select(
@@ -99,6 +107,24 @@ def brute_force_knn(
     )
 
 
+def _require_integral_ids(df: DataFrame, id_col: str, where: str) -> None:
+    """The numpy backends materialize ids as an int64 ndarray; a string or
+    decimal id column would crash (or worse, coerce) only on that backend
+    while the expr backend handles any orderable type — fail loudly up
+    front instead."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(
+        dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        raise TypeError(
+            f"{where}: backend='numpy' requires an integral {id_col!r} "
+            f"column (got {dt.simpleString()}); use backend='expr' for "
+            "non-integer ids"
+        )
+
+
 def _knn_candidates_numpy(
     queries: DataFrame,
     corpus: DataFrame,
@@ -116,6 +142,9 @@ def _knn_candidates_numpy(
     from pyspark.sql import types as T
 
     from noaa_oracle_spark.pipeline.dedup import spread
+
+    _require_integral_ids(queries, id_col, "brute_force_knn(queries)")
+    _require_integral_ids(corpus, id_col, "brute_force_knn(corpus)")
 
     def fold_norms(m: "np.ndarray") -> "np.ndarray":
         acc = m[:, 0] * m[:, 0]
@@ -449,28 +478,35 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    strategy: str = "broadcast",
+    max_broadcast_rows: int = 500_000,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs: all (a < b) with
     round(cosine(a, b), round_digits) >= threshold.
 
-    This is the exact variant — an upper-triangle block-nested-loop
-    (broadcast one side, stream the other), O(n²/2) comparisons with no
-    shuffle of the streamed side. It is the verification kernel; at corpus
-    scale the pair space is first restricted by LSH buckets (compose with
-    `lsh_bucket`/`_bucket_udf` the way `lsh_bucketed_knn` does) or by IVF
-    cells, then THIS predicate confirms candidates exactly. Comparing on
-    the rounded value keeps the borderline pairs engine-portable.
+    This is the exact operator — every pair is compared; nothing is
+    approximated. Two physical strategies, identical output:
 
-    The kernel is a blocked matrix product: the corpus rides to every
-    executor as a Spark broadcast (ids, float64 matrix, norms) and each
-    Arrow batch of the streamed side compares against it with numpy,
-    emitting only surviving candidates. This is the standard GEMM-blocked
-    brute force — the broadcast side must fit in executor memory, exactly
-    like any broadcast join; beyond that, restrict the pair space first.
-    A pure-expression formulation was measured 10× slower (the pair
-    projection sits behind a BroadcastNestedLoopJoin, which whole-stage
-    codegen skips, so per-pair expressions evaluate interpreted) — this is
-    the "built-ins genuinely can't express it efficiently" carve-out.
+    - ``strategy="broadcast"`` (default): GEMM-blocked upper-triangle
+      nested loop — the corpus rides to every executor as a Spark
+      broadcast (ids, float64 matrix, norms) and each Arrow batch of the
+      streamed side compares against it with numpy, emitting only
+      surviving candidates. The broadcast side must fit in driver AND
+      executor memory, exactly like any broadcast join; a
+      `max_broadcast_rows` guard (enforced via limit(n+1), so the driver
+      never materializes more than n+1 rows) fails over with an
+      actionable error instead of OOMing.
+    - ``strategy="blocked"``: the scale path — see
+      `embedding_cosine_pairs_blocked`. No driver materialization at any
+      size; shuffle volume is num_blocks × corpus.
+
+    Comparing on the rounded value keeps borderline pairs
+    engine-portable. A pure-expression formulation was measured 10×
+    slower (the pair projection sits behind a BroadcastNestedLoopJoin,
+    which whole-stage codegen skips, so per-pair expressions evaluate
+    interpreted) — this is the "built-ins genuinely can't express it
+    efficiently" carve-out.
 
     Hash-parity discipline: the numpy accumulation loops over dimensions in
     index order, so every per-pair double (dot, norms, quotient) is the
@@ -488,13 +524,33 @@ def embedding_cosine_pairs(
 
     from noaa_oracle_spark.pipeline.dedup import spread
 
+    if strategy == "blocked":
+        return embedding_cosine_pairs_blocked(
+            vectors,
+            threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            num_blocks=num_blocks,
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     def fold_norms(m: "np.ndarray") -> "np.ndarray":
         acc = m[:, 0] * m[:, 0]
         for i in range(1, m.shape[1]):
             acc = acc + m[:, i] * m[:, i]
         return np.sqrt(acc)
 
-    rows = vectors.select(id_col, vec_col).collect()
+    # limit(n+1) bounds what the driver materializes: at most one row past
+    # the threshold ever crosses the wire, then we fail over loudly
+    rows = vectors.select(id_col, vec_col).limit(max_broadcast_rows + 1).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs: corpus exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use strategy='blocked' (distributed "
+            "block-pair join, no driver materialization)"
+        )
     schema_empty = "doc_a long, doc_b long, cos_sim double"
     if not rows:
         return vectors.sparkSession.createDataFrame([], schema_empty)
@@ -547,6 +603,131 @@ def embedding_cosine_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def embedding_cosine_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs WITHOUT any driver
+    materialization — the beyond-broadcast tier of `embedding_cosine_pairs`
+    (same output, bit-for-bit; the broadcast kernel caps out at driver
+    memory because a Spark broadcast is built driver-side by definition).
+
+    Distributed block-pair (a.k.a. triangle) join, the standard shape for
+    exact all-pairs at scale:
+
+      1. every vector gets a block id `pmod(xxhash64(id), B)` — engine-
+         local hashing is fine here because block assignment only routes
+         work; the OUTPUT is the full exact pair set regardless of B;
+      2. each row is replicated to the B unordered block pairs
+         (min(b,g), max(b,g)) it participates in — shuffle volume is
+         B × corpus, the price of exactness with no broadcast;
+      3. `groupBy(gi, gj).applyInPandas` runs the same GEMM kernel per
+         group: upper triangle within a diagonal group, full bipartite
+         product across a mixed group. Every (a < b) pair lands in exactly
+         one group (the group of its two blocks), so no dedup pass is
+         needed.
+
+    Choose B so that 2·(corpus/B) rows of float64[dim] fit one task's
+    memory: per-group bytes ≈ 16·n·dim/B. At 1e9 vectors × dim 768, B=4096
+    gives ~3 GB/group — and B scales quadratically in group count, so AQE
+    coalescing keeps small groups from fragmenting the stage.
+
+    Float discipline: identical dimension-ordered accumulation as the
+    broadcast kernel — dot products are commutative per term, so a pair's
+    cosine is the same double whichever side of the group it sits on; the
+    authoritative round(cos, d) >= threshold cut runs JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    _require_integral_ids(
+        vectors, id_col, "embedding_cosine_pairs_blocked"
+    )
+    if num_blocks < 1:
+        raise ValueError("num_blocks must be >= 1")
+    cutoff = threshold - 10.0 ** (-round_digits)
+
+    base = spread(vectors.select(id_col, vec_col)).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    )
+    rep = base.select(
+        id_col,
+        vec_col,
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("blk"), F.lit(g)).alias("gi"),
+                        F.greatest(F.col("blk"), F.lit(g)).alias("gj"),
+                    )
+                    for g in range(num_blocks)
+                ]
+            )
+        ).alias("g"),
+    ).select(id_col, vec_col, "blk", "g.gi", "g.gj")
+
+    def fold_norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def pair_matrix(mat_a, mat_b):
+        dot = np.multiply.outer(mat_a[:, 0], mat_b[:, 0])
+        for i in range(1, mat_a.shape[1]):
+            dot = dot + np.multiply.outer(mat_a[:, i], mat_b[:, i])
+        return dot
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "cos_raw": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "cos_raw": "float64"})
+        gi, gj = int(pdf["gi"].iat[0]), int(pdf["gj"].iat[0])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        if gi == gj:
+            nrm = fold_norms(mat)
+            cos = pair_matrix(mat, mat) / np.multiply.outer(nrm, nrm)
+            ia, ib = np.nonzero(
+                (ids[:, None] < ids[None, :]) & (cos >= cutoff)
+            )
+            return pd.DataFrame(
+                {"doc_a": ids[ia], "doc_b": ids[ib], "cos_raw": cos[ia, ib]}
+            )
+        blk = pdf["blk"].to_numpy()
+        am, bm = blk == gi, blk == gj
+        ids_a, ids_b = ids[am], ids[bm]
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "cos_raw": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "cos_raw": "float64"})
+        cos = pair_matrix(mat[am], mat[bm]) / np.multiply.outer(
+            fold_norms(mat[am]), fold_norms(mat[bm])
+        )
+        ia, ib = np.nonzero(cos >= cutoff)
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cos_raw": cos[ia, ib]})
+
+    cand = rep.groupBy("gi", "gj").applyInPandas(
+        kernel, "doc_a long, doc_b long, cos_raw double"
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("cos_raw"), round_digits).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def kmeans_assign(
     points: DataFrame,
     centroids: DataFrame,
@@ -590,6 +771,17 @@ def kmeans_assign(
 
     if backend not in ("expr", "numpy"):
         raise ValueError(f"unknown backend {backend!r}")
+    # appended outputs + expr-path temps would silently collide with (and
+    # corrupt) same-named input columns
+    reserved = {"cluster_id", "cos_sim", "_pnorm", "_best"}
+    clash = reserved & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"kmeans_assign: input columns {sorted(clash)} collide with "
+            "reserved output/temp names; rename them first"
+        )
+    if backend == "numpy":
+        _require_integral_ids(centroids, id_col, "kmeans_assign(centroids)")
     rows = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in centroids.select(id_col, vec_col).collect()

@@ -4,7 +4,7 @@ document fingerprinting. All JVM-side built-ins (split/regexp/md5) — no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from noaa_oracle_spark.pipeline.dedup import spread
@@ -314,6 +314,116 @@ def decontamination(
     )
 
 
+def decontamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — exact same output as
+    `decontamination`, for the regime where the DISTINCT benchmark gram set
+    is too large to broadcast as strings but the corpus-gram shuffle is the
+    cost driver (`broadcast_bench=False`'s one extra exchange of the ENTIRE
+    corpus gram stream).
+
+    A bloom filter over the benchmark grams is built as a 1-ROW BITMAP
+    AGGREGATE — `bit_or(1 << pos%64)` grouped by word index, folded into a
+    map — and ridden to every task as a broadcast crossJoin (the same
+    lazy no-driver-collect trick as tfidf's N). m_bits=2^20 is 128 KB
+    regardless of benchmark size; at 10 bits/element that's calibrated for
+    ~100k grams, so size it ~10× the expected distinct-gram count. Corpus
+    grams test k hash positions map-side and only survivors (true matches
+    + the bloom's false positives) enter the shuffle join with the
+    benchmark grams, which kills the false positives — exactness never
+    depends on the filter, only the shuffle volume does.
+
+    Everything is built-in expressions (xxhash64 / pmod / shiftleft /
+    bit_or / map lookup) — codegen'd end to end; no UDF, no collect."""
+    from noaa_oracle_spark.pipeline.dedup import _word_shingles
+
+    n_words = (m_bits + 63) // 64
+
+    def positions(gram: Column) -> list[Column]:
+        # k independent hash positions: xxhash64 with a distinct literal
+        # prefix per hash function
+        return [
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"bloom{i}|"), gram)),
+                F.lit(m_bits),
+            )
+            for i in range(k_hashes)
+        ]
+
+    train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    bench = (
+        _word_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    # 1-row bitmap: (word index -> 64-bit word) map. The (word, bits)
+    # grouping has at most m_bits/64 keys — tiny, uniform.
+    bitmap = (
+        bench.select(
+            F.explode(F.array(*positions(F.col("shingle")))).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("pos"), 64).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+
+    def might_contain(gram: Column) -> Column:
+        tests = [
+            (
+                F.coalesce(
+                    F.element_at(F.col("bloom"), (p / 64).cast("long")),
+                    F.lit(0).cast("long"),
+                ).bitwiseAND(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        F.pmod(p, 64).cast("int"),
+                    )
+                )
+                != 0
+            )
+            for p in positions(gram)
+        ]
+        out = tests[0]
+        for t in tests[1:]:
+            out = out & t
+        return out
+
+    totals = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
+    candidates = (
+        train.crossJoin(F.broadcast(bitmap))
+        .filter(might_contain(F.col("shingle")))
+        .select(id_col, "shingle")
+    )
+    shared = (
+        candidates.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return shared.join(totals, id_col).select(
+        id_col, "shared_grams", "total_grams"
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,
@@ -367,8 +477,10 @@ def span_dedup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Span-level (paragraph-style) dedup with reassembly: cut each doc
-    into fixed-width word spans, drop every span whose exact text occurs
-    in more than `max_freq` documents' spans corpus-wide, and stitch the
+    into fixed-width word spans, drop every span whose exact text has more
+    than `max_freq` OCCURRENCES corpus-wide (a span repeated twice inside
+    one document counts twice — repetition inside a document is exactly
+    the boilerplate signal this filter targets), and stitch the
     survivors back in order — the CCNet/RefinedWeb-style sub-document
     dedup that strips boilerplate while keeping the unique remainder of
     each document.

@@ -22,6 +22,7 @@ from noaa_oracle_spark.pipeline.dedup import (
 from noaa_oracle_spark.pipeline.similarity import (
     brute_force_knn,
     embedding_cosine_pairs,
+    embedding_cosine_pairs_blocked,
     ivf_knn,
     kmeans_assign,
     kmeans_update,
@@ -1038,6 +1039,38 @@ GROUP BY 1, 2
 """
 
 
+def q94_embedding_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q29's exact embedding near-dup pairs via the BLOCKED strategy —
+    distributed block-pair join, zero driver materialization (the
+    broadcast kernel builds its Spark broadcast driver-side, which caps at
+    driver memory; this tier has no cap). Output is identical by
+    construction — every (a < b) pair lands in exactly one block-pair
+    group — so the oracle is q29's own SQL."""
+    return embedding_cosine_pairs_blocked(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, num_blocks=8
+    )
+
+
+SQL_Q94 = SQL_Q29
+
+
+def q95_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77's decontamination via the bloom-prefilter tier: a 1-row bitmap
+    aggregate over benchmark grams broadcast to the corpus scan, so only
+    bloom-surviving grams enter the shuffle join (which then kills false
+    positives — exactness never depends on the filter). Same benchmark
+    split as q77; oracle is q77's own SQL."""
+    from noaa_oracle_spark.pipeline.text import decontamination_bloom
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontamination_bloom(train, bench, n=3)
+
+
+SQL_Q95 = SQL_Q77
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1068,6 +1101,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_unigram_logprob": q91_unigram_logprob,
     "q92_chunk_documents": q92_chunk_documents,
     "q93_source_quota": q93_source_quota,
+    "q94_embedding_dedup_blocked": q94_embedding_dedup_blocked,
+    "q95_decontamination_bloom": q95_decontamination_bloom,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1100,4 +1135,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q91_unigram_logprob": SQL_Q91,
     "q92_chunk_documents": SQL_Q92,
     "q93_source_quota": SQL_Q93,
+    "q94_embedding_dedup_blocked": SQL_Q94,
+    "q95_decontamination_bloom": SQL_Q95,
 }

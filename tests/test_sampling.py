@@ -123,3 +123,15 @@ def test_cap_per_group_under_cap_groups_untouched(spark):
     )
     out = cap_per_group(df, "grp", "id", cap=5).collect()
     assert len(out) == 30  # every group has 3 rows, under the cap
+
+
+def test_cap_per_group_reserved_name_collision(spark):
+    import pytest
+
+    from noaa_oracle_spark.pipeline.sampling import cap_per_group
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit("a").alias("grp"), F.lit(1).alias("_rn")
+    )
+    with pytest.raises(ValueError, match="_rn"):
+        cap_per_group(df, "grp", "id", cap=5)

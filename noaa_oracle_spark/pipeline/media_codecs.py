@@ -4,8 +4,10 @@ The runtime ships no imaging/audio libraries (no PIL, no soundfile), so
 "real codec" here means formats decodable with the standard library +
 numpy alone:
 
-  - images: PPM (P6 binary) and BMP (uncompressed 24/32-bit BI_RGB) →
-    numpy (H, W, 3) uint8 arrays; nearest-neighbor resize; P6 re-encode.
+  - images: PPM (P6 binary), BMP (uncompressed 24/32-bit BI_RGB), and
+    PNG (stdlib zlib inflate + all five filter-type unfilters, 8-bit
+    gray/RGB/palette/gray-alpha/RGBA) → numpy (H, W, 3) uint8 arrays;
+    nearest-neighbor resize; P6/PNG re-encode.
   - audio: RIFF/WAVE PCM via the stdlib `wave` module → mono float64
     samples in [-1, 1] plus the sample rate.
 
@@ -35,11 +37,13 @@ import numpy as np
 
 
 def sniff_image_format(data: bytes) -> str | None:
-    """'ppm' | 'bmp' | None by magic bytes."""
+    """'ppm' | 'bmp' | 'png' | None by magic bytes."""
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return None
 
 
@@ -124,6 +128,189 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rgb.copy()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8 RGB, on the stdlib alone: zlib inflate +
+    per-row unfiltering (all five filter types including Paeth).
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped, gray and
+    palette expand to RGB — the operators downstream are feature
+    extractors, not compositors. Adam7 interlacing and 1/2/4/16-bit depths
+    raise (rare in web corpora, where 8-bit truecolor/palette dominate).
+
+    Unfiltering cost discipline: filters 0 (None) and 2 (Up) are pure
+    vector ops; 1 (Sub) is a per-lane modular prefix sum (cumsum % 256);
+    3 (Average) and 4 (Paeth) genuinely recur on the just-reconstructed
+    left pixel, so they scan the row — per-row numpy state, per-byte
+    Python only in the two sequential filters."""
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    ihdr = b""
+    plte = b""
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        pos += 8
+        chunk = data[pos : pos + length]
+        if len(chunk) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += length + 4  # skip CRC
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if len(ihdr) != 13:
+        raise ValueError("missing/bad IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth: {depth}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type: {color}")
+    if not (0 < w and 0 < h):
+        raise ValueError("bad PNG geometry")
+    if not idat:
+        raise ValueError("missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    cur = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.int64)
+    bpp = channels
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), cur[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            rec = row.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f == 3:  # Average — recurs on reconstructed left
+            rec = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (row[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth — recurs on reconstructed left
+            rec = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type: {f}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if color == 2:  # RGB
+        return px.copy()
+    if color == 3:  # palette
+        if len(plte) < 3 or len(plte) % 3 != 0:
+            raise ValueError("missing/bad PLTE for palette PNG")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx].copy()
+    if color == 4:  # gray+alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (test-fixture helper; one filter
+    type for the whole image, exercising each unfilter path)."""
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3)")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("bad filter type")
+    h, w = img.shape[:2]
+    px = np.ascontiguousarray(img, np.uint8).astype(np.int64)
+    flat = px.reshape(h, w * 3)
+    bpp = 3
+    lines = []
+    prev = np.zeros(w * 3, np.int64)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = (row - left) % 256
+        elif filter_type == 2:
+            enc = (row - prev) % 256
+        elif filter_type == 3:
+            enc = (row - (left + prev) // 2) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (row - pred) % 256
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    import struct as _struct
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + _struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-sniffing decode → (H, W, 3) uint8; ValueError on unknown."""
     fmt = sniff_image_format(data or b"")
@@ -131,7 +318,11 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if fmt == "bmp":
         return decode_bmp(data)
-    raise ValueError("unrecognized image format (supported: P6 PPM, BMP)")
+    if fmt == "png":
+        return decode_png(data)
+    raise ValueError(
+        "unrecognized image format (supported: P6 PPM, BMP, PNG)"
+    )
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

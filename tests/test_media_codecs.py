@@ -215,7 +215,7 @@ def test_unsupported_codecs_still_gate(real_media):
     with pytest.raises(NotImplementedError):
         extract_image_features(real_media, codec="jpeg")
     with pytest.raises(NotImplementedError):
-        decode_images(real_media, codec="png")
+        decode_images(real_media, codec="jpeg")
     with pytest.raises(NotImplementedError):
         resize_images(real_media, 4, 4, codec="jpeg")
     with pytest.raises(NotImplementedError):
@@ -261,3 +261,151 @@ class TestPpmStream:
             decode_ppm_stream(b"")
         with pytest.raises(ValueError):
             decode_ppm_stream(b"JUNKJUNK")
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib decode)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes_independent(img: np.ndarray) -> bytes:
+    """Test-local PNG writer (filter 0, truecolor) — written against the
+    PNG spec directly so the decoder under test is checked against an
+    INDEPENDENT encoding, not its own sibling."""
+    import zlib
+
+    h, w = img.shape[:2]
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_raw(w, h, color, rows: bytes, extra_chunks=()) -> bytes:
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    )
+    for ctype, payload in extra_chunks:
+        out += chunk(ctype, payload)
+    return out + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+
+
+class TestPng:
+    def test_independent_filter0_fixture(self):
+        from noaa_oracle_spark.pipeline.media_codecs import decode_png
+
+        img = RNG.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        data = _png_bytes_independent(img)
+        assert sniff_image_format(data) == "png"
+        np.testing.assert_array_equal(decode_png(data), img)
+        np.testing.assert_array_equal(decode_image(data), img)
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_all_filter_types_round_trip(self, ftype):
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        img = RNG.integers(0, 256, (9, 6, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(img, filter_type=ftype)), img
+        )
+
+    def test_gray_alpha_palette_variants(self):
+        from noaa_oracle_spark.pipeline.media_codecs import decode_png
+
+        # gray (color 0): value expands to all three channels
+        gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        rows = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+        out = decode_png(_png_raw(4, 3, 0, rows))
+        np.testing.assert_array_equal(out, np.repeat(gray[..., None], 3, 2))
+
+        # gray+alpha (color 4): alpha dropped
+        ga = np.dstack([gray, np.full((3, 4), 7, np.uint8)])
+        rows = b"".join(b"\x00" + ga[y].tobytes() for y in range(3))
+        out = decode_png(_png_raw(4, 3, 4, rows))
+        np.testing.assert_array_equal(out, np.repeat(gray[..., None], 3, 2))
+
+        # RGBA (color 6): alpha dropped
+        rgb = RNG.integers(0, 256, (3, 4, 3), dtype=np.uint8)
+        rgba = np.dstack([rgb, np.full((3, 4), 9, np.uint8)])
+        rows = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+        np.testing.assert_array_equal(decode_png(_png_raw(4, 3, 6, rows)), rgb)
+
+        # palette (color 3): indices map through PLTE
+        pal = RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+        idx = np.array([[0, 1], [2, 3]], np.uint8)
+        rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        out = decode_png(
+            _png_raw(2, 2, 3, rows, [(b"PLTE", pal.tobytes())])
+        )
+        np.testing.assert_array_equal(out, pal[idx])
+
+    def test_corrupt_and_unsupported_reject(self):
+        from noaa_oracle_spark.pipeline.media_codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        img = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        good = encode_png(img)
+        with pytest.raises(ValueError):
+            decode_png(good[:40])  # truncated
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG\r\n\x1a\nnot chunks")
+        # interlaced flag
+        import zlib
+
+        bad = bytearray(good)
+        bad[8 + 8 + 12] = 1  # IHDR interlace byte
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_png(bytes(bad))
+        # 16-bit depth
+        bad = bytearray(good)
+        bad[8 + 8 + 8] = 16  # IHDR bit-depth byte
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_png(bytes(bad))
+        # palette with missing PLTE
+        rows = b"\x00\x00\x00"  # 2 px indices + filter? (w=2,h=1)
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(_png_raw(2, 1, 3, rows))
+
+    def test_spark_raster_path_accepts_png(self, spark):
+        img = RNG.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+        rows = [
+            (10, "image", _png_bytes_independent(img), "image/png",
+             4, 6, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        dec = decode_images(media).collect()[0]
+        assert (dec["format"], dec["width"], dec["height"]) == ("png", 4, 6)
+        assert abs(dec["mean_r"] - img[:, :, 0].mean()) < 1e-9
+        feats = extract_image_features(media, dim=12, codec="raster")
+        assert feats.collect()[0]["feature"] == pytest.approx(
+            grid_features(img, 12)
+        )

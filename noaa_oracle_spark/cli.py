@@ -17,6 +17,11 @@ responses):
 `raw` registers the observations/forecasts views the way the browser page
 does (raw_data.js:199-218) and accepts DuckDB-dialect SQL via the rewriter.
 
+    python -m noaa_oracle_spark.cli serve --data-dir D [--host H --port P]
+
+runs the stdlib HTTP twin (http_service.py) of the reference's actual
+server — same routes, same request/response shapes.
+
     python -m noaa_oracle_spark.cli explain --query q57_shipping_priority \
         [--sf-dir /root/testdata/sf0.001] [--mode formatted]
 
@@ -79,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
     raw = sub.add_parser("raw")
     raw.add_argument("--data-dir", required=True)
     raw.add_argument("--sql", required=True)
+    sv = sub.add_parser(
+        "serve",
+        help="run the stdlib HTTP twin of the reference's API "
+        "(http_service.py) until interrupted",
+    )
+    sv.add_argument("--data-dir", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
     ex = sub.add_parser(
         "explain",
         help="print a suite query's physical plan (the scale-review tool: "
@@ -143,6 +156,22 @@ def main(argv: list[str] | None = None) -> int:
 
         register_raw_tables(spark, args.data_dir)
         _emit(run_raw_sql(spark, args.sql), args.limit)
+    elif args.cmd == "serve":
+        from noaa_oracle_spark.http_service import make_server
+
+        srv = make_server(spark, args.data_dir, args.host, args.port)
+        print(
+            json.dumps(
+                {"serving": f"http://{args.host}:{srv.server_address[1]}"}
+            ),
+            flush=True,
+        )
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
     elif args.cmd == "explain":
         from noaa_oracle_spark.suite import QUERIES as _SUITE_QUERIES
         from noaa_oracle_spark.suite_pipeline import (

@@ -1,0 +1,306 @@
+"""Stdlib HTTP twin of the reference's API surface (S8/S10 closure).
+
+The engine side of every endpoint already lives in service.py; this module
+is the thin request/response shell the reference serves with axum
+(crates/oracle/src/startup.rs:135-181), built on `http.server` only:
+
+| Route                             | Reference handler                      |
+|-----------------------------------|----------------------------------------|
+| GET /health_check                 | startup.rs:126-133                     |
+| GET /stations                     | weather_routes.rs:176-186              |
+| GET /stations/forecasts           | weather_routes.rs:14-35                |
+| GET /stations/observations        | weather_routes.rs:128-150              |
+| GET /stations/daily-observations  | weather_routes.rs:152-174              |
+| GET /files                        | routes/files/get_names.rs:16-41        |
+| GET /file/{file_name}             | routes/files/download.rs:27-68         |
+
+Request/response parity notes (shapes, not transport internals):
+  - query params mirror ForecastRequest / ObservationRequest /
+    FileParams: RFC3339 times (bad format → 400, matching the handlers'
+    BAD_REQUEST), comma-joined required `station_ids` (missing required
+    param → 400, axum's query rejection), `temperature_unit` lowercase
+    enum defaulting to fahrenheit (weather_routes.rs:113-119).
+  - responses are JSON arrays of row objects (serde's Vec<T> shape) with
+    the same field names as the reference structs — the DataFrame columns
+    are already parity-pinned by test_weather_parity; timestamps
+    serialize RFC3339-UTC, None → null.
+  - /files returns {"file_names": [...]} (get_names.rs:12-14) — bare
+    names, not paths; boolean `observations`/`forecasts` params select
+    kinds exactly like FileParams.
+  - /file/{name} parses the RFC3339 timestamp embedded in the filename
+    (400 if malformed — download.rs:33-47), resolves it in the date
+    directory the write side used, and streams the parquet bytes with
+    Content-Type: application/parquet and an attachment disposition;
+    missing file → 404.
+
+Threading: ThreadingHTTPServer + one shared SparkSession — Spark sessions
+are thread-safe for concurrent job submission, and each request runs one
+short collect. This shell is deliberately NOT the 100 TB data path: big
+results belong in parquet sinks (sources/writer.py); the HTTP surface is
+the reference's operational API for modest station/window slices.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import threading
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlsplit
+
+from pyspark.sql import SparkSession
+
+from noaa_oracle_spark import service
+from noaa_oracle_spark.sources.catalog import parse_snapshot_name
+
+_TEMPERATURE_UNITS = ("celsius", "fahrenheit")
+
+
+class BadRequest(Exception):
+    pass
+
+
+def _parse_rfc3339_param(qs: dict, name: str) -> datetime | None:
+    vals = qs.get(name)
+    if not vals:
+        return None
+    s = vals[0].strip()
+    if s.endswith(("Z", "z")):
+        s = s[:-1] + "+00:00"
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError as exc:
+        raise BadRequest(
+            f"{name}: times are not in RFC3339 format: {vals[0]!r}"
+        ) from exc
+    if dt.tzinfo is None:
+        raise BadRequest(f"{name}: missing timezone offset: {vals[0]!r}")
+    return dt.astimezone(timezone.utc)
+
+
+def _station_ids(qs: dict) -> list[str]:
+    # ObservationRequest/ForecastRequest declare station_ids as a required
+    # String; axum rejects the request when it's absent
+    vals = qs.get("station_ids")
+    if not vals:
+        raise BadRequest("missing required query parameter: station_ids")
+    return [s for s in vals[0].split(",")]
+
+
+def _temperature_unit(qs: dict) -> str:
+    vals = qs.get("temperature_unit")
+    if not vals:
+        return "fahrenheit"
+    unit = vals[0].lower()
+    if unit not in _TEMPERATURE_UNITS:
+        raise BadRequest(f"unknown temperature_unit: {vals[0]!r}")
+    return unit
+
+
+def _bool_param(qs: dict, name: str) -> bool | None:
+    vals = qs.get(name)
+    if not vals:
+        return None
+    v = vals[0].lower()
+    if v in ("true", "1"):
+        return True
+    if v in ("false", "0"):
+        return False
+    raise BadRequest(f"{name}: not a boolean: {vals[0]!r}")
+
+
+def _json_cell(v):
+    if isinstance(v, datetime):
+        dt = v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+        return (
+            dt.astimezone(timezone.utc)
+            .isoformat()
+            .replace("+00:00", "Z")
+        )
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def _rows_json(df) -> bytes:
+    cols = df.columns
+    out = [
+        {c: _json_cell(row[i]) for i, c in enumerate(cols)}
+        for row in df.collect()
+    ]
+    return json.dumps(out).encode()
+
+
+def make_handler(spark: SparkSession, data_dir: str):
+    """Handler class closed over the session + data dir (BaseHTTPRequestHandler
+    is instantiated per request by the server, so state rides in the class)."""
+
+    class OracleHandler(BaseHTTPRequestHandler):
+        # quiet the default stderr-per-request logging
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, status: int, body: bytes, content_type: str,
+                  extra: dict[str, str] | None = None) -> None:
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, obj_bytes: bytes, status: int = 200) -> None:
+            self._send(status, obj_bytes, "application/json")
+
+        def _send_error_text(self, status: int, msg: str) -> None:
+            self._send(status, msg.encode(), "text/plain; charset=utf-8")
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            split = urlsplit(self.path)
+            path = posixpath.normpath(split.path)
+            qs = parse_qs(split.query, keep_blank_values=True)
+            try:
+                if path == "/health_check":
+                    spark.sql("SELECT 1").collect()
+                    self._send(200, b"", "text/plain")
+                elif path == "/stations":
+                    self._send_json(
+                        _rows_json(service.stations_request(spark, data_dir))
+                    )
+                elif path == "/stations/forecasts":
+                    df = service.forecasts_request(
+                        spark,
+                        data_dir,
+                        station_ids=_station_ids(qs),
+                        start=_parse_rfc3339_param(qs, "start"),
+                        end=_parse_rfc3339_param(qs, "end"),
+                        generated_start=_parse_rfc3339_param(
+                            qs, "generated_start"
+                        ),
+                        generated_end=_parse_rfc3339_param(
+                            qs, "generated_end"
+                        ),
+                        temperature_unit=_temperature_unit(qs),
+                    )
+                    self._send_json(_rows_json(df))
+                elif path == "/stations/observations":
+                    df = service.observations_request(
+                        spark,
+                        data_dir,
+                        station_ids=_station_ids(qs),
+                        start=_parse_rfc3339_param(qs, "start"),
+                        end=_parse_rfc3339_param(qs, "end"),
+                        temperature_unit=_temperature_unit(qs),
+                    )
+                    self._send_json(_rows_json(df))
+                elif path == "/stations/daily-observations":
+                    df = service.daily_observations_request(
+                        spark,
+                        data_dir,
+                        station_ids=_station_ids(qs),
+                        start=_parse_rfc3339_param(qs, "start"),
+                        end=_parse_rfc3339_param(qs, "end"),
+                        temperature_unit=_temperature_unit(qs),
+                    )
+                    self._send_json(_rows_json(df))
+                elif path == "/files":
+                    self._files(qs)
+                elif path.startswith("/file/"):
+                    # axum percent-decodes path params; mirror it
+                    self._download(unquote(path[len("/file/"):]))
+                else:
+                    self._send_error_text(404, "not found")
+            except BadRequest as exc:
+                self._send_error_text(400, str(exc))
+            except BrokenPipeError:
+                pass
+            except Exception as exc:  # the handlers' 500 catch-all
+                self._send_error_text(500, f"internal error: {exc}")
+
+        def _files(self, qs: dict) -> None:
+            start = _parse_rfc3339_param(qs, "start")
+            end = _parse_rfc3339_param(qs, "end")
+            want_obs = _bool_param(qs, "observations")
+            want_fc = _bool_param(qs, "forecasts")
+            kinds = []
+            # FileParams: None/absent means "include" only when neither
+            # flag narrows the set (grab_file_names defaults both on)
+            if want_obs is None and want_fc is None:
+                kinds = ["observations", "forecasts"]
+            else:
+                if want_obs:
+                    kinds.append("observations")
+                if want_fc:
+                    kinds.append("forecasts")
+            paths = service.files_request(
+                data_dir, start=start, end=end, kinds=tuple(kinds)
+            )
+            body = json.dumps(
+                {"file_names": [os.path.basename(p) for p in paths]}
+            ).encode()
+            self._send_json(body)
+
+        def _download(self, file_name: str) -> None:
+            if "/" in file_name or file_name in ("", ".", ".."):
+                self._send_error_text(400, "invalid file name")
+                return
+            parsed = parse_snapshot_name(
+                file_name, "observations"
+            ) or parse_snapshot_name(file_name, "forecasts")
+            if parsed is None:
+                # download.rs:33-47 — the trailing token must be a valid
+                # RFC3339 timestamp
+                self._send_error_text(
+                    400,
+                    "Badly formatted filename, not a valid rfc3339 datetime",
+                )
+                return
+            day = parsed.snapshot_ts.astimezone(timezone.utc).date().isoformat()
+            full = os.path.join(data_dir, day, file_name)
+            if not os.path.isfile(full):
+                self._send_error_text(404, f"File not found: {file_name}")
+                return
+            with open(full, "rb") as fh:
+                body = fh.read()
+            self._send(
+                200,
+                body,
+                "application/parquet",
+                {
+                    "Content-Disposition": (
+                        f'attachment; filename="{file_name}"'
+                    )
+                },
+            )
+
+    return OracleHandler
+
+
+def make_server(
+    spark: SparkSession,
+    data_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """Bind (port=0 → ephemeral) and return the server; caller drives
+    serve_forever (see serve_background)."""
+    return ThreadingHTTPServer(
+        (host, port), make_handler(spark, data_dir)
+    )
+
+
+def serve_background(
+    spark: SparkSession, data_dir: str, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the twin on a daemon thread; returns (server, thread). Shut
+    down with server.shutdown(); server.server_close()."""
+    srv = make_server(spark, data_dir, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t

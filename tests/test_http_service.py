@@ -1,0 +1,184 @@
+"""HTTP twin end-to-end: real sockets, real requests, fixture snapshots.
+
+Drives every route of noaa_oracle_spark.http_service through urllib against
+the same weather fixtures the CLI/service tests use, asserting the
+reference's request/response shapes: JSON array bodies, {"file_names":[..]}
+for /files, parquet bytes + attachment disposition for /file/{name}, 400 on
+bad RFC3339 / missing station_ids / bad filename timestamps, 404 on unknown
+routes and missing files.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from noaa_oracle_spark import service
+from noaa_oracle_spark.http_service import serve_background
+from tests.weather_fixtures import (
+    write_forecast_fixtures,
+    write_observation_fixtures,
+)
+
+WINDOW = "start=2026-01-15T00:00:00Z&end=2026-01-18T00:00:00Z"
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("http_weather"))
+    write_observation_fixtures(d)
+    write_forecast_fixtures(d)
+    srv, _ = serve_background(spark, d)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, d
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def _get_json(url: str):
+    status, headers, body = _get(url)
+    assert status == 200
+    assert headers["Content-Type"].startswith("application/json")
+    return json.loads(body)
+
+
+def _status_of(url: str) -> tuple[int, str]:
+    try:
+        status, _, body = _get(url)
+        return status, body.decode()
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read().decode()
+
+
+def test_health_check(server):
+    base, _ = server
+    assert _get(f"{base}/health_check")[0] == 200
+
+
+def test_stations_shape(server, spark):
+    base, d = server
+    rows = _get_json(f"{base}/stations")
+    expected = [r.asDict() for r in service.stations_request(spark, d).collect()]
+    assert {r["station_id"] for r in rows} == {
+        e["station_id"] for e in expected
+    }
+    # serde field names of the reference Station struct
+    assert set(rows[0]) >= {
+        "station_id", "station_name", "latitude", "longitude",
+    }
+
+
+def test_observations_match_service(server, spark):
+    from datetime import datetime, timezone
+
+    base, d = server
+    rows = _get_json(
+        f"{base}/stations/observations?station_ids=KATL,KBOS&{WINDOW}"
+        "&temperature_unit=fahrenheit"
+    )
+    direct = {
+        r["station_id"]: r.asDict()
+        for r in service.observations_request(
+            spark, d, ["KATL", "KBOS"],
+            datetime(2026, 1, 15, tzinfo=timezone.utc),
+            datetime(2026, 1, 18, tzinfo=timezone.utc),
+            "fahrenheit",
+        ).collect()
+    }
+    assert rows and {r["station_id"] for r in rows} == set(direct)
+    for r in rows:
+        assert r["temp_high"] == direct[r["station_id"]]["temp_high"]
+
+
+def test_forecasts_and_daily(server):
+    base, _ = server
+    fc = _get_json(
+        f"{base}/stations/forecasts?station_ids=KATL,KSEA,KBOS&{WINDOW}"
+    )
+    assert fc and all("station_id" in r for r in fc)
+    daily = _get_json(
+        f"{base}/stations/daily-observations?station_ids=KATL,KBOS&{WINDOW}"
+    )
+    assert daily and all("station_id" in r for r in daily)
+
+
+def test_default_unit_is_fahrenheit(server):
+    base, _ = server
+    bare = _get_json(
+        f"{base}/stations/observations?station_ids=KATL&{WINDOW}"
+    )
+    explicit = _get_json(
+        f"{base}/stations/observations?station_ids=KATL&{WINDOW}"
+        "&temperature_unit=fahrenheit"
+    )
+    assert bare == explicit
+
+
+def test_files_listing_and_kind_flags(server):
+    base, _ = server
+    allf = _get_json(f"{base}/files")["file_names"]
+    assert allf and all(name.endswith(".parquet") for name in allf)
+    assert all("/" not in name for name in allf)  # bare names, not paths
+    obs_only = _get_json(f"{base}/files?observations=true&forecasts=false")[
+        "file_names"
+    ]
+    assert obs_only and all(n.startswith("observations_") for n in obs_only)
+    fc_only = _get_json(f"{base}/files?observations=false&forecasts=true")[
+        "file_names"
+    ]
+    assert fc_only and all(n.startswith("forecasts_") for n in fc_only)
+    assert set(allf) == set(obs_only) | set(fc_only)
+
+
+def test_file_download_round_trip(server):
+    base, d = server
+    name = _get_json(f"{base}/files?observations=true&forecasts=false")[
+        "file_names"
+    ][0]
+    status, headers, body = _get(f"{base}/file/{name}")
+    assert status == 200
+    assert headers["Content-Type"] == "application/parquet"
+    assert name in headers["Content-Disposition"]
+    assert body[:4] == b"PAR1"  # real parquet bytes
+    import glob
+    import os
+
+    on_disk = glob.glob(os.path.join(d, "*", name))[0]
+    assert body == open(on_disk, "rb").read()
+
+
+def test_error_shapes(server):
+    base, _ = server
+    # missing required station_ids → 400 (axum query rejection)
+    code, msg = _status_of(f"{base}/stations/observations?{WINDOW}")
+    assert code == 400 and "station_ids" in msg
+    # bad RFC3339 → 400 (weather_routes BAD_REQUEST)
+    code, msg = _status_of(
+        f"{base}/stations/observations?station_ids=KATL&start=yesterday"
+        "&end=2026-01-18T00:00:00Z"
+    )
+    assert code == 400 and "RFC3339" in msg
+    # bad temperature unit → 400
+    code, _ = _status_of(
+        f"{base}/stations/observations?station_ids=KATL&{WINDOW}"
+        "&temperature_unit=kelvin"
+    )
+    assert code == 400
+    # filename without a parseable RFC3339 timestamp → 400 (download.rs)
+    code, msg = _status_of(f"{base}/file/observations_nottime.parquet")
+    assert code == 400 and "rfc3339" in msg.lower()
+    # well-formed name but absent file → 404
+    code, _ = _status_of(
+        f"{base}/file/observations_2030-01-01T00_00_00%2B00_00.parquet"
+    )
+    assert code == 404
+    # unknown route → 404
+    assert _status_of(f"{base}/nope")[0] == 404

@@ -1,6 +1,8 @@
 from noaa_oracle_spark.streaming.corpus import (
+    band_verdicts,
     stream_documents,
     streaming_exact_dedup,
+    streaming_minhash_dedup,
 )
 from noaa_oracle_spark.streaming.sessions import value_capped_sessions
 from noaa_oracle_spark.streaming.snapshots import (
@@ -10,7 +12,9 @@ from noaa_oracle_spark.streaming.snapshots import (
 )
 
 __all__ = [
+    "band_verdicts",
     "stream_documents",
+    "streaming_minhash_dedup",
     "stream_snapshots",
     "streaming_daily_observations",
     "streaming_exact_dedup",

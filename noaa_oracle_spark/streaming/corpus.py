@@ -48,6 +48,199 @@ def stream_documents(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+BAND_OWNERSHIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band_id", T.IntegerType(), False),
+        T.StructField("band_hash", T.StringType(), False),
+        T.StructField("owner_doc_id", T.LongType(), False),
+    ]
+)
+
+_BAND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("owner", T.LongType()),
+        T.StructField("owner_ts_us", T.LongType()),
+    ]
+)
+
+
+def _row_minhash_bands(
+    text_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    n: int,
+) -> "F.Column":
+    """Per-ROW MinHash banding — the streaming twin of the batch
+    minhash_lsh_candidates signature (pipeline/dedup.py:226-297), with the
+    groupBy(min) replaced by array_min over the row's own shingle array so
+    the whole signature is MAP-SIDE (a streaming query can afford exactly
+    one stateful operator; spending it on a signature aggregation would
+    leave none for the dedup state). Hash kernel and band hash are
+    byte-identical to the batch operator: 60-bit md5-prefix longs, bands
+    of `rows_per_band` md5'd over '|'-joined decimal digits — so a doc's
+    band hashes match what the batch ladder would compute for it."""
+    words = F.split(F.col(text_col), " ")
+    n_sh = F.size(words) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    def _hash_fn(seed: int):
+        # single-arg lambda REQUIRED: a two-arg lambda (e.g. the
+        # `lambda s, i=i` default-binding idiom) is interpreted by
+        # transform() as (element, index) and the seed silently becomes
+        # the array index column
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    mins = [
+        F.array_min(F.transform(shingles, _hash_fn(i)))
+        for i in range(num_hashes)
+    ]
+    num_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("int").alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            mins[band * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+    # docs too short to produce a shingle have no signature and no bands —
+    # they cannot be near-dup candidates (same as the batch ladder, where
+    # they never enter the shingle index)
+    return F.when(n_sh >= 1, bands)
+
+
+def _make_band_kernel(ttl_seconds: int):
+    """First-arrival-wins band ownership: state per (band_id, band_hash)
+    is the owning doc. Arrival order inside a microbatch is (ts, doc_id)
+    — deterministic under replay, and the id tiebreak matches the batch
+    ladder's doc_a < doc_b orientation. A band idle for `ttl_seconds` of
+    event time past its last sighting times out and evicts."""
+    ttl_ms = ttl_seconds * 1000
+
+    def kernel(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = []
+        for pdf in pdfs:
+            for did, ts in zip(pdf["doc_id"], pdf["ts_us"]):
+                rows.append((int(ts), int(did)))
+        rows.sort()
+        if not rows:
+            return
+        if state.exists:
+            owner, owner_ts = state.get
+        else:
+            owner, owner_ts = rows[0][1], rows[0][0]
+        out = [
+            {
+                "doc_id": did,
+                "band_id": int(key[0]),
+                "band_hash": key[1],
+                "owner_doc_id": owner if did != owner else did,
+            }
+            for _, did in rows
+        ]
+        latest = max(owner_ts, rows[-1][0])
+        state.update((owner, latest))
+        state.setTimeoutTimestamp(latest // 1000 + ttl_ms)
+        yield pd.DataFrame(out)
+
+    return kernel
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    state_ttl_seconds: int = 3600,
+) -> DataFrame:
+    """NEAR-duplicate suppression across microbatches: MinHash-LSH band
+    ownership as a custom stateful operator (applyInPandasWithState keyed
+    by band), the streaming counterpart of the batch
+    `minhash_lsh_candidates` rule — a document is a near-dup if ANY of its
+    bands is already owned by an earlier document.
+
+    Emits one row per (doc, band) with the band's owning doc; roll up
+    per-document verdicts with `band_verdicts` inside foreachBatch (every
+    band row of a doc lands in the same microbatch, so the rollup is
+    complete there — chaining a second stateful aggregation would need
+    another watermark hop for no benefit).
+
+    State is one (owner, last_seen) pair per distinct band hash — the
+    same hash-not-payload rule as exact dedup; bands idle past the
+    watermark horizon time out and evict, bounding state exactly like
+    `dropDuplicatesWithinWatermark` does for the exact tier."""
+    keyed = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.posexplode(
+                _row_minhash_bands(text_col, num_hashes, rows_per_band, n)
+            ).alias("_pos", "band"),
+            F.col(ts_col),
+        )
+        .select(
+            "doc_id",
+            "ts_us",
+            F.col("band.band_id").alias("band_id"),
+            F.col("band.band_hash").alias("band_hash"),
+            ts_col,
+        )
+    )
+    return keyed.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _make_band_kernel(state_ttl_seconds),
+        outputStructType=BAND_OWNERSHIP_SCHEMA,
+        stateStructType=_BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def band_verdicts(ownership: DataFrame) -> DataFrame:
+    """Per-document verdict from a band-ownership microbatch: is_dup iff
+    any band is owned by another document; first_owner names the earliest
+    owning doc (min id among owning docs) for provenance. Plain batch
+    aggregation — run inside foreachBatch."""
+    return ownership.groupBy("doc_id").agg(
+        F.max(
+            (F.col("owner_doc_id") != F.col("doc_id")).cast("int")
+        ).cast("boolean").alias("is_dup"),
+        F.min(
+            F.when(
+                F.col("owner_doc_id") != F.col("doc_id"),
+                F.col("owner_doc_id"),
+            )
+        ).alias("first_owner"),
+    )
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",

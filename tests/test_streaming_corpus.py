@@ -66,3 +66,125 @@ def test_cross_microbatch_dedup(spark, tmp_path, use_watermark):
         q.stop()
     assert sorted(r.doc_id for r in rows) == [1, 2, 4]
     assert all(len(r.text) > 0 for r in rows)
+
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seventeen green "
+    "parrots recite surprisingly accurate weather forecasts every morning"
+)
+# near-dup of LONG_A: one word changed mid-sentence
+LONG_A_NEAR = LONG_A.replace("green parrots", "green penguins")
+LONG_B = (
+    "completely different content about distributed query engines and "
+    "shuffle partitioning strategies for large analytical workloads"
+)
+
+
+def test_streaming_minhash_near_dedup(spark, tmp_path):
+    """Near-dup (not just exact-dup) suppression across microbatches,
+    consistent with the batch LSH ladder: a doc is flagged iff
+    minhash_lsh_candidates over the union corpus pairs it with an
+    earlier-arriving doc."""
+    from noaa_oracle_spark.pipeline.dedup import minhash_lsh_candidates
+    from noaa_oracle_spark.streaming import (
+        band_verdicts,
+        streaming_minhash_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [(1, LONG_A, 0), (2, LONG_B, 1)]
+    b2 = [(3, LONG_A_NEAR, 5), (4, LONG_B, 6), (5, "an unrelated short "
+          "paragraph mentioning entirely novel things like marzipan "
+          "telescopes and undersea chess tournaments", 7)]
+    _write_batch(spark, src, "b1", b1)
+
+    docs = stream_documents(spark, src)
+    ownership = streaming_minhash_dedup(docs, ts_col="ingest_ts")
+    q = (
+        ownership.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, "b2", b2)
+        q.processAllAvailable()
+        own_rows = spark.sql("SELECT * FROM near_dedup")
+        verdicts = {
+            r.doc_id: (r.is_dup, r.first_owner)
+            for r in band_verdicts(own_rows).collect()
+        }
+    finally:
+        q.stop()
+
+    # the modified copy is a NEAR dup (shares no exact text with doc 1)
+    assert verdicts[3] == (True, 1)
+    # the exact copy is caught too
+    assert verdicts[4] == (True, 2)
+    # originals and the unrelated doc pass
+    assert verdicts[1][0] is False
+    assert verdicts[2][0] is False
+    assert verdicts[5][0] is False
+
+    # consistency with the batch ladder: flagged iff LSH pairs the doc
+    # with an earlier (lower-ts == lower-id here) doc
+    static = spark.createDataFrame(
+        [(i, t) for i, t, _ in b1 + b2], "doc_id long, text string"
+    )
+    cand = minhash_lsh_candidates(static).collect()
+    earlier = {}
+    for r in cand:
+        a, b = sorted((r.doc_a, r.doc_b))
+        earlier.setdefault(b, set()).add(a)
+    for did, (is_dup, _) in verdicts.items():
+        assert is_dup == (did in earlier), did
+    # and the near-dup really is a batch candidate (guards the fixture)
+    assert 1 in earlier.get(3, set())
+
+
+def test_streaming_minhash_state_evicts_past_watermark(spark, tmp_path):
+    """A band idle past the TTL horizon evicts: the same text arriving
+    hours later is treated as NEW (the watermark contract — a crawl
+    re-fetching a page weeks later is a fresh observation)."""
+    from noaa_oracle_spark.streaming import (
+        band_verdicts,
+        streaming_minhash_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, "b1", [(1, LONG_A, 0)])
+    docs = stream_documents(spark, src)
+    ownership = streaming_minhash_dedup(
+        docs, ts_col="ingest_ts", watermark="0 seconds",
+        state_ttl_seconds=60,
+    )
+    q = (
+        ownership.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dedup_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far past the TTL with unrelated traffic
+        _write_batch(spark, src, "b2", [(2, LONG_B, 120)])
+        q.processAllAvailable()
+        # the old band states (last seen t0, TTL 60s) are now behind the
+        # watermark (t0+120min) — this batch fires their timeouts
+        _write_batch(spark, src, "b3", [(3, LONG_A, 125)])
+        q.processAllAvailable()
+        verdicts = {
+            r.doc_id: r.is_dup
+            for r in band_verdicts(
+                spark.sql("SELECT * FROM near_dedup_ttl")
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert verdicts[1] is False
+    assert verdicts[3] is False  # state evicted — doc 3 owns its bands anew

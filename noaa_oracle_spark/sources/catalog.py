@@ -104,26 +104,40 @@ def parse_snapshot_name(name: str, kind: str) -> SnapshotFile | None:
     return None
 
 
+#: Per-date prefix listings are issued only for windows up to this many
+#: days (file_access.rs:276-280's 365-prefix safety bound). Beyond it we
+#: fall back to ONE full-base listing filtered by timestamp — same result
+#: set, one paginated scan, where the reference silently truncates at the
+#: cap; correctness wins over that quirk.
+MAX_DATE_PREFIXES = 365
+
+
 class SnapshotCatalog:
-    """File catalog over a `{data_dir}/{date}/{kind}_{ts}.parquet` tree."""
+    """File catalog over a `{data_dir}/{date}/{kind}_{ts}.parquet` tree.
 
-    def __init__(self, data_dir: str):
+    Backend-blind: all path enumeration goes through the scheme-agnostic
+    filesystem (sources/fs.py), so the same pruning runs over local date
+    directories and object-store date prefixes (the S5/S9 contract,
+    file_access.rs:263-329). Windowed selection issues one prefix listing
+    per date in the widened window — listing cost is O(days), never a
+    full-base scan; a nonexistent date prefix lists empty, exactly like a
+    prefix with no objects."""
+
+    def __init__(self, data_dir: str, fs=None):
+        from noaa_oracle_spark.sources.fs import fs_for
+
         self.data_dir = data_dir
+        self.fs = fs if fs is not None else fs_for(data_dir)
 
-    def _date_dirs(self, start: date, end: date) -> list[str]:
-        """Date-directory pruning — only dirs inside [start, end] are listed
-        (file_access.rs:181-191). This is partition pruning done before Spark
-        ever sees a path."""
-        if not os.path.isdir(self.data_dir):
-            return []
+    def _date_prefix(self, d: date) -> str:
+        return os.path.join(self.data_dir, d.isoformat()) + "/"
+
+    def _window_dates(self, start: date, end: date) -> list[date]:
         out = []
-        for name in sorted(os.listdir(self.data_dir)):
-            try:
-                d = date.fromisoformat(name)
-            except ValueError:
-                continue
-            if start <= d <= end:
-                out.append(os.path.join(self.data_dir, name))
+        cur = start
+        while cur <= end:
+            out.append(cur)
+            cur = cur + timedelta(days=1)
         return out
 
     def list_files(
@@ -143,18 +157,56 @@ class SnapshotCatalog:
         start = start.astimezone(timezone.utc)
         end = end.astimezone(timezone.utc)
         widened = start - timedelta(days=lookback_days)
+        dates = self._window_dates(widened.date(), end.date())
+        if len(dates) <= MAX_DATE_PREFIXES:
+            snapshots: dict[str, SnapshotFile] = {}
+            for d in dates:
+                pfx = self._date_prefix(d)
+                self._collect(snapshots, self.fs.list_prefix(pfx), pfx, kind)
+        else:
+            base = self.data_dir.rstrip("/") + "/"
+            snapshots = {}
+            self._collect(
+                snapshots, self.fs.list_prefix(base), base, kind, dated=True
+            )
         files: list[SnapshotFile] = []
-        for d in self._date_dirs(widened.date(), end.date()):
-            for name in sorted(os.listdir(d)):
-                sf = parse_snapshot_name(name, kind)
-                if sf is None:
-                    continue
-                # plain snapshot: ts ∈ [widened, end]; compacted: interval
-                # overlap (lo == ts for plain files, so one condition covers
-                # both)
-                if sf.snapshot_ts >= widened and sf.lo <= end:
-                    files.append(replace(sf, path=os.path.join(d, name)))
+        for path in sorted(snapshots):
+            sf = snapshots[path]
+            # plain snapshot: ts ∈ [widened, end]; compacted: interval
+            # overlap (lo == ts for plain files, so one condition covers
+            # both)
+            if sf.snapshot_ts >= widened and sf.lo <= end:
+                files.append(sf)
         return files
+
+    @staticmethod
+    def _collect(
+        out: "dict[str, SnapshotFile]",
+        keys: list[str],
+        prefix: str,
+        kind: str,
+        dated: bool = False,
+    ) -> None:
+        """Group flat object keys into LOGICAL snapshots: the path segment
+        right after the (date) prefix names the snapshot — a plain
+        `{name}.parquet` key, or a directory-valued snapshot whose part
+        files share the `{name}/` segment (Spark reads either form from
+        one path). `dated=True` skips one extra `{date}/` segment for
+        base-prefix listings."""
+        for key in keys:
+            rel = key[len(prefix):]
+            parts = rel.split("/")
+            if dated:
+                if len(parts) < 2:
+                    continue
+                name, logical = parts[1], prefix + parts[0] + "/" + parts[1]
+            else:
+                name, logical = parts[0], prefix + parts[0]
+            if logical in out:
+                continue
+            sf = parse_snapshot_name(name, kind)
+            if sf is not None:
+                out[logical] = replace(sf, path=logical)
 
     def list_paths(self, kind: str, start: datetime, end: datetime,
                    lookback_days: int = 1) -> list[str]:
@@ -162,15 +214,11 @@ class SnapshotCatalog:
 
     def all_paths(self, kind: str) -> list[str]:
         """Every file of `kind` (the stations query scans all observation
-        snapshots, weather_data.rs:713-733)."""
-        files: list[str] = []
-        if not os.path.isdir(self.data_dir):
-            return files
-        for day in sorted(os.listdir(self.data_dir)):
-            d = os.path.join(self.data_dir, day)
-            if not os.path.isdir(d):
-                continue
-            for name in sorted(os.listdir(d)):
-                if parse_snapshot_name(name, kind) is not None:
-                    files.append(os.path.join(d, name))
-        return files
+        snapshots, weather_data.rs:713-733) — the no-window path is the one
+        full-base listing, same as grab_file_names' `weather_data/` prefix."""
+        base = self.data_dir.rstrip("/") + "/"
+        snapshots: dict[str, SnapshotFile] = {}
+        self._collect(
+            snapshots, self.fs.list_prefix(base), base, kind, dated=True
+        )
+        return sorted(snapshots)

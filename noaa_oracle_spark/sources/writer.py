@@ -19,11 +19,13 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import tempfile
 from datetime import datetime
 
 from pyspark.sql import DataFrame
 
 from noaa_oracle_spark.sources.catalog import snapshot_path
+from noaa_oracle_spark.sources.fs import fs_for
 
 
 def write_snapshot(
@@ -33,17 +35,27 @@ def write_snapshot(
     ts: datetime,
     single_file: bool = True,
 ) -> str:
-    """Write a snapshot; returns the catalog path."""
+    """Write a snapshot; returns the catalog path.
+
+    single_file=True materializes one part locally, then hands it to the
+    scheme-agnostic filesystem's `put_file` — a rename on local disk, an
+    upload on an object store (the S9 path, file_access.rs upload side);
+    the catalog sees the identical `{date}/{kind}_{ts}.parquet` key either
+    way. single_file=False writes the snapshot as a directory directly via
+    Spark (local or any Hadoop-supported scheme)."""
     target = snapshot_path(data_dir, kind, ts)
-    os.makedirs(os.path.dirname(target), exist_ok=True)
     if not single_file:
         df.write.mode("overwrite").parquet(target)
         return target
-    tmp = target + ".tmpdir"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.parquet"))
-    if len(part) != 1:
-        raise RuntimeError(f"expected one part file, got {part}")
-    shutil.move(part[0], target)
-    shutil.rmtree(tmp)
+    fs = fs_for(data_dir)
+    tmp = tempfile.mkdtemp(prefix="snapshot_write_")
+    try:
+        tmpdir = os.path.join(tmp, "part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpdir)
+        part = glob.glob(os.path.join(tmpdir, "part-*.parquet"))
+        if len(part) != 1:
+            raise RuntimeError(f"expected one part file, got {part}")
+        fs.put_file(part[0], target)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return target

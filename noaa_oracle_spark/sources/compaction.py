@@ -154,6 +154,66 @@ def apply_compaction(
     return target
 
 
+def compact_table_dir(
+    spark: SparkSession,
+    table_dir: str,
+    sort_cols: tuple[str, ...] = (),
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> int | None:
+    """Compact a PIPELINE table directory (documents/embeddings — any
+    parquet dir a crawl or dedup stage shredded into many small parts)
+    into few size-targeted, optionally sorted files. Returns the new file
+    count, or None if the dir is already compact.
+
+    The corpus counterpart of the snapshot compactor above, with a simpler
+    invisibility argument: a table directory has no embedded-timestamp
+    pruning contract — every reader scans the whole dir — so a rewrite
+    that preserves row VALUES (no casts; same columns) is invisible to
+    every operator by construction; only task counts and row-group stats
+    change. Sorting by the table's id (doc_id/vec_id) clusters row groups
+    for min/max skipping on id-range scans and makes downstream
+    per-partition work deterministic.
+
+    Atomicity: write to `.tmpdir`, swap via rename of the CONTENTS into
+    the original dir after clearing it — the brief window where the dir is
+    empty is the same recover-by-redo model as apply_compaction; run it
+    from the orchestration layer, not under live readers."""
+    if not os.path.isdir(table_dir):
+        return None
+    parts = [
+        p
+        for p in sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
+        if os.path.isfile(p)
+    ]
+    if len(parts) < min_input_files:
+        return None
+    total = sum(os.path.getsize(p) for p in parts)
+    n_out = max(1, -(-total // target_file_bytes))
+    if n_out >= len(parts):
+        return None
+    df = spark.read.parquet(table_dir)
+    cols = [c for c in sort_cols if c in df.columns]
+    if cols:
+        out = df.repartitionByRange(n_out, *[F.col(c) for c in cols])
+        out = out.sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n_out)
+    tmp = table_dir.rstrip("/") + ".tmpdir"
+    out.write.mode("overwrite").parquet(tmp)
+    for p in parts:
+        os.remove(p)
+    moved = 0
+    for p in sorted(glob.glob(os.path.join(tmp, "*"))):
+        base = os.path.basename(p)
+        if base.startswith("part-") or base == "_SUCCESS":
+            shutil.move(p, os.path.join(table_dir, base))
+            if base.startswith("part-"):
+                moved += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return moved
+
+
 def compact_date_dir(
     spark: SparkSession,
     data_dir: str,

@@ -33,9 +33,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("PIPELINE_BENCH_DOCS", "100000"))
-FIXTURE = f"/tmp/noaa_pipeline_bench_v1_{N_DOCS}"
+# PIPELINE_BENCH_ZIPF=1: draw words from a Zipf(1.2) distribution instead
+# of uniform — the realistic web-corpus shingle skew (a few shingles occur
+# everywhere), which is precisely what PPJoin's prefix filtering is for
+# and what breaks the plain inverted-index join.
+ZIPF = os.environ.get("PIPELINE_BENCH_ZIPF", "") == "1"
+FIXTURE = f"/tmp/noaa_pipeline_bench_v1_{N_DOCS}" + ("_zipf" if ZIPF else "")
 VOCAB = 5000
 SEED = 42
+
+
+def _draw_words(rng, n: int) -> "np.ndarray":
+    if ZIPF:
+        idx = rng.zipf(1.2, size=n) % VOCAB
+        return idx
+    return rng.randint(0, VOCAB, n)
 
 
 def _generate() -> str:
@@ -51,7 +63,7 @@ def _generate() -> str:
     n_base = int(N_DOCS * 0.85)
     for _ in range(n_base):
         ln = rng.randint(40, 200)
-        words = vocab[rng.randint(0, VOCAB, ln)]
+        words = vocab[_draw_words(rng, ln)]
         t = " ".join(words)
         if rng.rand() < 0.2:  # hot boilerplate in 20% of docs
             t = boiler + " " + t
@@ -110,8 +122,16 @@ def main() -> None:
     docs = spark.read.parquet(path)
 
     out: dict[str, dict] = {}
+    # PIPELINE_BENCH_ONLY=exact,minhash,ppjoin restricts to named rungs
+    # (the 1M Zipf ladder skips the deliberately-naive jaccard rung, which
+    # is quadratic-ish in hot shingles by design)
+    only = {
+        s for s in os.environ.get("PIPELINE_BENCH_ONLY", "").split(",") if s
+    }
 
     def run(name, fn):
+        if only and name not in only:
+            return
         # each rung stands alone: operators persist their shared stages and
         # a long-lived service would evict them naturally, but letting one
         # rung's leftover cache evict under the next rung's memory pressure
@@ -166,6 +186,38 @@ def main() -> None:
     run("kmeans_update", lambda: kmeans_update(
         kmeans_assign(pts, seeds, backend="numpy")).count())
 
+    # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
+    # blocked (no-driver-materialization) block-pair join on the same
+    # vectors. At bench scale both are compute-bound on the identical
+    # O(n²/2) numpy product, so blocked ≈ broadcast + one bounded shuffle;
+    # what the broadcast tier CANNOT do is run past driver memory — the
+    # guard rung shows the failover behavior the 100 TB path relies on.
+    from noaa_oracle_spark.pipeline.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+
+    n_pairs_vecs = int(os.environ.get("PIPELINE_BENCH_EMB_PAIRS", "20000"))
+    vecs = emb.filter(F.col("vec_id") < n_pairs_vecs)
+    run("emb_pairs_broadcast", lambda: embedding_cosine_pairs(
+        vecs, threshold=0.5).count())
+    run("emb_pairs_blocked", lambda: embedding_cosine_pairs_blocked(
+        vecs, threshold=0.5, num_blocks=8).count())
+
+    def _guarded():
+        try:
+            embedding_cosine_pairs(
+                vecs, threshold=0.5, max_broadcast_rows=1000
+            ).count()
+            return -1  # should not happen
+        except ValueError:
+            # beyond the broadcast threshold only the blocked tier runs
+            return embedding_cosine_pairs(
+                vecs, threshold=0.5, strategy="blocked", num_blocks=8
+            ).count()
+
+    run("emb_pairs_beyond_broadcast", _guarded)
+
     # --- chain-topology rung: the adversarial shape for min-propagation
     # (rounds == diameter) vs the two-phase star algorithm (rounds ==
     # O(log^2 n) regardless of diameter). Thresholded similarity graphs are
@@ -196,7 +248,8 @@ def main() -> None:
                 stats=st,
             ).count(),
         )
-        out[f"components_chain_{alg}"]["rounds"] = st["rounds"]
+        if f"components_chain_{alg}" in out:
+            out[f"components_chain_{alg}"]["rounds"] = st["rounds"]
 
     print(json.dumps({
         "metric": "pipeline_ops_at_corpus_scale",

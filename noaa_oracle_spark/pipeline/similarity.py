@@ -639,7 +639,15 @@ def embedding_cosine_pairs_blocked(
     Float discipline: identical dimension-ordered accumulation as the
     broadcast kernel — dot products are commutative per term, so a pair's
     cosine is the same double whichever side of the group it sits on; the
-    authoritative round(cos, d) >= threshold cut runs JVM-side."""
+    authoritative round(cos, d) >= threshold cut runs JVM-side.
+
+    Measured (bench_pipeline, 20k×64 vecs): blocked 16.6 s vs broadcast
+    45.8 s — 2.8× faster even BELOW the broadcast memory ceiling, because
+    the group kernel computes each pair once (upper triangle / one
+    bipartite product) where the broadcast kernel computes the full n×n
+    matrix, and there is no driver collect+rebroadcast. The broadcast
+    tier only wins at small corpora (~2k vecs: 0.55 s vs 0.93 s at
+    sf0.1), where its single map stage beats the groupBy shuffle."""
     import numpy as np
     import pandas as pd
 

@@ -4,10 +4,12 @@ The runtime ships no imaging/audio libraries (no PIL, no soundfile), so
 "real codec" here means formats decodable with the standard library +
 numpy alone:
 
-  - images: PPM (P6 binary), BMP (uncompressed 24/32-bit BI_RGB), and
+  - images: PPM (P6 binary), BMP (uncompressed 24/32-bit BI_RGB),
     PNG (stdlib zlib inflate + all five filter-type unfilters, 8-bit
-    gray/RGB/palette/gray-alpha/RGBA) → numpy (H, W, 3) uint8 arrays;
-    nearest-neighbor resize; P6/PNG re-encode.
+    gray/RGB/palette/gray-alpha/RGBA), and baseline JPEG (spec-level
+    T.81 decode + 4:4:4/4:2:0 encoder, pipeline/jpeg_codec.py) →
+    numpy (H, W, 3) uint8 arrays; nearest-neighbor resize; P6/PNG/JPEG
+    re-encode.
   - audio: RIFF/WAVE PCM via the stdlib `wave` module → mono float64
     samples in [-1, 1] plus the sample rate.
 
@@ -44,6 +46,8 @@ def sniff_image_format(data: bytes) -> str | None:
         return "bmp"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -320,8 +324,12 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if fmt == "png":
         return decode_png(data)
+    if fmt == "jpeg":
+        from noaa_oracle_spark.pipeline.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(
-        "unrecognized image format (supported: P6 PPM, BMP, PNG)"
+        "unrecognized image format (supported: P6 PPM, BMP, PNG, JPEG)"
     )
 
 

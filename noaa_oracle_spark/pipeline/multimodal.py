@@ -8,13 +8,16 @@ shapes, partition sizing — is real and tested. Codecs come in two tiers:
   - codec="fake": the deterministic hash stand-in (plumbing tests).
   - codec="raster" (images) / codec="wav" (audio): REAL byte-level
     decoders built on stdlib+numpy alone (pipeline/media_codecs.py):
-    P6 PPM, uncompressed BMP, and PNG (zlib inflate + full unfiltering,
-    8-bit gray/RGB/palette/alpha variants) for images, RIFF/WAVE PCM for
-    audio. Real pixels/samples in, real features/resizes/energies out;
-    corrupt blobs degrade to NULL output columns instead of failing the
-    task.
-  - anything else (JPEG/MP3/MP4…) still raises NotImplementedError —
-    those genuinely need external libraries this runtime doesn't ship.
+    P6 PPM, uncompressed BMP, PNG (zlib inflate + full unfiltering,
+    8-bit gray/RGB/palette/alpha variants), and baseline JPEG (full
+    T.81 sequential decode: Huffman MCU entropy decoding, restart
+    markers, any sampling factors, IDCT, JFIF color convert —
+    pipeline/jpeg_codec.py) for images, RIFF/WAVE PCM for audio. Real
+    pixels/samples in, real features/resizes/energies out; corrupt
+    blobs degrade to NULL output columns instead of failing the task.
+  - anything else (progressive JPEG/MP3/MP4…) still raises
+    NotImplementedError — those genuinely need external libraries (or
+    codecs out of scope for a data engine) this runtime doesn't ship.
 
 At 100 TB the rules encoded here:
   - blobs never pass through a shuffle: metadata extraction and feature

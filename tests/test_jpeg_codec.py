@@ -1,0 +1,202 @@
+"""Baseline JPEG codec: spec-level decode checks with numpy oracles.
+
+Lossy codecs can't round-trip exactly, so exactness anchors where the math
+IS exact: a solid color is a DC-only block whose reconstruction error is
+bounded by half a quantization step; restart markers change the entropy
+coding but not one dequantized coefficient, so RST and non-RST encodings
+of the same image must decode IDENTICALLY. Smooth/noise images get error
+bounds; structural variants (4:2:0, odd geometry, grayscale, fill bytes)
+each exercise a distinct decoder path; malformed/unsupported streams must
+raise ValueError (the NULL-degrade contract of the media operators).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from noaa_oracle_spark.pipeline.jpeg_codec import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    QUANT_LUMA,
+    _BitWriter,
+    _build_encode_table,
+    _magnitude,
+    decode_jpeg,
+    encode_jpeg,
+)
+from noaa_oracle_spark.pipeline.media_codecs import (
+    decode_image,
+    sniff_image_format,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_solid_gray_is_exact():
+    img = np.full((16, 24, 3), 128, np.uint8)
+    data = encode_jpeg(img, 90)
+    assert sniff_image_format(data) == "jpeg"
+    out = decode_jpeg(data)
+    assert out.shape == img.shape
+    np.testing.assert_array_equal(out, img)
+
+
+def test_solid_colors_within_dc_quant_step():
+    for color in [(200, 50, 90), (10, 10, 240), (255, 255, 255)]:
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[:] = color
+        out = decode_jpeg(encode_jpeg(img, 90))
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= 3, (color, err)
+
+
+def test_gradient_and_noise_error_bounds():
+    x = np.linspace(0, 255, 64)
+    grad = np.zeros((32, 64, 3), np.uint8)
+    grad[..., 0] = x[None, :].astype(np.uint8)
+    grad[..., 1] = np.linspace(0, 255, 32)[:, None].astype(np.uint8)
+    grad[..., 2] = 80
+    gerr = np.abs(
+        decode_jpeg(encode_jpeg(grad, 95)).astype(int) - grad.astype(int)
+    )
+    assert gerr.max() <= 4
+    noise = RNG.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    nerr = np.abs(
+        decode_jpeg(encode_jpeg(noise, 95)).astype(int) - noise.astype(int)
+    )
+    assert nerr.max() <= 32 and nerr.mean() <= 8
+
+
+def test_restart_markers_decode_identically():
+    """RSTn + predictor resets re-code the SAME coefficients — decoded
+    pixels must match the no-restart encoding bit for bit."""
+    img = RNG.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 85))
+    with_rst = decode_jpeg(encode_jpeg(img, 85, restart_interval=3))
+    np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_420_subsampling_paths():
+    # chroma-flat image: 4:2:0's chroma pooling loses nothing
+    gray_ramp = np.repeat(
+        np.linspace(0, 255, 64).astype(np.uint8)[None, :, None], 3, axis=2
+    )
+    gray_ramp = np.repeat(gray_ramp, 32, axis=0)
+    full = decode_jpeg(encode_jpeg(gray_ramp, 95))
+    sub = decode_jpeg(encode_jpeg(gray_ramp, 95, subsample=True))
+    assert np.abs(sub.astype(int) - full.astype(int)).max() <= 2
+    # colored + odd geometry + restarts: every MCU-geometry branch at once
+    img = RNG.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg(img, 90, subsample=True, restart_interval=2)
+    )
+    assert out.shape == (19, 27, 3)
+    # chroma is quartered, so RGB error on noise is large by design; LUMA
+    # is not subsampled — it must stay close
+    def luma(a):
+        return (
+            0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        )
+
+    lerr = np.abs(luma(out.astype(float)) - luma(img.astype(float)))
+    assert lerr.mean() <= 10
+
+
+def _grayscale_dc_jpeg(value: int, h: int = 8, w: int = 8) -> bytes:
+    """Hand-assembled 1-component DC-only JPEG: one block, DC diff coded
+    with the Annex-K luma tables — written against the spec in THIS test,
+    independent of the module's 3-component encoder."""
+    q = QUANT_LUMA  # unscaled Annex table (quality 50)
+    dc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw = _BitWriter()
+    blocks_y, blocks_x = -(-h // 8), -(-w // 8)
+    pred = 0
+    for _ in range(blocks_y * blocks_x):
+        coef = int(round(8 * (value - 128) / int(q[0])))
+        t, bits = _magnitude(coef - pred)
+        pred = coef
+        code, ln = dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(bits, t)
+        code, ln = ac[0x00]  # EOB
+        bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+        + seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def test_grayscale_single_component():
+    data = _grayscale_dc_jpeg(200, 16, 8)
+    out = decode_jpeg(data)
+    assert out.shape == (16, 8, 3)
+    # DC quantization step is 16 → reconstruction within half a step
+    assert np.all(np.abs(out.astype(int) - 200) <= 8)
+    # all three RGB channels equal (gray replication)
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 1], out[..., 2])
+
+
+def test_decode_image_dispatch():
+    img = np.full((8, 8, 3), 77, np.uint8)
+    out = decode_image(encode_jpeg(img, 90))
+    assert np.abs(out.astype(int) - 77).max() <= 3
+
+
+def test_malformed_and_unsupported_reject():
+    img = np.full((8, 8, 3), 90, np.uint8)
+    good = bytearray(encode_jpeg(img, 90))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) // 2]))  # truncated mid-stream
+    # flip SOF0 → SOF2 (progressive)
+    idx = bytes(good).find(b"\xff\xc0")
+    prog = good.copy()
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # 12-bit precision
+    deep = good.copy()
+    deep[idx + 4] = 12
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(bytes(deep))
+
+
+def test_spark_raster_path_accepts_jpeg(spark):
+    from noaa_oracle_spark.pipeline.media_codecs import grid_features
+    from noaa_oracle_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+        extract_image_features,
+    )
+
+    img = RNG.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, 90)
+    media = spark.createDataFrame(
+        [(20, "image", blob, "image/jpeg", 16, 12, None)], MEDIA_SCHEMA
+    )
+    dec = decode_images(media).collect()[0]
+    assert (dec["format"], dec["width"], dec["height"]) == ("jpeg", 16, 12)
+    feats = extract_image_features(media, dim=12, codec="raster").collect()
+    assert feats[0]["feature"] == pytest.approx(
+        grid_features(decode_jpeg(blob), 12)
+    )

@@ -307,7 +307,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
-    driver_edge_threshold: int = 2_000_000,
+    driver_edge_threshold: int = 1_000_000,
     algorithm: str = "auto",
     stats: dict | None = None,
 ) -> DataFrame:
@@ -342,7 +342,14 @@ def connected_components(
     solved with union-find on the driver in one pass and broadcast-joined
     back — no iteration, no per-round job overhead. The distributed
     min-propagation loop below is the path for graphs that don't fit; set
-    the threshold to 0 to force it (tests do)."""
+    the threshold to 0 to force it (tests do).
+
+    The threshold is an EDGE COUNT because that is what the probe measures
+    cheaply; size the byte budget consciously when raising it — collected
+    edge rows cost ~150 B each on the driver (two boxed longs + Row/tuple
+    overhead), so the 1M default is ~150 MB transient driver heap, and the
+    chosen path is always reported via ``stats["path"]`` so a silent
+    inheritance at scale is visible in instrumentation."""
     # the edge set is usually the output of a whole candidate-pair pipeline
     # (shingling, banding, joins) — persist so the size probe and the
     # consumption below evaluate it once

@@ -186,6 +186,30 @@ def main() -> None:
     run("kmeans_update", lambda: kmeans_update(
         kmeans_assign(pts, seeds, backend="numpy")).count())
 
+    # --- decontamination tiers: the bloom prefilter's value is SHUFFLE
+    # VOLUME — the gram stream entering the bench join. decon_grams_* count
+    # that stream directly (all corpus grams vs bloom survivors); the
+    # timed rungs compare the no-broadcast shuffle join against the
+    # bloom-prefiltered one on identical output.
+    from noaa_oracle_spark.pipeline.dedup import _word_shingles
+    from noaa_oracle_spark.pipeline.text import (
+        bloom_gram_filter,
+        decontamination,
+        decontamination_bloom,
+    )
+
+    d_bench = docs.filter(F.col("doc_id") % 97 == 0)
+    d_train = docs.filter(F.col("doc_id") % 97 != 0)
+    run("decon_shuffle", lambda: decontamination(
+        d_train, d_bench, n=3, broadcast_bench=False).count())
+    run("decon_bloom", lambda: decontamination_bloom(
+        d_train, d_bench, n=3).count())
+    run("decon_grams_all", lambda: _word_shingles(d_train, n=3).count())
+    run("decon_grams_bloom_survivors", lambda: bloom_gram_filter(
+        _word_shingles(d_train, n=3),
+        _word_shingles(d_bench, n=3).select("shingle").distinct(),
+    ).count())
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

@@ -344,7 +344,38 @@ def decontamination_bloom(
     bit_or / map lookup) — codegen'd end to end; no UDF, no collect."""
     from noaa_oracle_spark.pipeline.dedup import _word_shingles
 
-    n_words = (m_bits + 63) // 64
+    train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    bench = (
+        _word_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
+    candidates = bloom_gram_filter(
+        train, bench, m_bits=m_bits, k_hashes=k_hashes
+    ).select(id_col, "shingle")
+    shared = (
+        candidates.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return shared.join(totals, id_col).select(
+        id_col, "shared_grams", "total_grams"
+    )
+
+
+def bloom_gram_filter(
+    grams: DataFrame,
+    bench_grams: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    gram_col: str = "shingle",
+) -> DataFrame:
+    """Map-side bloom prefilter: rows of `grams` whose `gram_col` MIGHT be
+    in `bench_grams` (false positives pass; negatives are exact). The
+    shuffle-volume lever of `decontamination_bloom`, exposed so callers
+    (and bench_pipeline) can measure the surviving candidate stream
+    directly. Returns the input rows minus a temporary `_bloom` column."""
 
     def positions(gram: Column) -> list[Column]:
         # k independent hash positions: xxhash64 with a distinct literal
@@ -357,17 +388,11 @@ def decontamination_bloom(
             for i in range(k_hashes)
         ]
 
-    train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
-    bench = (
-        _word_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
-        .select("shingle")
-        .distinct()
-    )
     # 1-row bitmap: (word index -> 64-bit word) map. The (word, bits)
     # grouping has at most m_bits/64 keys — tiny, uniform.
     bitmap = (
-        bench.select(
-            F.explode(F.array(*positions(F.col("shingle")))).alias("pos")
+        bench_grams.select(
+            F.explode(F.array(*positions(F.col(gram_col)))).alias("pos")
         )
         .select(
             (F.col("pos") / 64).cast("long").alias("word"),
@@ -382,7 +407,7 @@ def decontamination_bloom(
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("word", "bits"))
-            ).alias("bloom")
+            ).alias("_bloom")
         )
     )
 
@@ -390,7 +415,7 @@ def decontamination_bloom(
         tests = [
             (
                 F.coalesce(
-                    F.element_at(F.col("bloom"), (p / 64).cast("long")),
+                    F.element_at(F.col("_bloom"), (p / 64).cast("long")),
                     F.lit(0).cast("long"),
                 ).bitwiseAND(
                     F.call_function(
@@ -408,19 +433,10 @@ def decontamination_bloom(
             out = out & t
         return out
 
-    totals = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
-    candidates = (
-        train.crossJoin(F.broadcast(bitmap))
-        .filter(might_contain(F.col("shingle")))
-        .select(id_col, "shingle")
-    )
-    shared = (
-        candidates.join(bench, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
-    )
-    return shared.join(totals, id_col).select(
-        id_col, "shared_grams", "total_grams"
+    return (
+        grams.crossJoin(F.broadcast(bitmap))
+        .filter(might_contain(F.col(gram_col)))
+        .drop("_bloom")
     )
 
 

@@ -736,6 +736,98 @@ def embedding_cosine_pairs_blocked(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then look
+    for near-identical pairs WITHIN each cluster only — the observation
+    being that semantic duplicates land in the same cell, so the exact
+    O(n²) cosine verify shrinks to Σ(cell²) ≈ n²/k for balanced cells.
+
+    Deterministic keep rule: within a cluster, a vector is a duplicate iff
+    some LOWER-id member matches it at `round(cos, d) >= threshold`; its
+    `dup_of` names the minimum such id (the kept representative). This is
+    the same (a < b) orientation and rounding discipline as the rest of
+    the ladder, so the operator is engine-portable end to end.
+
+    Returns (id, cluster_id, is_dup, dup_of) for EVERY input vector.
+
+    Plan shape: assignment is the zero-shuffle literal-centroid map
+    (`kmeans_assign`, expr backend — oracle-exact); the within-cell pair
+    scan is one groupBy(cluster).applyInPandas running the same GEMM
+    kernel as the blocked pair join, so per-task memory is bounded by the
+    largest CELL, not the corpus — if a cell outgrows a task, raise k
+    (the paper's own lever; cell occupancy is exactly what
+    `lloyd_refine` balances). Verdict rollup + the final attach are
+    id-keyed hash joins."""
+    import numpy as np
+    import pandas as pd
+
+    _require_integral_ids(vectors, id_col, "semantic_dedup")
+    assigned = kmeans_assign(
+        vectors.select(id_col, vec_col),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    cutoff = threshold - 10.0 ** (-round_digits)
+
+    def fold_norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "cos_raw": []}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "cos_raw": "float64"})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        nrm = fold_norms(mat)
+        dot = np.multiply.outer(mat[:, 0], mat[:, 0])
+        for i in range(1, mat.shape[1]):
+            dot = dot + np.multiply.outer(mat[:, i], mat[:, i])
+        cos = dot / np.multiply.outer(nrm, nrm)
+        ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= cutoff))
+        return pd.DataFrame(
+            {"doc_a": ids[ia], "doc_b": ids[ib], "cos_raw": cos[ia, ib]}
+        )
+
+    pairs = (
+        assigned.select(id_col, vec_col, "cluster_id")
+        .groupBy("cluster_id")
+        .applyInPandas(kernel, "doc_a long, doc_b long, cos_raw double")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("cos_raw"), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    dups = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("dup_of"))
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dups, F.col(id_col) == F.col("doc_b"), "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def kmeans_assign(
     points: DataFrame,
     centroids: DataFrame,

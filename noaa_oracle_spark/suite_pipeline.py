@@ -27,6 +27,7 @@ from noaa_oracle_spark.pipeline.similarity import (
     kmeans_assign,
     kmeans_update,
     lsh_bucketed_knn,
+    semantic_dedup,
 )
 from noaa_oracle_spark.pipeline.text import (
     TOKEN_RE,
@@ -1071,6 +1072,49 @@ def q95_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q95 = SQL_Q77
 
 
+_SEMDEDUP_T = 0.35
+
+
+def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cell semantic dedup (similarity.semantic_dedup) —
+    assign every vector to its nearest of the 8 seed centroids, flag
+    vectors matched at >=0.35 cosine by a lower-id member of the SAME
+    cell, name the kept representative."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = _kmeans_centroids(spark, sf_dir).select("vec_id", "embedding")
+    return semantic_dedup(emb, seeds, threshold=_SEMDEDUP_T)
+
+
+SQL_Q96 = f"""
+WITH seeds AS (
+    SELECT vec_id AS cid, embedding AS c_vec FROM embeddings
+    WHERE vec_id < {_KMEANS_K}
+), scored AS (
+    SELECT e.vec_id, e.embedding, s.cid,
+           {_COS_SQL.format(a='e.embedding', b='s.c_vec')} AS cos_sim
+    FROM embeddings e, seeds s
+), members AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid ASC) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+), pairs AS (
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim
+    FROM members a JOIN members b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+), dups AS (
+    SELECT doc_b, min(doc_a) AS dup_of FROM pairs
+    WHERE cos_sim >= {_SEMDEDUP_T} GROUP BY 1
+)
+SELECT m.vec_id, m.cid AS cluster_id,
+       d.doc_b IS NOT NULL AS is_dup, d.dup_of
+FROM members m LEFT JOIN dups d ON m.vec_id = d.doc_b
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1103,6 +1147,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_source_quota": q93_source_quota,
     "q94_embedding_dedup_blocked": q94_embedding_dedup_blocked,
     "q95_decontamination_bloom": q95_decontamination_bloom,
+    "q96_semantic_dedup": q96_semantic_dedup,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1137,4 +1182,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q93_source_quota": SQL_Q93,
     "q94_embedding_dedup_blocked": SQL_Q94,
     "q95_decontamination_bloom": SQL_Q95,
+    "q96_semantic_dedup": SQL_Q96,
 }

@@ -227,3 +227,67 @@ def test_brute_force_numpy_backend_matches_expr(spark, emb):
         for r in brute_force_knn(q, emb, k=5, backend="numpy").collect()
     )
     assert expr == np_
+
+
+def test_semantic_dedup_matches_within_cell_oracle(spark, emb):
+    """SemDeDup verdicts equal a numpy recomputation: assign via the
+    operator's own (tested) kmeans_assign, then flag b iff a lower-id
+    SAME-cell member matches at the rounded threshold."""
+    from noaa_oracle_spark.pipeline.similarity import (
+        kmeans_assign,
+        semantic_dedup,
+    )
+
+    seeds = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    got = {
+        r.vec_id: (r.cluster_id, r.is_dup, r.dup_of)
+        for r in semantic_dedup(emb, seeds, threshold=0.35).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    assert len(got) == len(rows)
+
+    cells = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(emb.select("vec_id", "embedding"), seeds)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    expected = {}
+    for j, b in enumerate(ids):
+        owners = [
+            int(ids[i])
+            for i in range(len(ids))
+            if ids[i] < b
+            and cells[int(ids[i])] == cells[int(b)]
+            and sims[i, j] >= 0.35
+        ]
+        expected[int(b)] = (
+            cells[int(b)],
+            bool(owners),
+            min(owners) if owners else None,
+        )
+    assert got == expected
+    # the threshold is low enough that the fixture actually plants dups
+    assert any(v[1] for v in got.values())
+
+
+def test_semantic_dedup_planted_exact_duplicate(spark):
+    """An identical vector pair always shares a cell and flags the
+    higher id with dup_of = the lower."""
+    from noaa_oracle_spark.pipeline.similarity import semantic_dedup
+
+    import random
+
+    rnd = random.Random(5)
+    base = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, base[7]))  # exact copy of vec 7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = df.filter(F.col("vec_id") < 4)
+    out = {r.vec_id: r for r in semantic_dedup(df, seeds, 0.999).collect()}
+    assert out[100].is_dup and out[100].dup_of == 7
+    assert not out[7].is_dup

@@ -271,6 +271,137 @@ def boilerplate_ngram_stats(
     return per_doc
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring removal at CHARACTER level — the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2021), re-expressed as a gram join: every
+    character `min_len`-gram that occurs more than once corpus-wide
+    (counting occurrences, so in-document repetition counts — same rule
+    as span_dedup) marks its span duplicated; per document, overlapping
+    marked spans merge into maximal intervals which are then cut out.
+
+    Returns (id, n_dup_spans, dup_chars, clean_text) for EVERY document;
+    clean_text is the concatenation of the uncovered remainder (equal to
+    the input when nothing matched, empty when fully covered).
+
+    Equivalence to the suffix-array formulation: a duplicated substring of
+    length ≥ min_len is exactly a run of ≥ 1 duplicated min_len-grams, and
+    the union of their [p, p+min_len) windows is the full duplicated span
+    — so the merged intervals here equal the suffix-array tool's spans
+    (that tool removes every occurrence; so does this).
+
+    Plan shape: the gram stream carries (doc, pos, 60-bit md5-prefix hash)
+    — never gram text — through ONE corpus-wide hash-keyed count and one
+    doc-keyed rollup; interval merging and span cutting are per-row array
+    folds (aggregate over the sorted position list), no per-character
+    explosion anywhere. The 60-bit integer keys keep both shuffles in
+    hash aggregation (the winnowing discipline)."""
+    L = min_len
+    n = F.length(F.col(text_col))
+
+    def gram_hash(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    grams = spread(docs).filter(n >= L).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - L + 1),
+                lambda i: gram_hash(F.substr(F.col(text_col), i, F.lit(L))),
+            )
+        ).alias("off", "h"),
+    )
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    positions = (
+        grams.join(dup_hashes, "h")
+        .select(F.col(id_col), (F.col("off") + 1).alias("p"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    # merge sorted [p, p+L) windows into maximal disjoint spans
+    empty_spans = F.array().cast("array<struct<s:long,e:long>>")
+    spans = F.aggregate(
+        F.col("ps"),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) == 0) | (p > F.element_at(acc, -1)["e"]),
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(p.alias("s"), (p + F.lit(L)).alias("e"))
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + F.lit(L)
+                        ).alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    with_spans = (
+        docs.select(id_col, text_col)
+        .join(positions, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.coalesce(
+                F.when(F.col("ps").isNotNull(), spans), empty_spans
+            ).alias("spans"),
+        )
+    )
+    # cut the spans out with a cursor fold over the ORIGINAL text
+    cut = F.aggregate(
+        F.col("spans"),
+        F.struct(
+            F.lit(1).cast("long").alias("cur"), F.lit("").alias("out")
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("cur"),
+            F.concat(
+                acc["out"],
+                F.substr(
+                    F.col(text_col), acc["cur"], sp["s"] - acc["cur"]
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substr(
+                F.col(text_col),
+                acc["cur"],
+                F.length(F.col(text_col)) - acc["cur"] + 1,
+            ),
+        ),
+    )
+    return with_spans.select(
+        F.col(id_col),
+        F.size("spans").cast("long").alias("n_dup_spans"),
+        F.aggregate(
+            F.col("spans"),
+            F.lit(0).cast("long"),
+            lambda acc, sp: acc + sp["e"] - sp["s"],
+        ).alias("dup_chars"),
+        cut.alias("clean_text"),
+    )
+
+
 def decontamination(
     docs: DataFrame,
     benchmark: DataFrame,

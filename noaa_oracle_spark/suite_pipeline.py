@@ -1115,6 +1115,81 @@ FROM members m LEFT JOIN dups d ON m.vec_id = d.doc_b
 """
 
 
+_ESS_L = 30
+
+
+def q97_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021 suffix-array
+    dedup re-expressed as a gram join): merge all corpus-wide-duplicated
+    30-char windows into maximal spans and cut them out of every
+    document (pipeline/text.exact_substring_spans)."""
+    from noaa_oracle_spark.pipeline.text import exact_substring_spans
+
+    return exact_substring_spans(
+        load(spark, sf_dir, "documents"), min_len=_ESS_L
+    )
+
+
+# Oracle takes the dumb-but-obviously-right road: per-character coverage.
+# A char is duplicated iff some duplicated L-gram's window covers it;
+# n_dup_spans counts coverage-run starts, clean_text re-assembles the
+# uncovered chars in order. The Spark side merges intervals with array
+# folds instead (no per-char explosion) — same result by construction.
+SQL_Q97 = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+), g AS (
+    SELECT doc_id, i,
+           ('0x' || substring(md5(substr(text, i, {_ESS_L})), 1, 15))::BIGINT AS h
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, n - {_ESS_L} + 1)) AS i
+        FROM d WHERE n >= {_ESS_L}
+    )
+), freq AS (
+    SELECT h FROM g GROUP BY h HAVING count(*) > 1
+), dp AS (
+    SELECT g.doc_id, g.i FROM g JOIN freq USING (h)
+), cov AS (
+    SELECT DISTINCT doc_id,
+           i + unnest(generate_series(0, {_ESS_L} - 1)) AS c
+    FROM dp
+), runs AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS dup_chars,
+           CAST(sum(CASE WHEN prev IS NULL OR c - prev > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+    FROM (
+        SELECT doc_id, c,
+               lag(c) OVER (PARTITION BY doc_id ORDER BY c) AS prev
+        FROM cov
+    )
+    GROUP BY 1
+), chars AS (
+    SELECT doc_id, unnest(generate_series(1, n)) AS c FROM d WHERE n >= 1
+), clean AS (
+    SELECT ch.doc_id,
+           coalesce(
+               string_agg(
+                   CASE WHEN cov.c IS NULL THEN substr(d.text, ch.c, 1) END,
+                   '' ORDER BY ch.c
+               ), ''
+           ) AS clean_text
+    FROM chars ch
+    JOIN d USING (doc_id)
+    LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.c = ch.c
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(r.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(r.dup_chars, 0) AS dup_chars,
+       coalesce(cl.clean_text, d.text) AS clean_text
+FROM d
+LEFT JOIN runs r USING (doc_id)
+LEFT JOIN clean cl USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1148,6 +1223,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_embedding_dedup_blocked": q94_embedding_dedup_blocked,
     "q95_decontamination_bloom": q95_decontamination_bloom,
     "q96_semantic_dedup": q96_semantic_dedup,
+    "q97_exact_substring_spans": q97_exact_substring_spans,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1183,4 +1259,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q94_embedding_dedup_blocked": SQL_Q94,
     "q95_decontamination_bloom": SQL_Q95,
     "q96_semantic_dedup": SQL_Q96,
+    "q97_exact_substring_spans": SQL_Q97,
 }

@@ -1,0 +1,75 @@
+"""Exact duplicated-substring removal (Lee et al. 2021 style): planted
+shared sentences across (and within) documents are cut out as maximal
+character spans; untouched documents pass through byte-identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from noaa_oracle_spark.pipeline.text import exact_substring_spans
+
+SHARED = "THE-SHARED-BOILERPLATE-SENTENCE-IS-THIS-ONE"  # 43 chars
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, "aaaa unique prefix one " + SHARED + " unique suffix one zzz"),
+        (2, "bbbb another beginning " + SHARED + " different ending yy"),
+        (3, "totally unrelated text with nothing repeated at all here"),
+        (4, SHARED),  # fully covered document
+        (5, "xx" + SHARED + SHARED + "yy"),  # doubled INSIDE one doc
+        (6, "short"),  # below min_len: no grams at all
+        (7, "C" + SHARED + "D" + SHARED + "E"),  # two separate spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in exact_substring_spans(df, min_len=20).collect()
+    }
+    return rows, out
+
+
+def test_spans_cut_and_remainder_kept(planted):
+    rows, out = planted
+    assert SHARED not in out[1].clean_text
+    assert "unique prefix one" in out[1].clean_text
+    assert "different ending yy" in out[2].clean_text
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+
+
+def test_untouched_docs_pass_through(planted):
+    rows, out = planted
+    assert out[3].clean_text == rows[2][1]
+    assert (out[3].n_dup_spans, out[3].dup_chars) == (0, 0)
+    assert out[6].clean_text == "short"
+    assert out[6].n_dup_spans == 0
+
+
+def test_full_coverage_and_in_document_repetition(planted):
+    _, out = planted
+    assert out[4].clean_text == "" and out[4].dup_chars == len(SHARED)
+    # in-document doubled sentence: occurrences count, both copies cut
+    assert out[5].clean_text == "xxyy"
+    assert out[5].dup_chars == 2 * len(SHARED)
+
+
+def test_separate_occurrences_make_separate_spans(planted):
+    _, out = planted
+    # the single intervening chars C/D/E are shorter than min_len, so the
+    # two SHARED copies merge their windows ACROSS the 1-char gap only if
+    # the bridging grams are themselves duplicated — they aren't, but the
+    # windows overlap the separators; assert the separators survive or
+    # the spans counted match the coverage structure
+    assert out[7].n_dup_spans >= 1
+    assert out[7].dup_chars >= 2 * len(SHARED)
+    assert SHARED not in out[7].clean_text
+
+
+def test_every_doc_present_with_total_partition(planted):
+    rows, out = planted
+    assert set(out) == {r[0] for r in rows}
+    for did, r in out.items():
+        orig = dict((i, t) for i, t in rows)[did]
+        assert len(r.clean_text) == len(orig) - r.dup_chars

@@ -103,6 +103,47 @@ def weighted_hash_sample(
     return df.filter(_bucket(F.col(key_col).cast("string"), salt) < thr)
 
 
+def source_mix_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    budget: int = 100_000,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-source
+    sampling-rate computation of mT5/GPT-3-style training mixes: source s
+    with share p_s = n_s/N samples proportionally to p_s^alpha, so alpha<1
+    UP-weights small sources (alpha=1 is natural sampling, alpha=0 is
+    uniform). Returns per source (n_docs, mix_weight, quota) where
+    mix_weight is the normalized 6-dp-rounded rate and quota =
+    floor(mix_weight·budget) documents — feed quota into `cap_per_group`
+    and the weight into `weighted_hash_sample` to materialize the mix.
+
+    Plan shape: one hash-agg on source (tiny key space), the corpus total
+    and the normalizer each ride in as broadcast 1-row aggregates
+    (crossJoin, fully lazy — the tfidf N trick), zero driver collects.
+    The only transcendental (pow) is rounded at 6 dp before any
+    comparison, the suite's cross-engine float convention."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    raw = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        "n_docs",
+        F.pow(F.col("n_docs") / F.col("n_total"), F.lit(alpha)).alias("_raw"),
+    )
+    z = raw.agg(F.sum("_raw").alias("_z"))
+    return (
+        raw.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("_raw") / F.col("_z"), 6).alias("mix_weight"),
+            F.floor(
+                F.round(F.col("_raw") / F.col("_z"), 6) * F.lit(budget)
+            ).cast("long").alias("quota"),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -1190,6 +1190,37 @@ LEFT JOIN clean cl USING (doc_id)
 """
 
 
+def q98_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing rates (alpha=0.7, budget 10k) —
+    the data-mix computation feeding per-source quotas
+    (pipeline/sampling.source_mix_weights)."""
+    from noaa_oracle_spark.pipeline.sampling import source_mix_weights
+
+    return source_mix_weights(
+        load(spark, sf_dir, "documents"), alpha=0.7, budget=10_000
+    )
+
+
+SQL_Q98 = """
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    GROUP BY 1
+), total AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), raw AS (
+    SELECT source, n_docs,
+           pow(n_docs::DOUBLE / n_total, 0.7) AS _raw
+    FROM counts CROSS JOIN total
+), z AS (
+    SELECT sum(_raw) AS _z FROM raw
+)
+SELECT source, n_docs,
+       round(_raw / _z, 6) AS mix_weight,
+       CAST(floor(round(_raw / _z, 6) * 10000) AS BIGINT) AS quota
+FROM raw CROSS JOIN z
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1224,6 +1255,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_decontamination_bloom": q95_decontamination_bloom,
     "q96_semantic_dedup": q96_semantic_dedup,
     "q97_exact_substring_spans": q97_exact_substring_spans,
+    "q98_source_mix_weights": q98_source_mix_weights,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1260,4 +1292,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q95_decontamination_bloom": SQL_Q95,
     "q96_semantic_dedup": SQL_Q96,
     "q97_exact_substring_spans": SQL_Q97,
+    "q98_source_mix_weights": SQL_Q98,
 }

@@ -135,3 +135,49 @@ def test_cap_per_group_reserved_name_collision(spark):
     )
     with pytest.raises(ValueError, match="_rn"):
         cap_per_group(df, "grp", "id", cap=5)
+
+
+def test_source_mix_weights_temperature_semantics(spark):
+    import pytest
+
+    from noaa_oracle_spark.pipeline.sampling import (
+        cap_per_group,
+        source_mix_weights,
+    )
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    natural = {
+        r.source: r for r in source_mix_weights(df, alpha=1.0).collect()
+    }
+    cooled = {
+        r.source: r for r in source_mix_weights(df, alpha=0.5).collect()
+    }
+    uniform = {
+        r.source: r for r in source_mix_weights(df, alpha=0.0).collect()
+    }
+    # alpha=1: natural shares
+    assert natural["big"].mix_weight == pytest.approx(0.9, abs=1e-6)
+    assert natural["tiny"].mix_weight == pytest.approx(0.01, abs=1e-6)
+    # alpha=0: uniform
+    for s in ("big", "mid", "tiny"):
+        assert uniform[s].mix_weight == pytest.approx(1 / 3, abs=1e-6)
+    # cooling strictly up-weights the small source, down-weights the big
+    assert cooled["tiny"].mix_weight > natural["tiny"].mix_weight
+    assert cooled["big"].mix_weight < natural["big"].mix_weight
+    # weights normalize; quotas honor the budget up to flooring
+    assert sum(r.mix_weight for r in cooled.values()) == pytest.approx(
+        1.0, abs=1e-5
+    )
+    budgeted = sum(r.quota for r in cooled.values())
+    assert 0 < budgeted <= 100_000
+    # composition: quotas drive cap_per_group directly
+    q = {r.source: r.quota for r in
+         source_mix_weights(df, alpha=0.5, budget=100).collect()}
+    capped = cap_per_group(df, "source", "doc_id", cap=q["tiny"]).collect()
+    got_tiny = sum(1 for r in capped if r.source == "tiny")
+    assert got_tiny == min(10, q["tiny"])

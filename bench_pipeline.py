@@ -186,6 +186,21 @@ def main() -> None:
     run("kmeans_update", lambda: kmeans_update(
         kmeans_assign(pts, seeds, backend="numpy")).count())
 
+    # --- round-3 heavy text/vector ops at corpus scale
+    from noaa_oracle_spark.pipeline.similarity import semantic_dedup
+    from noaa_oracle_spark.pipeline.text import exact_substring_spans
+
+    run("exact_substring", lambda: exact_substring_spans(
+        docs, min_len=30).filter(F.col("n_dup_spans") > 0).count())
+    emb_all = spark.read.parquet(os.path.join(FIXTURE, "embeddings.parquet"))
+    run("semantic_dedup", lambda: semantic_dedup(
+        emb_all, emb_all.filter(F.col("vec_id") < 64), threshold=0.7,
+    ).filter(F.col("is_dup")).count())
+    run("semantic_dedup_numpy", lambda: semantic_dedup(
+        emb_all, emb_all.filter(F.col("vec_id") < 64), threshold=0.7,
+        assign_backend="numpy",
+    ).filter(F.col("is_dup")).count())
+
     # --- decontamination tiers: the bloom prefilter's value is SHUFFLE
     # VOLUME — the gram stream entering the bench join. decon_grams_* count
     # that stream directly (all corpus grams vs bloom survivors); the

@@ -291,3 +291,21 @@ def test_semantic_dedup_planted_exact_duplicate(spark):
     out = {r.vec_id: r for r in semantic_dedup(df, seeds, 0.999).collect()}
     assert out[100].is_dup and out[100].dup_of == 7
     assert not out[7].is_dup
+
+
+def test_semantic_dedup_numpy_assignment_matches_expr(spark, emb):
+    from noaa_oracle_spark.pipeline.similarity import semantic_dedup
+
+    seeds = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    expr = sorted(
+        map(tuple, semantic_dedup(emb, seeds, threshold=0.35).collect())
+    )
+    np_ = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, seeds, threshold=0.35, assign_backend="numpy"
+            ).collect(),
+        )
+    )
+    assert expr == np_

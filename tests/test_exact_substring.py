@@ -73,3 +73,45 @@ def test_every_doc_present_with_total_partition(planted):
     for did, r in out.items():
         orig = dict((i, t) for i, t in rows)[did]
         assert len(r.clean_text) == len(orig) - r.dup_chars
+
+
+def test_randomized_vs_bruteforce_oracle(spark):
+    """Randomized corpora over a tiny alphabet (so duplicated grams occur
+    naturally) checked against an independent per-character brute-force
+    oracle: duplicated L-gram windows -> coverage set -> runs -> clean
+    text."""
+    import random
+    from collections import Counter
+
+    L = 6
+    rnd = random.Random(42)
+    docs = []
+    for i in range(60):
+        n = rnd.randint(0, 30)
+        docs.append((i, "".join(rnd.choice("abc") for _ in range(n))))
+    # plant a guaranteed long shared run too
+    docs.append((100, "x" + "sharedrunofchars" + "y"))
+    docs.append((101, "p" + "sharedrunofchars" + "q"))
+
+    counts = Counter()
+    for _, t in docs:
+        for i in range(len(t) - L + 1):
+            counts[t[i : i + L]] += 1
+    expected = {}
+    for did, t in docs:
+        covered = set()
+        for i in range(len(t) - L + 1):
+            if counts[t[i : i + L]] > 1:
+                covered.update(range(i, i + L))
+        runs = sum(1 for c in covered if c - 1 not in covered)
+        clean = "".join(ch for j, ch in enumerate(t) if j not in covered)
+        expected[did] = (runs, len(covered), clean)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_chars, r.clean_text)
+        for r in exact_substring_spans(df, min_len=L).collect()
+    }
+    assert got == expected
+    # sanity: the random corpus actually exercised duplication
+    assert any(v[0] > 0 for v in expected.values())

@@ -42,7 +42,7 @@ _GRADE_FIRST = [
     # new this round (r3) — grade in their first round
     "q94_embedding_dedup_blocked", "q95_decontamination_bloom",
     "q96_semantic_dedup", "q97_exact_substring_spans",
-    "q98_source_mix_weights",
+    "q98_source_mix_weights", "q99_pack_sequences",
     # rotated back in: graded r1-only (r2's full window went to the then-new
     # queries); re-verify these post-churn, oldest grades first
     "q02_latest_event", "q03_distinct_dim", "q04_pricing_summary",
@@ -60,7 +60,7 @@ _GRADE_FIRST = [
     "q61_market_share", "q62_waiting_suppliers", "q65_nearest_station",
     "q67_min_cost_supplier", "q68_important_parts", "q69_top_supplier",
     # filler up to 50: r2-graded queries touched by this round's churn
-    "q29_embedding_dedup", "q77_decontamination",
+    "q29_embedding_dedup",
 ]
 
 

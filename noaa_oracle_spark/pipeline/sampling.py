@@ -144,6 +144,57 @@ def source_mix_weights(
     )
 
 
+def pack_training_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    salt: str = "",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic concat-and-pack: the standard pretraining batch
+    layout where documents are concatenated in a fixed global order and
+    split into `budget_tokens`-sized training sequences; each document is
+    assigned the sequence in which it STARTS (a document may straddle into
+    the next sequence — that is the packing scheme's own behavior, not an
+    approximation).
+
+    The global order is the md5 hash order of (salt | key) — the
+    deterministic training-data shuffle: reproducible across engines,
+    partitionings and retries, re-saltable per epoch. Returns
+    (key, n_tokens, seq_id, start_offset) where start_offset is the
+    position of the document's first token inside its sequence.
+
+    Plan shape: one global sort on the hash (Spark's range-partitioned
+    total-order sort — slim rows: key + count only) carrying a running
+    token sum; everything else is per-row arithmetic. At 100 TB this is
+    the one operator where a total order is genuinely the semantics, so
+    the sort is irreducible — but it sorts 16-byte keys, not documents."""
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.orderBy(_bucket_full(F.col(key_col).cast("string"), salt))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        df.select(
+            F.col(key_col), n_tokens.alias("n_tokens")
+        )
+        .withColumn("_prev", prev)
+        .select(
+            key_col,
+            "n_tokens",
+            F.floor(F.col("_prev") / budget_tokens).cast("long").alias(
+                "seq_id"
+            ),
+            F.pmod(F.col("_prev"), F.lit(budget_tokens)).cast("long").alias(
+                "start_offset"
+            ),
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -1221,6 +1221,38 @@ FROM raw CROSS JOIN z
 """
 
 
+def q99_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-pack training layout: md5 hash order
+    (the reproducible epoch shuffle), 512-token sequences, each doc
+    assigned the sequence where it starts
+    (pipeline/sampling.pack_training_sequences)."""
+    from noaa_oracle_spark.pipeline.sampling import pack_training_sequences
+
+    return pack_training_sequences(
+        load(spark, sf_dir, "documents"), budget_tokens=512, salt="epoch0"
+    )
+
+
+SQL_Q99 = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('epoch0|' || doc_id) AS h
+    FROM documents
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS prev
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(prev / 512) AS BIGINT) AS seq_id,
+       prev % 512 AS start_offset
+FROM c
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1256,6 +1288,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_semantic_dedup": q96_semantic_dedup,
     "q97_exact_substring_spans": q97_exact_substring_spans,
     "q98_source_mix_weights": q98_source_mix_weights,
+    "q99_pack_sequences": q99_pack_sequences,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1293,4 +1326,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q96_semantic_dedup": SQL_Q96,
     "q97_exact_substring_spans": SQL_Q97,
     "q98_source_mix_weights": SQL_Q98,
+    "q99_pack_sequences": SQL_Q99,
 }

@@ -181,3 +181,39 @@ def test_source_mix_weights_temperature_semantics(spark):
     capped = cap_per_group(df, "source", "doc_id", cap=q["tiny"]).collect()
     got_tiny = sum(1 for r in capped if r.source == "tiny")
     assert got_tiny == min(10, q["tiny"])
+
+
+def test_pack_training_sequences_semantics(spark):
+    import pytest
+
+    from noaa_oracle_spark.pipeline.sampling import pack_training_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            [(0, 300), (1, 300), (2, 300), (3, 300), (4, 10)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.n_tokens, r.seq_id, r.start_offset)
+        for r in pack_training_sequences(df, budget_tokens=512).collect()
+    )
+    # invariants independent of hash order: token counts survive; the
+    # k-th doc in hash order starts at cumulative-sum offset
+    assert [t[1] for t in out] == [300, 300, 300, 300, 10]
+    by_order = sorted(out, key=lambda t: (t[2], t[3]))
+    cum = 0
+    for _, n, seq, off in by_order:
+        assert seq == cum // 512
+        assert off == cum % 512
+        cum += n
+    # deterministic: same salt, same packing; different salt reorders
+    again = sorted(
+        (r.doc_id, r.n_tokens, r.seq_id, r.start_offset)
+        for r in pack_training_sequences(df, budget_tokens=512).collect()
+    )
+    assert again == out
+    other = sorted(
+        (r.doc_id, r.seq_id, r.start_offset)
+        for r in pack_training_sequences(
+            df, budget_tokens=512, salt="epoch1"
+        ).collect()
+    )
+    assert other != [(d, s, o) for d, _, s, o in out]

@@ -13,6 +13,7 @@ is the thin request/response shell the reference serves with axum
 | GET /stations/daily-observations  | weather_routes.rs:152-174              |
 | GET /files                        | routes/files/get_names.rs:16-41        |
 | GET /file/{file_name}             | routes/files/download.rs:27-68         |
+| POST /file/{file_name}            | routes/files/upload.rs:25-110          |
 
 Request/response parity notes (shapes, not transport internals):
   - query params mirror ForecastRequest / ObservationRequest /
@@ -222,6 +223,71 @@ def make_handler(spark: SparkSession, data_dir: str):
                 pass
             except Exception as exc:  # the handlers' 500 catch-all
                 self._send_error_text(500, f"internal error: {exc}")
+
+        def do_POST(self) -> None:  # noqa: N802 (http.server API)
+            split = urlsplit(self.path)
+            path = posixpath.normpath(split.path)
+            try:
+                if path.startswith("/file/"):
+                    self._upload(unquote(path[len("/file/"):]))
+                else:
+                    self._send_error_text(404, "not found")
+            except BadRequest as exc:
+                self._send_error_text(400, str(exc))
+            except BrokenPipeError:
+                pass
+            except Exception as exc:
+                self._send_error_text(500, f"internal error: {exc}")
+
+        def _upload(self, file_name: str) -> None:
+            """POST /file/{name} — the S8 push side (upload.rs:25-110):
+            single-component filename, trailing RFC3339 timestamp picks
+            the date directory, multipart field bytes land verbatim."""
+            if "/" in file_name or file_name in ("", ".", ".."):
+                self._send_error_text(400, "Invalid file")
+                return
+            parsed = parse_snapshot_name(
+                file_name, "observations"
+            ) or parse_snapshot_name(file_name, "forecasts")
+            if parsed is None:
+                self._send_error_text(
+                    400, "Failed to parse timestamp from filename"
+                )
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            payloads: list[bytes] = []
+            if ctype.startswith("multipart/"):
+                from email.parser import BytesParser
+
+                msg = BytesParser().parsebytes(
+                    f"Content-Type: {ctype}\r\n\r\n".encode() + body
+                )
+                if not msg.is_multipart():
+                    self._send_error_text(400, "Invalid multipart body")
+                    return
+                for part in msg.get_payload():
+                    payloads.append(part.get_payload(decode=True) or b"")
+            else:
+                payloads.append(body)  # raw-body convenience variant
+            day = parsed.snapshot_ts.astimezone(timezone.utc).date().isoformat()
+            dest = os.path.join(data_dir, day, file_name)
+            import tempfile
+
+            from noaa_oracle_spark.sources.fs import fs_for
+
+            fs = fs_for(data_dir)
+            for payload in payloads:
+                tmp = tempfile.NamedTemporaryFile(delete=False)
+                try:
+                    tmp.write(payload)
+                    tmp.close()
+                    fs.put_file(tmp.name, dest)
+                finally:
+                    if os.path.exists(tmp.name):
+                        os.unlink(tmp.name)
+            self._send(200, b"", "text/plain")
 
         def _files(self, qs: dict) -> None:
             start = _parse_rfc3339_param(qs, "start")

@@ -182,3 +182,58 @@ def test_error_shapes(server):
     assert code == 404
     # unknown route → 404
     assert _status_of(f"{base}/nope")[0] == 404
+
+
+def test_file_upload_round_trip(server):
+    base, d = server
+    payload = b"PAR1" + b"\x01\x02\x03fakebody" + b"PAR1"
+    name = "observations_2026-02-01T09_00_00%2B00_00.parquet"
+    boundary = "XBOUNDARYX"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="f"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"{base}/file/{name}",
+        data=body,
+        method="POST",
+        headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}"
+        },
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+    # it landed in the right date dir and serves back byte-identical
+    import os
+
+    decoded = "observations_2026-02-01T09_00_00+00_00.parquet"
+    assert os.path.isfile(os.path.join(d, "2026-02-01", decoded))
+    status, headers, got = _get(f"{base}/file/{name}")
+    assert status == 200 and got == payload
+    # and the catalog lists it for its window
+    names = _get_json(
+        f"{base}/files?start=2026-02-01T00:00:00Z&end=2026-02-02T00:00:00Z"
+        "&observations=true&forecasts=false"
+    )["file_names"]
+    assert decoded in names
+
+
+def test_file_upload_rejects_bad_names(server):
+    base, _ = server
+    # ".." normalizes away from the /file/ prefix entirely -> 404; the
+    # others reach the handler and fail name validation -> 400
+    for bad, want in (
+        ("observations_nottime.parquet", {400}),
+        ("..", {400, 404}),
+        ("nope.txt", {400}),
+    ):
+        req = urllib.request.Request(
+            f"{base}/file/{bad}", data=b"x", method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                code = resp.status
+        except urllib.error.HTTPError as exc:
+            code = exc.code
+        assert code in want, bad

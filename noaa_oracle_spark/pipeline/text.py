@@ -300,7 +300,16 @@ def exact_substring_spans(
     doc-keyed rollup; interval merging and span cutting are per-row array
     folds (aggregate over the sorted position list), no per-character
     explosion anywhere. The 60-bit integer keys keep both shuffles in
-    hash aggregation (the winnowing discipline)."""
+    hash aggregation (the winnowing discipline).
+
+    The gram GENERATION runs twice (once under the frequency aggregate,
+    once on the candidate side — verified: no runtime exchange reuse, the
+    Generate sits above the exchange). That is the chosen tradeoff: the
+    alternatives either shuffle the full gram stream on the hash (a
+    per-gram sort+exchange instead of a map-side-combined count) or
+    materialize it (77M slim rows per 100k docs — unviable at corpus
+    scale), while recomputing md5 grams is pure map-side CPU that scales
+    with executors. Measured whole-operator cost: 42 s / 100k docs."""
     L = min_len
     n = F.length(F.col(text_col))
 

@@ -1,0 +1,292 @@
+"""Product quantization (Jégou, Douze, Schmid — TPAMI 2011): the memory
+lever of billion-scale similarity search.
+
+A 64-dim float32 embedding is 256 bytes; its PQ code is `m` small
+integers (8 bytes at m=8) — a 32× compression that is what actually lets
+an ANN index hold a 100 TB corpus's vectors in cluster memory. The
+pipeline:
+
+  - `pq_train`: per-subspace k-means codebooks. Each vector splits into
+    `m` contiguous subvectors; subspace s gets its own k-codeword
+    codebook, trained with distributed Lloyd rounds (the same
+    assign/update shape as `lloyd_refine` — map-side numpy assignment
+    against broadcast codebooks, a (sub, code, dim) hash-agg mean whose
+    key space is m·k·(dim/m) regardless of skew, and only that
+    kilobyte-sized result crosses to the driver between rounds). Seeded
+    from the k lowest-id vectors per subspace — deterministic, no RNG.
+  - `pq_encode`: one assignment pass → (id, codes array<int>), the
+    compressed corpus representation to persist.
+  - `pq_knn`: asymmetric distance computation (ADC). Each query builds an
+    m×k lookup table of exact partial squared distances to every
+    codeword; a corpus code's approximate distance is the sum of m table
+    lookups — no decompression, no per-pair float math. LUTs broadcast;
+    the encoded corpus streams map-side with per-batch top-k pruning
+    (the brute_force_knn discipline), so only k·|queries| candidates per
+    partition reach the final window.
+
+PQ is a EUCLIDEAN quantizer; for cosine semantics L2-normalize vectors
+first (then ranking by L2 == ranking by cosine). Like `lloyd_refine`,
+training is iterative-with-driver-coordination and has no SQL oracle —
+tests anchor recall against the exact search and the code/LUT math
+against independent numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("empty vector table")
+    return int(row["d"])
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
+                sub_len: int) -> DataFrame:
+    """(id, sub, svec) — contiguous slices, JVM-side."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            s * sub_len + 1,
+            sub_len,
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "svec")
+    )
+
+
+def _assign_codes(subs: DataFrame, books: "dict", id_col: str):
+    """mapInPandas: nearest codeword per (sub) row, L2, lowest-code tie.
+    `books` is {sub: (k, sub_len) float64 matrix} broadcast via closure."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_codes = np.empty(len(pdf), np.int32)
+            svecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["svec"]]
+            )
+            sub_ids = pdf["sub"].to_numpy()
+            for s in np.unique(sub_ids):
+                mask = sub_ids == s
+                cb = books[int(s)]  # k × sub_len
+                d = ((svecs[mask][:, None, :] - cb[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out_codes[mask] = d.argmin(axis=1)  # first (lowest) code
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sub": sub_ids.astype(np.int32),
+                    "code": out_codes,
+                }
+            )
+
+    return subs.mapInPandas(kernel, schema)
+
+
+CODEBOOK_SCHEMA = "sub int, code int, centroid array<double>"
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks; returns (sub, code, centroid)."""
+    import numpy as np
+
+    dim = _dim_of(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
+    spark = corpus.sparkSession
+    subs = _subvectors(corpus, id_col, vec_col, m, sub_len)
+
+    # deterministic seeds: the k lowest-id vectors' subvectors
+    seed_rows = (
+        subs.join(
+            corpus.select(F.col(id_col)).orderBy(id_col).limit(k),
+            id_col,
+        )
+        .orderBy(id_col, "sub")
+        .collect()
+    )
+    books: dict[int, "np.ndarray"] = {}
+    for s in range(m):
+        vecs = [
+            [float(x) for x in r["svec"]]
+            for r in seed_rows
+            if r["sub"] == s
+        ]
+        if len(vecs) < k:
+            raise ValueError(f"need at least k={k} vectors to seed PQ")
+        books[s] = np.asarray(vecs[:k], dtype=np.float64)
+
+    for _ in range(iters):
+        assigned = _assign_codes(subs, books, id_col)
+        means = (
+            assigned.join(subs, [id_col, "sub"])
+            .select(
+                "sub", "code", F.posexplode(F.col("svec")).alias("d", "v")
+            )
+            .groupBy("sub", "code", "d")
+            .agg(F.avg("v").alias("mean"))
+            .collect()
+        )
+        new = {s: books[s].copy() for s in books}
+        for r in means:
+            new[int(r["sub"])][int(r["code"]), int(r["d"])] = float(
+                r["mean"]
+            )  # empty codes keep their previous centroid
+        books = new
+
+    rows = [
+        (s, c, [float(x) for x in books[s][c]])
+        for s in sorted(books)
+        for c in range(k)
+    ]
+    return spark.createDataFrame(rows, CODEBOOK_SCHEMA)
+
+
+def _books_dict(codebooks: DataFrame) -> "dict":
+    import numpy as np
+
+    rows = codebooks.collect()  # m·k rows — kilobytes by construction
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+        )
+    return {
+        s: np.asarray(
+            [v for _, v in sorted(items)], dtype=np.float64
+        )
+        for s, items in by_sub.items()
+    }
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress: (id, codes array<int>) — the persisted representation."""
+    books = _books_dict(codebooks)
+    m = len(books)
+    sub_len = books[0].shape[1]
+    subs = _subvectors(corpus, id_col, vec_col, m, sub_len)
+    assigned = _assign_codes(subs, books, id_col)
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_knn(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (q_id, rank, n_id, adc_dist) over the ENCODED corpus —
+    the corpus vectors themselves are never touched."""
+    import numpy as np
+    import pandas as pd
+
+    books = _books_dict(codebooks)
+    m = len(books)
+    sub_len = books[0].shape[1]
+    n_codes = books[0].shape[0]
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    if not q_rows:
+        raise ValueError("pq_knn: empty query set")
+    q_ids = np.asarray([i for i, _ in q_rows], dtype=np.int64)
+    # LUT[q, sub, code] = ||query_sub − codeword||²  (exact partials)
+    lut = np.empty((len(q_rows), m, n_codes), np.float64)
+    for qi, (_, vec) in enumerate(q_rows):
+        v = np.asarray(vec, dtype=np.float64)
+        for s in range(m):
+            qsub = v[s * sub_len : (s + 1) * sub_len]
+            lut[qi, s] = ((books[s] - qsub[None, :]) ** 2).sum(axis=1)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, lut))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+    kk = k
+
+    def kernel(batches):
+        ids_q, lut_ = bc.value
+        subs_idx = np.arange(lut_.shape[1])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )  # n × m
+            # dists[q, n] = Σ_s LUT[q, s, codes[n, s]]
+            gathered = lut_[:, subs_idx[None, :], codes]  # q × n × m
+            dists = gathered.sum(axis=2)
+            # k+1: a query drawn from the corpus sits in some batch at
+            # distance ~0; keeping one extra candidate means the post-hoc
+            # self-filter can never cost a true top-k member
+            take = min(kk + 1, dists.shape[1])
+            idx = np.lexsort(
+                (np.broadcast_to(ids_n, dists.shape), dists), axis=-1
+            )[:, :take]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids_q, take),
+                    "n_id": ids_n[idx].ravel(),
+                    "adc_dist": np.take_along_axis(
+                        dists, idx, axis=1
+                    ).ravel(),
+                }
+            )
+
+    cand = encoded.mapInPandas(kernel, schema).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("n_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", F.round("adc_dist", 6).alias("adc_dist"))
+    )

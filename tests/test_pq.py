@@ -1,0 +1,125 @@
+"""Product quantization: codebook training, encoding, ADC search.
+
+Metric design note: on tightly clustered data every same-cluster member
+quantizes to the SAME code, so ADC distances tie exactly and top-k
+selection inside a cluster is id-order — recall@k against the exact
+(noise-level) ranking is hypergeometric ≈ k/cluster_size by construction,
+NOT a quality signal. The honest assertions are cluster retrieval (every
+ADC neighbor comes from the query's cluster — quantization preserved the
+structure) and a recall floor on unclustered data where distances don't
+tie.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.pq import (
+    pq_encode,
+    pq_knn,
+    pq_train,
+)
+from noaa_oracle_spark.pipeline.similarity import brute_force_knn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rnd = random.Random(7)
+    protos = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = [
+        (i, [x + rnd.gauss(0, 0.05) for x in protos[i % 20]])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=8, k=16, iters=2)
+    return df, books, pq_encode(df, books)
+
+
+def test_codebook_shape_and_determinism(spark, clustered):
+    df, books, _ = clustered
+    rows = books.collect()
+    assert len(rows) == 8 * 16
+    assert all(len(r.centroid) == 8 for r in rows)
+    again = sorted(map(str, pq_train(df, m=8, k=16, iters=2).collect()))
+    assert again == sorted(map(str, rows))
+
+
+def test_encoding_compression_shape(clustered):
+    _, _, enc = clustered
+    rows = enc.collect()
+    assert len(rows) == 400
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+
+def test_cluster_structure_survives_quantization(spark, clustered):
+    """Every ADC neighbor of a clustered query is a member of the query's
+    own cluster — the quantizer kept the structure even though within-
+    cluster order is tie-broken by id (see module docstring)."""
+    df, books, enc = clustered
+    q = df.filter(F.col("vec_id") < 10)
+    got = pq_knn(q, enc, books, k=5).collect()
+    assert len(got) == 50
+    for r in got:
+        assert r.n_id % 20 == r.q_id % 20, (r.q_id, r.n_id)
+
+
+def test_unclustered_recall_floor(spark):
+    """Random gaussians — the hardest case for PQ (nothing to quantize
+    onto); m=8/k=32 on 64 dims measured 0.30 recall@5, floor at 0.2."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+    )
+    nemb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
+            "embedding"
+        ),
+    )
+    books = pq_train(nemb, m=8, k=32, iters=2)
+    enc = pq_encode(nemb, books)
+    q = nemb.filter(F.col("vec_id") < 10)
+    a = {(r.q_id, r.n_id) for r in pq_knn(q, enc, books, k=5).collect()}
+    e = {(r.q_id, r.n_id) for r in brute_force_knn(q, nemb, k=5).collect()}
+    assert len(a & e) / len(e) >= 0.2
+
+
+def test_adc_distance_matches_numpy_reconstruction(clustered):
+    """adc_dist == Σ_s ||q_sub − centroid(code_s)||², recomputed
+    independently from the collected codebooks and codes."""
+    df, books, enc = clustered
+    cb = {}
+    for r in books.collect():
+        cb[(r.sub, r.code)] = np.asarray(r.centroid, dtype=np.float64)
+    vecs = {r.vec_id: np.asarray(r.embedding) for r in df.collect()}
+    codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+    q = df.filter(F.col("vec_id") < 3)
+    for r in pq_knn(q, enc, books, k=3).collect():
+        qv = vecs[r.q_id]
+        expect = 0.0
+        for s, c in enumerate(codes[r.n_id]):
+            qsub = qv[s * 8 : (s + 1) * 8]
+            expect += float(((qsub - cb[(s, c)]) ** 2).sum())
+        assert r.adc_dist == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+def test_validation_errors(spark, clustered):
+    df, books, enc = clustered
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=7, k=4)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=8, k=4)
+    with pytest.raises(ValueError, match="empty"):
+        pq_knn(empty, enc, books, k=3)

@@ -207,6 +207,149 @@ def pq_encode(
     )
 
 
+def ivfpq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    cell_centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS composition): coarse k-means cells bound WHICH
+    codes are scored, PQ codes bound their MEMORY — the standard
+    billion-scale index. Corpus vectors are routed to their nearest cell
+    (`kmeans_assign`, numpy backend) and stored as (cell, codes); a query
+    probes its `nprobe` nearest cells and runs ADC over only those cells'
+    codes.
+
+    At scale the encoded corpus is written partitioned by cell id, so a
+    query touches nprobe partitions of 8-byte-per-vector codes — both
+    the scan volume AND the bytes per scanned vector are bounded, which
+    neither IVF-flat nor flat-PQ achieves alone. Cells and codebooks are
+    both broadcast-sized by construction.
+
+    Composition note: codes here quantize the RAW vectors (not cell
+    residuals) — one shared codebook set, encode once, reuse across cell
+    layouts; residual encoding squeezes more accuracy but couples codes
+    to a specific coarse quantizer. Returns (q_id, rank, n_id,
+    adc_dist)."""
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    assigned = kmeans_assign(
+        corpus.select(id_col, vec_col),
+        cell_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        backend="numpy",
+    ).select(id_col, "cluster_id")
+    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    celled = encoded.join(assigned, id_col)
+
+    # query-side probes: nprobe nearest cells by the same cosine rule
+    # ivf_knn uses (kmeans_assign ranks by cosine; reuse its scorer via a
+    # small cross join — the centroid set is tiny by construction)
+    from noaa_oracle_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    cent = cell_centroids.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(_as_double(F.col(vec_col))).alias("c_nrm"),
+    )
+    scored = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(_as_double(F.col(vec_col))).alias("q_nrm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(_as_double(F.col("q_vec")), _as_double(F.col("c_vec")))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("a_sim"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("a_sim"), F.asc("c_id"))
+    probes = (
+        scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", F.col("c_id").alias("cluster_id"))
+    )
+    # candidates: codes in probed cells only, then plain ADC ranking
+    cand_codes = celled.join(
+        F.broadcast(probes), "cluster_id"
+    ).select(F.col("q_id").alias("probe_q"), id_col, "codes")
+
+    books = _books_dict(codebooks)
+    m = len(books)
+    sub_len = books[0].shape[1]
+    n_codes = books[0].shape[0]
+    import numpy as np
+
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    if not q_rows:
+        raise ValueError("ivfpq_knn: empty query set")
+    q_index = {qid: i for i, (qid, _) in enumerate(q_rows)}
+    lut = np.empty((len(q_rows), m, n_codes), np.float64)
+    for qi, (_, vec) in enumerate(q_rows):
+        v = np.asarray(vec, dtype=np.float64)
+        for s in range(m):
+            qsub = v[s * sub_len : (s + 1) * sub_len]
+            lut[qi, s] = ((books[s] - qsub[None, :]) ** 2).sum(axis=1)
+    bc = queries.sparkSession.sparkContext.broadcast((q_index, lut))
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        qidx, lut_ = bc.value
+        subs_idx = np.arange(lut_.shape[1])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qs = pdf["probe_q"].to_numpy(dtype=np.int64)
+            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            rowsq = np.asarray([qidx[int(q)] for q in qs])
+            dists = lut_[rowsq[:, None], subs_idx[None, :], codes].sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
+            )
+
+    cand = cand_codes.mapInPandas(kernel, schema).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("n_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "rank", "n_id", F.round("adc_dist", 6).alias("adc_dist")
+        )
+    )
+
+
 def pq_knn(
     queries: DataFrame,
     encoded: DataFrame,

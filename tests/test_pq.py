@@ -123,3 +123,30 @@ def test_validation_errors(spark, clustered):
         pq_train(empty, m=8, k=4)
     with pytest.raises(ValueError, match="empty"):
         pq_knn(empty, enc, books, k=3)
+
+
+def test_ivfpq_composition(spark, clustered):
+    """IVF-PQ: probing a query's cells returns its cluster's members (the
+    coarse quantizer routes correctly; the PQ codes rank within), and the
+    result set is a subset of what full-corpus ADC would return cellwise."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_knn
+
+    df, books, _ = clustered
+    cells = df.filter(F.col("vec_id") < 16)  # 16 coarse seed cells
+    q = df.filter(F.col("vec_id") < 6)
+    got = ivfpq_knn(q, df, books, cells, k=5, nprobe=4).collect()
+    assert len(got) == 30
+    for r in got:
+        # same planted cluster (20 prototypes; id % 20 names the cluster)
+        assert r.n_id % 20 == r.q_id % 20, (r.q_id, r.n_id)
+    # nprobe = all cells degenerates to flat ADC over the whole corpus
+    full = {
+        (r.q_id, r.rank, r.n_id)
+        for r in ivfpq_knn(q, df, books, cells, k=5, nprobe=16).collect()
+    }
+    enc = pq_encode(df, books)
+    flat = {
+        (r.q_id, r.rank, r.n_id)
+        for r in pq_knn(q, enc, books, k=5).collect()
+    }
+    assert full == flat

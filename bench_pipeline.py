@@ -201,6 +201,18 @@ def main() -> None:
         assign_backend="numpy",
     ).filter(F.col("is_dup")).count())
 
+    # --- PQ at corpus scale: train once, encode the 100k x 64 corpus,
+    # ADC-search 10 queries against the codes
+    from noaa_oracle_spark.pipeline.pq import pq_encode, pq_knn, pq_train
+
+    def _pq_all():
+        books = pq_train(emb, m=8, k=64, iters=2)
+        enc = pq_encode(emb, books)
+        qv = emb.filter(F.col("vec_id") < 10)
+        return pq_knn(qv, enc, books, k=5).count()
+
+    run("pq_train_encode_search", _pq_all)
+
     # --- decontamination tiers: the bloom prefilter's value is SHUFFLE
     # VOLUME — the gram stream entering the bench join. decon_grams_* count
     # that stream directly (all corpus grams vs bloom survivors); the

@@ -150,3 +150,30 @@ def test_ivfpq_composition(spark, clustered):
         for r in pq_knn(q, enc, books, k=5).collect()
     }
     assert full == flat
+
+
+def test_cell_partitioned_layout_prunes_scan(spark, clustered, tmp_path):
+    """The scale claim made concrete: the encoded corpus written
+    partitionBy(cluster_id) serves a probed cell from its partition
+    directory alone — PartitionFilters in the scan, one directory read."""
+    from noaa_oracle_spark.pipeline.pq import pq_encode
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    df, books, enc = clustered
+    cells = df.filter(F.col("vec_id") < 16)
+    assigned = kmeans_assign(
+        df, cells, backend="numpy"
+    ).select("vec_id", "cluster_id")
+    celled = enc.join(assigned, "vec_id")
+    path = str(tmp_path / "ivfpq_codes")
+    celled.write.partitionBy("cluster_id").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cluster_id") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster_id" in plan
+    # and the partition really contains only that cell's codes
+    got = {r.vec_id for r in probe.collect()}
+    expect = {
+        r.vec_id for r in celled.filter(F.col("cluster_id") == 3).collect()
+    }
+    assert got == expect and got

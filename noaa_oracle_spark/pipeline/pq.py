@@ -48,7 +48,12 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
 
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
                 sub_len: int) -> DataFrame:
-    """(id, sub, svec) — contiguous slices, JVM-side."""
+    """(id, sub, svec) — contiguous slices, JVM-side. Spread first: a
+    single-file corpus scans as one partition and would run the numpy
+    assignment kernels on one core."""
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    df = spread(df)
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.slice(

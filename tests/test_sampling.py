@@ -217,3 +217,36 @@ def test_pack_training_sequences_semantics(spark):
         ).collect()
     )
     assert other != [(d, s, o) for d, _, s, o in out]
+
+
+def test_pack_training_sequences_vs_python_oracle(spark):
+    """Randomized corpora against an independent python reimplementation:
+    md5(salt|id) order, running token sum, floor/mod assignment."""
+    import hashlib
+    import random
+
+    from noaa_oracle_spark.pipeline.sampling import pack_training_sequences
+
+    rnd = random.Random(13)
+    rows = [
+        (i, " ".join("tok%d" % rnd.randint(0, 9) for _ in
+                     range(rnd.randint(1, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.start_offset)
+        for r in pack_training_sequences(
+            df, budget_tokens=64, salt="s9"
+        ).collect()
+    }
+    order = sorted(
+        rows, key=lambda r: hashlib.md5(f"s9|{r[0]}".encode()).hexdigest()
+    )
+    cum = 0
+    expected = {}
+    for did, text in order:
+        n = len(text.split(" "))
+        expected[did] = (n, cum // 64, cum % 64)
+        cum += n
+    assert got == expected

@@ -582,16 +582,41 @@ def near_dedup_corpus(
     n: int = 3,
     threshold_num: int = 8,
     threshold_den: int = 10,
+    representative: str = "min_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """The dedup ladder as one call: exact dedup → PPJoin near-dup pairs →
-    connected components → keep each cluster's min-id representative —
-    returns the filtered corpus (same schema as `docs`).
+    connected components → keep one representative per cluster — returns
+    the filtered corpus (same schema as `docs`).
+
+    Representative policy:
+      - ``"min_id"`` (default): the deterministic baseline — lowest id
+        wins, both at the exact tier and per near-dup cluster.
+      - ``"best_quality"``: what production corpus jobs actually want —
+        among a cluster's members keep the row with the highest
+        `quality_col` (a score column already on `docs`, e.g. from
+        `text.quality_scores` or `unigram_logprob`), id-ascending
+        tiebreak so the pick stays deterministic. The exact tier still
+        keys on min-id (exact duplicates have identical text, hence
+        identical text-derived quality — the choice is arbitrary and
+        min-id is the stable one); only NEAR-dup clusters, where members
+        genuinely differ, consult quality.
 
     This is the composition test_pipeline_e2e pins, packaged as the
     operator a corpus job actually invokes. Every stage is the scale-safe
     variant: hash-agg exact dedup, prefix-filtered pair generation
-    (Zipf-resistant), star components, and a representative join that
-    broadcasts nothing larger than the cluster map."""
+    (Zipf-resistant), star components, and a representative selection
+    that is one hash-agg on the cluster id (max_by struct argmax — the
+    same integer-folded argmax discipline as the rest of the suite)."""
+    if representative not in ("min_id", "best_quality"):
+        raise ValueError(f"unknown representative policy {representative!r}")
+    if representative == "best_quality" and (
+        quality_col is None or quality_col not in docs.columns
+    ):
+        raise ValueError(
+            "representative='best_quality' needs quality_col naming an "
+            "existing column"
+        )
     reps = exact_dedup(docs, text_col=text_col, id_col=id_col).select(
         F.col("rep_doc_id").alias(id_col)
     )
@@ -601,7 +626,18 @@ def near_dedup_corpus(
         threshold_num=threshold_num, threshold_den=threshold_den,
     ).select("doc_a", "doc_b")
     comp = connected_components(uniq.select(id_col), pairs, id_col=id_col)
-    keep = comp.groupBy("component").agg(
-        F.min(id_col).alias(id_col)
-    ).select(id_col)
+    if representative == "min_id":
+        keep = comp.groupBy("component").agg(
+            F.min(id_col).alias(id_col)
+        ).select(id_col)
+    else:
+        scored = comp.join(
+            uniq.select(id_col, F.col(quality_col).alias("_q")), id_col
+        )
+        # argmax by (quality asc is wrong — want max quality, then MIN id):
+        # max over (quality, -id) structs picks highest quality, lowest id
+        keep = scored.groupBy("component").agg(
+            (-F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid")))
+             ["_nid"]).alias(id_col)
+        ).select(id_col)
     return uniq.join(keep, id_col)

@@ -103,3 +103,38 @@ def test_near_dedup_corpus_one_call(spark):
         ).collect()
     )
     assert kept == [1, 4]
+
+
+def test_near_dedup_quality_representative(spark):
+    """best_quality keeps the highest-quality member of each near-dup
+    cluster (id tiebreak), while exact dups still collapse to min-id."""
+    import pytest
+
+    from noaa_oracle_spark.pipeline.dedup import near_dedup_corpus
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "SIGMA")  # high-Jaccard near dup
+    rows = [
+        (1, base, 10),
+        (2, near, 99),          # near dup of 1, better quality
+        (3, base, 50),          # exact dup of 1
+        (4, "totally different text " * 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    by_min = {r.doc_id for r in near_dedup_corpus(df, threshold_num=7).collect()}
+    assert by_min == {1, 4}
+    by_q = {
+        r.doc_id
+        for r in near_dedup_corpus(
+            df, threshold_num=7,
+            representative="best_quality", quality_col="q",
+        ).collect()
+    }
+    # exact tier keeps min-id (1 over 3, identical text); the near-dup
+    # cluster {1, 2} then keeps 2 on quality
+    assert by_q == {2, 4}
+    with pytest.raises(ValueError, match="quality_col"):
+        near_dedup_corpus(df, representative="best_quality")
+    with pytest.raises(ValueError, match="policy"):
+        near_dedup_corpus(df, representative="banana")

@@ -59,13 +59,11 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality features + score:
-    token count, mean token length, stopword ratio, digit ratio, and a
-    0-100 composite. Mirrors the usual pretraining-corpus quality filters."""
+def _quality_cols(text_col: str = "text") -> "dict[str, Column]":
+    """The quality feature/score expressions, shared by the batch
+    projection and the streaming gate — pure map-side Columns."""
     words = _words(text_col)
     n_tokens = F.size(words).cast("long")
-    n_chars = F.length(F.col(text_col))
     n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     n_digits = F.length(
         F.regexp_replace(F.col(text_col), r"[^0-9]", "")
@@ -73,27 +71,49 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     all_stop = F.array(
         *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
     )
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(all_stop, w))).cast(
-        "long"
-    )
+    n_stop = F.size(
+        F.filter(words, lambda w: F.array_contains(all_stop, w))
+    ).cast("long")
     # integer-scaled ratios (per-mille) keep the oracle comparison exact
     stop_permille = F.floor(n_stop * 1000 / n_tokens).cast("long")
-    digit_permille = F.floor(n_digits * 1000 / F.greatest(n_nonspace, F.lit(1))).cast(
-        "long"
-    )
+    digit_permille = F.floor(
+        n_digits * 1000 / F.greatest(n_nonspace, F.lit(1))
+    ).cast("long")
     score = (
         F.lit(100)
         - F.when(n_tokens < 20, 40).otherwise(0)
         - F.when(stop_permille < 50, 30).otherwise(0)
         - F.when(digit_permille > 300, 20).otherwise(0)
     ).cast("long")
+    return {
+        "n_tokens": n_tokens,
+        "n_stopwords": n_stop,
+        "stop_permille": stop_permille,
+        "digit_permille": digit_permille,
+        "quality_score": score,
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + score:
+    token count, mean token length, stopword ratio, digit ratio, and a
+    0-100 composite. Mirrors the usual pretraining-corpus quality filters."""
+    cols = _quality_cols(text_col)
     return spread(docs).select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        stop_permille.alias("stop_permille"),
-        digit_permille.alias("digit_permille"),
-        score.alias("quality_score"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def quality_filter(
+    docs: DataFrame, min_score: int = 60, text_col: str = "text"
+) -> DataFrame:
+    """Keep documents scoring >= min_score, with the score attached —
+    the gate form of quality_scores that PRESERVES the input columns, so
+    it composes inside batch pipelines and Structured Streaming queries
+    alike (pure map-side expressions: no shuffle, no state)."""
+    score = _quality_cols(text_col)["quality_score"]
+    return docs.withColumn("quality_score", score).filter(
+        F.col("quality_score") >= min_score
     )
 
 

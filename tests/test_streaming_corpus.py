@@ -188,3 +188,49 @@ def test_streaming_minhash_state_evicts_past_watermark(spark, tmp_path):
         q.stop()
     assert verdicts[1] is False
     assert verdicts[3] is False  # state evicted — doc 3 owns its bands anew
+
+
+def test_streaming_quality_gated_dedup_pipeline(spark, tmp_path):
+    """Pipeline composition in ONE streaming query: map-side quality gate
+    -> watermarked exact dedup -> sink. Low-quality docs never reach the
+    dedup state; duplicates of surviving docs are suppressed across
+    microbatches."""
+    from noaa_oracle_spark.pipeline.text import quality_filter
+    from noaa_oracle_spark.streaming import (
+        stream_documents,
+        streaming_exact_dedup,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and the crew "
+            "of seventeen sailors charted a course to the northern "
+            "islands before the first snow of the season arrived")
+    junk = "1234 5678 9999 0000 1111"  # short + all digits
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(spark, src, "b1", [(1, good, 0), (2, junk, 1)])
+    docs = stream_documents(spark, src)
+    gated = quality_filter(docs, min_score=60)
+    dedup = streaming_exact_dedup(gated, ts_col="ingest_ts")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gated_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            spark, src, "b2",
+            [(3, good, 5), (4, junk, 6), (5, good + " indeed", 7)],
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT doc_id, quality_score FROM gated_dedup"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.doc_id: r.quality_score for r in rows}
+    # 2/4 fail the gate; 3 is an exact dup of the surviving 1; 5 differs
+    assert set(got) == {1, 5}
+    assert all(s >= 60 for s in got.values())

@@ -14,11 +14,20 @@ naive inverted-index joins) — and times the dedup ladder end-to-end:
     components connected components over the ppjoin pair graph
     repetition Gopher repetition prefilter
     winnowing  MOSS fingerprints (count)
+    span_dedup / weighted_sample / kmeans_{assign,assign_numpy,update}
+    exact_substring           char-level duplicated-span removal
+    semantic_dedup[_numpy]    SemDeDup cells + within-cell verify
+    decon_{shuffle,bloom,grams_*}  decontamination tiers + shuffle volume
+    emb_pairs_{broadcast,blocked,beyond_broadcast}  exact pair strategies
+    pq_train_encode_search    PQ codebooks + encode + ADC top-k
+    components_chain_{star,propagate}  round-count stress topology
 
 Prints one JSON line. Not part of the driver's bench contract (bench.py is
-that); this is the evidence harness behind SCALE.md §4's claims.
+that); this is the evidence harness behind SCALE.md's claims.
 
     PIPELINE_BENCH_DOCS=100000 python bench_pipeline.py
+    PIPELINE_BENCH_ZIPF=1 PIPELINE_BENCH_ONLY=exact,minhash,ppjoin \\
+        PIPELINE_BENCH_DOCS=1000000 python bench_pipeline.py
 """
 
 from __future__ import annotations

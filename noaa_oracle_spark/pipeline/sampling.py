@@ -164,31 +164,60 @@ def pack_training_sequences(
     (key, n_tokens, seq_id, start_offset) where start_offset is the
     position of the document's first token inside its sequence.
 
-    Plan shape: one global sort on the hash (Spark's range-partitioned
-    total-order sort — slim rows: key + count only) carrying a running
-    token sum; everything else is per-row arithmetic. At 100 TB this is
-    the one operator where a total order is genuinely the semantics, so
-    the sort is irreducible — but it sorts 16-byte keys, not documents."""
+    Plan shape — a distributed two-pass prefix sum (a global running
+    sum is a classic parallel scan, NOT a single global window):
+      1. bucket every row by the first 3 hex digits of its sort hash —
+         4096 uniform buckets, and because the bucket is a PREFIX of the
+         sort key, (bucket, hash) order == global hash order;
+      2. within-bucket running sums via a window PARTITIONED by bucket
+         (one balanced 4096-key shuffle; every core busy);
+      3. per-bucket token totals (a tiny hash-agg, ≤4096 rows) are
+         collected — small-by-construction: 4096 longs ≈ 32 KB at ANY
+         corpus size — turned into exclusive cumulative offsets, and
+         broadcast-joined back;
+      4. global_prev = bucket_offset + local_prev; seq_id/start_offset
+         are per-row arithmetic.
+    At 100 TB each bucket holds ~1/4096 of the slim (key, count) rows,
+    so no task ever sees more than ~0.025% of the corpus; the old shape
+    (an empty-partition-spec window = Spark moves EVERY row to one task)
+    is forbidden by tests/test_plan_audit.py. Output is bit-identical to
+    the single-window form: same hash order, same running sum."""
     from pyspark.sql.window import Window
 
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    h = _bucket_full(F.col(key_col).cast("string"), salt)
+    base = df.select(
+        F.col(key_col),
+        n_tokens.alias("n_tokens"),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("_b"),
+    )
     w = (
-        Window.orderBy(_bucket_full(F.col(key_col).cast("string"), salt))
+        Window.partitionBy("_b")
+        .orderBy("_h", key_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    local_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+
+    totals = (
+        base.groupBy("_b").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_b"]):
+        offsets.append((row["_b"], running))
+        running += row["_t"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_b int, _off long")
+
+    prev = F.col("_local") + F.col("_off")
     return (
-        df.select(
-            F.col(key_col), n_tokens.alias("n_tokens")
-        )
-        .withColumn("_prev", prev)
+        base.withColumn("_local", local_prev)
+        .join(F.broadcast(off_df), "_b")
         .select(
             key_col,
             "n_tokens",
-            F.floor(F.col("_prev") / budget_tokens).cast("long").alias(
-                "seq_id"
-            ),
-            F.pmod(F.col("_prev"), F.lit(budget_tokens)).cast("long").alias(
+            F.floor(prev / budget_tokens).cast("long").alias("seq_id"),
+            F.pmod(prev, F.lit(budget_tokens)).cast("long").alias(
                 "start_offset"
             ),
         )

@@ -386,7 +386,15 @@ HAVING count(*) > 1
 def q08_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K by score with deterministic tiebreak — winner selection
     (oracle.rs:799-820). Rank on the *rounded* revenue so cross-engine float
-    noise cannot flip the order; c_custkey breaks exact ties."""
+    noise cannot flip the order; c_custkey breaks exact ties.
+
+    Plan shape: `orderBy().limit(k)` compiles to TakeOrderedAndProject —
+    per-partition top-k heaps merged on one task, k rows each — instead of
+    a global row_number window, which would funnel EVERY per-customer row
+    through a single-partition WindowExec (15M rows on one core at 100×
+    scale). The rank window runs AFTER the limit, over exactly k rows —
+    bounded by construction, and the shape tests/test_plan_audit.py
+    permits (empty-partition windows are legal only above a limit)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     rev = (
@@ -394,10 +402,11 @@ def q08_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    order = [F.desc("revenue"), F.asc("c_custkey")]
+    top = rev.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
     return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "c_custkey", "revenue")
     )
 

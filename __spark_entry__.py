@@ -39,28 +39,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #: queries as filler.  Keep this list in sync when adding queries: new
 #: names go at the FRONT so they get graded in their first round.
 _GRADE_FIRST = [
-    # new this round (r3) — grade in their first round
-    "q94_embedding_dedup_blocked", "q95_decontamination_bloom",
-    "q96_semantic_dedup", "q97_exact_substring_spans",
-    "q98_source_mix_weights", "q99_pack_sequences",
-    # rotated back in: graded r1-only (r2's full window went to the then-new
-    # queries); re-verify these post-churn, oldest grades first
-    "q02_latest_event", "q03_distinct_dim", "q04_pricing_summary",
-    "q05_entry_counts", "q06_full_outer_precip", "q08_topk_customers",
-    "q09_argmax_dedup", "q10_carry_forward", "q11_magnus_humidity",
-    "q13_union_by_name", "q14_window_clamp", "q25_star_revenue",
-    "q31_rollup_subtotals", "q32_set_ops", "q33_distinct_aggregates",
-    "q34_asof_join", "q35_percentiles", "q36_range_join",
-    "q37_session_window", "q39_moving_aggregates", "q40_ranking",
-    "q41_pivot", "q43_correlated_subquery", "q44_array_ops", "q45_unpivot",
-    "q47_tumbling_window", "q49_semi_anti_join", "q50_cube_subtotals",
-    "q51_gap_fill", "q52_histogram", "q53_fuzzy_match",
-    "q54_stats_aggregates", "q55_string_agg", "q57_shipping_priority",
-    "q58_region_volume", "q59_customer_distribution", "q60_parts_supplier",
-    "q61_market_share", "q62_waiting_suppliers", "q65_nearest_station",
-    "q67_min_cost_supplier", "q68_important_parts", "q69_top_supplier",
-    # filler up to 50: r2-graded queries touched by this round's churn
-    "q29_embedding_dedup",
+    # new this round (r4) — grade in their first round
+    "q100_pq_adc_knn", "q101_ivfpq_knn",
+    # rewritten this round (distributed prefix-sum packing; top-k via
+    # TakeOrderedAndProject) — re-grade the NEW implementations even
+    # though their r3 rows were green
+    "q08_topk_customers", "q99_pack_sequences",
+    # rotated back in: last graded in r2 (r3's window went to the then-new
+    # queries + the r1-only backlog); re-verify post-churn. 46 of the 49
+    # r2-only names fit; q84/q85/q86 (untouched TPC-H shapes) defer to r5.
+    "q01_daily_rollup", "q07_event_chains", "q12_regex_classify",
+    "q15_scoring_kernel", "q16_dedup_exact", "q17_ngram_jaccard",
+    "q18_minhash_lsh", "q19_simhash", "q20_ann_cosine",
+    "q21_quality_scores", "q22_language_id", "q23_fingerprint",
+    "q24_token_counts", "q26_sessionization", "q27_lsh_ann",
+    "q28_latest_limit", "q30_ivf_ann", "q38_dedup_components",
+    "q42_json_extract", "q46_winnowing", "q48_stratified_sample",
+    "q56_time_weighted_avg", "q63_repetition_filter",
+    "q64_boilerplate_ngrams", "q66_ppjoin_jaccard",
+    "q70_small_qty_revenue", "q71_large_orders", "q72_disjunctive_revenue",
+    "q73_promo_part_suppliers", "q74_dormant_customers",
+    "q75_grouping_sets", "q76_distribution_windows", "q77_decontamination",
+    "q78_tfidf_top_terms", "q79_source_stats", "q80_order_priority",
+    "q81_revenue_filter", "q82_volume_shipping", "q83_product_profit",
+    "q87_kmeans_clusters", "q88_kmeans_centroid_update", "q89_span_dedup",
+    "q90_weighted_sample", "q91_unigram_logprob", "q92_chunk_documents",
+    "q93_source_quota",
 ]
 
 

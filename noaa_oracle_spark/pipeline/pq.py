@@ -69,7 +69,11 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int,
 
 def _assign_codes(subs: DataFrame, books: "dict", id_col: str):
     """mapInPandas: nearest codeword per (sub) row, L2, lowest-code tie.
-    `books` is {sub: (k, sub_len) float64 matrix} broadcast via closure."""
+    `books` is {sub: (k, sub_len) float64 matrix} broadcast via closure.
+    Distances are rounded at 6 dp before the argmin — the suite's
+    cross-engine float convention (summation-order ulps must never flip a
+    code between engines); the tie then breaks to the lowest code in both
+    numpy (argmin returns the first minimum) and SQL (ORDER BY d, code)."""
     import numpy as np
     import pandas as pd
 
@@ -93,8 +97,11 @@ def _assign_codes(subs: DataFrame, books: "dict", id_col: str):
             for s in np.unique(sub_ids):
                 mask = sub_ids == s
                 cb = books[int(s)]  # k × sub_len
-                d = ((svecs[mask][:, None, :] - cb[None, :, :]) ** 2).sum(
-                    axis=2
+                d = np.round(
+                    ((svecs[mask][:, None, :] - cb[None, :, :]) ** 2).sum(
+                        axis=2
+                    ),
+                    6,
                 )
                 out_codes[mask] = d.argmin(axis=1)  # first (lowest) code
             yield pd.DataFrame(
@@ -333,8 +340,10 @@ def ivfpq_knn(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )
             rowsq = np.asarray([qidx[int(q)] for q in qs])
-            dists = lut_[rowsq[:, None], subs_idx[None, :], codes].sum(
-                axis=1
+            # 6-dp rounding BEFORE ranking: the suite's float convention
+            dists = np.round(
+                lut_[rowsq[:, None], subs_idx[None, :], codes].sum(axis=1),
+                6,
             )
             yield pd.DataFrame(
                 {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
@@ -407,9 +416,11 @@ def pq_knn(
             codes = np.stack(
                 [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
             )  # n × m
-            # dists[q, n] = Σ_s LUT[q, s, codes[n, s]]
+            # dists[q, n] = Σ_s LUT[q, s, codes[n, s]] — rounded at 6 dp
+            # BEFORE ranking (cross-engine float convention: the id
+            # tiebreak must see the same ordering an oracle engine sees)
             gathered = lut_[:, subs_idx[None, :], codes]  # q × n × m
-            dists = gathered.sum(axis=2)
+            dists = np.round(gathered.sum(axis=2), 6)
             # k+1: a query drawn from the corpus sits in some batch at
             # distance ~0; keeping one extra candidate means the post-hoc
             # self-filter can never cost a true top-k member

@@ -1253,6 +1253,131 @@ FROM c
 """
 
 
+def q100_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat PQ / ADC top-k (pipeline/pq.py): train seed codebooks (m=8
+    subspaces × 8 codes, the 8 lowest-id vectors — iters=0 so the whole
+    train→encode→ADC pipeline is SQL-expressible), compress the corpus to
+    8-byte codes, and answer 5 queries' top-3 by asymmetric distance
+    (LUT-gather, 6-dp rounded, lowest-id tiebreak). The oracle recomputes
+    codebook slicing, code assignment, the per-subspace LUT, and the ADC
+    sum entirely in SQL — every stage of the quantizer is hash-graded,
+    not just the final ranking."""
+    from noaa_oracle_spark.pipeline.pq import pq_encode, pq_knn, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=8, iters=0)
+    enc = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_knn(q, enc, books, k=3)
+
+
+# shared SQL fragments: seed codebooks (8 lowest-id vectors sliced into
+# 8×8-dim subspaces), corpus subvectors, 6-dp code assignment, query LUT
+_PQ_CTE = """
+seeds AS (
+    SELECT vec_id, embedding,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), subsq AS (
+    SELECT CAST(unnest(range(0, 8)) AS INT) AS sub
+), books AS (
+    SELECT subsq.sub, seeds.code,
+           list_transform(range(1, 9),
+               i -> seeds.embedding[subsq.sub * 8 + i]::DOUBLE) AS centroid
+    FROM seeds, subsq
+), subv AS (
+    SELECT e.vec_id, subsq.sub,
+           list_transform(range(1, 9),
+               i -> e.embedding[subsq.sub * 8 + i]::DOUBLE) AS svec
+    FROM embeddings e, subsq
+), enc_d AS (
+    SELECT v.vec_id, v.sub, b.code,
+           round(list_sum(list_transform(range(1, 9),
+               i -> (v.svec[i] - b.centroid[i])
+                  * (v.svec[i] - b.centroid[i]))), 6) AS d
+    FROM subv v JOIN books b ON v.sub = b.sub
+), codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, code ASC) AS rnk
+        FROM enc_d) WHERE rnk = 1
+), lut AS (
+    SELECT q.vec_id AS q_id, b.sub, b.code,
+           list_sum(list_transform(range(1, 9),
+               i -> (q.embedding[b.sub * 8 + i]::DOUBLE - b.centroid[i])
+                  * (q.embedding[b.sub * 8 + i]::DOUBLE - b.centroid[i])
+           )) AS pd
+    FROM embeddings q, books b WHERE q.vec_id < 5
+)"""
+
+SQL_Q100 = f"""
+WITH {_PQ_CTE}
+, adc AS (
+    SELECT l.q_id, c.vec_id AS n_id, round(sum(l.pd), 6) AS adc_dist
+    FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+    WHERE l.q_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT q_id, rank, n_id, adc_dist FROM (
+    SELECT q_id, n_id, adc_dist,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist ASC, n_id ASC) AS rank
+    FROM adc) WHERE rank <= 3
+"""
+
+
+def q101_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (pipeline/pq.ivfpq_knn): the FAISS composition — coarse
+    cells bound WHICH codes are scored (each query probes its 2 nearest
+    of 8 cells by cosine), PQ codes bound their MEMORY. Same seed
+    codebooks as q100; the oracle adds the cell routing (cosine 6-dp,
+    lowest-cid tie — q87's rule) and restricts the ADC sum to probed
+    cells' members."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_knn, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=8, iters=0)
+    cells = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_knn(q, emb, books, cells, k=3, nprobe=2)
+
+
+SQL_Q101 = f"""
+WITH {_PQ_CTE}
+, cell_d AS (
+    SELECT e.vec_id, s.vec_id AS cid,
+           {_COS_SQL.format(a='e.embedding', b='s.embedding')} AS cos_sim
+    FROM embeddings e, seeds s
+), cells AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid ASC) AS rnk
+        FROM cell_d) WHERE rnk = 1
+), probes AS (
+    SELECT q_id, cid FROM (
+        SELECT vec_id AS q_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid ASC) AS rnk
+        FROM cell_d WHERE vec_id < 5) WHERE rnk <= 2
+), adc AS (
+    SELECT l.q_id, c.vec_id AS n_id, round(sum(l.pd), 6) AS adc_dist
+    FROM codes c
+    JOIN cells ce ON ce.vec_id = c.vec_id
+    JOIN probes p ON p.cid = ce.cid
+    JOIN lut l ON l.sub = c.sub AND l.code = c.code AND l.q_id = p.q_id
+    WHERE l.q_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT q_id, rank, n_id, adc_dist FROM (
+    SELECT q_id, n_id, adc_dist,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist ASC, n_id ASC) AS rank
+    FROM adc) WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1289,6 +1414,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_exact_substring_spans": q97_exact_substring_spans,
     "q98_source_mix_weights": q98_source_mix_weights,
     "q99_pack_sequences": q99_pack_sequences,
+    "q100_pq_adc_knn": q100_pq_adc_knn,
+    "q101_ivfpq_knn": q101_ivfpq_knn,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1327,4 +1454,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q97_exact_substring_spans": SQL_Q97,
     "q98_source_mix_weights": SQL_Q98,
     "q99_pack_sequences": SQL_Q99,
+    "q100_pq_adc_knn": SQL_Q100,
+    "q101_ivfpq_knn": SQL_Q101,
 }

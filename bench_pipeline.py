@@ -201,6 +201,14 @@ def main() -> None:
 
     run("exact_substring", lambda: exact_substring_spans(
         docs, min_len=30).filter(F.col("n_dup_spans") > 0).count())
+    # gram-plan tiers: recompute (default) vs persist vs shuffle_reuse —
+    # the measured comparison behind the default (SCALE.md)
+    run("exact_substring_persist", lambda: exact_substring_spans(
+        docs, min_len=30, gram_plan="persist")
+        .filter(F.col("n_dup_spans") > 0).count())
+    run("exact_substring_shufreuse", lambda: exact_substring_spans(
+        docs, min_len=30, gram_plan="shuffle_reuse")
+        .filter(F.col("n_dup_spans") > 0).count())
     emb_all = spark.read.parquet(os.path.join(FIXTURE, "embeddings.parquet"))
     run("semantic_dedup", lambda: semantic_dedup(
         emb_all, emb_all.filter(F.col("vec_id") < 64), threshold=0.7,

@@ -233,9 +233,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (H, W, 3) uint8 RGB."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as exc:
-        # running off the end of a truncated stream is corruption, and the
-        # operator contract is ValueError → NULL column, never a task kill
+    except (IndexError, struct.error, KeyError, _RestartMarker) as exc:
+        # Every way a corrupt stream surfaces — running off the end
+        # (IndexError/struct.error), a scan referencing a DHT/DQT table
+        # that was never defined (KeyError), an unexpected RST marker
+        # inside entropy data (_RestartMarker) — converts to ValueError:
+        # the operator contract is ValueError → NULL column, never a
+        # task kill.
         raise ValueError(f"truncated/corrupt JPEG: {exc!r}") from exc
 
 
@@ -363,7 +367,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
         p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        y = np.clip(out[0] + 128.0, 0, 255)
+        # round-then-cast, same as the RGB path below — a bare uint8 cast
+        # truncates and sits ~0.5 below the spec's rounded reconstruction
+        y = np.clip(np.round(out[0] + 128.0), 0, 255)
         g = y.astype(np.uint8)
         return np.repeat(g[..., None], 3, 2)
     y, cb, cr = out[0] + 128.0, out[1], out[2]

@@ -296,6 +296,7 @@ def exact_substring_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_plan: str = "recompute",
 ) -> DataFrame:
     """Exact duplicated-substring removal at CHARACTER level — the
     suffix-array dedup of "Deduplicating Training Data Makes Language
@@ -322,14 +323,28 @@ def exact_substring_spans(
     explosion anywhere. The 60-bit integer keys keep both shuffles in
     hash aggregation (the winnowing discipline).
 
-    The gram GENERATION runs twice (once under the frequency aggregate,
-    once on the candidate side — verified: no runtime exchange reuse, the
-    Generate sits above the exchange). That is the chosen tradeoff: the
-    alternatives either shuffle the full gram stream on the hash (a
-    per-gram sort+exchange instead of a map-side-combined count) or
-    materialize it (77M slim rows per 100k docs — unviable at corpus
-    scale), while recomputing md5 grams is pure map-side CPU that scales
-    with executors. Measured whole-operator cost: 42 s / 100k docs."""
+    The gram stream is consumed twice (under the frequency aggregate and
+    on the candidate side). `gram_plan` picks how the second consumption
+    is served — all three produce identical output:
+
+    - "recompute" (default): generate the grams twice. Pure map-side CPU
+      that scales with executors; nothing extra is shuffled or stored.
+      The default because the 1M-doc measurement (SCALE.md) shows the
+      alternatives buy nothing on this CPU-bound stream.
+    - "persist": MEMORY_AND_DISK-cache the slim (doc, off, h) stream
+      between the two passes. Caller owns the lifecycle
+      (spark.catalog.clearCache()); at corpus scale this materializes
+      ~77M rows per 100k docs per executor-set — the memory cost the
+      docstring's tradeoff note warned about.
+    - "shuffle_reuse": hash-repartition the gram stream on `h` so the
+      frequency aggregate and the candidate join CAN share one exchange.
+      In practice AQE re-plans the candidate join as a broadcast of the
+      (small) dup-hash set and materializes the two repartition stages
+      separately — so this tier measured as pure overhead (SCALE.md
+      table), kept as the documented negative result.
+    """
+    if gram_plan not in ("recompute", "persist", "shuffle_reuse"):
+        raise ValueError(f"unknown gram_plan {gram_plan!r}")
     L = min_len
     n = F.length(F.col(text_col))
 
@@ -345,6 +360,10 @@ def exact_substring_spans(
             )
         ).alias("off", "h"),
     )
+    if gram_plan == "persist":
+        grams = grams.persist()
+    elif gram_plan == "shuffle_reuse":
+        grams = grams.repartition("h")
     dup_hashes = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -31,7 +31,10 @@ from urllib.parse import urlsplit
 
 
 class LocalFS:
-    """POSIX directories speaking the prefix-listing dialect."""
+    """POSIX directories speaking the prefix-listing dialect. Accepts
+    both plain OS paths and `file://` URLs (normalized on entry —
+    os.path/open/shutil would otherwise treat the URL as a relative
+    path: empty listings, writes landing in a bogus './file:' dir)."""
 
     scheme = ""
 
@@ -40,7 +43,7 @@ class LocalFS:
         semantics exactly: a directory is not an object, its files are
         (so a directory-valued snapshot lists as its part files, the same
         keys S3 would hold). Sorted for determinism."""
-        d = prefix.rstrip("/")
+        d = strip_file_scheme(prefix).rstrip("/")
         if not os.path.isdir(d):
             return []
         out = []
@@ -51,15 +54,16 @@ class LocalFS:
         return sorted(out)
 
     def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+        return os.path.exists(strip_file_scheme(path))
 
     def read_bytes(self, path: str) -> bytes:
-        with open(path, "rb") as fh:
+        with open(strip_file_scheme(path), "rb") as fh:
             return fh.read()
 
     def put_file(self, local_path: str, dest: str) -> None:
+        dest = strip_file_scheme(dest)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
-        shutil.move(local_path, dest)
+        shutil.move(strip_file_scheme(local_path), dest)
 
 
 _SCHEMES: dict[str, object] = {}
@@ -86,6 +90,19 @@ def fs_for(path: str):
             "(register_scheme) — local paths need no registration"
         )
     return _LOCAL
+
+
+def strip_file_scheme(path: str) -> str:
+    """`file://host/p` / `file:///p` / `file:/p` → a plain OS path.
+
+    LocalFS speaks os.path, not URLs — passing a raw `file://` URL
+    through would make listings silently come back empty and
+    `put_file` write to a bogus relative path, so every LocalFS
+    entry point normalizes through here first."""
+    if urlsplit(path).scheme != "file":
+        return path
+    parts = urlsplit(path)
+    return parts.path or "/"
 
 
 _LOCAL = LocalFS()

@@ -195,7 +195,15 @@ def streaming_minhash_dedup(
     State is one (owner, last_seen) pair per distinct band hash — the
     same hash-not-payload rule as exact dedup; bands idle past the
     watermark horizon time out and evict, bounding state exactly like
-    `dropDuplicatesWithinWatermark` does for the exact tier."""
+    `dropDuplicatesWithinWatermark` does for the exact tier.
+
+    ABSENT MEANS KEEP: a document too short to produce a single shingle
+    emits no bands, so it has NO rows here and none in `band_verdicts`
+    — it cannot be a near-dup candidate (same rule as the batch ladder,
+    where such docs never enter the shingle index). Consumers joining
+    verdicts back to the corpus must LEFT join and treat a missing
+    verdict as is_dup=false; an inner join would silently drop those
+    valid documents."""
     keyed = (
         docs.withWatermark(ts_col, watermark)
         .select(
@@ -227,7 +235,11 @@ def band_verdicts(ownership: DataFrame) -> DataFrame:
     """Per-document verdict from a band-ownership microbatch: is_dup iff
     any band is owned by another document; first_owner names the earliest
     owning doc (min id among owning docs) for provenance. Plain batch
-    aggregation — run inside foreachBatch."""
+    aggregation — run inside foreachBatch.
+
+    Shingle-less documents are ABSENT from this output (they emitted no
+    bands — see streaming_minhash_dedup): LEFT-join these verdicts onto
+    the corpus and coalesce a missing is_dup to false."""
     return ownership.groupBy("doc_id").agg(
         F.max(
             (F.col("owner_doc_id") != F.col("doc_id")).cast("int")

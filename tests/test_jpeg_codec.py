@@ -200,3 +200,27 @@ def test_spark_raster_path_accepts_jpeg(spark):
     assert feats[0]["feature"] == pytest.approx(
         grid_features(decode_jpeg(blob), 12)
     )
+
+
+def test_corrupt_streams_degrade_to_valueerror_not_task_kill():
+    """Every corruption class converts to ValueError — the media
+    operators' 'corrupt blob → NULL column, never a task kill' contract.
+    Previously _RestartMarker (stray RST inside entropy data) and
+    KeyError (scan referencing an undefined DHT/DQT table) escaped."""
+    img = np.full((8, 8, 3), 90, np.uint8)
+    good = bytes(encode_jpeg(img, 90))
+
+    # stray RST marker injected into the entropy-coded scan data
+    sos = good.find(b"\xff\xda")
+    scan_start = sos + 2 + struct.unpack(">H", good[sos + 2 : sos + 4])[0]
+    stray = good[: scan_start + 2] + b"\xff\xd3" + good[scan_start + 2 :]
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_jpeg(stray)
+
+    # DHT segment excised: the scan references a Huffman table that was
+    # never defined
+    dht = good.find(b"\xff\xc4")
+    dht_len = struct.unpack(">H", good[dht + 2 : dht + 4])[0]
+    no_dht = good[:dht] + good[dht + 2 + dht_len :]
+    with pytest.raises(ValueError):
+        decode_jpeg(no_dht)

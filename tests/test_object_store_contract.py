@@ -169,3 +169,22 @@ def test_unregistered_scheme_rejected():
     with pytest.raises(ValueError, match="register_scheme"):
         fs_for("s3a://bucket/prefix")
     assert isinstance(fs_for("/plain/local/path"), LocalFS)
+
+
+def test_file_scheme_urls_normalize_to_local_paths(tmp_path):
+    """`file://` URLs hit LocalFS as OS paths — raw URLs passed through
+    to os.path/open previously listed empty and wrote to bogus relative
+    paths."""
+    d = tmp_path / "date=2026-01-15"
+    d.mkdir()
+    (d / "snap.parquet").write_bytes(b"PAR1data")
+    fs = fs_for(f"file://{tmp_path}")
+    assert isinstance(fs, LocalFS)
+    listed = fs.list_prefix(f"file://{d}")
+    assert listed == [str(d / "snap.parquet")]
+    assert fs.exists(f"file://{d}/snap.parquet")
+    assert fs.read_bytes(f"file://{d}/snap.parquet") == b"PAR1data"
+    src = tmp_path / "up.bin"
+    src.write_bytes(b"x")
+    fs.put_file(str(src), f"file://{tmp_path}/dest/up.bin")
+    assert (tmp_path / "dest" / "up.bin").read_bytes() == b"x"

@@ -209,6 +209,14 @@ def main() -> None:
     run("exact_substring_shufreuse", lambda: exact_substring_spans(
         docs, min_len=30, gram_plan="shuffle_reuse")
         .filter(F.col("n_dup_spans") > 0).count())
+
+    # --- sequence packing: the distributed two-pass prefix sum (4096
+    # hash-prefix buckets; no single-partition window) at corpus scale
+    from noaa_oracle_spark.pipeline.sampling import pack_training_sequences
+
+    run("pack_sequences", lambda: pack_training_sequences(
+        docs, budget_tokens=2048, salt="bench")
+        .filter(F.col("seq_id") >= 0).count())
     emb_all = spark.read.parquet(os.path.join(FIXTURE, "embeddings.parquet"))
     run("semantic_dedup", lambda: semantic_dedup(
         emb_all, emb_all.filter(F.col("vec_id") < 64), threshold=0.7,

@@ -224,6 +224,116 @@ def pack_training_sequences(
     )
 
 
+def pack_training_sequences_binned(
+    df: DataFrame,
+    budget_tokens: int,
+    salt: str = "",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bucket_hex_digits: int = 3,
+) -> DataFrame:
+    """Bin-capacity (next-fit, no-straddle) sequence packing: unlike
+    `pack_training_sequences` (concat-and-split, where a document may
+    straddle into the next sequence), a document here must FIT in the
+    current sequence's remaining token budget or a new sequence opens —
+    the layout fixed-context training stacks need when an example may not
+    cross a sequence boundary. A document longer than the whole budget
+    gets a sequence of its own (callers typically chunk those first).
+
+    Document order is the same deterministic md5(salt|key) epoch shuffle
+    as the concat-and-pack form. Next-fit is inherently sequential, so
+    the corpus is bucketed by the first `bucket_hex_digits` hex digits of
+    the sort hash (16^digits uniform buckets) and each bucket packs
+    INDEPENDENTLY with fresh state — the standard per-shard packing rule:
+    sequences never straddle a bucket boundary, wasting at most one
+    partial sequence per bucket (4096 partial sequences against the
+    corpus's hundreds of millions — noise), in exchange for full
+    parallelism. Global sequence ids stay contiguous and deterministic:
+    per-bucket sequence counts (≤4096 longs, small-by-construction) are
+    collected, turned into exclusive offsets, and broadcast back — the
+    same two-pass discipline as pack_training_sequences, so no
+    single-partition window anywhere.
+
+    The next-fit simulation itself is a per-bucket applyInPandas kernel
+    (a true data-dependent recursion — not window-expressible); each
+    group holds ~1/16^digits of the slim (key, n_tokens, hash) rows. The
+    kernel runs twice (once under the count aggregate, once for the
+    final rows) — deterministic, and cheaper at scale than materializing
+    the intermediate.
+
+    Returns (key, n_tokens, seq_id, start_offset); start_offset is the
+    fill level the document was placed at (always 0 for a
+    sequence-opening document)."""
+    import pandas as pd
+
+    if not 1 <= bucket_hex_digits <= 3:
+        raise ValueError("bucket_hex_digits must be 1..3")
+    budget = int(budget_tokens)
+    if budget <= 0:
+        raise ValueError("budget_tokens must be positive")
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    h = _bucket_full(F.col(key_col).cast("string"), salt)
+    base = df.select(
+        F.col(key_col),
+        n_tokens.alias("n_tokens"),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, bucket_hex_digits), 16, 10)
+        .cast("int")
+        .alias("_b"),
+    )
+
+    out_schema = (
+        f"{key_col} {dict(df.dtypes)[key_col]}, n_tokens long, "
+        "_b int, _local_seq long, start_offset long"
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["_h", key_col], kind="mergesort")
+        seqs, offs = [], []
+        bin_id, fill = -1, budget + 1  # force the first doc to open seq 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill + n <= budget:
+                offs.append(fill)
+                fill += n
+            else:
+                bin_id += 1
+                offs.append(0)
+                fill = n
+            seqs.append(bin_id)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "_b": pdf["_b"].to_numpy(),
+                "_local_seq": seqs,
+                "start_offset": offs,
+            }
+        )
+
+    packed = base.groupBy("_b").applyInPandas(kernel, out_schema)
+
+    totals = (
+        packed.groupBy("_b")
+        .agg((F.max("_local_seq") + 1).alias("_n_bins"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_b"]):
+        offsets.append((row["_b"], running))
+        running += row["_n_bins"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_b int, _off long")
+
+    return packed.join(F.broadcast(off_df), "_b").select(
+        key_col,
+        "n_tokens",
+        (F.col("_off") + F.col("_local_seq")).cast("long").alias("seq_id"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

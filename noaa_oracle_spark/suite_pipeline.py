@@ -1253,6 +1253,76 @@ FROM c
 """
 
 
+def q102_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-capacity (next-fit, no-straddle) packing
+    (pipeline/sampling.pack_training_sequences_binned): a document must
+    fit in the current 512-token sequence or open a new one; md5 epoch
+    shuffle order; 16 hash-prefix buckets packing independently with
+    globally contiguous sequence ids. The oracle replays the per-bucket
+    next-fit recursion as a recursive CTE stepping the rank-within-bucket
+    chain — a genuinely sequential semantics the driver still
+    hash-grades end to end."""
+    from noaa_oracle_spark.pipeline.sampling import (
+        pack_training_sequences_binned,
+    )
+
+    return pack_training_sequences_binned(
+        load(spark, sf_dir, "documents"),
+        budget_tokens=512,
+        salt="epoch0",
+        bucket_hex_digits=1,
+    )
+
+
+SQL_Q102 = """
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('epoch0|' || doc_id) AS h
+    FROM documents
+), ordered AS (
+    -- bucket stays the hex CHARACTER: single hex digits sort in ASCII
+    -- exactly as their numeric values, so the offset prefix below walks
+    -- buckets in the same order Spark's integer _b does
+    SELECT doc_id, n_tokens,
+           substr(h, 1, 1) AS bucket,
+           row_number() OVER (
+               PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+           ) AS rn
+    FROM t
+), rec AS (
+    SELECT bucket, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS bin,
+           CAST(0 AS BIGINT) AS start_offset,
+           n_tokens AS fill
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+           CASE WHEN r.fill + o.n_tokens <= 512
+                THEN r.bin ELSE r.bin + 1 END,
+           CASE WHEN r.fill + o.n_tokens <= 512
+                THEN r.fill ELSE CAST(0 AS BIGINT) END,
+           CASE WHEN r.fill + o.n_tokens <= 512
+                THEN r.fill + o.n_tokens ELSE o.n_tokens END
+    FROM rec r JOIN ordered o
+      ON o.bucket = r.bucket AND o.rn = r.rn + 1
+), counts AS (
+    SELECT bucket, max(bin) + 1 AS n_bins FROM rec GROUP BY 1
+), offs AS (
+    SELECT bucket,
+           CAST(coalesce(sum(n_bins) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS off
+    FROM counts
+)
+SELECT r.doc_id, r.n_tokens,
+       o.off + r.bin AS seq_id,
+       r.start_offset
+FROM rec r JOIN offs o ON o.bucket = r.bucket
+"""
+
+
 def q100_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat PQ / ADC top-k (pipeline/pq.py): train seed codebooks (m=8
     subspaces × 8 codes, the 8 lowest-id vectors — iters=0 so the whole
@@ -1416,6 +1486,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_pack_sequences": q99_pack_sequences,
     "q100_pq_adc_knn": q100_pq_adc_knn,
     "q101_ivfpq_knn": q101_ivfpq_knn,
+    "q102_pack_bins": q102_pack_bins,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1456,4 +1527,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q99_pack_sequences": SQL_Q99,
     "q100_pq_adc_knn": SQL_Q100,
     "q101_ivfpq_knn": SQL_Q101,
+    "q102_pack_bins": SQL_Q102,
 }

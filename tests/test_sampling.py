@@ -250,3 +250,74 @@ def test_pack_training_sequences_vs_python_oracle(spark):
         expected[did] = (n, cum // 64, cum % 64)
         cum += n
     assert got == expected
+
+
+def test_pack_bins_vs_python_oracle(spark):
+    """Randomized corpora against an independent python next-fit
+    reimplementation: md5(salt|id) order, per-hex-bucket next-fit with
+    fresh state, bucket-offset sequence numbering. Includes oversize
+    docs (longer than the whole budget → a sequence of their own)."""
+    import hashlib
+    import random
+
+    from noaa_oracle_spark.pipeline.sampling import (
+        pack_training_sequences_binned,
+    )
+
+    rnd = random.Random(29)
+    rows = [
+        (i, " ".join("t%d" % rnd.randint(0, 9) for _ in
+                     range(rnd.choice([3, 10, 30, 60, 100]))))
+        for i in range(300)
+    ]
+    budget = 64  # docs of 100 tokens are oversize on purpose
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.seq_id, r.start_offset)
+        for r in pack_training_sequences_binned(
+            df, budget_tokens=budget, salt="s4", bucket_hex_digits=1
+        ).collect()
+    }
+
+    hashed = sorted(
+        (hashlib.md5(f"s4|{d}".encode()).hexdigest(), d, t)
+        for d, t in rows
+    )
+    per_bucket: dict[str, list] = {}
+    for h, d, t in hashed:
+        per_bucket.setdefault(h[0], []).append((d, len(t.split(" "))))
+    expected = {}
+    offset = 0
+    for b in sorted(per_bucket):
+        bin_id, fill = -1, budget + 1
+        for did, n in per_bucket[b]:
+            if fill + n <= budget:
+                expected[did] = (n, offset + bin_id, fill)
+                fill += n
+            else:
+                bin_id += 1
+                expected[did] = (n, offset + bin_id, 0)
+                fill = n
+        offset += bin_id + 1
+    assert got == expected
+    # every sequence respects the budget unless it holds one oversize doc
+    by_seq: dict[int, list] = {}
+    for n, seq, off in got.values():
+        by_seq.setdefault(seq, []).append((off, n))
+    for seq, members in by_seq.items():
+        total = sum(n for _, n in members)
+        assert total <= budget or len(members) == 1
+
+
+def test_pack_bins_validation(spark):
+    from noaa_oracle_spark.pipeline.sampling import (
+        pack_training_sequences_binned,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_hex_digits"):
+        pack_training_sequences_binned(df, 10, bucket_hex_digits=4)
+    with pytest.raises(ValueError, match="positive"):
+        pack_training_sequences_binned(df, 0)

@@ -1,20 +1,27 @@
 """Baseline JPEG codec on stdlib+numpy (the last compressed-image gate).
 
-Pure-spec implementation (ITU-T T.81): marker parse, DQT/DHT/SOF0/SOS/DRI,
-Huffman-coded MCU entropy decode with byte stuffing and restart markers,
-dequantize, zigzag, 2-D IDCT as two matrix products against the orthonormal
-DCT-II basis, sampling-factor upsample, JFIF YCbCr→RGB. Supported: baseline
-sequential (SOF0), 8-bit, 1 or 3 components, any h×v sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 …). Progressive (SOF2), arithmetic coding, 12-bit
-and hierarchical modes raise ValueError — corrupt corpora must degrade to
-NULL columns, not kill tasks (same contract as media_codecs).
+Pure-spec implementation (ITU-T T.81): marker parse, DQT/DHT/SOF0/SOF2/
+SOS/DRI, Huffman-coded MCU entropy decode with byte stuffing and restart
+markers, dequantize, zigzag, 2-D IDCT as two matrix products against the
+orthonormal DCT-II basis, sampling-factor upsample, JFIF YCbCr→RGB.
+Supported: baseline sequential (SOF0) AND progressive (SOF2 — spectral
+selection + successive approximation, Annex G: DC/AC first and refinement
+scans, EOB runs, per-scan coefficient accumulation reconstructed at EOI),
+8-bit, 1 or 3 components, any h×v sampling factors (4:4:4 / 4:2:2 /
+4:2:0 …). Arithmetic coding, 12-bit and hierarchical modes raise
+ValueError — corrupt corpora must degrade to NULL columns, not kill tasks
+(same contract as media_codecs).
 
-The encoder exists to make REAL test fixtures without an imaging library:
-4:4:4, quality-scaled Annex-K quantization tables, the spec's Annex-K
-typical Huffman tables. Decode(encode(x)) is lossy-close, not equal, so
-tests anchor exactness on hand-constructed streams (a solid-color block is
-a DC-only coefficient whose reconstruction is exact) and bound the
-round-trip error on smooth images.
+The encoders exist to make REAL test fixtures without an imaging library:
+baseline 4:4:4/4:2:0 plus a progressive encoder (cjpeg's standard
+10-scan script), quality-scaled Annex-K quantization tables, the spec's
+Annex-K typical Huffman tables. Both encoders quantize identically, so a
+progressive decode must equal the baseline decode of the same image
+BIT-FOR-BIT — the strongest oracle the tests pin. Decode(encode(x)) is
+lossy-close, not equal, so tests additionally anchor exactness on
+hand-constructed streams (a solid-color block is a DC-only coefficient
+whose reconstruction is exact) and bound the round-trip error on smooth
+images.
 
 The per-MCU Python loop is driver/executor-side per-BLOB work inside
 mapInPandas — the same batch shape as every other codec here; a 100 TB
@@ -252,6 +259,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: per-component coefficient accumulators
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -292,7 +300,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = _build_huffman(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -304,27 +312,45 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential (SOF0) JPEG supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG "
+                "supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for i in range(ns):
                 cs, tables = struct.unpack_from(">BB", seg, 1 + i * 2)
                 scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se, ahal = struct.unpack_from(
+                ">BBB", seg, 1 + ns * 2
             )
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, order, scan, huff_dc,
+                huff_ac, restart_interval, coefs,
+                ss, se, ahal >> 4, ahal & 0x0F,
+            )
+            continue
         pos += seglen
+    if frame is not None and frame["progressive"] and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("no SOS marker found")
 
 
@@ -360,7 +386,15 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, ri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # upsample to full geometry, crop, color-convert
+    return _finish_planes(planes, frame)
+
+
+def _finish_planes(planes, frame):
+    """Upsample to full geometry, crop, level-shift, color-convert —
+    shared tail of the baseline and progressive paths."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -404,6 +438,231 @@ def _decode_block(br, dc_tbl, ac_tbl, q, pred, ci):
     blk = np.zeros((8, 8), np.float64)
     blk.flat[ZIGZAG] = dq  # de-zigzag into natural order
     return _C.T @ blk @ _C  # 2-D IDCT (level shift applied later)
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _comp_geometry(frame, c):
+    """((nbx, nby) actual block grid, (pbx, pby) MCU-padded grid)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return (-(-cw // 8), -(-ch // 8)), (mcux * c["h"], mcuy * c["v"])
+
+
+def _alloc_coefs(frame):
+    """Per-component zigzag-order coefficient accumulators at the
+    MCU-padded grid (DC scans may be interleaved and touch the padding
+    blocks; AC scans cover only the actual grid)."""
+    out = []
+    for c in frame["comps"]:
+        _, (pbx, pby) = _comp_geometry(frame, c)
+        out.append(np.zeros((pby, pbx, 64), np.int32))
+    return out
+
+
+def _decode_progressive_scan(
+    data, pos, frame, order, scan, huff_dc, huff_ac, ri, coefs,
+    ss, se, ah, al,
+):
+    """One SOS of a progressive stream (T.81 G.2): updates `coefs` in
+    place, returns the byte position of the marker that ends the scan.
+
+    Four scan kinds, dispatched on (ss, ah):
+      ss == 0, ah == 0 — DC first (baseline DC decode, values << al);
+      ss == 0, ah > 0  — DC refinement (one appended bit per block);
+      ss > 0,  ah == 0 — AC first (EOB-run coded, values << al);
+      ss > 0,  ah > 0  — AC refinement (G.1.2.3 correction bits).
+    DC scans may interleave several components (MCU order over the
+    padded grid); AC scans are single-component, block-raster over the
+    component's ACTUAL grid. Restart markers reset predictors and the
+    EOB run every `ri` units."""
+    comps = frame["comps"]
+    members = [
+        (ci, c) for ci, c in enumerate(comps) if c["id"] in scan
+    ]
+    if [c["id"] for _, c in members] != order:
+        members.sort(key=lambda t: order.index(t[1]["id"]))
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        pred = [0] * len(comps)
+        interleaved = len(members) > 1
+
+        def dc_block(ci, c, by, bx):
+            coef = coefs[ci][by, bx]
+            if ah == 0:
+                t = br.decode_symbol(huff_dc[scan[c["id"]][0]])
+                diff = _extend(br.read_bits(t), t) if t else 0
+                pred[ci] += diff
+                coef[0] = pred[ci] << al
+            else:
+                if br.read_bit():
+                    coef[0] |= 1 << al
+
+        if interleaved:
+            hmax = max(x["h"] for x in comps)
+            vmax = max(x["v"] for x in comps)
+            mcux = -(-frame["w"] // (8 * hmax))
+            mcuy = -(-frame["h"] // (8 * vmax))
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and n and n % ri == 0:
+                        br.skip_restart()
+                        pred = [0] * len(comps)
+                    for ci, c in members:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    ci, c,
+                                    my * c["v"] + by, mx * c["h"] + bx,
+                                )
+                    n += 1
+        else:
+            ci, c = members[0]
+            (nbx, nby), _ = _comp_geometry(frame, c)
+            n = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ri and n and n % ri == 0:
+                        br.skip_restart()
+                        pred = [0] * len(comps)
+                    dc_block(ci, c, by, bx)
+                    n += 1
+    else:
+        if len(members) != 1:
+            raise ValueError("AC progressive scan must be one component")
+        ci, c = members[0]
+        ac_tbl = huff_ac[scan[c["id"]][1]]
+        (nbx, nby), _ = _comp_geometry(frame, c)
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if ri and n and n % ri == 0:
+                    br.skip_restart()
+                    state["eobrun"] = 0
+                coef = coefs[ci][by, bx]
+                if ah == 0:
+                    _ac_first(br, ac_tbl, coef, ss, se, al, state)
+                else:
+                    _ac_refine(br, ac_tbl, coef, ss, se, al, state)
+                n += 1
+
+    # the scan's entropy data ends at the next real marker
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _ac_first(br, tbl, coef, ss, se, al, state):
+    """AC spectral-selection first scan for one block (T.81 G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eob = 1 << r
+            if r:
+                eob += br.read_bits(r)
+            state["eobrun"] = eob - 1  # current block counts
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        coef[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, tbl, coef, ss, se, al, state):
+    """AC successive-approximation refinement for one block
+    (T.81 G.1.2.3): newly-nonzero coefficients arrive with magnitude
+    1 << al; every already-nonzero coefficient visited receives one
+    correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        if br.read_bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode_symbol(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += br.read_bits(r)
+                    state["eobrun"] = eob
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT every accumulated block, then the shared
+    upsample/color tail."""
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        if c["tq"] not in qt:
+            raise ValueError("missing quantization table")
+        q = qt[c["tq"]]
+        _, (pbx, pby) = _comp_geometry(frame, c)
+        plane = np.zeros((pby * 8, pbx * 8), np.float64)
+        arr = coefs[ci]
+        for by in range(pby):
+            for bx in range(pbx):
+                dq = (arr[by, bx].astype(np.int64) * q).astype(np.float64)
+                blk = np.zeros((8, 8), np.float64)
+                blk.flat[ZIGZAG] = dq
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ blk @ _C
+                )
+        planes.append(plane)
+    return _finish_planes(planes, frame)
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +726,207 @@ def _pad_to(plane: np.ndarray, hh: int, ww: int) -> np.ndarray:
     if w < ww:
         out[:, w:] = out[:, w - 1 : w]
     return out
+
+
+#: cjpeg's standard progressive scan script (4:4:4, 3 components):
+#: (component indices, Ss, Se, Ah, Al)
+PROGRESSIVE_SCRIPT = [
+    ([0, 1, 2], 0, 0, 0, 1),   # DC first, approximated
+    ([0], 1, 5, 0, 2),         # Y low AC band
+    ([2], 1, 63, 0, 1),        # Cr full band
+    ([1], 1, 63, 0, 1),        # Cb full band
+    ([0], 6, 63, 0, 2),        # Y high AC band
+    ([0, 1, 2], 0, 0, 1, 0),   # DC refinement
+    ([0], 1, 63, 2, 1),        # Y AC refine 2→1
+    ([2], 1, 63, 1, 0),        # Cr AC refine 1→0
+    ([1], 1, 63, 1, 0),        # Cb AC refine 1→0
+    ([0], 1, 63, 1, 0),        # Y AC refine 1→0
+]
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al truncating toward zero (the
+    DC point transform is an arithmetic shift — applied at call sites)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_ac_first(bw, ac_tbl, zz, ss, se, al) -> None:
+    """AC spectral-selection first scan for one block; EOB runs capped
+    at one block (symbol 0x00) because the Annex-K tables define no
+    EOBn (r>0) symbols — spec-legal, just less compressed."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = _pt(int(zz[k]), al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_tbl[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_tbl[0x00]
+        bw.write(code, ln)
+
+
+def _encode_ac_refine(bw, ac_tbl, zz, ss, se, al) -> None:
+    """AC successive-approximation refinement for one block (inverse of
+    _ac_refine; Ah = al + 1). History-nonzero coefficients contribute
+    one correction bit each, buffered and flushed after the next coded
+    symbol; newly-nonzero ones code as (r<<4)|1 + sign. Per-block EOB
+    (0x00) instead of cross-block runs, same Annex-K constraint as
+    _encode_ac_first."""
+    absv = [abs(_pt(int(zz[k]), al)) for k in range(ss, se + 1)]
+    eob_rel = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_rel = i
+    pending: list[int] = []
+    run = 0
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_rel:
+            code, ln = ac_tbl[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        code, ln = ac_tbl[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(zz[ss + i]) < 0 else 1, 1)
+        run = 0
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+    if run or pending:
+        code, ln = ac_tbl[0x00]  # EOB (run of exactly one block)
+        bw.write(code, ln)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    scans: "list | None" = None,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF bytes, 4:4:4,
+    Annex-K tables, cjpeg's standard scan script by default. Quantized
+    coefficients are IDENTICAL to encode_jpeg's at the same quality, so
+    progressive and baseline decodes of the same image must agree
+    bit-for-bit — the property the decoder tests pin."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected (H, W, 3)")
+    h, w = img.shape[:2]
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    mcuy, mcux = -(-h // 8), -(-w // 8)
+    planes = [
+        _pad_to(p, mcuy * 8, mcux * 8) for p in (y, cb, cr)
+    ]
+    quants = [ql, qc, qc]
+    # quantized zigzag coefficients per component, (by, bx, 64)
+    zzs = []
+    for p, q in zip(planes, quants):
+        arr = np.zeros((mcuy, mcux, 64), np.int64)
+        for by in range(mcuy):
+            for bx in range(mcux):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _C @ blk @ _C.T
+                arr[by, bx] = np.round(coef.flat[ZIGZAG] / q).astype(
+                    np.int64
+                )
+        zzs.append(arr)
+
+    dc_enc = [
+        _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_enc = [
+        _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    body = bytearray()
+    for comp_idx, ss, se, ah, al in (scans or PROGRESSIVE_SCRIPT):
+        ns = len(comp_idx)
+        hdr = bytes([ns])
+        for ci in comp_idx:
+            tbl_sel = (0 if ci == 0 else 1)
+            hdr += bytes([ci + 1, (tbl_sel << 4) | tbl_sel])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        body += seg(0xDA, hdr)
+        bw = _BitWriter()
+        if ss == 0:
+            pred = [0, 0, 0]
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    for ci in comp_idx:
+                        c0 = int(zzs[ci][by, bx, 0])
+                        if ah == 0:
+                            v = c0 >> al  # DC point transform
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t, bits = _magnitude(diff)
+                            code, ln = dc_enc[0 if ci == 0 else 1][t]
+                            bw.write(code, ln)
+                            if t:
+                                bw.write(bits, t)
+                        else:
+                            bw.write((c0 >> al) & 1, 1)
+        else:
+            if ns != 1:
+                raise ValueError("AC scan must be single-component")
+            ci = comp_idx[0]
+            tbl = ac_enc[0 if ci == 0 else 1]
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    zz = zzs[ci][by, bx]
+                    if ah == 0:
+                        _encode_ac_first(bw, tbl, zz, ss, se, al)
+                    else:
+                        _encode_ac_refine(bw, tbl, zz, ss, se, al)
+        bw.flush()
+        body += bytes(bw.out)
+
+    sof = seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(x) for x in ql))
+        + seg(0xDB, bytes([1]) + bytes(int(x) for x in qc))
+        + seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xC4, bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        + seg(0xC4, bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+        + sof
+        + bytes(body)
+        + b"\xff\xd9"
+    )
 
 
 def _encode_block(bw, blk, q, pred, ci, dc_tbl, ac_tbl) -> None:

@@ -17,7 +17,8 @@ These are genuine byte-level decoders — pixel geometry, bottom-up BMP row
 order, row padding, channel order, PCM widths — not fakes; the fake
 hash-codec in multimodal.py remains as the plumbing-test stand-in and the
 NotImplementedError gates now apply only to formats that truly need an
-external library (progressive JPEG, MP3, MP4...).
+external library (MP3, MP4...; progressive JPEG decodes for real as of
+round 4 — jpeg_codec.py handles SOF2).
 
 Everything is a pure bytes→numpy function so the same code runs inside
 Arrow-batched mapInPandas on executors and inside test oracles on the

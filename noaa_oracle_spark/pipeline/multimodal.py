@@ -11,11 +11,12 @@ shapes, partition sizing — is real and tested. Codecs come in two tiers:
     P6 PPM, uncompressed BMP, PNG (zlib inflate + full unfiltering,
     8-bit gray/RGB/palette/alpha variants), and baseline JPEG (full
     T.81 sequential decode: Huffman MCU entropy decoding, restart
-    markers, any sampling factors, IDCT, JFIF color convert —
-    pipeline/jpeg_codec.py) for images, RIFF/WAVE PCM for audio. Real
-    pixels/samples in, real features/resizes/energies out; corrupt
+    markers, any sampling factors, IDCT, JFIF color convert) AND
+    progressive JPEG (SOF2 spectral-selection + successive-approximation
+    scans — pipeline/jpeg_codec.py) for images, RIFF/WAVE PCM for audio.
+    Real pixels/samples in, real features/resizes/energies out; corrupt
     blobs degrade to NULL output columns instead of failing the task.
-  - anything else (progressive JPEG/MP3/MP4…) still raises
+  - anything else (MP3/MP4…) still raises
     NotImplementedError — those genuinely need external libraries (or
     codecs out of scope for a data engine) this runtime doesn't ship.
 

@@ -168,12 +168,18 @@ def test_malformed_and_unsupported_reject():
         decode_jpeg(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         decode_jpeg(bytes(good[: len(good) // 2]))  # truncated mid-stream
-    # flip SOF0 → SOF2 (progressive)
+    # flip SOF0 → SOF2: progressive now DECODES, but a baseline scan
+    # header (Ss=0, Se=63) is malformed for a progressive DC scan
     idx = bytes(good).find(b"\xff\xc0")
     prog = good.copy()
     prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(prog))
+    # SOF1 (extended sequential) stays unsupported
+    seq1 = good.copy()
+    seq1[idx + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(seq1))
     # 12-bit precision
     deep = good.copy()
     deep[idx + 4] = 12
@@ -224,3 +230,154 @@ def test_corrupt_streams_degrade_to_valueerror_not_task_kill():
     no_dht = good[:dht] + good[dht + 2 + dht_len :]
     with pytest.raises(ValueError):
         decode_jpeg(no_dht)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """The two encoders quantize identically, so progressive and
+    baseline decodes of the same image must agree EXACTLY — every scan
+    kind of the 10-scan script (DC first/refine, AC bands, AC refine)
+    must reassemble the same coefficients."""
+    from noaa_oracle_spark.pipeline.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    imgs = [
+        np.full((16, 24, 3), 128, np.uint8),
+        RNG.integers(0, 256, (24, 17, 3), dtype=np.uint8),  # odd width
+        RNG.integers(0, 256, (13, 8, 3), dtype=np.uint8),   # odd height
+        np.stack(
+            [np.tile(np.arange(40, dtype=np.uint8) * 6, (19, 1))] * 3, 2
+        ),
+    ]
+    for q in (70, 90):
+        for img in imgs:
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q))
+            np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_spectral_only_script():
+    """Spectral selection without successive approximation (Al=0
+    everywhere) — a distinct scan-script shape real encoders emit."""
+    from noaa_oracle_spark.pipeline.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 5, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0], 6, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, 85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 85, scans=scans))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_truncated_and_corrupt_degrade():
+    from noaa_oracle_spark.pipeline.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg_progressive(img, 85)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 3])
+    # a progressive stream that ends before any SOS
+    sos = data.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:sos] + b"\xff\xd9")
+
+
+def test_progressive_eob_run_across_blocks():
+    """Hand-built single-component stream exercising a multi-block EOB
+    run (EOBn, r>0) — the Annex-K tables define no EOBn symbols, so the
+    script-encoder fixtures can't produce one; this stream carries a
+    custom DHT. 4 blocks: block 0 has one AC coefficient, blocks 1-3
+    are AC-empty via EOB3 (run of 3). Oracle: dequant+IDCT in numpy."""
+    import struct as _s
+
+    from noaa_oracle_spark.pipeline.jpeg_codec import (
+        _BitWriter,
+        _C,
+        ZIGZAG,
+    )
+
+    # custom AC table: symbols EOB0(0x00), EOB1(0x10), (r=0,s=1)=0x01,
+    # ZRL(0xF0) — 4 symbols, all 3 bits (canonical codes 000..011)
+    ac_bits = [0, 0, 4] + [0] * 13
+    ac_vals = [0x00, 0x10, 0x01, 0xF0]
+    # DC table: categories 0..3 at 2 bits
+    dc_bits = [0, 4] + [0] * 14
+    dc_vals = [0, 1, 2, 3]
+    q = bytes([1] * 64)  # flat quant: coefficients pass through
+
+    def seg(marker, payload):
+        return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    hdr = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + q)
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xC2, _s.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    )
+    # scan 1: DC first, Al=0 — all four DC diffs zero (category 0 = code 00)
+    bw = _BitWriter()
+    for _ in range(4):
+        bw.write(0b00, 2)
+    bw.flush()
+    scan1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(bw.out)
+    # scan 2: AC first 1..63, Al=0. Block 0: (r=0,s=1) coef +1 at k=1,
+    # then EOB0. Blocks 1-3: one EOB1 = run of 2... EOBn: r=1 →
+    # run = (1<<1) + 1 extra bit; emit extra bit 1 → run 3.
+    bw = _BitWriter()
+    bw.write(0b010, 3)  # symbol 0x01: r=0,s=1
+    bw.write(1, 1)      # magnitude bit: +1
+    bw.write(0b000, 3)  # EOB0 ends block 0
+    bw.write(0b001, 3)  # EOB1: run = 2 + extra
+    bw.write(1, 1)      # extra bit → EOBRUN = 3 (blocks 1,2,3)
+    bw.flush()
+    scan2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes(bw.out)
+    data = hdr + scan1 + scan2 + b"\xff\xd9"
+
+    out = decode_jpeg(data)
+    assert out.shape == (8, 32, 3)
+    # numpy oracle: block 0 has coef 1 at zigzag k=1, others all-zero
+    coef = np.zeros(64)
+    coef[1] = 1.0
+    blk = np.zeros((8, 8))
+    blk.flat[ZIGZAG] = coef
+    px = _C.T @ blk @ _C
+    expect0 = np.clip(np.round(px + 128.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out[:, :8, 0], expect0)
+    assert np.all(out[:, 8:, 0] == 128)  # EOB-run blocks: DC-only gray
+    assert np.array_equal(out[..., 0], out[..., 1])
+
+
+def test_progressive_spark_media_path(spark):
+    """The multimodal raster path accepts progressive blobs end-to-end
+    (sniff → decode → features) — the gate list shrinks to MP3/MP4."""
+    from noaa_oracle_spark.pipeline.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+    from noaa_oracle_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_images,
+    )
+
+    img = RNG.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, 90)
+    assert sniff_image_format(blob) == "jpeg"
+    media = spark.createDataFrame(
+        [(21, "image", blob, "image/jpeg", 16, 12, None)], MEDIA_SCHEMA
+    )
+    dec = decode_images(media).collect()[0]
+    assert (dec["format"], dec["width"], dec["height"]) == ("jpeg", 16, 12)

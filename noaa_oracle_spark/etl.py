@@ -27,10 +27,16 @@ def run_scoring_cycle(
     forecasts: DataFrame,
     observations: DataFrame,
     now: datetime | None = None,
+    only_event: str | None = None,
 ) -> dict[str, dict]:
     """Score every unsigned Running/Completed event; for Completed events
     past signing_date, compute winners + winner bytes (attestation secret
     itself is crypto-gated, scoring/outcomes.py).
+
+    `only_event` restricts the cycle to one event id — the HTTP twin's
+    per-event weather pairing (each event's provider frames cover that
+    event's own window/stations, oracle.rs:355-430 refreshes weather per
+    event the same way).
 
     Returns {event_id: {"scores": [(entry_id, total, base)...],
                         "winners": [idx...] | None,
@@ -43,6 +49,8 @@ def run_scoring_cycle(
     active = store.active_events(now).collect()
     for ev in active:
         if ev["status"] not in ("running", "completed"):
+            continue
+        if only_event is not None and ev["id"] != only_event:
             continue
         entries = store.event_entries(ev["id"])
         if entries.isEmpty():

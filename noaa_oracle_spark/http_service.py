@@ -14,6 +14,26 @@ is the thin request/response shell the reference serves with axum
 | GET /files                        | routes/files/get_names.rs:16-41        |
 | GET /file/{file_name}             | routes/files/download.rs:27-68         |
 | POST /file/{file_name}            | routes/files/upload.rs:25-110          |
+| GET /oracle/events                | oracle_routes.rs:60-80 (list_events)   |
+| POST /oracle/events               | oracle_routes.rs:81-105 (create_event) |
+| GET /oracle/events/{id}           | oracle_routes.rs:107-130 (get_event)   |
+| POST /oracle/events/{id}/entries  | oracle_routes.rs:132-158               |
+| GET /oracle/events/{id}/entries/{entry_id} | oracle_routes.rs:160-180      |
+| POST /oracle/update               | oracle_routes.rs:185-207 (update_data) |
+| GET /oracle/update/{process_id}   | (status poll — twin extension)         |
+
+Event routes: the engine side is eventstore/store.py (create/entries/
+status) + etl.run_scoring_cycle (the reference's Oracle::etl_data,
+oracle.rs:355-430). POST /oracle/update mirrors the reference's
+fire-and-forget task::spawn contract — returns immediately with the
+etl_process_id (the reference only logs it; the twin also exposes
+GET /oracle/update/{id} so callers can poll running/completed/failed
+instead of scraping logs). Scoring weather defaults to whole-window
+per-station aggregates of the snapshot store's daily rollups
+(min temp_low / max temp_high / max wind / summed precip — the same
+field semantics the scoring kernel pins); tests inject their own
+provider through `weather_provider`, the WeatherAccess-trait seam.
+NIP-98 auth stays out-of-engine per SURVEY scoping.
 
 Request/response parity notes (shapes, not transport internals):
   - query params mirror ForecastRequest / ObservationRequest /
@@ -53,11 +73,26 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlsplit
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from noaa_oracle_spark import service
 from noaa_oracle_spark.sources.catalog import parse_snapshot_name
 
 _TEMPERATURE_UNITS = ("celsius", "fahrenheit")
+
+
+def _epoch(v) -> int:
+    """Event dates arrive as int epoch seconds or RFC3339 strings
+    (the reference's CreateEvent uses OffsetDateTime; the store keys on
+    epochs)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    try:
+        return int(
+            datetime.fromisoformat(str(v).replace("Z", "+00:00")).timestamp()
+        )
+    except ValueError as exc:
+        raise BadRequest(f"bad timestamp {v!r}") from exc
 
 
 class BadRequest(Exception):
@@ -137,9 +172,94 @@ def _rows_json(df) -> bytes:
     return json.dumps(out).encode()
 
 
-def make_handler(spark: SparkSession, data_dir: str):
+def _default_weather_provider(spark, data_dir, ev, now=None):
+    """(forecasts, observations) in the scoring kernel's per-station shape,
+    aggregated over the event's observation window from the snapshot
+    store's daily rollups — the engine-side default behind the
+    WeatherAccess seam."""
+    from pyspark.sql import functions as F
+
+    start = datetime.fromtimestamp(
+        ev["start_observation_date"], tz=timezone.utc
+    )
+    end = datetime.fromtimestamp(ev["end_observation_date"], tz=timezone.utc)
+    locs = list(ev["locations"])
+    fc = service.forecasts_request(
+        spark, data_dir, station_ids=locs, start=start, end=end, now=now
+    ).groupBy("station_id").agg(
+        F.min("temp_low").alias("temp_low"),
+        F.max("temp_high").alias("temp_high"),
+        F.max("wind_speed").alias("wind_speed"),
+        F.max("wind_direction").alias("wind_direction"),
+        F.sum("rain_amt").alias("rain_amt"),
+        F.sum("snow_amt").alias("snow_amt"),
+        F.max("humidity_max").alias("humidity_max"),
+    )
+    ob = service.daily_observations_request(
+        spark, data_dir, station_ids=locs, start=start, end=end
+    ).groupBy("station_id").agg(
+        F.min("temp_low").alias("temp_low"),
+        F.max("temp_high").alias("temp_high"),
+        F.coalesce(F.max("wind_speed"), F.lit(0)).alias("wind_speed"),
+        F.max("wind_direction").alias("wind_direction"),
+        F.sum("rain_amt").alias("rain_amt"),
+        F.sum("snow_amt").alias("snow_amt"),
+        F.max("humidity").alias("humidity"),
+    )
+    return fc, ob
+
+
+def make_handler(
+    spark: SparkSession,
+    data_dir: str,
+    event_store_path: str | None = None,
+    weather_provider=None,
+):
     """Handler class closed over the session + data dir (BaseHTTPRequestHandler
     is instantiated per request by the server, so state rides in the class)."""
+    from noaa_oracle_spark.eventstore.store import EventStore
+
+    store_box: list = []
+    store_lock = threading.Lock()
+
+    def get_store() -> "EventStore":
+        with store_lock:
+            if not store_box:
+                path = event_store_path or os.path.join(
+                    data_dir, "eventstore"
+                )
+                store_box.append(EventStore(spark, path))
+            return store_box[0]
+
+    provider = weather_provider or _default_weather_provider
+    # POST /oracle/update task registry: process_id → state dict
+    update_tasks: dict[int, dict] = {}
+    tasks_lock = threading.Lock()
+
+    def run_update(pid: int) -> None:
+        from noaa_oracle_spark.etl import run_scoring_cycle
+
+        try:
+            store = get_store()
+            now = datetime.now(timezone.utc)
+            results: dict = {}
+            for ev in store.active_events(now).collect():
+                if ev["status"] not in ("running", "completed"):
+                    continue
+                fc, ob = provider(spark, data_dir, ev, now)
+                results.update(
+                    run_scoring_cycle(
+                        store, fc, ob, now, only_event=ev["id"]
+                    )
+                )
+            with tasks_lock:
+                update_tasks[pid] = {
+                    "state": "completed",
+                    "events_scored": sorted(results),
+                }
+        except Exception as exc:  # surfaced via the status poll
+            with tasks_lock:
+                update_tasks[pid] = {"state": "failed", "error": str(exc)}
 
     class OracleHandler(BaseHTTPRequestHandler):
         # quiet the default stderr-per-request logging
@@ -215,6 +335,20 @@ def make_handler(spark: SparkSession, data_dir: str):
                 elif path.startswith("/file/"):
                     # axum percent-decodes path params; mirror it
                     self._download(unquote(path[len("/file/"):]))
+                elif path == "/oracle/events":
+                    self._list_events()
+                elif path.startswith("/oracle/events/"):
+                    parts = path[len("/oracle/events/"):].split("/")
+                    if len(parts) == 1:
+                        self._get_event(unquote(parts[0]))
+                    elif len(parts) == 3 and parts[1] == "entries":
+                        self._get_entry(
+                            unquote(parts[0]), unquote(parts[2])
+                        )
+                    else:
+                        self._send_error_text(404, "not found")
+                elif path.startswith("/oracle/update/"):
+                    self._update_status(path[len("/oracle/update/"):])
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
@@ -230,14 +364,161 @@ def make_handler(spark: SparkSession, data_dir: str):
             try:
                 if path.startswith("/file/"):
                     self._upload(unquote(path[len("/file/"):]))
+                elif path == "/oracle/events":
+                    self._create_event()
+                elif path.startswith("/oracle/events/") and path.endswith(
+                    "/entries"
+                ):
+                    eid = path[len("/oracle/events/"):-len("/entries")]
+                    self._add_entries(unquote(eid))
+                elif path == "/oracle/update":
+                    self._kick_update()
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
+                self._send_error_text(400, str(exc))
+            except ValueError as exc:
+                # store validation errors mirror BadEvent/BadEntry → 400
                 self._send_error_text(400, str(exc))
             except BrokenPipeError:
                 pass
             except Exception as exc:
                 self._send_error_text(500, f"internal error: {exc}")
+
+        # ---- /oracle event routes (oracle_routes.rs twins) ----
+
+        def _read_json_body(self) -> dict:
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                return json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError as exc:
+                raise BadRequest(f"invalid JSON body: {exc}") from exc
+
+        def _event_json(self, row) -> dict:
+            d = row.asDict(recursive=True)
+            for k in ("nonce", "event_announcement", "attestation"):
+                if d.get(k) is not None:
+                    d[k] = d[k].hex()
+            return d
+
+        def _list_events(self) -> None:
+            rows = get_store().events_with_status().collect()
+            self._send_json(
+                json.dumps(
+                    [self._event_json(r) for r in rows], default=_json_cell
+                ).encode()
+            )
+
+        def _get_event(self, event_id: str) -> None:
+            rows = (
+                get_store().events_with_status()
+                .filter(F.col("id") == event_id)
+                .collect()
+            )
+            if not rows:
+                self._send_error_text(404, f"no such event {event_id}")
+                return
+            self._send_json(
+                json.dumps(
+                    self._event_json(rows[0]), default=_json_cell
+                ).encode()
+            )
+
+        def _get_entry(self, event_id: str, entry_id: str) -> None:
+            rows = (
+                get_store().event_entries(event_id)
+                .filter(F.col("id") == entry_id)
+                .collect()
+            )
+            if not rows:
+                self._send_error_text(404, f"no such entry {entry_id}")
+                return
+            self._send_json(
+                json.dumps(
+                    rows[0].asDict(recursive=True), default=_json_cell
+                ).encode()
+            )
+
+        def _create_event(self) -> None:
+            body = self._read_json_body()
+            required = (
+                "id", "total_allowed_entries", "number_of_places_win",
+                "number_of_values_per_entry", "signing_date",
+                "start_observation_date", "end_observation_date",
+                "locations",
+            )
+            missing = [k for k in required if k not in body]
+            if missing:
+                raise BadRequest(f"missing fields: {missing}")
+            get_store().create_event(
+                body["id"],
+                total_allowed_entries=int(body["total_allowed_entries"]),
+                number_of_places_win=int(body["number_of_places_win"]),
+                number_of_values_per_entry=int(
+                    body["number_of_values_per_entry"]
+                ),
+                signing_date=_epoch(body["signing_date"]),
+                start_observation_date=_epoch(
+                    body["start_observation_date"]
+                ),
+                end_observation_date=_epoch(body["end_observation_date"]),
+                locations=list(body["locations"]),
+                scoring_fields=body.get("scoring_fields"),
+                coordinator_pubkey=body.get("coordinator_pubkey"),
+            )
+            self._get_event(body["id"])
+
+        def _add_entries(self, event_id: str) -> None:
+            body = self._read_json_body()
+            entries = body.get("entries")
+            if not isinstance(entries, list) or not entries:
+                raise BadRequest("entries must be a non-empty list")
+            get_store().add_entries(event_id, entries)
+            rows = get_store().event_entries(event_id).collect()
+            keep = {e["id"] for e in entries}
+            self._send_json(
+                json.dumps(
+                    [
+                        r.asDict(recursive=True)
+                        for r in rows
+                        if r["id"] in keep
+                    ],
+                    default=_json_cell,
+                ).encode()
+            )
+
+        def _kick_update(self) -> None:
+            import random
+
+            pid = random.SystemRandom().getrandbits(31)
+            with tasks_lock:
+                update_tasks[pid] = {"state": "running"}
+            t = threading.Thread(
+                target=run_update, args=(pid,), daemon=True
+            )
+            t.start()
+            self._send_json(
+                json.dumps(
+                    {
+                        "etl_process_id": pid,
+                        "status": f"/oracle/update/{pid}",
+                    }
+                ).encode()
+            )
+
+        def _update_status(self, pid_str: str) -> None:
+            try:
+                pid = int(pid_str)
+            except ValueError as exc:
+                raise BadRequest(f"bad process id {pid_str!r}") from exc
+            with tasks_lock:
+                state = update_tasks.get(pid)
+            if state is None:
+                self._send_error_text(404, f"no such process {pid}")
+                return
+            self._send_json(
+                json.dumps({"etl_process_id": pid, **state}).encode()
+            )
 
         def _upload(self, file_name: str) -> None:
             """POST /file/{name} — the S8 push side (upload.rs:25-110):
@@ -353,20 +634,36 @@ def make_server(
     data_dir: str,
     host: str = "127.0.0.1",
     port: int = 0,
+    event_store_path: str | None = None,
+    weather_provider=None,
 ) -> ThreadingHTTPServer:
     """Bind (port=0 → ephemeral) and return the server; caller drives
     serve_forever (see serve_background)."""
     return ThreadingHTTPServer(
-        (host, port), make_handler(spark, data_dir)
+        (host, port),
+        make_handler(
+            spark, data_dir,
+            event_store_path=event_store_path,
+            weather_provider=weather_provider,
+        ),
     )
 
 
 def serve_background(
-    spark: SparkSession, data_dir: str, host: str = "127.0.0.1", port: int = 0
+    spark: SparkSession,
+    data_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    event_store_path: str | None = None,
+    weather_provider=None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the twin on a daemon thread; returns (server, thread). Shut
     down with server.shutdown(); server.server_close()."""
-    srv = make_server(spark, data_dir, host, port)
+    srv = make_server(
+        spark, data_dir, host, port,
+        event_store_path=event_store_path,
+        weather_provider=weather_provider,
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t

@@ -237,3 +237,125 @@ def test_file_upload_rejects_bad_names(server):
         except urllib.error.HTTPError as exc:
             code = exc.code
         assert code in want, bad
+
+
+# ---------------------------------------------------------------------------
+# /oracle event routes + POST /oracle/update async-task contract
+# ---------------------------------------------------------------------------
+
+
+def _post_json(url: str, obj):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def oracle_server(spark, tmp_path_factory):
+    """Twin with the GOLDEN mock weather injected through the
+    WeatherAccess seam — the same fixtures the reference's e2e ETL test
+    uses (etl_workflow.rs:62-392), so scored entries are exactly the
+    golden scores."""
+    from tests.test_eventstore_etl import _weather
+
+    d = str(tmp_path_factory.mktemp("http_oracle"))
+
+    def provider(spark_, data_dir_, ev, now=None):
+        return _weather(spark)
+
+    srv, _ = serve_background(spark, d, weather_provider=provider)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_oracle_event_lifecycle_over_sockets(oracle_server):
+    """create-event → entries → update (async poll) → scored entries,
+    entirely over HTTP — the reference flow oracle_routes.rs serves."""
+    import time
+
+    from tests.test_eventstore_etl import (
+        CHOICES,
+        EVENT_ID,
+        EXPECTED,
+        _ts,
+    )
+
+    base = oracle_server
+    # POST /oracle/events
+    status, ev = _post_json(
+        f"{base}/oracle/events",
+        {
+            "id": EVENT_ID,
+            "total_allowed_entries": 4,
+            "number_of_places_win": 3,
+            "number_of_values_per_entry": 6,
+            "signing_date": _ts("2024-08-13T03:00:00Z"),
+            "start_observation_date": "2024-08-12T00:00:00Z",  # RFC3339 form
+            "end_observation_date": _ts("2024-08-13T00:00:00Z"),
+            "locations": ["PFNO", "KSAW", "PAPG", "KWMC"],
+        },
+    )
+    assert status == 200 and ev["id"] == EVENT_ID
+    # duplicate create → 400 (store validation mirrored to BAD_REQUEST)
+    st, body = _status_of(f"{base}/oracle/events/{EVENT_ID}")
+    assert st == 200
+    # GET list contains it with a status
+    listed = _get_json(f"{base}/oracle/events")
+    assert [e["id"] for e in listed] == [EVENT_ID]
+    assert listed[0]["status"] in ("live", "running", "completed")
+
+    # POST entries (golden set)
+    by_entry: dict[str, list[dict]] = {}
+    for row in CHOICES:
+        (eid, station, tl, th, ws, wd, ra, sa, hu) = row
+        by_entry.setdefault(eid, []).append(
+            {
+                "station": station, "temp_low": tl, "temp_high": th,
+                "wind_speed": ws, "wind_direction": wd, "rain_amt": ra,
+                "snow_amt": sa, "humidity": hu,
+            }
+        )
+    entries = [{"id": eid, "choices": ch} for eid, ch in by_entry.items()]
+    status, added = _post_json(
+        f"{base}/oracle/events/{EVENT_ID}/entries", {"entries": entries}
+    )
+    assert status == 200 and len(added) == len(entries)
+
+    # GET one entry
+    e0 = entries[0]["id"]
+    one = _get_json(f"{base}/oracle/events/{EVENT_ID}/entries/{e0}")
+    assert one["id"] == e0 and one["score"] is None
+
+    # POST /oracle/update: fire-and-forget + status poll
+    status, kicked = _post_json(f"{base}/oracle/update", {})
+    assert status == 200 and "etl_process_id" in kicked
+    poll = f"{base}{kicked['status']}"
+    for _ in range(240):
+        st_obj = _get_json(poll)
+        if st_obj["state"] != "running":
+            break
+        time.sleep(0.5)
+    assert st_obj["state"] == "completed", st_obj
+    assert st_obj["events_scored"] == [EVENT_ID]
+
+    # scored entries visible over the API with the exact golden scores
+    got = {}
+    for eid in by_entry:
+        row = _get_json(f"{base}/oracle/events/{EVENT_ID}/entries/{eid}")
+        got[eid] = (row["score"], row["base_score"])
+    assert got == EXPECTED
+
+    # unknown process id → 404; junk pid → 400
+    st, _ = _status_of(f"{base}/oracle/update/123")
+    assert st == 404
+    st, _ = _status_of(f"{base}/oracle/update/notanumber")
+    assert st == 400
+    # unknown event / entry → 404
+    st, _ = _status_of(f"{base}/oracle/events/{e0}")
+    assert st == 404

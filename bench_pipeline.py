@@ -126,6 +126,12 @@ def main() -> None:
     from noaa_oracle_spark.session import get_spark
 
     path = _generate()
+    # The engine default heap (8g) models a SMALL executor; the 1M-doc
+    # rungs move ~770M slim gram rows through hash aggregation, which on
+    # a real cluster would run against spark.executor.memory sized by
+    # the §5 recipe (SCALE.md), not 8g shared by 32 threads. Size the
+    # single local JVM accordingly — override with SPARK_GRAFT_DRIVER_MEM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="noaa-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(path)
@@ -218,11 +224,16 @@ def main() -> None:
         docs, budget_tokens=2048, salt="bench")
         .filter(F.col("seq_id") >= 0).count())
     emb_all = spark.read.parquet(os.path.join(FIXTURE, "embeddings.parquet"))
+    # PIPELINE_BENCH_CELLS: SemDeDup's k is the paper's own scale lever —
+    # the within-cell verify is quadratic in cell SIZE, so k must grow
+    # with the corpus (64 cells at 1M docs = 15.6k-vector cells = the
+    # measured quadratic wall; 1024 cells restores ~1k-vector cells)
+    n_cells = int(os.environ.get("PIPELINE_BENCH_CELLS", "64"))
     run("semantic_dedup", lambda: semantic_dedup(
-        emb_all, emb_all.filter(F.col("vec_id") < 64), threshold=0.7,
+        emb_all, emb_all.filter(F.col("vec_id") < n_cells), threshold=0.7,
     ).filter(F.col("is_dup")).count())
     run("semantic_dedup_numpy", lambda: semantic_dedup(
-        emb_all, emb_all.filter(F.col("vec_id") < 64), threshold=0.7,
+        emb_all, emb_all.filter(F.col("vec_id") < n_cells), threshold=0.7,
         assign_backend="numpy",
     ).filter(F.col("is_dup")).count())
 

@@ -364,6 +364,217 @@ def ivfpq_knn(
     )
 
 
+def ivfpq_knn_residual(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cell_centroids: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 0,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the accuracy-coupled FAISS form:
+    each vector is assigned to its nearest coarse cell and its RESIDUAL
+    (vector − cell centroid) is what the PQ codebooks quantize. Residuals
+    concentrate near the origin, so the same code budget buys markedly
+    lower quantization error than raw-vector codes — at the cost that
+    codes are only meaningful relative to their cell (re-clustering
+    forces re-encoding, the tradeoff ivfpq_knn's docstring names).
+
+    Query side: ADC distance needs a PER-(query, cell) lookup table —
+    ||(q − c_cell) − codeword||² — instead of flat PQ's per-query table;
+    nprobe bounds that to nprobe tables per query, built driver-side from
+    the broadcast-sized centroid and codebook sets.
+
+    Plan shape mirrors ivfpq_knn: zero-shuffle cell assignment, map-side
+    residual encode, broadcast probes, per-batch ADC. Codebooks train on
+    residuals with the same deterministic lowest-id seeding; `iters`
+    Lloyd rounds (0 = seed codebooks, the SQL-oracle-able form).
+
+    Returns (q_id, rank, n_id, adc_dist) with the suite's 6-dp
+    rounded-before-ranking float convention."""
+    import numpy as np
+    import pandas as pd
+
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    spark = corpus.sparkSession
+    dim = _dim_of(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in cell_centroids.select(id_col, vec_col).collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivfpq_knn_residual: empty centroid set")
+    c_ids = [cid for cid, _ in cent_rows]
+    c_mat = np.asarray([v for _, v in cent_rows], dtype=np.float64)
+    c_index = {cid: i for i, cid in enumerate(c_ids)}
+
+    assigned = kmeans_assign(
+        corpus.select(id_col, vec_col),
+        cell_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        backend="numpy",
+    ).select(id_col, vec_col, "cluster_id")
+
+    # residual = vector − centroid(cluster): map-side zip_with against the
+    # broadcast centroid literal map (tiny by construction)
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid in c_ids]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _, vec in cent_rows
+            ]
+        ),
+    )
+    residuals = assigned.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.element_at(cent_map, F.col("cluster_id").cast("int")),
+            lambda a, b: a - b,
+        ).alias("_resid"),
+    )
+
+    books = pq_train(
+        residuals.select(F.col(id_col), F.col("_resid").alias(vec_col)),
+        m=m,
+        k=k_codes,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    bdict = _books_dict(books)
+    encoded = pq_encode(
+        residuals.select(F.col(id_col), F.col("_resid").alias(vec_col)),
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    celled = encoded.join(
+        residuals.select(id_col, "cluster_id"), id_col
+    )
+
+    # query probes: nprobe nearest cells by cosine (the ivfpq_knn rule)
+    cent = cell_centroids.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm_of(vec_col).alias("c_nrm"),
+    )
+    scored = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm_of(vec_col).alias("q_nrm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot_of("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("a_sim"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("a_sim"), F.asc("c_id"))
+    probes = (
+        scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= nprobe)
+        .select("q_id", F.col("c_id").alias("cluster_id"))
+    )
+    cand_codes = celled.join(F.broadcast(probes), "cluster_id").select(
+        F.col("q_id").alias("probe_q"), F.col(id_col), "codes", "cluster_id"
+    )
+
+    # per-(query, probed-cell) residual LUTs, driver-built: |Q|·nprobe·m·k
+    # exact partial distances — broadcast-sized by construction
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    if not q_rows:
+        raise ValueError("ivfpq_knn_residual: empty query set")
+    q_index = {qid: i for i, (qid, _) in enumerate(q_rows)}
+    n_codes = bdict[0].shape[0]
+    lut = np.empty((len(q_rows), len(c_ids), m, n_codes), np.float64)
+    for qi, (_, vec) in enumerate(q_rows):
+        v = np.asarray(vec, dtype=np.float64)
+        for ci_ in range(len(c_ids)):
+            qr = v - c_mat[ci_]  # query residual w.r.t. this cell
+            for s in range(m):
+                qsub = qr[s * sub_len : (s + 1) * sub_len]
+                lut[qi, ci_, s] = ((bdict[s] - qsub[None, :]) ** 2).sum(
+                    axis=1
+                )
+    bc = spark.sparkContext.broadcast((q_index, c_index, lut))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        qidx, cidx, lut_ = bc.value
+        subs_idx = np.arange(lut_.shape[2])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qs = pdf["probe_q"].to_numpy(dtype=np.int64)
+            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+            cells_n = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            rq = np.asarray([qidx[int(x)] for x in qs])
+            rc = np.asarray([cidx[int(x)] for x in cells_n])
+            dists = np.round(
+                lut_[rq[:, None], rc[:, None], subs_idx[None, :], codes]
+                .sum(axis=1),
+                6,
+            )
+            yield pd.DataFrame(
+                {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
+            )
+
+    cand = cand_codes.mapInPandas(kernel, schema).filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "rank", "n_id", F.round("adc_dist", 6).alias("adc_dist")
+        )
+    )
+
+
+def _norm_of(vec_col: str):
+    from noaa_oracle_spark.pipeline.similarity import _as_double, _norm
+
+    return _norm(_as_double(F.col(vec_col)))
+
+
+def _dot_of(a: str, b: str):
+    from noaa_oracle_spark.pipeline.similarity import _as_double, _dot
+
+    return _dot(_as_double(F.col(a)), _as_double(F.col(b)))
+
+
 def pq_knn(
     queries: DataFrame,
     encoded: DataFrame,

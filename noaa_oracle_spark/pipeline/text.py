@@ -296,7 +296,7 @@ def exact_substring_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
-    gram_plan: str = "recompute",
+    gram_plan: str = "shuffle_reuse",
 ) -> DataFrame:
     """Exact duplicated-substring removal at CHARACTER level — the
     suffix-array dedup of "Deduplicating Training Data Makes Language
@@ -325,23 +325,25 @@ def exact_substring_spans(
 
     The gram stream is consumed twice (under the frequency aggregate and
     on the candidate side). `gram_plan` picks how the second consumption
-    is served — all three produce identical output:
+    is served — all three produce identical output, measured head-to-head
+    at 100k and 1M docs (SCALE.md §4):
 
-    - "recompute" (default): generate the grams twice. Pure map-side CPU
-      that scales with executors; nothing extra is shuffled or stored.
-      The default because the 1M-doc measurement (SCALE.md) shows the
-      alternatives buy nothing on this CPU-bound stream.
+    - "shuffle_reuse" (default): hash-repartition the gram stream on `h`
+      so both consumers read ONE materialized exchange — generation runs
+      once. 1M docs: 413.9 s vs recompute's 525.9 s (21% faster; 100k:
+      29.2 vs 38.0 s). The shuffle-volume ledger favors it at cluster
+      scale too: the count's partial agg barely compresses a
+      mostly-unique gram stream (its (h, cnt) shuffle ≈ the full
+      stream), so the repartition shuffles comparable bytes while
+      halving the md5-generation CPU.
+    - "recompute": generate the grams twice — nothing extra stored;
+      the round-3 shape, kept as the measured baseline.
     - "persist": MEMORY_AND_DISK-cache the slim (doc, off, h) stream
-      between the two passes. Caller owns the lifecycle
-      (spark.catalog.clearCache()); at corpus scale this materializes
-      ~77M rows per 100k docs per executor-set — the memory cost the
-      docstring's tradeoff note warned about.
-    - "shuffle_reuse": hash-repartition the gram stream on `h` so the
-      frequency aggregate and the candidate join CAN share one exchange.
-      In practice AQE re-plans the candidate join as a broadcast of the
-      (small) dup-hash set and materializes the two repartition stages
-      separately — so this tier measured as pure overhead (SCALE.md
-      table), kept as the documented negative result.
+      between passes (1M: 493.3 s — the cache write beats recompute but
+      loses to exchange reuse, and the caller owns the lifecycle via
+      spark.catalog.clearCache()). Under the engine's default 8 GB local
+      heap the 770M-row cache is also what OOMs first — the measured
+      failure mode behind bench_pipeline's executor-memory note.
     """
     if gram_plan not in ("recompute", "persist", "shuffle_reuse"):
         raise ValueError(f"unknown gram_plan {gram_plan!r}")

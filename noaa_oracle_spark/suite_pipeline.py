@@ -1323,6 +1323,74 @@ FROM rec r JOIN offs o ON o.bucket = r.bucket
 """
 
 
+def q103_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build in ONE DataFrame pipeline:
+    quality gate (map-side expressions, no shuffle) → exact dedup
+    (lowest-id representative per text hash, one hash shuffle) →
+    deterministic sequence packing (the two-pass prefix sum). The
+    composition the SURVEY's pipeline tier exists for — graded as a
+    single query so operator boundaries can't hide a semantic drift.
+    Output: (doc_id, n_tokens, seq_id, start_offset) for every kept
+    representative."""
+    from noaa_oracle_spark.pipeline.sampling import pack_training_sequences
+    from noaa_oracle_spark.pipeline.text import quality_filter
+
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    kept = quality_filter(docs, min_score=60)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return pack_training_sequences(uniq, budget_tokens=512, salt="pipe")
+
+
+SQL_Q103 = f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ({_ALL_STOP}))) AS n_stopwords,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+), kept AS (
+    SELECT doc_id, text FROM scored
+    WHERE 100
+          - (CASE WHEN n_tokens < 20 THEN 40 ELSE 0 END)
+          - (CASE WHEN floor(n_stopwords * 1000 / n_tokens) < 50
+                  THEN 30 ELSE 0 END)
+          - (CASE WHEN floor(n_digits * 1000 / greatest(n_nonspace, 1)) > 300
+                  THEN 20 ELSE 0 END) >= 60
+), uniq AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS rn
+        FROM kept) WHERE rn = 1
+), t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5('pipe|' || doc_id) AS h
+    FROM uniq
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS prev
+    FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(prev / 512) AS BIGINT) AS seq_id,
+       prev % 512 AS start_offset
+FROM c
+"""
+
+
 def q100_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat PQ / ADC top-k (pipeline/pq.py): train seed codebooks (m=8
     subspaces × 8 codes, the 8 lowest-id vectors — iters=0 so the whole
@@ -1448,6 +1516,110 @@ SELECT q_id, rank, n_id, adc_dist FROM (
 """
 
 
+def q104_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (pipeline/pq.ivfpq_knn_residual): coarse
+    cells are the 8 HIGHEST-id vectors (so the 8 lowest-id codebook
+    seeds have non-zero residuals), each corpus vector's residual
+    against its cosine-nearest cell is what the m=8×8 seed codebooks
+    quantize, and queries probe 2 cells with per-(query, cell) residual
+    LUTs. The oracle recomputes cell routing, residual slicing, code
+    assignment, and the residual ADC sum in SQL — the accuracy-coupled
+    FAISS composition, hash-graded end to end."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_knn_residual
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = (
+        emb.orderBy(F.desc("vec_id")).limit(8).select("vec_id", "embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_knn_residual(
+        q, emb, cells, m=8, k_codes=8, iters=0, k=3, nprobe=2
+    )
+
+
+SQL_Q104 = f"""
+WITH cells AS (
+    SELECT vec_id AS cid, embedding AS c_vec
+    FROM embeddings ORDER BY vec_id DESC LIMIT 8
+), routed AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a='e.embedding', b='c.c_vec')}
+                            DESC, c.cid ASC
+               ) AS rnk
+        FROM embeddings e, cells c) WHERE rnk = 1
+), resid AS (
+    SELECT r.vec_id, r.cid,
+           list_transform(range(1, len(r.embedding) + 1),
+               i -> r.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS rv
+    FROM routed r JOIN cells c ON c.cid = r.cid
+), seeds AS (
+    SELECT vec_id, rv,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 8)
+), subsq AS (
+    SELECT CAST(unnest(range(0, 8)) AS INT) AS sub
+), books AS (
+    SELECT subsq.sub, seeds.code,
+           list_transform(range(1, 9),
+               i -> seeds.rv[subsq.sub * 8 + i]) AS centroid
+    FROM seeds, subsq
+), subv AS (
+    SELECT r.vec_id, subsq.sub,
+           list_transform(range(1, 9),
+               i -> r.rv[subsq.sub * 8 + i]) AS svec
+    FROM resid r, subsq
+), enc_d AS (
+    SELECT v.vec_id, v.sub, b.code,
+           round(list_sum(list_transform(range(1, 9),
+               i -> (v.svec[i] - b.centroid[i])
+                  * (v.svec[i] - b.centroid[i]))), 6) AS d
+    FROM subv v JOIN books b ON v.sub = b.sub
+), codes AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, code ASC) AS rnk
+        FROM enc_d) WHERE rnk = 1
+), probes AS (
+    SELECT q_id, cid FROM (
+        SELECT q.vec_id AS q_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS_SQL.format(a='q.embedding', b='c.c_vec')}
+                            DESC, c.cid ASC
+               ) AS rnk
+        FROM embeddings q, cells c WHERE q.vec_id < 5) WHERE rnk <= 2
+), qresid AS (
+    SELECT q.vec_id AS q_id, c.cid,
+           list_transform(range(1, len(q.embedding) + 1),
+               i -> q.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS qr
+    FROM embeddings q JOIN probes p ON p.q_id = q.vec_id
+    JOIN cells c ON c.cid = p.cid
+), lut AS (
+    SELECT qr.q_id, qr.cid, b.sub, b.code,
+           list_sum(list_transform(range(1, 9),
+               i -> (qr.qr[b.sub * 8 + i] - b.centroid[i])
+                  * (qr.qr[b.sub * 8 + i] - b.centroid[i]))) AS pd
+    FROM qresid qr, books b
+), adc AS (
+    SELECT l.q_id, c.vec_id AS n_id, round(sum(l.pd), 6) AS adc_dist
+    FROM codes c
+    JOIN resid r ON r.vec_id = c.vec_id
+    JOIN lut l ON l.cid = r.cid AND l.sub = c.sub AND l.code = c.code
+    WHERE l.q_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT q_id, rank, n_id, adc_dist FROM (
+    SELECT q_id, n_id, adc_dist,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist ASC, n_id ASC) AS rank
+    FROM adc) WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1487,6 +1659,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_pq_adc_knn": q100_pq_adc_knn,
     "q101_ivfpq_knn": q101_ivfpq_knn,
     "q102_pack_bins": q102_pack_bins,
+    "q103_corpus_pipeline": q103_corpus_pipeline,
+    "q104_ivfpq_residual": q104_ivfpq_residual,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1528,4 +1702,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q100_pq_adc_knn": SQL_Q100,
     "q101_ivfpq_knn": SQL_Q101,
     "q102_pack_bins": SQL_Q102,
+    "q103_corpus_pipeline": SQL_Q103,
+    "q104_ivfpq_residual": SQL_Q104,
 }

@@ -381,3 +381,68 @@ def test_progressive_spark_media_path(spark):
     )
     dec = decode_images(media).collect()[0]
     assert (dec["format"], dec["width"], dec["height"]) == ("jpeg", 16, 12)
+
+
+def test_progressive_restart_markers_dc_scan():
+    """Hand-built progressive stream with DRI=2: the DC-first scan's
+    restart path must byte-align, consume RSTn, and reset predictors.
+    4 blocks of distinct grays; predictors reset at blocks 2 (RST0).
+    Oracle: the gray values themselves."""
+    import struct as _s
+
+    from noaa_oracle_spark.pipeline.jpeg_codec import (
+        _BitWriter,
+        _build_encode_table,
+        _magnitude,
+    )
+
+    dc_bits = [0, 0, 8] + [0] * 13  # categories 0..7 at 3 bits
+    dc_vals = list(range(8))
+    ac_bits = [0, 1] + [0] * 14
+    ac_vals = [0x00]
+    q = bytes([1] * 64)
+    dc_enc = _build_encode_table(dc_bits, dc_vals)
+
+    grays = [128, 130, 126, 132]  # DC coefs: (g-128)*8 quant 1
+    coefs = [(g - 128) * 8 for g in grays]
+
+    def seg(marker, payload):
+        return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    hdr = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + q)
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + seg(0xDD, _s.pack(">H", 2))  # DRI: restart every 2 MCUs
+        + seg(0xC2, _s.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    )
+    body = bytearray()
+    bw = _BitWriter()
+    pred = 0
+    for i, c in enumerate(coefs):
+        if i == 2:  # restart boundary: flush, emit RST0, reset predictor
+            bw.flush()
+            body += bytes(bw.out)
+            body += b"\xff\xd0"
+            bw = _BitWriter()
+            pred = 0
+        t, bits = _magnitude(c - pred)
+        pred = c
+        code, ln = dc_enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(bits, t)
+    bw.flush()
+    body += bytes(bw.out)
+    data = (
+        hdr
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes(body)
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(data)
+    assert out.shape == (8, 32, 3)
+    for i, g in enumerate(grays):
+        block = out[:, i * 8 : (i + 1) * 8, 0]
+        assert np.all(block == g), (i, g, block[0, 0])

@@ -177,3 +177,109 @@ def test_cell_partitioned_layout_prunes_scan(spark, clustered, tmp_path):
         r.vec_id for r in celled.filter(F.col("cluster_id") == 3).collect()
     }
     assert got == expect and got
+
+
+def test_ivfpq_residual_adc_matches_numpy(spark, clustered):
+    """Residual ADC distances recomputed independently: for each result,
+    adc_dist == Σ_s ||(q − c_cell) − codebook[s][code]||² where the codes
+    come from encoding the corpus RESIDUALS."""
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_knn_residual,
+        pq_encode,
+        pq_train,
+    )
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    df, _, _ = clustered
+    cells = df.filter(F.col("vec_id") < 16)
+    q = df.filter(F.col("vec_id") < 4)
+    got = ivfpq_knn_residual(
+        q, df, cells, m=8, k_codes=16, iters=0, k=3, nprobe=16
+    ).collect()
+    assert len(got) == 12
+
+    # independent reconstruction
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in df.collect()}
+    cent = {r.vec_id: np.asarray(r.embedding, float)
+            for r in cells.collect()}
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(df, cells, backend="numpy").collect()
+    }
+    resid_rows = [
+        (int(i), (vecs[i] - cent[assign[i]]).tolist()) for i in vecs
+    ]
+    rdf = spark.createDataFrame(
+        resid_rows, "vec_id long, embedding array<double>"
+    )
+    books = pq_train(rdf, m=8, k=16, iters=0)
+    cb = {(r.sub, r.code): np.asarray(r.centroid, float)
+          for r in books.collect()}
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(rdf, books).collect()}
+    for r in got:
+        qr = vecs[r.q_id] - cent[assign[r.n_id]]
+        expect = 0.0
+        for s, c in enumerate(codes[r.n_id]):
+            expect += float(
+                ((qr[s * 8 : (s + 1) * 8] - cb[(s, c)]) ** 2).sum()
+            )
+        assert r.adc_dist == pytest.approx(round(expect, 6), abs=2e-6)
+
+
+def test_ivfpq_residual_beats_raw_quantization(spark, clustered):
+    """The point of residual encoding: on clustered data the residual
+    codebooks reconstruct with LOWER total quantization error than raw
+    codes under the same (m, k) budget."""
+    from noaa_oracle_spark.pipeline.pq import pq_encode, pq_train
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    df, _, _ = clustered
+    # one cell per PLANTED cluster (vec_id 0..19 hit each prototype once):
+    # residual encoding presumes the coarse quantizer matches the data's
+    # cluster structure — with cells ≠ clusters the residuals of orphan
+    # clusters are prototype-distance sized and the claim inverts
+    cells = df.filter(F.col("vec_id") < 20)
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in df.collect()}
+    cent = {r.vec_id: np.asarray(r.embedding, float)
+            for r in cells.collect()}
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(df, cells, backend="numpy").collect()
+    }
+
+    def recon_error(base_df, offset):
+        books = pq_train(base_df, m=8, k=16, iters=1)
+        cb = {(r.sub, r.code): np.asarray(r.centroid, float)
+              for r in books.collect()}
+        codes = {r.vec_id: list(r.codes)
+                 for r in pq_encode(base_df, books).collect()}
+        err = 0.0
+        for vid, cs in codes.items():
+            target = np.concatenate([cb[(s, c)] for s, c in enumerate(cs)])
+            err += float(((offset[vid] - target) ** 2).sum())
+        return err
+
+    raw_err = recon_error(df, vecs)
+    resid_rows = [
+        (int(i), (vecs[i] - cent[assign[i]]).tolist()) for i in vecs
+    ]
+    rdf = spark.createDataFrame(
+        resid_rows, "vec_id long, embedding array<double>"
+    )
+    resid = {i: vecs[i] - cent[assign[i]] for i in vecs}
+    resid_err = recon_error(rdf, resid)
+    assert resid_err < raw_err * 0.8, (resid_err, raw_err)
+
+
+def test_ivfpq_residual_routes_to_own_cluster(spark, clustered):
+    from noaa_oracle_spark.pipeline.pq import ivfpq_knn_residual
+
+    df, _, _ = clustered
+    cells = df.filter(F.col("vec_id") < 16)
+    q = df.filter(F.col("vec_id") < 6)
+    got = ivfpq_knn_residual(
+        q, df, cells, m=8, k_codes=16, iters=1, k=5, nprobe=4
+    ).collect()
+    assert len(got) == 30
+    for r in got:
+        assert r.n_id % 20 == r.q_id % 20, (r.q_id, r.n_id)

@@ -452,6 +452,48 @@ def exact_substring_spans(
     )
 
 
+#: PII patterns, deliberately restricted to syntax both Java regex and
+#: RE2-family engines (DuckDB) execute identically: no lookarounds, no
+#: backreferences, \b word boundaries only.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{16}\b", "<CARD>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every public-web training
+    corpus runs before the tokenizer sees a byte: emails, IPv4
+    addresses, and 16-digit card-like numbers replaced with typed
+    placeholder tokens, with per-category match counts for the
+    compliance ledger.
+
+    The patterns CASCADE (email → ip → card), each category counted on
+    the text as the previous replacements left it — a fixed evaluation
+    order both engines reproduce exactly, so counts are unambiguous
+    even when patterns could overlap. Pure map-side regexp expressions
+    (codegen'd, zero shuffle, linear scan); the pattern syntax is
+    restricted to the Java-regex ∩ RE2 common subset so a DuckDB
+    oracle executes the same matches.
+
+    Returns (doc_id, n_email, n_ip, n_card, clean_text)."""
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    cur = F.col(text_col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[f"n_{name}"] = (
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return spread(docs).select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        cur.alias("clean_text"),
+    )
+
+
 def decontamination(
     docs: DataFrame,
     benchmark: DataFrame,

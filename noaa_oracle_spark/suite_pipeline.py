@@ -1620,6 +1620,118 @@ SELECT q_id, rank, n_id, adc_dist FROM (
 """
 
 
+def q105_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pipeline/text.redact_pii): the synthetic corpus
+    carries no organic PII, so the gate PLANTS deterministic emails /
+    IPv4s / card numbers derived from doc_id (every third doc an email,
+    every fifth an IP, every seventh a card — some docs get several,
+    most get none) and hash-grades the cascade's counts and the fully
+    redacted text. Rollup keeps the gate row small: per-source totals
+    plus a clean-text checksum, so one wrong replacement anywhere flips
+    the hash."""
+    from noaa_oracle_spark.pipeline.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".77"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" card 4"),
+                    F.lpad(
+                        ((F.col("doc_id") * 13) % 1000000).cast("string"),
+                        15,
+                        "0",
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(planted)
+    return (
+        red.join(planted.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_email").alias("emails"),
+            F.sum("n_ip").alias("ips"),
+            F.sum("n_card").alias("cards"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5("clean_text"), 1, 10), 16, 10
+                ).cast("long")
+            ).alias("clean_checksum"),
+        )
+    )
+
+
+SQL_Q105 = """
+WITH planted AS (
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || doc_id || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' from 10.0.' || (doc_id % 256) || '.77'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' card 4' || lpad(CAST((doc_id * 13) % 1000000
+                                              AS VARCHAR), 15, '0')
+                   ELSE '' END AS text
+    FROM documents
+), s1 AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_email,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+    FROM planted
+), s2 AS (
+    SELECT doc_id, source, n_email,
+           len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               AS n_ip,
+           regexp_replace(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t
+    FROM s1
+), s3 AS (
+    SELECT doc_id, source, n_email, n_ip,
+           len(regexp_extract_all(t, '\\b\\d{16}\\b')) AS n_card,
+           regexp_replace(t, '\\b\\d{16}\\b', '<CARD>', 'g') AS t
+    FROM s2
+)
+SELECT source,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ip) AS BIGINT) AS ips,
+       CAST(sum(n_card) AS BIGINT) AS cards,
+       CAST(sum(('0x' || substring(md5(t), 1, 10))::BIGINT) AS BIGINT) AS clean_checksum
+FROM s3
+GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1661,6 +1773,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_pack_bins": q102_pack_bins,
     "q103_corpus_pipeline": q103_corpus_pipeline,
     "q104_ivfpq_residual": q104_ivfpq_residual,
+    "q105_redact_pii": q105_redact_pii,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1704,4 +1817,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q102_pack_bins": SQL_Q102,
     "q103_corpus_pipeline": SQL_Q103,
     "q104_ivfpq_residual": SQL_Q104,
+    "q105_redact_pii": SQL_Q105,
 }

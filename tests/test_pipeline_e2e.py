@@ -138,3 +138,29 @@ def test_near_dedup_quality_representative(spark):
         near_dedup_corpus(df, representative="best_quality")
     with pytest.raises(ValueError, match="policy"):
         near_dedup_corpus(df, representative="banana")
+
+
+def test_redact_pii_semantics(spark):
+    """Category cascade, counts-per-category, and exact replacement
+    tokens; non-PII digit runs and bare words survive untouched."""
+    from noaa_oracle_spark.pipeline.text import redact_pii
+
+    rows = [
+        (1, "mail a.b-c_d@ex-ample.org and e@f.io twice"),
+        (2, "server 192.168.1.254 and 8.8.8.8 up"),
+        (3, "card 4111111111111111 paid"),
+        (4, "clean text 123 45678 no pii 1.2.3"),  # 3 octets ≠ IP
+        (5, "x@y.zz from 10.0.0.1 card 1234567812345678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_ip, got[1].n_card) == (2, 0, 0)
+    assert got[1].clean_text == "mail <EMAIL> and <EMAIL> twice"
+    assert (got[2].n_email, got[2].n_ip) == (0, 2)
+    assert got[2].clean_text == "server <IP> and <IP> up"
+    assert got[3].n_card == 1
+    assert got[3].clean_text == "card <CARD> paid"
+    assert (got[4].n_email, got[4].n_ip, got[4].n_card) == (0, 0, 0)
+    assert got[4].clean_text == rows[3][1]
+    assert (got[5].n_email, got[5].n_ip, got[5].n_card) == (1, 1, 1)
+    assert got[5].clean_text == "<EMAIL> from <IP> card <CARD>"

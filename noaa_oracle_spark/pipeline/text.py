@@ -807,6 +807,75 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own counts — one rung above `unigram_logprob` on the
+    perplexity-filter ladder (CCNet-style quality filtering scores with
+    exactly this family; higher orders need an external KenLM, the
+    corpus-trained bigram does not):
+
+        p(w2 | w1) = 0.7 · C(w1 w2)/C(w1)  +  0.3 · C(w2)/N
+
+    The 0.3 unigram back-off means unseen-in-context words never zero
+    the product, the standard Jelinek-Mercer fix, with fixed literal
+    weights so both engines evaluate identical float expressions.
+
+    Scale shape: the bigram stream is one array-transform explode (no
+    self-join on positions); it meets two uniform count joins — bigram
+    counts on (w1, w2), unigram counts on w1 and on w2 — and the corpus
+    total rides along as a broadcast 1-row aggregate (the tfidf N
+    trick). Documents with <2 tokens have no bigrams and are ABSENT
+    from the output (callers left-join, the band_verdicts convention).
+    Returns (id, n_bigrams, logprob) with logprob rounded at 6 dp."""
+    arr = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    )
+    grams = (
+        spread(docs)
+        .select(F.col(id_col), F.explode(pairs).alias("g"))
+        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    words = spread(docs).select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("term")
+    )
+    uni = words.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    p = (
+        F.lit(0.7) * (F.col("bc") / F.col("tc1"))
+        + F.lit(0.3) * (F.col("tc2") / F.col("n_total"))
+    )
+    return (
+        grams.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("term").alias("w1"),
+                         F.col("tc").alias("tc1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"),
+                         F.col("tc").alias("tc2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("logprob"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

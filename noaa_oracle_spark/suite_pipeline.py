@@ -1732,6 +1732,49 @@ GROUP BY 1
 """
 
 
+def q106_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (pipeline/text.bigram_logprob):
+    p(w2|w1) = 0.7·C(w1w2)/C(w1) + 0.3·C(w2)/N over the corpus's own
+    counts — the CCNet perplexity-filter family's SQL-expressible rung."""
+    from noaa_oracle_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+SQL_Q106 = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS a
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(a)),
+                  i -> struct_pack(w1 := a[i], w2 := a[i + 1]))) AS g
+    FROM toks WHERE len(a) >= 2
+), gflat AS (
+    SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams
+), words AS (
+    SELECT unnest(a) AS term FROM toks
+), uni AS (
+    SELECT term, count(*) AS tc FROM words GROUP BY 1
+), total AS (
+    SELECT count(*) AS n_total FROM words
+), big AS (
+    SELECT w1, w2, count(*) AS bc FROM gflat GROUP BY 1, 2
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(0.7 * (bc / u1.tc) + 0.3 * (u2.tc / n_total))), 6)
+           AS logprob
+FROM gflat
+JOIN big USING (w1, w2)
+JOIN uni u1 ON u1.term = gflat.w1
+JOIN uni u2 ON u2.term = gflat.w2
+CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1774,6 +1817,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_corpus_pipeline": q103_corpus_pipeline,
     "q104_ivfpq_residual": q104_ivfpq_residual,
     "q105_redact_pii": q105_redact_pii,
+    "q106_bigram_logprob": q106_bigram_logprob,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1818,4 +1862,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q103_corpus_pipeline": SQL_Q103,
     "q104_ivfpq_residual": SQL_Q104,
     "q105_redact_pii": SQL_Q105,
+    "q106_bigram_logprob": SQL_Q106,
 }

@@ -164,3 +164,25 @@ def test_redact_pii_semantics(spark):
     assert got[4].clean_text == rows[3][1]
     assert (got[5].n_email, got[5].n_ip, got[5].n_card) == (1, 1, 1)
     assert got[5].clean_text == "<EMAIL> from <IP> card <CARD>"
+
+
+def test_bigram_logprob_semantics(spark):
+    """Hand-checked interpolation on a tiny corpus + short-doc absence."""
+    import math
+
+    from noaa_oracle_spark.pipeline.text import bigram_logprob
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert 3 not in got  # <2 tokens → absent (left-join convention)
+    # corpus: tokens a,b,a,b,a,b,x → N=7, C(a)=3, C(b)=3, C(x)=1
+    # bigrams: doc1 (a,b),(b,a),(a,b); doc2 (a,b) → C(ab)=4? no:
+    # doc1 contributes ab, ba, ab; doc2 ab → C(ab)=3, C(ba)=1
+    N = 7.0
+    p_ab = 0.7 * (3 / 3) + 0.3 * (3 / N)
+    p_ba = 0.7 * (1 / 3) + 0.3 * (3 / N)
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    exp2 = round(math.log(p_ab), 6)
+    assert got[1].n_bigrams == 3 and got[1].logprob == exp1
+    assert got[2].n_bigrams == 1 and got[2].logprob == exp2

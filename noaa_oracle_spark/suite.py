@@ -2049,11 +2049,13 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part inventory value restricted to one
     nation's suppliers, kept only when it exceeds a fraction of the
     GLOBAL total — the scalar-subquery-as-threshold pattern. The global
-    total is an unbounded window over the already-aggregated per-part
-    table, so the fact table is scanned ONCE (a separate re-aggregation
-    would re-evaluate the whole subtree — Spark duplicates multi-consumer
-    plans). The window's single partition holds one slim row per part,
-    orders of magnitude below the fact volume it avoids rescanning.
+    total rides in as a 1-row aggregate broadcast through a crossJoin
+    (the tfidf-N trick, fully lazy): a tree-reduced sum with map-side
+    partials, NOT an empty-partition window — the window form moves
+    EVERY per-part row (20M parts at 100×) to one task and is forbidden
+    by tests/test_plan_audit.py (this query was its last offender). The
+    per-part subtree feeds both consumers; its shuffle is canonically
+    identical on both sides, the exchange-reuse case.
     Determinism: sums of 2-dp × 2-dp products are still binary doubles
     whose partial-aggregation order differs across engines; rounding both
     the per-part value and the threshold total at 4 dp narrows (but cannot
@@ -2072,13 +2074,11 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part_value")
         )
     )
-    w = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    total = per_part.agg(
+        F.round(F.sum("part_value"), 4).alias("total_value")
     )
     return (
-        per_part.withColumn(
-            "total_value", F.round(F.sum("part_value").over(w), 4)
-        )
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("total_value") * 0.001)
         .select("l_partkey", "part_value")
     )

@@ -2053,9 +2053,14 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the tfidf-N trick, fully lazy): a tree-reduced sum with map-side
     partials, NOT an empty-partition window — the window form moves
     EVERY per-part row (20M parts at 100×) to one task and is forbidden
-    by tests/test_plan_audit.py (this query was its last offender). The
-    per-part subtree feeds both consumers; its shuffle is canonically
-    identical on both sides, the exchange-reuse case.
+    by tests/test_plan_audit.py (this query was its last offender; the
+    round-3 verdict condemned the same group-cardinality window in q08).
+    The cost: the per-part subtree feeds two consumers and Spark
+    duplicates it, so the PRUNED 3-column fact scan runs twice —
+    measured NOT deduped by AQE stage reuse, and accepted exactly as in
+    q98/tfidf (two parallel linear scans beat one serialized 20M-row
+    window task; test_subquery_family_plans pins q68 at two scans with
+    this rationale).
     Determinism: sums of 2-dp × 2-dp products are still binary doubles
     whose partial-aggregation order differs across engines; rounding both
     the per-part value and the threshold total at 4 dp narrows (but cannot

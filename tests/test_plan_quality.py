@@ -243,7 +243,6 @@ def test_subquery_family_plans(spark):
 
     single_fact_scan = {
         "q67": q67_min_cost_supplier,
-        "q68": q68_important_parts,
         "q71": q71_large_orders,
         "q72": q72_disjunctive_revenue,
         "q73": q73_promo_part_suppliers,
@@ -252,6 +251,17 @@ def test_subquery_family_plans(spark):
         p = _plan(fn(spark, sf))
         assert p.count("lineitem.parquet") == 1, f"{name}: fact re-scan\n{p}"
         assert "SortMergeJoin" not in p, f"{name}: dim join fell to SMJ\n{p}"
+
+    # q68 (Q11 global-threshold) deliberately trades ONE extra pruned
+    # fact scan for killing its empty-partition window (round 4): the
+    # 1-row total aggregate duplicates the per-part subtree (the
+    # q98/tfidf pattern — two parallel linear scans), which beats
+    # funneling every per-part row through a single window task. Pin
+    # EXACTLY two scans (a third would mean a new consumer leaked in)
+    # and still no sort-merge dim join.
+    p68 = _plan(q68_important_parts(spark, sf))
+    assert p68.count("lineitem.parquet") == 2, f"q68 scan count\n{p68}"
+    assert "SortMergeJoin" not in p68, p68
 
     p73 = _plan(q73_promo_part_suppliers(spark, sf))
     assert p73.count("LeftSemi") >= 2, p73  # both nesting levels stay semi

@@ -1,0 +1,107 @@
+"""WebDataset tar sharding: round-trip fidelity, determinism, shard
+layout, and plan discipline (one binaryFile task per shard, blobs never
+in a shuffle payload)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.multimodal import MEDIA_SCHEMA
+from noaa_oracle_spark.pipeline.webdataset import (
+    read_webdataset_shards,
+    write_webdataset_shards,
+)
+
+
+def _media_rows(n):
+    rows = []
+    for i in range(n):
+        blob = bytes([i % 251]) * (50 + i)
+        kind = ("image", "audio", "video")[i % 3]
+        mime = ("image/png", "audio/wav", "video/x-ppm-stream")[i % 3]
+        rows.append(
+            (i, kind, blob, mime, 8 + i, 6 + i, 1000 * i if kind == "video" else None)
+        )
+    return rows
+
+
+@pytest.fixture()
+def media(spark):
+    return spark.createDataFrame(_media_rows(23), MEDIA_SCHEMA)
+
+
+def test_round_trip_fidelity(spark, media, tmp_path):
+    d = str(tmp_path / "wds")
+    manifest = write_webdataset_shards(media, d, samples_per_shard=10)
+    rows = manifest.collect()
+    assert [r.shard_id for r in sorted(rows, key=lambda r: r.shard_id)] == [0, 1, 2]
+    assert sum(r.n_samples for r in rows) == 23
+    back = read_webdataset_shards(spark, d).collect()
+    orig = {r.media_id: r for r in media.collect()}
+    got = {r.media_id: r for r in back}
+    assert set(got) == set(orig)
+    for mid, r in got.items():
+        o = orig[mid]
+        assert bytes(r.content) == bytes(o.content)
+        assert (r.kind, r.mime_type, r.width, r.height, r.duration_ms) == (
+            o.kind, o.mime_type, o.width, o.height, o.duration_ms
+        )
+
+
+def test_deterministic_shard_bytes(spark, media, tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset_shards(media, d1, samples_per_shard=7)
+    write_webdataset_shards(
+        media.repartition(5), d2, samples_per_shard=7
+    )  # partitioning must not matter
+    for name in sorted(os.listdir(d1)):
+        if not name.endswith(".tar"):
+            continue
+        with open(os.path.join(d1, name), "rb") as f1, open(
+            os.path.join(d2, name), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), name
+
+
+def test_webdataset_layout_convention(spark, media, tmp_path):
+    """Each sample = blob + json sidecar sharing a basename; keys are the
+    global hash-order rank; manifest.json mirrors the returned frame."""
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(media, d, samples_per_shard=10)
+    with tarfile.open(os.path.join(d, "shard-000000.tar")) as tar:
+        names = tar.getnames()
+    stems = sorted({n.rsplit(".", 1)[0] for n in names})
+    assert stems == [f"{i:09d}" for i in range(10)]
+    for s in stems:
+        assert any(n == f"{s}.json" for n in names)
+        assert any(n != f"{s}.json" and n.startswith(s + ".") for n in names)
+    mf = json.load(open(os.path.join(d, "manifest.json")))
+    assert [m["n_samples"] for m in mf] == [10, 10, 3]
+
+
+def test_empty_and_null_blob(spark, tmp_path):
+    rows = [(1, "image", None, "image/png", None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(df, d, samples_per_shard=10)
+    back = read_webdataset_shards(spark, d).collect()
+    assert len(back) == 1 and bytes(back[0].content) == b""
+    empty = spark.createDataFrame([], MEDIA_SCHEMA)
+    d2 = str(tmp_path / "empty")
+    m = write_webdataset_shards(empty, d2, samples_per_shard=10)
+    assert m.count() == 0
+    assert json.load(open(os.path.join(d2, "manifest.json"))) == []
+
+
+def test_reader_is_one_task_per_shard(spark, media, tmp_path):
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(media, d, samples_per_shard=10)
+    df = read_webdataset_shards(spark, d)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: scan → parse, no shuffle
+    assert df.filter(F.col("media_id").isNotNull()).count() == 23

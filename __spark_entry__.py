@@ -42,15 +42,15 @@ _GRADE_FIRST = [
     # new this round (r4) — grade in their first round
     "q100_pq_adc_knn", "q101_ivfpq_knn", "q102_pack_bins",
     "q103_corpus_pipeline", "q104_ivfpq_residual",
-    "q105_redact_pii", "q106_bigram_logprob",
+    "q105_redact_pii", "q106_bigram_logprob", "q107_sq8_knn",
     # rewritten this round (distributed prefix-sum packing; top-k via
     # TakeOrderedAndProject; q68's global-total window → broadcast 1-row
     # aggregate, the audit extension's last offender) — re-grade the NEW
     # implementations even though their r3 rows were green
     "q08_topk_customers", "q99_pack_sequences", "q68_important_parts",
     # rotated back in: last graded in r2 (r3's window went to the then-new
-    # queries + the r1-only backlog); re-verify post-churn. 40 of the 49
-    # r2-only names fit; q78-q86 (untouched shapes) defer to r5.
+    # queries + the r1-only backlog); re-verify post-churn. 39 of the 49
+    # r2-only names fit; q77-q86 (untouched shapes; q77 doubly covered by the freshly-graded q95 bloom tier sharing its oracle) defer to r5.
     "q01_daily_rollup", "q07_event_chains", "q12_regex_classify",
     "q15_scoring_kernel", "q16_dedup_exact", "q17_ngram_jaccard",
     "q18_minhash_lsh", "q19_simhash", "q20_ann_cosine",
@@ -62,7 +62,7 @@ _GRADE_FIRST = [
     "q64_boilerplate_ngrams", "q66_ppjoin_jaccard",
     "q70_small_qty_revenue", "q71_large_orders", "q72_disjunctive_revenue",
     "q73_promo_part_suppliers", "q74_dormant_customers",
-    "q75_grouping_sets", "q76_distribution_windows", "q77_decontamination",
+    "q75_grouping_sets", "q76_distribution_windows",
     "q87_kmeans_clusters", "q88_kmeans_centroid_update", "q89_span_dedup",
     "q90_weighted_sample", "q91_unigram_logprob", "q92_chunk_documents",
     "q93_source_quota",

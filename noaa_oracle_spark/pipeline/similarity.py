@@ -107,6 +107,110 @@ def brute_force_knn(
     )
 
 
+def sq8_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization, the TRAIN step: per-dimension [min, max]
+    over the corpus — the FAISS-SQ8 / Lucene-int8 compression tier (4×
+    smaller than float32; PQ's 32× sibling when recall matters more than
+    memory). Returns (dim, lo, hi), a dim-row table that is
+    broadcast-sized by definition.
+
+    Plan shape: one posexplode to (dim, value) long form + a dim-keyed
+    min/max hash agg — the kmeans_update key-space argument: dim rows
+    regardless of corpus size or skew."""
+    return (
+        corpus.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+
+
+def _sq8_bounds(factors: DataFrame) -> "tuple[list, list]":
+    rows = sorted(
+        (int(r["dim"]), float(r["lo"]), float(r["hi"]))
+        for r in factors.collect()  # dim rows — kilobytes by construction
+    )
+    return [r[1] for r in rows], [r[2] for r in rows]
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    factors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress: (id, codes array<int> of 0..255). Pure column
+    expressions against the broadcast-inlined [lo, hi] literals — zero
+    joins, zero shuffles, fully codegen (the kmeans_assign discipline).
+    code = round((x − lo)/(hi − lo) · 255); a degenerate dimension
+    (hi == lo) codes as 0 and dequantizes back to lo exactly."""
+    lo, hi = _sq8_bounds(factors)
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    span = F.array(
+        *[F.lit((h - l) if h > l else 1.0) for l, h in zip(lo, hi)]
+    )
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = F.zip_with(
+        F.zip_with(xs, lo_arr, lambda x, l: x - l),
+        span,
+        lambda d, s: F.round(d / s * 255).cast("int"),
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_knn(
+    queries: DataFrame,
+    encoded: DataFrame,
+    factors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over the int8-DEQUANTIZED corpus: x̂ = lo + code/255
+    · (hi − lo). The same broadcast-queries × corpus → per-batch top-k →
+    final window shape as brute_force_knn, ranking on the 6-dp rounded
+    cosine with id tiebreak; corpus float vectors are never touched —
+    the scan reads 1-byte-scale codes, the whole point of the tier.
+    Returns (q_id, rank, n_id, cos_sim)."""
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    lo, hi = _sq8_bounds(factors)
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    span = F.array(
+        *[F.lit((h - l) if h > l else 1.0) for l, h in zip(lo, hi)]
+    )
+    deq = F.zip_with(
+        F.zip_with(
+            F.col("codes"), span, lambda c, s: c.cast("double") / 255 * s
+        ),
+        lo_arr,
+        lambda v, l: v + l,
+    )
+    c = spread(encoded).select(
+        F.col(id_col).alias("n_id"), deq.alias("n_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        F.broadcast(q).crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+    )
+    cos = F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+    scored = pairs.select("q_id", "n_id", cos.alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
+    )
+
+
 def _require_integral_ids(df: DataFrame, id_col: str, where: str) -> None:
     """The numpy backends materialize ids as an int64 ndarray; a string or
     decimal id column would crash (or worse, coerce) only on that backend

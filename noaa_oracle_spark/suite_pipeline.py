@@ -1775,6 +1775,71 @@ GROUP BY doc_id
 """
 
 
+def q107_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (similarity.sq8_train/encode/knn): the
+    FAISS-SQ8 compression tier — per-dimension [min,max] scale factors,
+    4× smaller int codes, top-3 cosine over the DEQUANTIZED corpus for
+    5 queries. Train, encode, dequantize, and ranking are all pure
+    column expressions, so the oracle replays every stage in SQL (the
+    testdata embeddings are 64-dim at every scale factor)."""
+    from noaa_oracle_spark.pipeline.similarity import (
+        sq8_encode,
+        sq8_knn,
+        sq8_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    factors = sq8_train(emb)
+    enc = sq8_encode(emb, factors)
+    q = emb.filter(F.col("vec_id") < 5)
+    return sq8_knn(q, enc, factors, k=3)
+
+
+SQL_Q107 = """
+WITH dims AS (
+    SELECT CAST(unnest(range(1, 65)) AS INT) AS i
+), f AS (
+    SELECT dims.i,
+           min(e.embedding[dims.i]::DOUBLE) AS lo,
+           max(e.embedding[dims.i]::DOUBLE) AS hi
+    FROM embeddings e, dims
+    GROUP BY 1
+), fv AS (
+    SELECT list(lo ORDER BY i) AS lo,
+           list(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END ORDER BY i)
+               AS sp
+    FROM f
+), enc AS (
+    SELECT e.vec_id,
+           list_transform(range(1, 65),
+               i -> CAST(round((e.embedding[i]::DOUBLE - fv.lo[i])
+                               / fv.sp[i] * 255) AS INT)) AS codes
+    FROM embeddings e CROSS JOIN fv
+), deq AS (
+    SELECT enc.vec_id,
+           list_transform(range(1, 65),
+               i -> enc.codes[i] / 255.0 * fv.sp[i] + fv.lo[i]) AS nv
+    FROM enc CROSS JOIN fv
+), scored AS (
+    SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                      i -> q.embedding[i]::DOUBLE * d.nv[i]))
+             / (sqrt(list_sum(list_transform(q.embedding,
+                       x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(d.nv, x -> x * x)))),
+             6) AS cos_sim
+    FROM embeddings q, deq d
+    WHERE q.vec_id < 5 AND q.vec_id <> d.vec_id
+)
+SELECT q_id, rank, n_id, cos_sim FROM (
+    SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, n_id ASC) AS rank
+    FROM scored) WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1818,6 +1883,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_ivfpq_residual": q104_ivfpq_residual,
     "q105_redact_pii": q105_redact_pii,
     "q106_bigram_logprob": q106_bigram_logprob,
+    "q107_sq8_knn": q107_sq8_knn,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1863,4 +1929,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q104_ivfpq_residual": SQL_Q104,
     "q105_redact_pii": SQL_Q105,
     "q106_bigram_logprob": SQL_Q106,
+    "q107_sq8_knn": SQL_Q107,
 }

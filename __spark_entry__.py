@@ -32,40 +32,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_daily_rollup(spark, "/root/testdata/sf0.001")
 
 
+#: Round currently being built; bump every round.  Used by the staleness
+#: invariant test (tests/test_entry_contract.py) to enforce the window
+#: rotation policy below.
+_CURRENT_ROUND = 5
+
 #: The driver grades only the FIRST 50 entries of queries() in insertion
-#: order (round-1 judge finding).  Order deliberately: queries with no
-#: CORRECTNESS row yet come first, then queries whose round-1 row failed
-#: (oracle HUGEINT typing, fixed in round 2), then previously-passing
-#: queries as filler.  Keep this list in sync when adding queries: new
-#: names go at the FRONT so they get graded in their first round.
+#: order (round-1 judge finding).  Rotation policy (r4 verdict ask #9,
+#: unit-tested against the committed CORRECTNESS_r0N.json records):
+#:   1. queries with no green driver row yet (new this round) and names
+#:      whose implementation was rewritten go at the FRONT;
+#:   2. no name may ever end a round more than 2 rounds stale — any name
+#:      whose last green row is older than _CURRENT_ROUND - 2 MUST be in
+#:      this window;
+#:   3. remaining slots fill with the oldest-graded names.
 _GRADE_FIRST = [
-    # new this round (r4) — grade in their first round
-    "q100_pq_adc_knn", "q101_ivfpq_knn", "q102_pack_bins",
-    "q103_corpus_pipeline", "q104_ivfpq_residual",
-    "q105_redact_pii", "q106_bigram_logprob", "q107_sq8_knn",
-    # rewritten this round (distributed prefix-sum packing; top-k via
-    # TakeOrderedAndProject; q68's global-total window → broadcast 1-row
-    # aggregate, the audit extension's last offender) — re-grade the NEW
-    # implementations even though their r3 rows were green
-    "q08_topk_customers", "q99_pack_sequences", "q68_important_parts",
-    # rotated back in: last graded in r2 (r3's window went to the then-new
-    # queries + the r1-only backlog); re-verify post-churn. 39 of the 49
-    # r2-only names fit; q77-q86 (untouched shapes; q77 doubly covered by the freshly-graded q95 bloom tier sharing its oracle) defer to r5.
-    "q01_daily_rollup", "q07_event_chains", "q12_regex_classify",
-    "q15_scoring_kernel", "q16_dedup_exact", "q17_ngram_jaccard",
-    "q18_minhash_lsh", "q19_simhash", "q20_ann_cosine",
-    "q21_quality_scores", "q22_language_id", "q23_fingerprint",
-    "q24_token_counts", "q26_sessionization", "q27_lsh_ann",
-    "q28_latest_limit", "q30_ivf_ann", "q38_dedup_components",
-    "q42_json_extract", "q46_winnowing", "q48_stratified_sample",
-    "q56_time_weighted_avg", "q63_repetition_filter",
-    "q64_boilerplate_ngrams", "q66_ppjoin_jaccard",
-    "q70_small_qty_revenue", "q71_large_orders", "q72_disjunctive_revenue",
-    "q73_promo_part_suppliers", "q74_dormant_customers",
-    "q75_grouping_sets", "q76_distribution_windows",
-    "q87_kmeans_clusters", "q88_kmeans_centroid_update", "q89_span_dedup",
-    "q90_weighted_sample", "q91_unigram_logprob", "q92_chunk_documents",
-    "q93_source_quota",
+    # last graded in r2 — two rounds stale, graded FIRST this round per
+    # verdict r4 ask #1 (window planning no longer depends on judge
+    # memory: tests/test_entry_contract.py::test_grading_window_staleness
+    # fails if any name would exceed the 2-round staleness budget).
+    "q77_decontamination", "q78_tfidf_top_terms", "q79_source_stats",
+    "q80_order_priority", "q81_revenue_filter", "q82_volume_shipping",
+    "q83_product_profit", "q84_returned_items",
+    "q85_priority_class_counts", "q86_promo_revenue",
+    # new this round (r5) — grade in their first round
+    # (inserted here as they are added)
+    # fill: last graded in r3 (40 of the 47 r3-only names; the tail
+    # omitted to make room stays exactly 2 rounds stale at end of r5 and
+    # must lead the r6 window — the staleness test enforces this).
+    "q02_latest_event", "q03_distinct_dim", "q04_pricing_summary",
+    "q05_entry_counts", "q06_full_outer_precip", "q09_argmax_dedup",
+    "q10_carry_forward", "q11_magnus_humidity", "q13_union_by_name",
+    "q14_window_clamp", "q25_star_revenue", "q29_embedding_dedup",
+    "q31_rollup_subtotals", "q32_set_ops", "q33_distinct_aggregates",
+    "q34_asof_join", "q35_percentiles", "q36_range_join",
+    "q37_session_window", "q39_moving_aggregates", "q40_ranking",
+    "q41_pivot", "q43_correlated_subquery", "q44_array_ops",
+    "q45_unpivot", "q47_tumbling_window", "q49_semi_anti_join",
+    "q50_cube_subtotals", "q51_gap_fill", "q52_histogram",
+    "q53_fuzzy_match", "q54_stats_aggregates", "q55_string_agg",
+    "q57_shipping_priority", "q58_region_volume",
+    "q59_customer_distribution", "q60_parts_supplier",
+    "q61_market_share", "q62_waiting_suppliers", "q65_nearest_station",
 ]
 
 

@@ -31,3 +31,36 @@ def test_callables_and_sql_are_wellformed():
         assert callable(fn), name
         sql = os_[name]
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_grading_window_staleness():
+    """Rotation hygiene (r4 verdict ask #9): after this round's window is
+    graded, no query may be more than 2 rounds stale.
+
+    Last-graded rounds are computed from the committed CORRECTNESS_r0N.json
+    records (the driver's own output), so this test red-flags a window plan
+    that would let any name age out — window planning no longer depends on
+    judge memory.  A name with no record yet MUST be in the window (it is
+    new and ungraded)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_graded: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name in json.load(open(path)):
+            last_graded[name] = max(last_graded.get(name, 0), rnd)
+
+    window = set(entry._GRADE_FIRST[:50])
+    cur = entry._CURRENT_ROUND
+    stale = []
+    for name in entry.queries():
+        effective = cur if name in window else last_graded.get(name)
+        if effective is None:
+            stale.append((name, "never graded and not in window"))
+        elif effective < cur - 2:
+            stale.append((name, f"last graded r{effective}, budget r{cur - 2}"))
+    assert not stale, f"staleness budget exceeded: {stale}"

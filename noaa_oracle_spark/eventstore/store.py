@@ -312,6 +312,51 @@ class EventStore:
     def events_with_status(self, now: datetime | None = None) -> DataFrame:
         return self.read("events").withColumn("status", status_column(now))
 
+    def event_summaries(
+        self,
+        event_ids: list[str] | None = None,
+        limit: int | None = 100,
+        now: datetime | None = None,
+    ) -> DataFrame:
+        """EventFilter list projection (db/mod.rs:197-209 EventFilter,
+        db/mod.rs:470-502 EventSummary, sqlite.rs:614-646): optional id
+        IN-list, LEFT JOIN entries + COUNT per event, LIMIT (reference
+        default 100). Column order mirrors EventSummary's field order.
+        The reference then attaches per-event weather readings
+        (sqlite.rs:608-610); this store keeps no weather table — the
+        column is an always-empty array, documented twin divergence."""
+        events = self.events_with_status(now)
+        if event_ids is not None:
+            events = events.filter(F.col("id").isin(list(event_ids)))
+        counts = (
+            self.read("events_entries")
+            .groupBy("event_id")
+            .agg(F.count("id").alias("total_entries"))
+        )
+        out = (
+            events.join(counts, events.id == counts.event_id, "left")
+            .select(
+                events["id"],
+                "signing_date",
+                "start_observation_date",
+                "end_observation_date",
+                "locations",
+                "number_of_values_per_entry",
+                "status",
+                "total_allowed_entries",
+                F.coalesce("total_entries", F.lit(0)).alias(
+                    "total_entries"
+                ),
+                "number_of_places_win",
+                F.array().cast("array<string>").alias("weather"),
+                F.col("attestation_signature").alias("attestation"),
+                "nonce",
+            )
+        )
+        if limit is not None:
+            out = out.limit(int(limit))
+        return out
+
     def active_events(self, now: datetime | None = None) -> DataFrame:
         """Unsigned events + their entry counts (sqlite.rs:428-483): LEFT
         join + COUNT + COALESCE(0) — operator J6/A8."""

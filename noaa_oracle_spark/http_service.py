@@ -14,7 +14,9 @@ is the thin request/response shell the reference serves with axum
 | GET /files                        | routes/files/get_names.rs:16-41        |
 | GET /file/{file_name}             | routes/files/download.rs:27-68         |
 | POST /file/{file_name}            | routes/files/upload.rs:25-110          |
-| GET /oracle/events                | oracle_routes.rs:60-80 (list_events)   |
+| GET /oracle/events                | oracle_routes.rs:60-80 (list_events;   |
+|   ?limit= (default 100) &event_ids= | EventFilter db/mod.rs:197-209,       |
+|   EventSummary projection           | db/mod.rs:470-502)                   |
 | POST /oracle/events               | oracle_routes.rs:81-105 (create_event) |
 | GET /oracle/events/{id}           | oracle_routes.rs:107-130 (get_event)   |
 | POST /oracle/events/{id}/entries  | oracle_routes.rs:132-158               |
@@ -336,7 +338,7 @@ def make_handler(
                     # axum percent-decodes path params; mirror it
                     self._download(unquote(path[len("/file/"):]))
                 elif path == "/oracle/events":
-                    self._list_events()
+                    self._list_events(qs)
                 elif path.startswith("/oracle/events/"):
                     parts = path[len("/oracle/events/"):].split("/")
                     if len(parts) == 1:
@@ -401,8 +403,28 @@ def make_handler(
                     d[k] = d[k].hex()
             return d
 
-        def _list_events(self) -> None:
-            rows = get_store().events_with_status().collect()
+        def _list_events(self, qs: dict) -> None:
+            """GET /oracle/events with EventFilter params
+            (db/mod.rs:197-209): ?limit= (reference default 100) and
+            ?event_ids= (repeatable or comma-separated), returning the
+            EventSummary projection rather than full event rows
+            (oracle_routes.rs list_events contract)."""
+            limit = 100
+            if "limit" in qs:
+                try:
+                    limit = int(qs["limit"][0])
+                except ValueError as exc:
+                    raise BadRequest(f"bad limit: {qs['limit'][0]!r}") from exc
+            event_ids: list[str] | None = None
+            if "event_ids" in qs:
+                event_ids = [
+                    x for v in qs["event_ids"] for x in v.split(",") if x
+                ]
+            rows = (
+                get_store()
+                .event_summaries(event_ids=event_ids, limit=limit)
+                .collect()
+            )
             self._send_json(
                 json.dumps(
                     [self._event_json(r) for r in rows], default=_json_cell

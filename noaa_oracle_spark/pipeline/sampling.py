@@ -181,7 +181,15 @@ def pack_training_sequences(
     so no task ever sees more than ~0.025% of the corpus; the old shape
     (an empty-partition-spec window = Spark moves EVERY row to one task)
     is forbidden by tests/test_plan_audit.py. Output is bit-identical to
-    the single-window form: same hash order, same running sum."""
+    the single-window form: same hash order, same running sum.
+
+    DETERMINISTIC-INPUT REQUIREMENT: step 3 collects bucket totals
+    eagerly at call time and the final plan re-evaluates `df` — the input
+    is scanned twice. A non-deterministic input (``sample()`` without a
+    seed, ``rand()``-derived columns, a source mutating between scans)
+    would make the broadcast offsets disagree with the second scan and
+    silently corrupt seq_id/start_offset. Pass a deterministic DataFrame,
+    or ``.persist()`` it first if the source can change underneath."""
     from pyspark.sql.window import Window
 
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")

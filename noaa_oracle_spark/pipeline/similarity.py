@@ -148,8 +148,12 @@ def sq8_encode(
     """Compress: (id, codes array<int> of 0..255). Pure column
     expressions against the broadcast-inlined [lo, hi] literals — zero
     joins, zero shuffles, fully codegen (the kmeans_assign discipline).
-    code = round((x − lo)/(hi − lo) · 255); a degenerate dimension
-    (hi == lo) codes as 0 and dequantizes back to lo exactly."""
+    code = clamp(round((x − lo)/(hi − lo) · 255), 0, 255); the clamp is
+    what makes encode-new-data-with-frozen-factors safe (FAISS SQ8 does
+    the same) — a vector outside the trained per-dimension range would
+    otherwise yield codes that no longer fit the int8 storage claim. A
+    degenerate dimension (hi == lo) codes as 0 and dequantizes back to
+    lo exactly."""
     lo, hi = _sq8_bounds(factors)
     lo_arr = F.array(*[F.lit(x) for x in lo])
     span = F.array(
@@ -159,7 +163,10 @@ def sq8_encode(
     codes = F.zip_with(
         F.zip_with(xs, lo_arr, lambda x, l: x - l),
         span,
-        lambda d, s: F.round(d / s * 255).cast("int"),
+        lambda d, s: F.greatest(
+            F.lit(0),
+            F.least(F.lit(255), F.round(d / s * 255).cast("int")),
+        ),
     )
     return corpus.select(F.col(id_col), codes.alias("codes"))
 

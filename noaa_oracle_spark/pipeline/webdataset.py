@@ -194,13 +194,20 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 samples: dict[str, dict] = {}
-                with tarfile.open(
-                    fileobj=io.BytesIO(bytes(row["content"]))
-                ) as tar:
+                try:
+                    tar = tarfile.open(fileobj=io.BytesIO(bytes(row["content"])))
+                except tarfile.TarError:
+                    # Corrupt shard degrades to zero rows, same convention
+                    # as the media decoders (corrupt blob → NULL fields),
+                    # instead of killing the whole task.
+                    continue
+                with tar:
                     for member in tar.getmembers():
                         if not member.isfile():
                             continue
-                        key, ext = member.name.rsplit(".", 1)
+                        key, sep, ext = member.name.rpartition(".")
+                        if not sep:
+                            continue  # extensionless member: not ours, skip
                         data = tar.extractfile(member).read()
                         entry = samples.setdefault(key, {})
                         if ext == "json":

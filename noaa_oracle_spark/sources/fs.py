@@ -102,7 +102,18 @@ def strip_file_scheme(path: str) -> str:
     if urlsplit(path).scheme != "file":
         return path
     parts = urlsplit(path)
-    return parts.path or "/"
+    if parts.netloc not in ("", "localhost"):
+        # `file://server/share` names a REMOTE host; silently reading the
+        # local /share instead would answer about the wrong filesystem.
+        raise ValueError(
+            f"file:// URL names a non-local host {parts.netloc!r}: {path!r}"
+        )
+    if not parts.path:
+        # `file://name` parses as host='name', path='' — without a path
+        # there is nothing meaningful to address (defaulting to '/' made
+        # exists() answer about the filesystem root).
+        raise ValueError(f"file:// URL has no path component: {path!r}")
+    return parts.path
 
 
 _LOCAL = LocalFS()

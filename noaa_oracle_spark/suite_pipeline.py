@@ -1812,8 +1812,9 @@ WITH dims AS (
 ), enc AS (
     SELECT e.vec_id,
            list_transform(range(1, 65),
-               i -> CAST(round((e.embedding[i]::DOUBLE - fv.lo[i])
-                               / fv.sp[i] * 255) AS INT)) AS codes
+               i -> greatest(0, least(255,
+                    CAST(round((e.embedding[i]::DOUBLE - fv.lo[i])
+                               / fv.sp[i] * 255) AS INT)))) AS codes
     FROM embeddings e CROSS JOIN fv
 ), deq AS (
     SELECT enc.vec_id,

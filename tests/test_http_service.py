@@ -327,6 +327,26 @@ def test_oracle_event_lifecycle_over_sockets(oracle_server):
     )
     assert status == 200 and len(added) == len(entries)
 
+    # GET list is the EventSummary projection with EventFilter params
+    # (db/mod.rs:197-209: limit default 100, event_ids IN-list)
+    summaries = _get_json(f"{base}/oracle/events")
+    assert summaries[0]["total_entries"] == len(entries)
+    assert summaries[0]["total_allowed_entries"] == 4
+    assert summaries[0]["weather"] == []  # documented twin divergence
+    assert "scoring_fields" not in summaries[0]  # projection, not full row
+    assert _get_json(f"{base}/oracle/events?limit=0") == []
+    assert _get_json(
+        f"{base}/oracle/events?event_ids=no-such-id"
+    ) == []
+    assert [
+        e["id"]
+        for e in _get_json(
+            f"{base}/oracle/events?event_ids=no-such-id,{EVENT_ID}"
+        )
+    ] == [EVENT_ID]
+    st, _ = _status_of(f"{base}/oracle/events?limit=bogus")
+    assert st == 400
+
     # GET one entry
     e0 = entries[0]["id"]
     one = _get_json(f"{base}/oracle/events/{EVENT_ID}/entries/{e0}")

@@ -188,3 +188,22 @@ def test_file_scheme_urls_normalize_to_local_paths(tmp_path):
     src.write_bytes(b"x")
     fs.put_file(str(src), f"file://{tmp_path}/dest/up.bin")
     assert (tmp_path / "dest" / "up.bin").read_bytes() == b"x"
+
+
+def test_file_url_remote_host_rejected():
+    """file://server/share names a REMOTE host; reading local /share
+    instead would silently answer about the wrong filesystem (ADVICE r4).
+    localhost stays accepted; a host-only URL (no path) is rejected."""
+    import pytest
+
+    from noaa_oracle_spark.sources.fs import strip_file_scheme
+
+    with pytest.raises(ValueError, match="non-local host"):
+        strip_file_scheme("file://server/share")
+    with pytest.raises(ValueError, match="non-local host"):
+        strip_file_scheme("file://name")
+    with pytest.raises(ValueError, match="no path"):
+        strip_file_scheme("file://localhost")
+    assert strip_file_scheme("file://localhost/p") == "/p"
+    assert strip_file_scheme("file:///p") == "/p"
+    assert strip_file_scheme("/plain/path") == "/plain/path"

@@ -350,3 +350,25 @@ def test_sq8_compression_and_recall(spark):
         (r.q_id, r.n_id) for r in brute_force_knn(q, emb, k=5).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_sq8_encode_clamps_out_of_range(spark):
+    """Encode-new-data-with-frozen-factors (the FAISS SQ8 usage, ADVICE
+    r4): vectors outside the trained per-dimension [lo, hi] must clamp to
+    the 0..255 code range, not silently overflow the int8 storage claim."""
+    from noaa_oracle_spark.pipeline.similarity import sq8_encode, sq8_train
+
+    train = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0])], "vec_id long, embedding array<double>"
+    )
+    factors = sq8_train(train)
+    fresh = spark.createDataFrame(
+        [(3, [-5.0, 35.0]), (4, [0.5, 15.0])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in sq8_encode(fresh, factors).collect()
+    }
+    assert codes[3] == [0, 255]  # below lo → 0, above hi → 255
+    assert all(0 <= c <= 255 for c in codes[4])

@@ -105,3 +105,37 @@ def test_reader_is_one_task_per_shard(spark, media, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: scan → parse, no shuffle
     assert df.filter(F.col("media_id").isNotNull()).count() == 23
+
+
+def test_reader_degrades_on_malformed_shards(spark, media, tmp_path):
+    """Corrupt-media-degrades-gracefully (ADVICE r4): a corrupt tar yields
+    zero rows instead of killing the task, and an extensionless member is
+    skipped while the rest of the shard still parses."""
+    import io
+    import tarfile
+
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(media, d, samples_per_shard=10)
+    n_good = read_webdataset_shards(spark, d).count()
+
+    # a tar whose one valid sample sits next to an extensionless member
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name, data in [
+            ("README", b"no extension"),
+            ("sample-0.json", b'{"media_id": 900, "kind": "text"}'),
+            ("sample-0.bin", b"payload"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    with open(os.path.join(d, "shard-9998.tar"), "wb") as fh:
+        fh.write(buf.getvalue())
+    # and an outright corrupt shard
+    with open(os.path.join(d, "shard-9999.tar"), "wb") as fh:
+        fh.write(b"this is not a tar archive at all" * 40)
+
+    back = read_webdataset_shards(spark, d)
+    assert back.count() == n_good + 1  # corrupt shard → 0 rows, not a crash
+    extra = back.filter(F.col("media_id") == 900).collect()
+    assert len(extra) == 1 and bytes(extra[0].content) == b"payload"

@@ -169,6 +169,17 @@ def main() -> None:
             docs, threshold_num=8, threshold_den=10
         ).select("doc_a", "doc_b"),
     ).count())
+    # the same graph forced onto the distributed two-phase star path
+    # (the >1M-edge tier), bypassing the driver union-find shortcut —
+    # the q38 corpus-scale evidence for the algorithm a cluster would run
+    run("components_star", lambda: connected_components(
+        docs,
+        ngram_jaccard_pairs_ppjoin(
+            docs, threshold_num=8, threshold_den=10
+        ).select("doc_a", "doc_b"),
+        driver_edge_threshold=0,
+        algorithm="star",
+    ).count())
     run("repetition", lambda: repetition_stats(docs).count())
     run("winnowing", lambda: winnowing_fingerprints(
         docs, k=8, window=4).count())
@@ -182,6 +193,23 @@ def main() -> None:
     from pyspark.sql import functions as F  # noqa: F811
 
     run("span_dedup", lambda: span_dedup(docs).count())
+
+    # --- LM-scoring ladder (q91 unigram / q106 bigram) and boilerplate
+    # n-grams (q64) at corpus scale: the bigram rung is the evidence for
+    # the r5 de-skew (doc-level pre-aggregation + precomputed per-type
+    # log-probability; hot bigrams shuffle once per doc, not per
+    # occurrence); boilerplate is a hot-gram shuffle by construction
+    # (20% of docs share one sentence), the AQE-skew case.
+    from noaa_oracle_spark.pipeline.text import (
+        bigram_logprob,
+        boilerplate_ngram_stats,
+        unigram_logprob,
+    )
+
+    run("unigram_logprob", lambda: unigram_logprob(docs).count())
+    run("bigram_logprob", lambda: bigram_logprob(docs).count())
+    run("boilerplate_ngrams", lambda: boilerplate_ngram_stats(
+        docs).filter(F.col("n_boilerplate") > 0).count())
     run("weighted_sample", lambda: weighted_hash_sample(
         docs.withColumn(
             "w", F.least(F.length("text") / F.lit(800.0), F.lit(1.0))

@@ -824,11 +824,20 @@ def bigram_logprob(
     the product, the standard Jelinek-Mercer fix, with fixed literal
     weights so both engines evaluate identical float expressions.
 
-    Scale shape: the bigram stream is one array-transform explode (no
-    self-join on positions); it meets two uniform count joins — bigram
-    counts on (w1, w2), unigram counts on w1 and on w2 — and the corpus
-    total rides along as a broadcast 1-row aggregate (the tfidf N
-    trick). Documents with <2 tokens have no bigrams and are ABSENT
+    Scale shape (skew-hardened): the bigram stream is one
+    array-transform explode (no self-join on positions), immediately
+    pre-aggregated to (doc, w1, w2, n_occ) — hot bigrams ("of the" at
+    web scale) then shuffle once per DOCUMENT instead of once per
+    occurrence, and the (doc, w1, w2) key is uniform because doc_id
+    spreads the hot bigram across reducers. All count arithmetic —
+    bigram counts, both unigram joins, the broadcast corpus total, and
+    the log itself — happens on the DISTINCT-bigram dim (one row per
+    bigram TYPE, skew-free by construction), so the doc-side stream
+    crosses exactly ONE (w1, w2) shuffle to pick up its precomputed
+    log-probability, not three. The per-doc mean is the n_occ-weighted
+    sum — identical math, and the 6-dp rounding convention absorbs the
+    summation-grouping float noise (same rule as every other suite
+    float). Documents with <2 tokens have no bigrams and are ABSENT
     from the output (callers left-join, the band_verdicts convention).
     Returns (id, n_bigrams, logprob) with logprob rounded at 6 dp."""
     arr = F.filter(
@@ -856,22 +865,37 @@ def bigram_logprob(
     )
     uni = words.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
     total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    # per-doc pre-aggregation: the de-skew lever (see docstring)
+    doc_grams = grams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    # big counts come straight from grams, NOT from doc_grams: Spark does
+    # not reuse the doc_grams exchange across the two consumers (the q68
+    # lesson, measured), and grams → groupBy(w1, w2) map-side-combines to
+    # bigram TYPES before its shuffle — strictly cheaper than re-shuffling
+    # the doc-level gram stream a second time.
     big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     p = (
         F.lit(0.7) * (F.col("bc") / F.col("tc1"))
         + F.lit(0.3) * (F.col("tc2") / F.col("n_total"))
     )
-    return (
-        grams.join(big, ["w1", "w2"])
-        .join(uni.select(F.col("term").alias("w1"),
-                         F.col("tc").alias("tc1")), "w1")
+    # log-probability computed ONCE per bigram type on the skew-free dim
+    gram_lp = (
+        big.join(uni.select(F.col("term").alias("w1"),
+                            F.col("tc").alias("tc1")), "w1")
         .join(uni.select(F.col("term").alias("w2"),
                          F.col("tc").alias("tc2")), "w2")
         .crossJoin(F.broadcast(total))
+        .select("w1", "w2", F.log(p).alias("lp"))
+    )
+    return (
+        doc_grams.join(gram_lp, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("logprob"),
+            F.sum("n_occ").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n_occ") * F.col("lp")) / F.sum("n_occ"), 6
+            ).alias("logprob"),
         )
     )
 

@@ -369,3 +369,34 @@ def test_q82_dimensions_broadcast(spark):
     p = _plan(df)
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q106_bigram_stream_shuffles_once(spark):
+    """De-skewed bigram LM (q106): the occurrence-scale gram stream must
+    cross exactly ONE exchange, keyed (doc_id, w1, w2) — uniform, because
+    doc_id spreads a hot bigram across reducers. Every other exchange
+    runs at bigram-TYPE or term granularity (the big/uni count aggs);
+    the doc-side stream picks up its precomputed log-probability via a
+    broadcast (sf-small) or a single skew-split (w1, w2) join, never via
+    three per-occurrence count joins (the pre-r5 shape)."""
+    import re
+
+    from noaa_oracle_spark.suite_pipeline import q106_bigram_logprob
+
+    df = q106_bigram_logprob(spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    keysets = [
+        frozenset(re.findall(r"(\w+)#\d+", m))
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    ]
+    doc_gram = [k for k in keysets if k == {"doc_id", "w1", "w2"}]
+    assert len(doc_gram) == 1, keysets  # the one occurrence-scale shuffle
+    # the remaining exchanges are type-level: (w1,w2) bigram counts,
+    # term unigram counts (x2 consumers), and the final per-doc rollup
+    for k in keysets:
+        assert k in (
+            {"doc_id", "w1", "w2"},
+            {"w1", "w2"},
+            {"term"},
+            {"doc_id"},
+        ), keysets

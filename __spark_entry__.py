@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round currently being built; bump every round.  Used by the staleness
 #: invariant test (tests/test_entry_contract.py) to enforce the window
 #: rotation policy below.
-_CURRENT_ROUND = 5
+_CURRENT_ROUND = 6
 
 #: The driver grades only the FIRST 50 entries of queries() in insertion
 #: order (round-1 judge finding).  Rotation policy (r4 verdict ask #9,
@@ -47,33 +47,39 @@ _CURRENT_ROUND = 5
 #:      this window;
 #:   3. remaining slots fill with the oldest-graded names.
 _GRADE_FIRST = [
-    # last graded in r2 — two rounds stale, graded FIRST this round per
-    # verdict r4 ask #1 (window planning no longer depends on judge
-    # memory: tests/test_entry_contract.py::test_grading_window_staleness
-    # fails if any name would exceed the 2-round staleness budget).
-    "q77_decontamination", "q78_tfidf_top_terms", "q79_source_stats",
-    "q80_order_priority", "q81_revenue_filter", "q82_volume_shipping",
-    "q83_product_profit", "q84_returned_items",
-    "q85_priority_class_counts", "q86_promo_revenue",
-    # new this round (r5) — grade in their first round
+    # last graded in r3 — three rounds stale at end of r6 unless graded
+    # now; the staleness test forces these to lead (r5 verdict ask #1).
+    "q67_min_cost_supplier", "q69_top_supplier",
+    "q94_embedding_dedup_blocked", "q95_decontamination_bloom",
+    "q96_semantic_dedup", "q97_exact_substring_spans",
+    "q98_source_mix_weights",
+    # modified AFTER their last (r4) driver grade — locally mirror-green
+    # but the driver record predates the code (r5 verdict "what's wrong"
+    # #1; this class of drift is now machine-caught by
+    # tests/test_entry_contract.py::test_no_query_modified_since_grade
+    # against GRADE_HASHES.json).
+    "q106_bigram_logprob", "q107_sq8_knn",
+    # new this round (r6) — grade in their first round
     # (inserted here as they are added)
-    # fill: last graded in r3 (40 of the 47 r3-only names; the tail
-    # omitted to make room stays exactly 2 rounds stale at end of r5 and
-    # must lead the r6 window — the staleness test enforces this).
-    "q02_latest_event", "q03_distinct_dim", "q04_pricing_summary",
-    "q05_entry_counts", "q06_full_outer_precip", "q09_argmax_dedup",
-    "q10_carry_forward", "q11_magnus_humidity", "q13_union_by_name",
-    "q14_window_clamp", "q25_star_revenue", "q29_embedding_dedup",
-    "q31_rollup_subtotals", "q32_set_ops", "q33_distinct_aggregates",
-    "q34_asof_join", "q35_percentiles", "q36_range_join",
-    "q37_session_window", "q39_moving_aggregates", "q40_ranking",
-    "q41_pivot", "q43_correlated_subquery", "q44_array_ops",
-    "q45_unpivot", "q47_tumbling_window", "q49_semi_anti_join",
-    "q50_cube_subtotals", "q51_gap_fill", "q52_histogram",
-    "q53_fuzzy_match", "q54_stats_aggregates", "q55_string_agg",
-    "q57_shipping_priority", "q58_region_volume",
-    "q59_customer_distribution", "q60_parts_supplier",
-    "q61_market_share", "q62_waiting_suppliers", "q65_nearest_station",
+    # fill: last graded in r4 (39 of the 48 r4-only names; the 9-name
+    # tail omitted to make room — q76, q87, q88, q89, q90, q91, q92,
+    # q93, q99 — ends r6 exactly 2 rounds stale and must lead the r7
+    # window; the staleness test enforces this).
+    "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
+    "q100_pq_adc_knn", "q101_ivfpq_knn", "q102_pack_bins",
+    "q103_corpus_pipeline", "q104_ivfpq_residual", "q105_redact_pii",
+    "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
+    "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",
+    "q20_ann_cosine", "q21_quality_scores", "q22_language_id",
+    "q23_fingerprint", "q24_token_counts", "q26_sessionization",
+    "q27_lsh_ann", "q28_latest_limit", "q30_ivf_ann",
+    "q38_dedup_components", "q42_json_extract", "q46_winnowing",
+    "q48_stratified_sample", "q56_time_weighted_avg",
+    "q63_repetition_filter", "q64_boilerplate_ngrams",
+    "q66_ppjoin_jaccard", "q68_important_parts",
+    "q70_small_qty_revenue", "q71_large_orders",
+    "q72_disjunctive_revenue", "q73_promo_part_suppliers",
+    "q74_dormant_customers", "q75_grouping_sets",
 ]
 
 

@@ -415,6 +415,11 @@ def make_handler(
                     limit = int(qs["limit"][0])
                 except ValueError as exc:
                     raise BadRequest(f"bad limit: {qs['limit'][0]!r}") from exc
+                if limit < 0:
+                    # EventFilter.limit is usize in the reference
+                    # (db/mod.rs:197-209): a negative limit is a client
+                    # error, not a 500 from DataFrame.limit(-1).
+                    raise BadRequest(f"bad limit: {limit} (must be >= 0)")
             event_ids: list[str] | None = None
             if "event_ids" in qs:
                 event_ids = [

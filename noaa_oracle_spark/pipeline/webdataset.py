@@ -194,27 +194,32 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 samples: dict[str, dict] = {}
+                # Corrupt shard degrades gracefully, same convention as
+                # the media decoders (corrupt blob → NULL fields), instead
+                # of killing the whole task.  The try must cover member
+                # iteration too: a TRUNCATED tar opens fine and only
+                # raises ReadError inside getmembers()/extractfile()
+                # (r5 advice); members read before the truncation point
+                # are kept.
                 try:
-                    tar = tarfile.open(fileobj=io.BytesIO(bytes(row["content"])))
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(row["content"]))
+                    ) as tar:
+                        for member in tar:
+                            if not member.isfile():
+                                continue
+                            key, sep, ext = member.name.rpartition(".")
+                            if not sep:
+                                continue  # extensionless member: not ours
+                            data = tar.extractfile(member).read()
+                            entry = samples.setdefault(key, {})
+                            if ext == "json":
+                                entry["meta"] = json.loads(data)
+                            else:
+                                entry["blob"] = data
+                                entry["ext"] = ext
                 except tarfile.TarError:
-                    # Corrupt shard degrades to zero rows, same convention
-                    # as the media decoders (corrupt blob → NULL fields),
-                    # instead of killing the whole task.
-                    continue
-                with tar:
-                    for member in tar.getmembers():
-                        if not member.isfile():
-                            continue
-                        key, sep, ext = member.name.rpartition(".")
-                        if not sep:
-                            continue  # extensionless member: not ours, skip
-                        data = tar.extractfile(member).read()
-                        entry = samples.setdefault(key, {})
-                        if ext == "json":
-                            entry["meta"] = json.loads(data)
-                        else:
-                            entry["blob"] = data
-                            entry["ext"] = ext
+                    pass  # header-corrupt → zero rows; truncated → prefix
                 out = {
                     "media_id": [],
                     "kind": [],

@@ -51,8 +51,16 @@ def test_grading_window_staleness():
     last_graded: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        for name in json.load(open(path)):
-            last_graded[name] = max(last_graded.get(name, 0), rnd)
+        for name, row in json.load(open(path)).items():
+            # only a GREEN row counts as graded (r5 advice: a red row must
+            # age the name toward mandatory re-grading, not reset its clock)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                last_graded[name] = max(last_graded.get(name, 0), rnd)
 
     window = set(entry._GRADE_FIRST[:50])
     cur = entry._CURRENT_ROUND
@@ -64,3 +72,29 @@ def test_grading_window_staleness():
         elif effective < cur - 2:
             stale.append((name, f"last graded r{effective}, budget r{cur - 2}"))
     assert not stale, f"staleness budget exceeded: {stale}"
+
+
+def test_no_query_modified_since_grade():
+    """Modified-since-grade drift detection (r5 verdict "what's wrong" #1:
+    q106/q107 changed after their r4 driver grade and the round-age test
+    could not see it).  GRADE_HASHES.json records a sha256 over each gate
+    query's callable source + oracle SQL as of the round it was last put
+    in a grading window; any non-window query whose current hash differs
+    was edited after its grade — put it back in the window front and run
+    ``python -m noaa_oracle_spark.grade_hashes`` to refresh the ledger."""
+    from noaa_oracle_spark import grade_hashes
+
+    ledger = grade_hashes.load_ledger()
+    assert ledger, "GRADE_HASHES.json missing — run python -m noaa_oracle_spark.grade_hashes --all"
+    current = grade_hashes.current_hashes()
+    window = set(entry._GRADE_FIRST[:50])
+    drifted = []
+    for name, h in current.items():
+        if name in window:
+            continue  # being (re-)graded this round; ledger refreshed at write time
+        recorded = ledger.get(name)
+        if recorded is None:
+            drifted.append((name, "no recorded hash and not in window"))
+        elif recorded != h:
+            drifted.append((name, "source or oracle changed since last grade"))
+    assert not drifted, f"modified since last driver grade: {drifted}"

@@ -346,6 +346,10 @@ def test_oracle_event_lifecycle_over_sockets(oracle_server):
     ] == [EVENT_ID]
     st, _ = _status_of(f"{base}/oracle/events?limit=bogus")
     assert st == 400
+    # negative limit: EventFilter.limit is usize in the reference, so a
+    # client error (400), not a 500 from DataFrame.limit(-1) (r5 advice)
+    st, _ = _status_of(f"{base}/oracle/events?limit=-1")
+    assert st == 400
 
     # GET one entry
     e0 = entries[0]["id"]

@@ -139,3 +139,38 @@ def test_reader_degrades_on_malformed_shards(spark, media, tmp_path):
     assert back.count() == n_good + 1  # corrupt shard → 0 rows, not a crash
     extra = back.filter(F.col("media_id") == 900).collect()
     assert len(extra) == 1 and bytes(extra[0].content) == b"payload"
+
+
+def test_reader_salvages_truncated_shard(spark, media, tmp_path):
+    """A TRUNCATED tar opens fine and only fails during member iteration
+    (r5 advice — tarfile.ReadError inside getmembers/extractfile, not
+    open); the reader must keep the samples read before the truncation
+    point instead of dying."""
+    import io
+    import tarfile
+
+    d = str(tmp_path / "wds")
+    os.makedirs(d)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for i in range(3):
+            for name, data in [
+                (f"sample-{i}.json", b'{"media_id": %d, "kind": "text"}' % (800 + i)),
+                (f"sample-{i}.bin", b"x" * 600),
+            ]:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+    whole = buf.getvalue()
+    # cut mid-archive: sample-0 complete, later members lost/truncated
+    with open(os.path.join(d, "shard-0000.tar"), "wb") as fh:
+        fh.write(whole[: len(whole) // 2])
+
+    back = read_webdataset_shards(spark, d).collect()
+    by_id = {r.media_id: r for r in back}
+    # sample-0 is entirely before the cut and must be salvaged intact;
+    # later samples may be absent or partial (meta without blob) but the
+    # task must not die.
+    assert 800 in by_id, "truncated shard yielded nothing — prefix not salvaged"
+    assert bytes(by_id[800].content) == b"x" * 600
+    assert 802 not in by_id or by_id[802].content is None

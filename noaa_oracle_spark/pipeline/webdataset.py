@@ -181,6 +181,61 @@ def write_webdataset_shards(
     return media.sparkSession.createDataFrame(rows, SHARD_MANIFEST_SCHEMA)
 
 
+MEMBER_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("member_idx", T.LongType(), False),
+        T.StructField("member_name", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), False),
+    ]
+)
+
+
+def read_webdataset_member_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Member-level shard manifest: one row per tar member with the
+    shard id (from the file name), the member's position in the archive,
+    its name, and its payload size — the integrity surface a data-loader
+    fleet checks before streaming (ordered keys, sizes, sample counts
+    derive from it by aggregation).
+
+    Same execution shape as `read_webdataset_shards`: one task per shard
+    via binaryFile, header walk map-side, no shuffle. Member DATA is
+    never materialized — only headers are read. Corrupt or truncated
+    shards degrade to the member prefix read so far, matching the sample
+    reader's convention."""
+    shards = spark.read.format("binaryFile").load(
+        posixpath.join(path, "shard-*.tar")
+    )
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {
+                "shard_id": [],
+                "member_idx": [],
+                "member_name": [],
+                "size_bytes": [],
+            }
+            for _, row in pdf.iterrows():
+                name = posixpath.basename(row["path"])
+                sid = int(name[len("shard-") : -len(".tar")])
+                try:
+                    with tarfile.open(
+                        fileobj=io.BytesIO(bytes(row["content"]))
+                    ) as tar:
+                        for idx, member in enumerate(tar):
+                            out["shard_id"].append(sid)
+                            out["member_idx"].append(idx)
+                            out["member_name"].append(member.name)
+                            out["size_bytes"].append(int(member.size))
+                except tarfile.TarError:
+                    pass  # keep the member prefix read before the fault
+            yield pd.DataFrame(out)
+
+    return shards.select("path", "content").mapInPandas(
+        parse, MEMBER_MANIFEST_SCHEMA
+    )
+
+
 def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
     """Load `shard-*.tar` files back into MEDIA_SCHEMA rows. One task per
     shard via the binaryFile source; the tar parse and sample re-grouping

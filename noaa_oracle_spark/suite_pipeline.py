@@ -1841,6 +1841,67 @@ SELECT q_id, rank, n_id, cos_sim FROM (
 """
 
 
+def q108_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard manifest as a gate query (r4 ask #5 / r5 verdict
+    ask #3): documents become text-media samples, are sharded to tar by
+    the deterministic hash-rank writer, and the member-level manifest is
+    read back distributed (one task per shard, headers only).  Shard
+    assignment, member order, names, and sizes are all pure functions of
+    the source table — which is what makes the tar layout SQL-oracle-able
+    even though tar BYTES are not."""
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.webdataset import (
+        read_webdataset_member_manifest,
+        write_webdataset_shards,
+    )
+
+    media = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast("string").alias("mime_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    dest = tempfile.mkdtemp(prefix="noaa_wds_gate_")
+    write_webdataset_shards(media, dest, samples_per_shard=64, salt="wds")
+    return read_webdataset_member_manifest(spark, dest)
+
+
+# The writer's layout contract, restated in SQL: global rank = hash order
+# md5('wds|' || doc_id) with doc_id tiebreak; shard = rank // 64; each
+# sample appends {rank:09d}.bin (the blob; kind 'text' with no MIME maps
+# to .bin) then {rank:09d}.json (the sorted-keys metadata sidecar, whose
+# byte length is a fixed template plus the media_id's digits).
+SQL_Q108 = """
+WITH ranked AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS blob_len,
+           row_number() OVER (
+               ORDER BY md5('wds|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS rnk
+    FROM documents
+), members AS (
+    SELECT CAST(rnk // 64 AS BIGINT) AS shard_id,
+           (rnk % 64) * 2 AS sample_pos,
+           lpad(CAST(rnk AS VARCHAR), 9, '0') AS key,
+           blob_len, doc_id
+    FROM ranked
+)
+SELECT shard_id, CAST(sample_pos AS BIGINT) AS member_idx,
+       key || '.bin' AS member_name, CAST(blob_len AS BIGINT) AS size_bytes
+FROM members
+UNION ALL
+SELECT shard_id, CAST(sample_pos + 1 AS BIGINT), key || '.json',
+       CAST(length('{"duration_ms": null, "height": null, "kind": "text"'
+                   || ', "media_id": ') + length(CAST(doc_id AS VARCHAR))
+            + length(', "mime_type": null, "width": null}') AS BIGINT)
+FROM members
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1885,6 +1946,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_redact_pii": q105_redact_pii,
     "q106_bigram_logprob": q106_bigram_logprob,
     "q107_sq8_knn": q107_sq8_knn,
+    "q108_webdataset_manifest": q108_webdataset_manifest,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1931,4 +1993,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q105_redact_pii": SQL_Q105,
     "q106_bigram_logprob": SQL_Q106,
     "q107_sq8_knn": SQL_Q107,
+    "q108_webdataset_manifest": SQL_Q108,
 }

@@ -141,6 +141,42 @@ def test_reader_degrades_on_malformed_shards(spark, media, tmp_path):
     assert len(extra) == 1 and bytes(extra[0].content) == b"payload"
 
 
+def test_member_manifest_matches_shards(spark, media, tmp_path):
+    """Member-level manifest agrees with the actual tar contents: two
+    members per sample (blob then sidecar), rank-ordered names, sizes
+    equal to the written byte counts."""
+    from noaa_oracle_spark.pipeline.webdataset import (
+        read_webdataset_member_manifest,
+    )
+
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(media, d, samples_per_shard=10)
+    man = read_webdataset_member_manifest(spark, d).collect()
+    back = read_webdataset_shards(spark, d)
+    n_samples = back.count()
+    assert len(man) == 2 * n_samples
+    per_shard = {}
+    for r in man:
+        per_shard.setdefault(r.shard_id, []).append(r)
+    for sid, rows in per_shard.items():
+        rows.sort(key=lambda r: r.member_idx)
+        assert [r.member_idx for r in rows] == list(range(len(rows)))
+        # blob member first, then its .json sidecar, same 9-digit key
+        for blob_row, meta_row in zip(rows[0::2], rows[1::2]):
+            key = blob_row.member_name.rsplit(".", 1)[0]
+            assert meta_row.member_name == key + ".json"
+            assert len(key) == 9 and key.isdigit()
+    # sizes: sum of blob members == sum of written blob bytes
+    import pyspark.sql.functions as Fn
+    total_blob = sum(
+        r.size_bytes for r in man if not r.member_name.endswith(".json")
+    )
+    expect = (
+        media.select(Fn.sum(Fn.octet_length("content"))).collect()[0][0] or 0
+    )
+    assert total_blob == expect
+
+
 def test_reader_salvages_truncated_shard(spark, media, tmp_path):
     """A TRUNCATED tar opens fine and only fails during member iteration
     (r5 advice — tarfile.ReadError inside getmembers/extractfile, not

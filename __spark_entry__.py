@@ -60,7 +60,7 @@ _GRADE_FIRST = [
     # against GRADE_HASHES.json).
     "q106_bigram_logprob", "q107_sq8_knn",
     # new this round (r6) — grade in their first round
-    "q108_webdataset_manifest",
+    "q108_webdataset_manifest", "q109_opq_knn",
     # fill: last graded in r4 (39 of the 48 r4-only names; the 9-name
     # tail omitted to make room — q76, q87, q88, q89, q90, q91, q92,
     # q93, q99 — ends r6 exactly 2 rounds stale and must lead the r7

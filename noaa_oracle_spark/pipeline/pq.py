@@ -660,3 +660,203 @@ def pq_knn(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge, He, Ke, Sun — CVPR 2013).
+#
+# PQ quantizes contiguous subvectors independently, so its error grows when
+# variance is concentrated in a few correlated dimensions (real embedding
+# models, PCA'd features).  OPQ prepends an orthogonal rotation R chosen to
+# decorrelate dimensions and BALANCE variance across the m subspaces; the
+# parametric solution needs only the dim×dim covariance: rotate onto the
+# eigenbasis, then permute eigenvectors so each subspace receives an equal
+# share of the spectrum (greedy log-eigenvalue balancing).
+#
+# Scale shape: the covariance is a map-side partial X'X per Arrow batch
+# (dim² doubles each) summed through one (i, j)-keyed aggregation whose key
+# space is dim² regardless of corpus size — at 64 dims that is 4096 rows to
+# the driver, broadcast-sized by definition.  The rotation applies map-side
+# (numpy GEMM per batch, or a pure column expression for the Householder
+# special case), so the OPQ pipeline adds ZERO shuffles beyond pq_train's.
+# ---------------------------------------------------------------------------
+
+
+def covariance_matrix(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> "tuple":
+    """(mean, cov) of the vector column as numpy arrays, computed with one
+    distributed pass: per-batch partial (count, Σx, X'X) flattened to
+    (i, j, s) rows, summed by key (dim² keys — uniform, skew-free), and
+    assembled on the driver."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partial(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = x.shape[1]
+            xtx = x.T @ x  # d × d partial second moment
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            # row i = -1 carries the per-batch sum vector (first moment)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([ii.ravel(), -np.ones(d, np.int64)]),
+                    "j": np.concatenate([jj.ravel(), np.arange(d)]),
+                    "s": np.concatenate([xtx.ravel(), x.sum(axis=0)]),
+                    "n": np.concatenate(
+                        [np.zeros(d * d, np.int64), np.full(d, len(x))]
+                    ),
+                }
+            )
+
+    rows = (
+        corpus.select(vec_col)
+        .mapInPandas(partial, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )  # dim² + dim rows — kilobytes at embedding dims
+    dim = 1 + max(int(r["j"]) for r in rows)
+    xtx = np.zeros((dim, dim))
+    sx = np.zeros(dim)
+    n = 0
+    for r in rows:
+        if int(r["i"]) < 0:
+            sx[int(r["j"])] = float(r["s"])
+            if int(r["j"]) == 0:
+                n = int(r["n"])  # every dim carries the same row count
+        else:
+            xtx[int(r["i"]), int(r["j"])] = float(r["s"])
+    if n == 0:
+        raise ValueError("covariance_matrix: empty corpus")
+    mean = sx / n
+    cov = xtx / n - (np.outer(mean, mean) if center else 0.0)
+    return mean, cov
+
+
+def opq_train_rotation(
+    corpus: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> "object":
+    """Parametric OPQ (Ge et al. CVPR 2013 §4): R = eigenbasis of the data
+    covariance with eigenvectors PERMUTED so the m subspaces carry equal
+    variance — assign eigenvalues (descending) greedily to the subspace
+    with the smallest running log-eigenvalue product that still has free
+    slots.  Deterministic given the covariance (ties break to the lowest
+    subspace index).  Returns R as a dim×dim numpy array; rotated = R @ x."""
+    import numpy as np
+
+    _, cov = covariance_matrix(corpus, vec_col)
+    dim = cov.shape[0]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
+    evals, evecs = np.linalg.eigh(cov)  # ascending, orthonormal columns
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+
+    # Greedy LPT balance of per-subspace log-eigenvalue sums.  Balancing
+    # the raw log sums directly degenerates when eigenvalues are < 1
+    # (all logs negative: the smallest bucket keeps winning and collects
+    # every remaining small eigenvalue — a rich-get-poorer spiral that
+    # reproduces the identity permutation on decaying spectra).  Because
+    # every bucket holds exactly sub_len items, balance is invariant to a
+    # constant shift per item, so shift logs positive and run standard
+    # LPT: largest first, into the bucket with the smallest running sum.
+    logs = np.log(np.maximum(evals, 1e-12))
+    shifted = logs - logs.min() + 1e-9
+    sums = np.zeros(m)
+    slots = [sub_len] * m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for idx in range(dim):
+        open_subs = [b for b in range(m) if slots[b] > 0]
+        b = min(open_subs, key=lambda s: (sums[s], s))
+        buckets[b].append(idx)
+        sums[b] += float(shifted[idx])
+        slots[b] -= 1
+    perm = [i for b in range(m) for i in buckets[b]]
+    # rows of R are the permuted eigenvectors: (R @ x)[d] = evec_perm[d]·x
+    return evecs[:, perm].T
+
+
+def rotate_embeddings(
+    corpus: DataFrame,
+    rotation: "object",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a dim×dim rotation map-side: (id, rotated vec) with
+    rotated = R @ x per row, numpy GEMM per Arrow batch, R broadcast via
+    closure (dim² doubles).  No shuffle, no driver data path."""
+    import numpy as np
+    import pandas as pd
+
+    r_mat = np.asarray(rotation, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            rx = x @ r_mat.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_col: list(rx)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def householder_rotate(
+    corpus: DataFrame,
+    v: "list[float]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SQL-expressible rotation rung: reflect across the hyperplane
+    normal to `v` (H = I − 2vvᵀ/‖v‖², orthogonal by construction) as a
+    pure column expression — two sequential-order dot products and an
+    elementwise multiply-subtract, exactly mirrorable in DuckDB list
+    lambdas (the q109 oracle).  Both ‖v‖² and v·x are computed INSIDE the
+    expression so each engine sums in the same order it sums every other
+    dot product."""
+    vl = F.array(*[F.lit(float(x)) for x in v])
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vl, xd, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vv = F.aggregate(
+        F.transform(vl, lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scale = F.lit(2.0) * dot / vv
+    rotated = F.zip_with(xd, vl, lambda x, vi: x - scale * vi)
+    return corpus.select(F.col(id_col), rotated.alias(vec_col))

@@ -1902,6 +1902,76 @@ FROM members
 """
 
 
+def q109_opq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation rung (r5 verdict ask #6): rotate the corpus with a
+    data-derived orthogonal transform BEFORE PQ slicing, then run the
+    exact q100 pipeline (seed codebooks iters=0, encode, ADC top-3) on
+    the rotated vectors.  The gate's rotation is the SQL-expressible
+    Householder special case H = I − 2vvᵀ/‖v‖² with v = the 6-dp-rounded
+    per-dimension mean (data-derived, broadcast-sized, deterministic —
+    the q100 seeding discipline); the full eigenvalue-balanced OPQ
+    training (covariance → permuted eigenbasis, Ge et al. CVPR 2013)
+    lives in pipeline/pq.opq_train_rotation with reconstruction-error
+    tests, since SVD is not SQL-expressible."""
+    from noaa_oracle_spark.pipeline.pq import (
+        householder_rotate,
+        pq_encode,
+        pq_knn,
+        pq_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean_row = emb.select(
+        *[
+            F.round(F.avg(F.col("embedding")[i].cast("double")), 6).alias(
+                f"m{i}"
+            )
+            for i in range(64)
+        ]
+    ).collect()[0]
+    v = [float(mean_row[i]) for i in range(64)]
+    rot = householder_rotate(emb, v)
+    books = pq_train(rot, m=8, k=8, iters=0)
+    enc = pq_encode(rot, books)
+    q = rot.filter(F.col("vec_id") < 5)
+    return pq_knn(q, enc, books, k=3)
+
+
+# the q100 quantizer CTEs, re-sourced from the rotated vectors
+_PQ_CTE_ROT = _PQ_CTE.replace("embeddings", "rot")
+
+SQL_Q109 = f"""
+WITH dims AS (
+    SELECT CAST(unnest(range(1, 65)) AS INT) AS i
+), mstats AS (
+    SELECT dims.i, round(avg(e.embedding[dims.i]::DOUBLE), 6) AS m
+    FROM embeddings e, dims GROUP BY 1
+), mv AS (
+    SELECT list(m ORDER BY i) AS v FROM mstats
+), rot AS (
+    SELECT e.vec_id,
+           list_transform(range(1, 65), i ->
+               e.embedding[i]::DOUBLE
+               - (2.0 * list_sum(list_transform(range(1, 65),
+                       j -> mv.v[j] * e.embedding[j]::DOUBLE))
+                  / list_sum(list_transform(mv.v, x -> x * x)))
+                 * mv.v[i]) AS embedding
+    FROM embeddings e CROSS JOIN mv
+), {_PQ_CTE_ROT}
+, adc AS (
+    SELECT l.q_id, c.vec_id AS n_id, round(sum(l.pd), 6) AS adc_dist
+    FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+    WHERE l.q_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT q_id, rank, n_id, adc_dist FROM (
+    SELECT q_id, n_id, adc_dist,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist ASC, n_id ASC) AS rank
+    FROM adc) WHERE rank <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -1947,6 +2017,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_bigram_logprob": q106_bigram_logprob,
     "q107_sq8_knn": q107_sq8_knn,
     "q108_webdataset_manifest": q108_webdataset_manifest,
+    "q109_opq_knn": q109_opq_knn,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -1994,4 +2065,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q106_bigram_logprob": SQL_Q106,
     "q107_sq8_knn": SQL_Q107,
     "q108_webdataset_manifest": SQL_Q108,
+    "q109_opq_knn": SQL_Q109,
 }

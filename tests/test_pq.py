@@ -283,3 +283,129 @@ def test_ivfpq_residual_routes_to_own_cluster(spark, clustered):
     assert len(got) == 30
     for r in got:
         assert r.n_id % 20 == r.q_id % 20, (r.q_id, r.n_id)
+
+
+# --- OPQ: rotation training, application, and the Householder rung -------
+
+
+@pytest.fixture(scope="module")
+def correlated(spark):
+    """Anisotropic correlated vectors — the data shape plain PQ is bad at:
+    variance concentrated in a few directions that straddle subvector
+    boundaries."""
+    rng = np.random.RandomState(11)
+    # spectrum decaying over 64 dims, mixed by a random rotation
+    spectrum = np.exp(-np.arange(64) / 8.0)
+    q, _ = np.linalg.qr(rng.randn(64, 64))
+    x = rng.randn(500, 64) * spectrum[None, :] @ q.T
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ), x
+
+
+def test_covariance_matrix_matches_numpy(spark, correlated):
+    from noaa_oracle_spark.pipeline.pq import covariance_matrix
+
+    df, x = correlated
+    mean, cov = covariance_matrix(df)
+    np.testing.assert_allclose(mean, x.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(
+        cov, np.cov(x, rowvar=False, bias=True), atol=1e-9
+    )
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark, correlated):
+    from noaa_oracle_spark.pipeline.pq import opq_train_rotation
+
+    df, _ = correlated
+    r1 = opq_train_rotation(df, m=8)
+    np.testing.assert_allclose(r1 @ r1.T, np.eye(64), atol=1e-9)
+    r2 = opq_train_rotation(df, m=8)
+    np.testing.assert_allclose(r1, r2, atol=0)
+
+
+def test_opq_balances_eigenvalue_products(spark, correlated):
+    """The Ge et al. allocation criterion: the PRODUCT of eigenvalues per
+    subspace (the distortion bound's driver) is near-equal across the m
+    buckets — within 2 nats on a spectrum spanning ~60 nats end to end,
+    where the naive block allocation leaves a ~100-nat gap."""
+    from noaa_oracle_spark.pipeline.pq import opq_train_rotation
+
+    df, x = correlated
+    r = opq_train_rotation(df, m=8)
+    xc = x - x.mean(axis=0)
+    cov = np.cov(xc, rowvar=False, bias=True)
+    # eigenvalue carried by each rotated output dim = variance of R @ x
+    rotated_var = np.diag(r @ cov @ r.T)
+    log_sums = np.log(rotated_var).reshape(8, 8).sum(axis=1)
+    assert log_sums.max() - log_sums.min() < 2.0
+
+
+def test_rotate_embeddings_matches_numpy(spark, correlated):
+    from noaa_oracle_spark.pipeline.pq import (
+        opq_train_rotation,
+        rotate_embeddings,
+    )
+
+    df, x = correlated
+    r = opq_train_rotation(df, m=8)
+    got = {
+        row.vec_id: np.asarray(row.embedding)
+        for row in rotate_embeddings(df, r).collect()
+    }
+    want = x @ r.T
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-9)
+
+
+def test_opq_reduces_reconstruction_error(spark, correlated):
+    """The acceptance bar from the r5 verdict: PQ reconstruction error on
+    OPQ-rotated vectors beats PQ on the raw layout (rotation is
+    norm-preserving, so the two errors are directly comparable)."""
+    from noaa_oracle_spark.pipeline.pq import (
+        opq_train_rotation,
+        rotate_embeddings,
+    )
+
+    df, _ = correlated
+    rot = rotate_embeddings(df, opq_train_rotation(df, m=8))
+
+    def recon_err(data):
+        books = pq_train(data, m=8, k=16, iters=2)
+        enc = pq_encode(data, books)
+        cb = {
+            (r.sub, r.code): np.asarray(r.centroid)
+            for r in books.collect()
+        }
+        vecs = {r.vec_id: np.asarray(r.embedding) for r in data.collect()}
+        err = 0.0
+        for r in enc.collect():
+            approx = np.concatenate(
+                [cb[(s, c)] for s, c in enumerate(r.codes)]
+            )
+            err += float(((vecs[r.vec_id] - approx) ** 2).sum())
+        return err / len(vecs)
+
+    assert recon_err(rot) < recon_err(df) * 0.8
+
+
+def test_householder_is_orthogonal_involution(spark, correlated):
+    """H reflects: applying it twice returns the original vectors, and
+    norms are preserved (orthogonality) — checked through the actual
+    column expression, not numpy."""
+    from noaa_oracle_spark.pipeline.pq import householder_rotate
+
+    df, x = correlated
+    v = [float(t) for t in np.round(x.mean(axis=0), 6)]
+    once = householder_rotate(df, v)
+    twice = householder_rotate(once, v)
+    got = {r.vec_id: np.asarray(r.embedding) for r in twice.collect()}
+    for i in range(0, len(x), 50):
+        np.testing.assert_allclose(got[i], x[i], atol=1e-9)
+    n_once = {
+        r.vec_id: float(np.linalg.norm(r.embedding))
+        for r in once.collect()
+    }
+    for i in range(0, len(x), 50):
+        assert abs(n_once[i] - np.linalg.norm(x[i])) < 1e-9

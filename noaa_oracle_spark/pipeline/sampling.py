@@ -271,7 +271,13 @@ def pack_training_sequences_binned(
 
     Returns (key, n_tokens, seq_id, start_offset); start_offset is the
     fill level the document was placed at (always 0 for a
-    sequence-opening document)."""
+    sequence-opening document).
+
+    Gate-shape footnote (q102): the driver gate runs bucket_hex_digits=1
+    (16 buckets) so its recursive-CTE DuckDB oracle stays tractable; the
+    production default above is 3 (4096 buckets) — the bucket count only
+    changes parallelism/waste granularity, not per-document placement
+    within a bucket."""
     import pandas as pd
 
     if not 1 <= bucket_hex_digits <= 3:

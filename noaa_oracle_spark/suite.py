@@ -2045,7 +2045,9 @@ LIMIT 100
 """
 
 
-def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q68_important_parts(
+    spark: SparkSession, sf_dir: str, plan: str = "two_scan"
+) -> DataFrame:
     """TPC-H Q11 shape: per-part inventory value restricted to one
     nation's suppliers, kept only when it exceeds a fraction of the
     GLOBAL total — the scalar-subquery-as-threshold pattern. The global
@@ -2061,6 +2063,16 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     q98/tfidf (two parallel linear scans beat one serialized 20M-row
     window task; test_subquery_family_plans pins q68 at two scans with
     this rationale).
+    plan="persist" is the r5-verdict-measured alternative (bench_q68.py,
+    100M fact rows × 10M parts, min of 3): persist(per_part) 1.58 s vs
+    two_scan 2.15 s — persist WINS 27% locally and wins bigger on a
+    cluster where the duplicated fact scan is real IO (per_part is
+    |parts|-sized, far smaller than the fact table). It is NOT the gate
+    default because the query returns a LAZY DataFrame and cannot own the
+    cache lifecycle: the driver/bench harness runs every query twice
+    (warm-up + timed), so an unmanaged persist would grade cache reads —
+    the round-1 cache-leak distortion. Service deployments that control
+    unpersist() should choose plan="persist".
     Determinism: sums of 2-dp × 2-dp products are still binary doubles
     whose partial-aggregation order differs across engines; rounding both
     the per-part value and the threshold total at 4 dp narrows (but cannot
@@ -2079,6 +2091,8 @@ def q68_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part_value")
         )
     )
+    if plan == "persist":
+        per_part = per_part.persist()
     total = per_part.agg(
         F.round(F.sum("part_value"), 4).alias("total_value")
     )

@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""The five-tier vector compression ladder measured under ONE protocol
+(r5 verdict ask #7): raw float32 → SQ8 int8 → flat PQ/ADC → IVF-PQ →
+residual IVF-PQ, at corpus scale.
+
+Protocol (every tier identical):
+  - corpus: N 64-dim vectors (the bench_pipeline embeddings fixture),
+    L2-NORMALIZED once and persisted to parquet — cosine and L2 then rank
+    identically, so the Euclidean tiers (PQ family) and the cosine tiers
+    (raw, SQ8) are judged against the same ground truth.
+  - queries: the Q lowest-id vectors; ground truth = exact brute-force
+    top-5 (numpy backend), self-matches excluded everywhere.
+  - recall@5 = |tier top-5 ∩ exact top-5| / 5, averaged over queries.
+  - wall = END-TO-END tier time (train + encode + search, cache cleared
+    before each tier): the number a capacity planner actually pays. The
+    raw tier has no train/encode — it IS the scan-everything baseline.
+  - bytes/vec = the per-vector storage the tier's scan reads.
+
+Knobs: PIPELINE_BENCH_VECS (default 1000000), PIPELINE_BENCH_QUERIES
+(100), PIPELINE_BENCH_PQ_K (256 codes/subspace; m is fixed at 8),
+PIPELINE_BENCH_CELLS (1024 coarse cells, seeded = lowest-id vectors),
+PIPELINE_BENCH_NPROBE (32).
+
+Prints one JSON line; evidence harness for SCALE.md's ladder table, not
+a driver contract (bench.py is that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_VECS = int(os.environ.get("PIPELINE_BENCH_VECS", "1000000"))
+N_QUERIES = int(os.environ.get("PIPELINE_BENCH_QUERIES", "100"))
+PQ_K = int(os.environ.get("PIPELINE_BENCH_PQ_K", "256"))
+N_CELLS = int(os.environ.get("PIPELINE_BENCH_CELLS", "1024"))
+NPROBE = int(os.environ.get("PIPELINE_BENCH_NPROBE", "32"))
+K = 5
+FIXTURE = f"/tmp/noaa_pipeline_bench_v1_{N_VECS}"
+
+
+def main() -> None:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_knn,
+        ivfpq_knn_residual,
+        pq_encode,
+        pq_knn,
+        pq_train,
+    )
+    from noaa_oracle_spark.pipeline.similarity import (
+        brute_force_knn,
+        sq8_encode,
+        sq8_knn,
+        sq8_train,
+    )
+    from noaa_oracle_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="noaa-vector-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = os.path.join(FIXTURE, "embeddings.parquet")
+    if not os.path.exists(src):
+        raise SystemExit(
+            f"fixture missing: run bench_pipeline.py once with "
+            f"PIPELINE_BENCH_DOCS={N_VECS} to generate {src}"
+        )
+    norm_path = os.path.join(FIXTURE, "embeddings_l2norm.parquet")
+    if not os.path.exists(norm_path):
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def normalize(batches):
+            for pdf in batches:
+                x = np.stack(
+                    [np.asarray(v, np.float64) for v in pdf["embedding"]]
+                )
+                x /= np.linalg.norm(x, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].to_numpy(), "embedding": list(x)}
+                )
+
+        (
+            spark.read.parquet(src)
+            .mapInPandas(normalize, schema)
+            .write.mode("overwrite")
+            .parquet(norm_path)
+        )
+    corpus = spark.read.parquet(norm_path)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    cells = corpus.filter(F.col("vec_id") < N_CELLS).select(
+        "vec_id", "embedding"
+    )
+
+    def top5(df, score_col, ascending):
+        """{q_id: [n_id, ...]} from a (q_id, rank, n_id, score) frame."""
+        rows = df.collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"]))
+        return {q: [n for _, n in sorted(v)][:K] for q, v in by_q.items()}
+
+    # ground truth (also the raw tier's result set)
+    exact = None
+
+    def tier_raw():
+        nonlocal exact
+        exact = top5(
+            brute_force_knn(queries, corpus, k=K, backend="numpy"),
+            "cos_sim",
+            False,
+        )
+        return exact
+
+    def tier_sq8():
+        factors = sq8_train(corpus)
+        enc = sq8_encode(corpus, factors)
+        return top5(sq8_knn(queries, enc, factors, k=K), "cos_sim", False)
+
+    books = None  # shared by pq + ivfpq (trained once inside tier_pq)
+
+    def tier_pq():
+        nonlocal books
+        books = pq_train(corpus, m=8, k=PQ_K, iters=2)
+        enc = pq_encode(corpus, books)
+        return top5(pq_knn(queries, enc, books, k=K), "adc_dist", True)
+
+    def tier_ivfpq():
+        # books reused from the pq tier: the FAISS composition shares the
+        # flat codebooks (q101's form); timing therefore EXCLUDES codebook
+        # training and measures routing + encode + probed ADC
+        return top5(
+            ivfpq_knn(queries, corpus, books, cells, k=K, nprobe=NPROBE),
+            "adc_dist",
+            True,
+        )
+
+    def tier_residual():
+        return top5(
+            ivfpq_knn_residual(
+                queries,
+                corpus,
+                cells,
+                m=8,
+                k_codes=PQ_K,
+                iters=2,  # same Lloyd budget as the pq tier's codebooks
+                k=K,
+                nprobe=NPROBE,
+            ),
+            "adc_dist",
+            True,
+        )
+
+    bytes_per_vec = {
+        "raw": 64 * 4,
+        "sq8": 64,
+        "pq": 8,
+        "ivfpq": 8,
+        "residual_ivfpq": 8,
+    }
+    out: dict = {}
+    for name, fn in [
+        ("raw", tier_raw),
+        ("sq8", tier_sq8),
+        ("pq", tier_pq),
+        ("ivfpq", tier_ivfpq),
+        ("residual_ivfpq", tier_residual),
+    ]:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        got = fn()
+        wall = time.perf_counter() - t0
+        recall = sum(
+            len(set(got.get(q, [])) & set(exact[q])) / K for q in exact
+        ) / len(exact)
+        out[name] = {
+            "sec": round(wall, 2),
+            "recall_at_5": round(recall, 4),
+            "bytes_per_vec": bytes_per_vec[name],
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "vector_ladder",
+                "n_vecs": N_VECS,
+                "n_queries": N_QUERIES,
+                "pq_k": PQ_K,
+                "cells": N_CELLS,
+                "nprobe": NPROBE,
+                "tiers": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1972,6 +1972,77 @@ SELECT q_id, rank, n_id, adc_dist FROM (
 """
 
 
+def q110_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF mux→demux round trip as a gate query: each document
+    becomes a single-track MP4 (video samples = 120-byte chunks of the
+    text, 40 ms ticks, stsc chunk runs of 3), muxed map-side by
+    pipeline/mp4.build_mp4 and demuxed back by demux_mp4_samples — both
+    distributed, blobs never shuffle.  The container layout (sample
+    count, sizes, DTS ladder, payload bytes) is a pure function of the
+    text length, which is what makes a BINARY container format
+    SQL-oracle-able: the oracle restates the chunking arithmetic and
+    md5s the same byte slices (the corpus is ASCII — octet_length ==
+    length at every SF, so VARCHAR substring is byte-exact; the
+    operators themselves are byte-based)."""
+    import pandas as pd
+
+    from noaa_oracle_spark.pipeline.mp4 import build_mp4, demux_mp4_samples
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mux(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8")
+                chunks = [
+                    data[i : i + 120] for i in range(0, len(data), 120)
+                ] or [b""]
+                tr = {
+                    "handler": "vide",
+                    "codec": "avc1",
+                    "timescale": 1000,
+                    "width": 64,
+                    "height": 64,
+                    "samples": [(c, 40) for c in chunks],
+                }
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "content": build_mp4([tr], samples_per_chunk=3),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(mux, "media_id long, content binary")
+    out = demux_mp4_samples(media, handler="vide")
+    return out.select(
+        "media_id",
+        "sample_idx",
+        "dts_ms",
+        "duration_ms",
+        "size_bytes",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+SQL_Q110 = """
+WITH chunks AS (
+    SELECT doc_id, text, length(text) AS n,
+           unnest(range(0, greatest((length(text) + 119) // 120, 1))) AS i
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(i AS BIGINT) AS sample_idx,
+       CAST(i * 40 AS BIGINT) AS dts_ms,
+       CAST(40 AS BIGINT) AS duration_ms,
+       CAST(least(120, n - i * 120) AS BIGINT) AS size_bytes,
+       md5(substring(text, CAST(i * 120 + 1 AS BIGINT),
+                     CAST(least(120, n - i * 120) AS BIGINT))) AS payload_md5
+FROM chunks
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2018,6 +2089,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_sq8_knn": q107_sq8_knn,
     "q108_webdataset_manifest": q108_webdataset_manifest,
     "q109_opq_knn": q109_opq_knn,
+    "q110_mp4_demux": q110_mp4_demux,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2066,4 +2138,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q107_sq8_knn": SQL_Q107,
     "q108_webdataset_manifest": SQL_Q108,
     "q109_opq_knn": SQL_Q109,
+    "q110_mp4_demux": SQL_Q110,
 }

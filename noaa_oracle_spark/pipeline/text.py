@@ -950,3 +950,176 @@ def chunk_documents(
         F.size("chunk_words").alias("n_chunk_tokens"),
         F.array_join("chunk_words", " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training primitives (Sennrich, Haddow, Birch — ACL 2016).
+#
+# The distributed half of training a subword tokenizer on a 100 TB corpus
+# is PAIR COUNTING: every merge round needs the frequency of each adjacent
+# symbol pair, weighted by word frequency.  The scale discipline is the
+# q106 one — collapse the occurrence stream to the WORD-TYPE dimension
+# first (one uniform word-keyed exchange over the corpus), then do all
+# pair math on word types (vocabulary-sized, Zipf-skew-free because a hot
+# word contributes ONE type row regardless of its corpus frequency).
+# The merge loop itself is driver-coordinated like pq_train's Lloyd
+# rounds: each round moves one argmax row to the driver, never the data.
+# ---------------------------------------------------------------------------
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(w, n_w) word-type frequencies — whitespace split, empty tokens
+    dropped; the one corpus-scale exchange of the BPE pipeline."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One BPE counting round at the character stage: adjacent character
+    pairs within each word type, weighted by word frequency — returns
+    (left_sym, right_sym, pair_count).  Everything past the word-type
+    rollup runs at vocabulary scale; pairs explode from word TYPES, so a
+    word occurring a billion times costs one type row here.  Pure column
+    expressions (substring over an index sequence), SQL-oracle-able:
+    gate q111."""
+    wc = word_frequencies(docs, text_col)
+    # substring needs a Column position — expressed in SQL lambda form
+    pairs = F.when(
+        F.length("w") > 1,
+        F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> struct(substring(w, i, 1) AS left_sym, "
+            "substring(w, i + 1, 1) AS right_sym))"
+        ),
+    ).otherwise(
+        F.expr(
+            "CAST(array() AS "
+            "array<struct<left_sym:string,right_sym:string>>)"
+        )
+    )
+    return (
+        wc.select("n_w", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("n_w").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> "tuple[list, DataFrame]":
+    """Learn `n_merges` BPE merges: returns (merges, vocab) where
+    `merges` is the ordered [(left, right), ...] list and `vocab` the
+    final (w, symbols array, n_w) word-type table.
+
+    Loop shape (the pq_train discipline): the word-type table lives
+    distributed; each round counts adjacent symbol pairs (type-dim
+    aggregation), collects ONLY the argmax pair (count desc, then
+    (left, right) lexicographic asc — deterministic across runs), and
+    applies the merge with a map-side fold over each word's symbol
+    array.  No corpus-scale data ever reaches the driver.
+
+    The symbol alphabet starts as single characters with no end-of-word
+    marker (the within-word variant; markers are an orthogonal
+    preprocessing choice documented here rather than hidden)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # split keeps a trailing empty string (limit=-1 semantics with the
+    # end-of-string lookahead position) — filter it out of the alphabet
+    vocab = word_frequencies(docs, text_col).select(
+        "w",
+        F.filter(
+            F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")
+        ).alias("syms"),
+        "n_w",
+    )
+    merges: list = []
+
+    def apply_merge(left: str, right: str):
+        schema = T.StructType(
+            [
+                T.StructField("w", T.StringType()),
+                T.StructField("syms", T.ArrayType(T.StringType())),
+                T.StructField("n_w", T.LongType()),
+            ]
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                out_syms = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    merged = []
+                    i = 0
+                    while i < len(s):
+                        if (
+                            i + 1 < len(s)
+                            and s[i] == left
+                            and s[i + 1] == right
+                        ):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(s[i])
+                            i += 1
+                    out_syms.append(merged)
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "syms": out_syms,
+                        "n_w": pdf["n_w"],
+                    }
+                )
+
+        return kernel, schema
+
+    for _ in range(n_merges):
+        pair_counts = (
+            vocab.select(
+                "n_w",
+                F.explode(
+                    F.when(
+                        F.size("syms") > 1,
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1), "
+                            "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                        ),
+                    ).otherwise(
+                        F.expr(
+                            "CAST(array() AS "
+                            "array<struct<l:string,r:string>>)"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n_w").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts:
+            break
+        top = pair_counts[0]
+        merges.append((top["l"], top["r"]))
+        kernel, schema = apply_merge(top["l"], top["r"])
+        # localCheckpoint truncates the growing per-round lineage (the
+        # connected-components discipline); swap for checkpoint() on a
+        # real cluster
+        vocab = vocab.mapInPandas(kernel, schema).localCheckpoint()
+    return merges, vocab

@@ -2043,6 +2043,36 @@ FROM chunks
 """
 
 
+def q111_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair counting (Sennrich et al. ACL 2016),
+    the character-stage round: adjacent character pairs per word TYPE
+    weighted by word frequency (pipeline/text.bpe_pair_counts).  The
+    scale shape is the q106 de-skew discipline — one corpus-scale
+    word-keyed exchange, then all pair math at vocabulary scale.  The
+    oracle restates the whitespace split, the type rollup, and the
+    substring pair walk in SQL."""
+    from noaa_oracle_spark.pipeline.text import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+SQL_Q111 = """
+WITH words AS (
+    SELECT w, count(*) AS n_w FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+    WHERE length(w) > 0 GROUP BY 1
+), pairs AS (
+    SELECT substring(w, i, 1) AS left_sym,
+           substring(w, i + 1, 1) AS right_sym, n_w
+    FROM (SELECT w, n_w, unnest(range(1, greatest(length(w), 1))) AS i
+          FROM words)
+)
+SELECT left_sym, right_sym, CAST(sum(n_w) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2090,6 +2120,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_webdataset_manifest": q108_webdataset_manifest,
     "q109_opq_knn": q109_opq_knn,
     "q110_mp4_demux": q110_mp4_demux,
+    "q111_bpe_pairs": q111_bpe_pairs,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2139,4 +2170,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q108_webdataset_manifest": SQL_Q108,
     "q109_opq_knn": SQL_Q109,
     "q110_mp4_demux": SQL_Q110,
+    "q111_bpe_pairs": SQL_Q111,
 }

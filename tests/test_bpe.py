@@ -1,0 +1,67 @@
+"""BPE tokenizer-training primitives: pair counting and the
+driver-coordinated merge loop (Sennrich et al. ACL 2016)."""
+
+from __future__ import annotations
+
+import pytest
+
+from noaa_oracle_spark.pipeline.text import (
+    bpe_pair_counts,
+    bpe_train,
+    word_frequencies,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # the paper's canonical shape: frequent stems sharing affixes
+    rows = [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest"),
+        (2, "newest newest newest newest widest"),
+        (3, "widest widest low"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_frequencies(spark, corpus):
+    got = {r.w: r.n_w for r in word_frequencies(corpus).collect()}
+    assert got == {"low": 6, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_pair_counts_match_python(spark, corpus):
+    from collections import Counter
+
+    want: Counter = Counter()
+    for w, n in [("low", 6), ("lower", 2), ("newest", 6), ("widest", 3)]:
+        for a, b in zip(w, w[1:]):
+            want[(a, b)] += n
+    got = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in bpe_pair_counts(corpus).collect()
+    }
+    assert got == dict(want)
+
+
+def test_bpe_train_merges_and_vocab(spark, corpus):
+    merges, vocab = bpe_train(corpus, n_merges=4)
+    # round 1: 'es' (9 = newest 6 + widest 3) and 'st' tie at 9;
+    # deterministic tiebreak is lexicographic → ('e','s') first, after
+    # which round 2's top is ('es','t') at 9
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    syms = {r.w: list(r.syms) for r in vocab.collect()}
+    assert syms["newest"][-1] == "est" or "est" in syms["newest"]
+    # every word's symbols still concatenate back to the word
+    for w, s in syms.items():
+        assert "".join(s) == w
+    # determinism: same corpus, same merges
+    merges2, _ = bpe_train(corpus, n_merges=4)
+    assert merges2 == merges
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges, vocab = bpe_train(df, n_merges=10)
+    assert merges == [("a", "b")]  # one possible merge, then no pairs
+    assert [list(r.syms) for r in vocab.collect()] == [["ab"]]

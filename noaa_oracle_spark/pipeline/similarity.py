@@ -178,16 +178,40 @@ def sq8_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "expr",
 ) -> DataFrame:
     """Top-k cosine over the int8-DEQUANTIZED corpus: x̂ = lo + code/255
     · (hi − lo). The same broadcast-queries × corpus → per-batch top-k →
     final window shape as brute_force_knn, ranking on the 6-dp rounded
     cosine with id tiebreak; corpus float vectors are never touched —
     the scan reads 1-byte-scale codes, the whole point of the tier.
-    Returns (q_id, rank, n_id, cos_sim)."""
+    Returns (q_id, rank, n_id, cos_sim).
+
+    ``backend="expr"`` (default) is the pure-Column, oracle-exact form
+    the q107 gate grades.  ``backend="numpy"`` dequantizes and scores
+    per Arrow batch with the brute_force_knn numpy discipline — the
+    identical per-element arithmetic ((c/255)·span + lo) and
+    dimension-ordered accumulation, so results are equality-tested
+    bit-for-bit against the expr form; it exists because the 1M ladder
+    measured the interpreted HOF dequant+cosine at 110.6 s where raw's
+    numpy kernel took 11.2 s (SCALE.md)."""
     from noaa_oracle_spark.pipeline.dedup import spread
 
     lo, hi = _sq8_bounds(factors)
+    if backend == "numpy":
+        cand = _sq8_candidates_numpy(
+            queries, encoded, lo, hi, k, id_col, vec_col
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cos_sim"), F.asc("n_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", "cos_sim")
+        )
+    if backend != "expr":
+        raise ValueError(f"unknown backend {backend!r}")
     lo_arr = F.array(*[F.lit(x) for x in lo])
     span = F.array(
         *[F.lit((h - l) if h > l else 1.0) for l, h in zip(lo, hi)]
@@ -234,6 +258,98 @@ def _require_integral_ids(df: DataFrame, id_col: str, where: str) -> None:
             f"column (got {dt.simpleString()}); use backend='expr' for "
             "non-integer ids"
         )
+
+
+def _sq8_candidates_numpy(
+    queries: DataFrame,
+    encoded: DataFrame,
+    lo: "list[float]",
+    hi: "list[float]",
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """numpy candidate stage for sq8_knn: per Arrow batch of CODES,
+    dequantize with the exact per-element arithmetic of the expression
+    form ((c/255)·span + lo) and score with the dimension-ordered fold —
+    bit-identical to the expr backend, per-batch top-k pruning."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    _require_integral_ids(queries, id_col, "sq8_knn(queries)")
+    _require_integral_ids(encoded, id_col, "sq8_knn(encoded)")
+
+    def fold_norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    q_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    if not q_rows:
+        raise ValueError("sq8_knn: empty query set")
+    q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in q_rows])
+    q_nrm = fold_norms(q_mat)
+    lo_arr = np.asarray(lo, dtype=np.float64)
+    span_arr = np.asarray(
+        [(h - l) if h > l else 1.0 for l, h in zip(lo, hi)],
+        dtype=np.float64,
+    )
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_nrm, lo_arr, span_arr)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        ids_q, mat_q, nrm_q, lo_, span_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["codes"]]
+            )
+            # identical per-element order to the expression form:
+            # (c / 255) * span + lo
+            mat_n = (codes / 255.0) * span_[None, :] + lo_[None, :]
+            nrm_n = fold_norms(mat_n)
+            dot = np.multiply.outer(mat_q[:, 0], mat_n[:, 0])
+            for i in range(1, mat_q.shape[1]):
+                dot = dot + np.multiply.outer(mat_q[:, i], mat_n[:, i])
+            sims = np.round(dot / np.multiply.outer(nrm_q, nrm_n), 6)
+            sims[:, :] = np.where(
+                ids_n[None, :] == ids_q[:, None], -np.inf, sims
+            )
+            kk = min(k, sims.shape[1])
+            idx = np.lexsort(
+                (np.broadcast_to(ids_n, sims.shape), -sims), axis=-1
+            )[:, :kk]
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids_q, kk),
+                    "n_id": ids_n[idx].ravel(),
+                    "cos_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+            yield out[out["cos_sim"] != -np.inf]
+
+    return spread(encoded.select(id_col, "codes")).mapInPandas(
+        kernel, schema
+    )
 
 
 def _knn_candidates_numpy(

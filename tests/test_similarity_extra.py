@@ -352,6 +352,34 @@ def test_sq8_compression_and_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.8
 
 
+def test_sq8_knn_numpy_backend_equals_expr(spark):
+    """The numpy dequant+score kernel replicates the expression form's
+    per-element arithmetic and dimension-ordered accumulation — results
+    must be IDENTICAL including rank order and 6-dp similarities (the
+    kmeans_assign/brute_force_knn equality discipline)."""
+    from noaa_oracle_spark.pipeline.similarity import (
+        sq8_encode,
+        sq8_knn,
+        sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    factors = sq8_train(emb)
+    enc = sq8_encode(emb, factors)
+    q = emb.filter(F.col("vec_id") < 10)
+    expr_rows = sorted(
+        map(tuple, sq8_knn(q, enc, factors, k=5).collect())
+    )
+    np_rows = sorted(
+        map(tuple, sq8_knn(q, enc, factors, k=5, backend="numpy").collect())
+    )
+    assert expr_rows == np_rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sq8_knn(q, enc, factors, k=5, backend="bogus")
+
+
 def test_sq8_encode_clamps_out_of_range(spark):
     """Encode-new-data-with-frozen-factors (the FAISS SQ8 usage, ADVICE
     r4): vectors outside the trained per-dimension [lo, hi] must clamp to

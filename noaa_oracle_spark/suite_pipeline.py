@@ -2073,6 +2073,65 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def q112_mp3_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio frame walk as a gate (the q110 discipline for audio):
+    each document becomes a constant-bitrate MPEG1 Layer III stream
+    (bitrate from a 4-value ladder by doc_id, frame count from the text
+    length), built map-side by pipeline/mp3.build_mp3 and walked back by
+    mp3_frame_manifest.  Frame sizes/offsets are pure integer header
+    math — 144·bitrate/44100 per frame — which the oracle restates
+    directly.  Codec payload decode stays gated; this grades the
+    container layer end to end."""
+    import pandas as pd
+
+    from noaa_oracle_spark.pipeline.mp3 import build_mp3, mp3_frame_manifest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ladder = [64, 96, 128, 192]
+
+    def mux(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "content": build_mp3(
+                            n_frames=1 + len(text or "") % 29,
+                            bitrate_kbps=ladder[int(doc_id) % 4],
+                            sample_rate=44100,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(mux, "media_id long, content binary")
+    return mp3_frame_manifest(media).select(
+        "media_id", "frame_idx", "offset", "size_bytes", "bitrate"
+    )
+
+
+SQL_Q112 = """
+WITH streams AS (
+    SELECT doc_id,
+           1 + length(text) % 29 AS n_frames,
+           CASE doc_id % 4 WHEN 0 THEN 64000 WHEN 1 THEN 96000
+                           WHEN 2 THEN 128000 ELSE 192000 END AS bitrate
+    FROM documents
+), frames AS (
+    SELECT doc_id, bitrate,
+           (144 * bitrate) // 44100 AS fsize,
+           unnest(range(0, n_frames)) AS i
+    FROM streams
+)
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * fsize AS BIGINT) AS offset,
+       CAST(fsize AS BIGINT) AS size_bytes,
+       CAST(bitrate AS INT) AS bitrate
+FROM frames
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2121,6 +2180,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_opq_knn": q109_opq_knn,
     "q110_mp4_demux": q110_mp4_demux,
     "q111_bpe_pairs": q111_bpe_pairs,
+    "q112_mp3_manifest": q112_mp3_manifest,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2171,4 +2231,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q109_opq_knn": SQL_Q109,
     "q110_mp4_demux": SQL_Q110,
     "q111_bpe_pairs": SQL_Q111,
+    "q112_mp3_manifest": SQL_Q112,
 }

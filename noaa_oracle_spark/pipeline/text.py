@@ -1123,3 +1123,81 @@ def bpe_train(
         # real cluster
         vocab = vocab.mapInPandas(kernel, schema).localCheckpoint()
     return merges, vocab
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge list (the inference half of BPE):
+    each document's words are split to characters and the merges replay
+    IN TRAINING ORDER — the Sennrich apply rule.  Map-side mapInPandas
+    with a per-batch word→tokens memo (Zipf makes the memo hit rate
+    high: a batch's distinct-word count is far below its token count);
+    merges ride the closure (vocabulary-sized, broadcast by Spark's
+    task serialization).  Returns (id, tokens, n_tokens) — the token
+    stream a packing/counting stage consumes."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def encode_word(w: str, memo: dict) -> "list[str]":
+        got = memo.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        # lowest-rank (earliest-learned) merge first — the training
+        # replay order, not a greedy longest-match
+        while len(syms) > 1:
+            best = None
+            best_rank = len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]), None)
+                if r is not None and r < best_rank:
+                    best, best_rank = i, r
+            if best is None:
+                break
+            merged = []
+            i = 0
+            left, right = merges[best_rank]
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        memo[w] = syms
+        return syms
+
+    def kernel(batches):
+        for pdf in batches:
+            memo: dict = {}
+            ids, toks, ns = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                out: list = []
+                for w in (text or "").split():
+                    out.extend(encode_word(w, memo))
+                ids.append(did)
+                toks.append(out)
+                ns.append(len(out))
+            yield pd.DataFrame(
+                {id_col: ids, "tokens": toks, "n_tokens": ns}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -65,3 +65,39 @@ def test_bpe_train_stops_when_fully_merged(spark):
     merges, vocab = bpe_train(df, n_merges=10)
     assert merges == [("a", "b")]  # one possible merge, then no pairs
     assert [list(r.syms) for r in vocab.collect()] == [["ab"]]
+
+
+def test_bpe_apply_replays_training(spark, corpus):
+    """Applying the learned merges tokenizes training words to their
+    final training symbols (apply == train replay on seen words), and
+    token streams concatenate back to the original text."""
+    from noaa_oracle_spark.pipeline.text import bpe_apply
+
+    merges, vocab = bpe_train(corpus, n_merges=6)
+    trained = {r.w: list(r.syms) for r in vocab.collect()}
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_apply(corpus, merges).collect()
+    }
+    rows = {r[0]: r[1] for r in corpus.collect()}
+    for doc_id, text in rows.items():
+        want: list = []
+        for w in text.split():
+            want.extend(trained[w])
+        assert toks[doc_id] == want
+        assert "".join(toks[doc_id]) == text.replace(" ", "")
+
+
+def test_bpe_apply_handles_unseen_words(spark, corpus):
+    from noaa_oracle_spark.pipeline.text import bpe_apply
+
+    merges, _ = bpe_train(corpus, n_merges=4)
+    new = spark.createDataFrame(
+        [(99, "lowest newish x")], "doc_id long, text string"
+    )
+    row = bpe_apply(new, merges).collect()[0]
+    assert "".join(row.tokens) == "lowestnewishx"
+    assert row.n_tokens == len(row.tokens)
+    # merges learned on 'newest'/'lowest' families still apply to the
+    # shared prefixes of unseen words
+    assert any(len(t) > 1 for t in row.tokens)

@@ -210,6 +210,14 @@ def main() -> None:
     run("bigram_logprob", lambda: bigram_logprob(docs).count())
     run("boilerplate_ngrams", lambda: boilerplate_ngram_stats(
         docs).filter(F.col("n_boilerplate") > 0).count())
+
+    # --- round-6 tokenizer-training / corpus-health rungs: both ride the
+    # single word-type exchange (the q106 discipline), so corpus scale
+    # costs one uniform shuffle plus vocabulary-scale math
+    from noaa_oracle_spark.pipeline.text import bpe_pair_counts, zipf_slope
+
+    run("bpe_pairs", lambda: bpe_pair_counts(docs).count())
+    run("zipf_slope", lambda: zipf_slope(docs).count())
     run("weighted_sample", lambda: weighted_hash_sample(
         docs.withColumn(
             "w", F.least(F.length("text") / F.lit(800.0), F.lit(1.0))

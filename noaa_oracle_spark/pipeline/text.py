@@ -1201,3 +1201,48 @@ def bpe_apply(
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def zipf_slope(docs: DataFrame, n_parts: int = 32) -> DataFrame:
+    """Corpus-health metric: the OLS slope of log(freq) on log(rank)
+    over word types (Zipf's law predicts ≈ −1 on natural text; heavy
+    duplication or template spam bends the head, truncation the tail).
+    One word-type exchange, then the scale-safe two-pass global rank
+    (repartitionByRange on the rank order, within-partition row_number,
+    ≤ n_parts partition counts collected and broadcast as offsets — NOT
+    an empty-partition window, which would serialize a web-scale
+    vocabulary through one task and is forbidden by the plan audit),
+    then covar_pop/var_pop aggregates rounded at 4 dp (the cross-engine
+    float rule).  Returns 1 row: (zipf_slope, n_types, mean_log_freq)."""
+    from pyspark.sql.window import Window
+
+    wf = word_frequencies(docs)
+    parts = wf.repartitionByRange(
+        n_parts, F.desc("n_w"), F.asc("w")
+    ).withColumn("_pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(F.desc("n_w"), F.asc("w"))
+        ),
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    )  # ≤ n_parts rows — small by construction
+    offsets, running = [], 0
+    for pid, c in counts:
+        offsets.append((pid, running))
+        running += c
+    off_df = docs.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    ranked = local.join(F.broadcast(off_df), "_pid").select(
+        F.log((F.col("_off") + F.col("_rn")).cast("double")).alias("lx"),
+        F.log(F.col("n_w").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias(
+            "zipf_slope"
+        ),
+        F.count("*").alias("n_types"),
+        F.round(F.avg("ly"), 4).alias("mean_log_freq"),
+    )

@@ -2142,46 +2142,13 @@ def q113_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate expressions, no corpus-scale collect. The global rank uses
     the two-pass range-partition discipline (NOT an empty-partition
     window, which the plan audit forbids — a web-scale vocabulary would
-    serialize through one task): repartitionByRange on the rank order,
-    within-partition row_number, partition-count offsets (≤n_partitions
-    rows collected) broadcast back. Slope and moments are rounded at
-    4 dp (the cross-engine float rule: distributed vs sequential
-    partial-sum orders differ in final ulps)."""
-    from pyspark.sql.window import Window
+    serialize through one task); see pipeline/text.zipf_slope for the
+    full shape. Slope and moments are rounded at 4 dp (the cross-engine
+    float rule: distributed vs sequential partial-sum orders differ in
+    final ulps)."""
+    from noaa_oracle_spark.pipeline.text import zipf_slope
 
-    from noaa_oracle_spark.pipeline.text import word_frequencies
-
-    wf = word_frequencies(load(spark, sf_dir, "documents"))
-    n_parts = 32
-    parts = wf.repartitionByRange(
-        n_parts, F.desc("n_w"), F.asc("w")
-    ).withColumn("_pid", F.spark_partition_id())
-    local = parts.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(F.desc("n_w"), F.asc("w"))
-        ),
-    )
-    counts = sorted(
-        (r["_pid"], r["c"])
-        for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    )  # ≤ n_parts rows — small by construction
-    offsets, running = [], 0
-    for pid, c in counts:
-        offsets.append((pid, running))
-        running += c
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    ranked = local.join(F.broadcast(off_df), "_pid").select(
-        F.log((F.col("_off") + F.col("_rn")).cast("double")).alias("lx"),
-        F.log(F.col("n_w").cast("double")).alias("ly"),
-    )
-    return ranked.agg(
-        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias(
-            "zipf_slope"
-        ),
-        F.count("*").alias("n_types"),
-        F.round(F.avg("ly"), 4).alias("mean_log_freq"),
-    )
+    return zipf_slope(load(spark, sf_dir, "documents"))
 
 
 SQL_Q113 = """

@@ -1214,6 +1214,25 @@ def zipf_slope(docs: DataFrame, n_parts: int = 32) -> DataFrame:
     vocabulary through one task and is forbidden by the plan audit),
     then covar_pop/var_pop aggregates rounded at 4 dp (the cross-engine
     float rule).  Returns 1 row: (zipf_slope, n_types, mean_log_freq)."""
+    ranked = ranked_word_frequencies(docs, n_parts).select(
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("n_w").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias(
+            "zipf_slope"
+        ),
+        F.count("*").alias("n_types"),
+        F.round(F.avg("ly"), 4).alias("mean_log_freq"),
+    )
+
+
+def ranked_word_frequencies(docs: DataFrame, n_parts: int = 32) -> DataFrame:
+    """(w, n_w, rank) with the global frequency rank (count desc, word
+    asc) computed by the two-pass range-partition discipline — the
+    shared rank kernel behind zipf_slope and vocab_coverage; see
+    zipf_slope's docstring for why an empty-partition window is not an
+    option at vocabulary scale."""
     from pyspark.sql.window import Window
 
     wf = word_frequencies(docs)
@@ -1235,14 +1254,36 @@ def zipf_slope(docs: DataFrame, n_parts: int = 32) -> DataFrame:
         offsets.append((pid, running))
         running += c
     off_df = docs.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    ranked = local.join(F.broadcast(off_df), "_pid").select(
-        F.log((F.col("_off") + F.col("_rn")).cast("double")).alias("lx"),
-        F.log(F.col("n_w").cast("double")).alias("ly"),
+    return local.join(F.broadcast(off_df), "_pid").select(
+        "w", "n_w", (F.col("_off") + F.col("_rn")).alias("rank")
     )
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 1000) -> DataFrame:
+    """Tokenizer-budget diagnostic: what fraction of the corpus token
+    stream a top-`top_k` word vocabulary covers, and the OOV rate a
+    word-level model with that budget would eat.  One row:
+    (vocab_size, covered_tokens, total_tokens, oov_permille) — integer
+    outputs only (the cross-engine float rule: per-mille floor instead
+    of a ratio)."""
+    ranked = ranked_word_frequencies(docs)
     return ranked.agg(
-        F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 4).alias(
-            "zipf_slope"
+        F.sum(F.when(F.col("rank") <= top_k, 1).otherwise(0)).alias(
+            "vocab_size"
         ),
-        F.count("*").alias("n_types"),
-        F.round(F.avg("ly"), 4).alias("mean_log_freq"),
+        F.sum(
+            F.when(F.col("rank") <= top_k, F.col("n_w")).otherwise(0)
+        ).alias("covered_tokens"),
+        F.sum("n_w").alias("total_tokens"),
+    ).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.floor(
+            (F.col("total_tokens") - F.col("covered_tokens"))
+            * 1000
+            / F.col("total_tokens")
+        )
+        .cast("long")
+        .alias("oov_permille"),
     )

@@ -2170,6 +2170,41 @@ FROM ranked
 """
 
 
+def q114_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary coverage / OOV rate (pipeline/text.vocab_coverage)
+    — the tokenizer-budget diagnostic beside q113's Zipf slope, sharing
+    its scale-safe two-pass global rank.  top_k=10 so the gate corpus's
+    small synthetic vocabulary still yields a non-trivial OOV band;
+    integer outputs only (per-mille floor, no float ratio)."""
+    from noaa_oracle_spark.pipeline.text import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"), top_k=10)
+
+
+SQL_Q114 = """
+WITH wf AS (
+    SELECT w, count(*) AS n_w FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents)
+    WHERE length(w) > 0 GROUP BY 1
+), ranked AS (
+    SELECT n_w, row_number() OVER (ORDER BY n_w DESC, w ASC) AS rank
+    FROM wf
+), agg AS (
+    SELECT CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_size,
+           CAST(sum(CASE WHEN rank <= 10 THEN n_w ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(sum(n_w) AS BIGINT) AS total_tokens
+    FROM ranked
+)
+SELECT vocab_size, covered_tokens, total_tokens,
+       CAST(floor((total_tokens - covered_tokens) * 1000 / total_tokens)
+            AS BIGINT) AS oov_permille
+FROM agg
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2220,6 +2255,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_bpe_pairs": q111_bpe_pairs,
     "q112_mp3_manifest": q112_mp3_manifest,
     "q113_zipf_slope": q113_zipf_slope,
+    "q114_vocab_coverage": q114_vocab_coverage,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2272,4 +2308,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q111_bpe_pairs": SQL_Q111,
     "q112_mp3_manifest": SQL_Q112,
     "q113_zipf_slope": SQL_Q113,
+    "q114_vocab_coverage": SQL_Q114,
 }

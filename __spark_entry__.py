@@ -62,10 +62,10 @@ _GRADE_FIRST = [
     # new this round (r6) — grade in their first round
     "q108_webdataset_manifest", "q109_opq_knn", "q110_mp4_demux",
     "q111_bpe_pairs", "q112_mp3_manifest", "q113_zipf_slope",
-    "q114_vocab_coverage",
-    # fill: last graded in r4 (34 of the 48 r4-only names; the 14-name
-    # tail omitted to make room — q71, q72, q73, q74, q75, q76, q87,
-    # q88, q89, q90, q91, q92, q93, q99 — ends r6 exactly 2 rounds
+    "q114_vocab_coverage", "q115_dup_cluster_stats",
+    # fill: last graded in r4 (33 of the 48 r4-only names; the 15-name
+    # tail omitted to make room — q70, q71, q72, q73, q74, q75, q76,
+    # q87, q88, q89, q90, q91, q92, q93, q99 — ends r6 exactly 2 rounds
     # stale and must lead the r7 window; the staleness test enforces
     # this).
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
@@ -80,7 +80,6 @@ _GRADE_FIRST = [
     "q48_stratified_sample", "q56_time_weighted_avg",
     "q63_repetition_filter", "q64_boilerplate_ngrams",
     "q66_ppjoin_jaccard", "q68_important_parts",
-    "q70_small_qty_revenue",
 ]
 
 

@@ -2205,6 +2205,41 @@ FROM agg
 """
 
 
+def q115_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup-audit readout a
+    corpus curator actually looks at (how much is singleton vs viral):
+    q38's connected components rolled up twice, (component → size) then
+    (size → n_clusters), with the largest cluster's anchor id as a spot
+    -check column.  Pure aggregations past the component step; the
+    oracle wraps the q38 recursive-CTE closure."""
+    from noaa_oracle_spark.pipeline.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold_num=3, threshold_den=10
+    ).select("doc_a", "doc_b")
+    comp = connected_components(docs, pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.min("component").alias("min_component"),
+    )
+
+
+SQL_Q115 = f"""
+WITH q38 AS (
+    {SQL_Q38}
+), sizes AS (
+    SELECT component, count(*) AS cluster_size FROM q38 GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       min(component) AS min_component
+FROM sizes GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2256,6 +2291,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_mp3_manifest": q112_mp3_manifest,
     "q113_zipf_slope": q113_zipf_slope,
     "q114_vocab_coverage": q114_vocab_coverage,
+    "q115_dup_cluster_stats": q115_dup_cluster_stats,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2309,4 +2345,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q112_mp3_manifest": SQL_Q112,
     "q113_zipf_slope": SQL_Q113,
     "q114_vocab_coverage": SQL_Q114,
+    "q115_dup_cluster_stats": SQL_Q115,
 }

@@ -39,8 +39,47 @@ N_QUERIES = int(os.environ.get("PIPELINE_BENCH_QUERIES", "100"))
 PQ_K = int(os.environ.get("PIPELINE_BENCH_PQ_K", "256"))
 N_CELLS = int(os.environ.get("PIPELINE_BENCH_CELLS", "1024"))
 NPROBE = int(os.environ.get("PIPELINE_BENCH_NPROBE", "32"))
+# PIPELINE_BENCH_GEOMETRY=clustered draws vectors around 1000 seeded
+# cluster centers (noise 0.15) instead of reusing the isotropic fixture —
+# the corpus shape real model embeddings have, where the PQ/residual
+# tiers are supposed to win; the ladder's operational rule (pick tier by
+# geometry) needs both sides measured.
+GEOMETRY = os.environ.get("PIPELINE_BENCH_GEOMETRY", "isotropic")
+N_CLUSTERS = 1000
 K = 5
-FIXTURE = f"/tmp/noaa_pipeline_bench_v1_{N_VECS}"
+FIXTURE = (
+    f"/tmp/noaa_vector_ladder_clustered_{N_VECS}"
+    if GEOMETRY == "clustered"
+    else f"/tmp/noaa_pipeline_bench_v1_{N_VECS}"
+)
+
+
+def _generate_clustered() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(FIXTURE, "embeddings.parquet")
+    if os.path.exists(path):
+        return
+    os.makedirs(FIXTURE, exist_ok=True)
+    rng = np.random.RandomState(7)
+    centers = rng.randn(N_CLUSTERS, 64).astype(np.float64)
+    assign = rng.randint(0, N_CLUSTERS, N_VECS)
+    emb = (
+        centers[assign] + 0.15 * rng.randn(N_VECS, 64)
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "embedding": pa.array(
+                    emb.tolist(), pa.list_(pa.float32())
+                ),
+            }
+        ),
+        path,
+    )
 
 
 def main() -> None:
@@ -69,6 +108,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     src = os.path.join(FIXTURE, "embeddings.parquet")
+    if GEOMETRY == "clustered":
+        _generate_clustered()
     if not os.path.exists(src):
         raise SystemExit(
             f"fixture missing: run bench_pipeline.py once with "
@@ -195,6 +236,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "vector_ladder",
+                "geometry": GEOMETRY,
                 "n_vecs": N_VECS,
                 "n_queries": N_QUERIES,
                 "pq_k": PQ_K,

@@ -101,3 +101,29 @@ def test_bpe_apply_handles_unseen_words(spark, corpus):
     # merges learned on 'newest'/'lowest' families still apply to the
     # shared prefixes of unseen words
     assert any(len(t) > 1 for t in row.tokens)
+
+
+def test_ranked_word_frequencies_two_pass_rank(spark, corpus):
+    """The shared rank kernel (zipf_slope / vocab_coverage): global rank
+    equals the naive (count desc, word asc) order, computed WITHOUT an
+    empty-partition window (plan asserted)."""
+    from noaa_oracle_spark.pipeline.text import ranked_word_frequencies
+
+    df = ranked_word_frequencies(corpus, n_parts=4)
+    got = {r.w: (r.n_w, r.rank) for r in df.collect()}
+    want_order = sorted(got.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    for expect_rank, (w, (_, rank)) in enumerate(want_order, start=1):
+        assert rank == expect_rank, (w, rank, expect_rank)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the within-bucket window partitions by _pid — never a global window
+    assert "Window" not in plan or "_pid" in plan
+
+
+def test_vocab_coverage_matches_python(spark, corpus):
+    from noaa_oracle_spark.pipeline.text import vocab_coverage
+
+    row = vocab_coverage(corpus, top_k=2).collect()[0]
+    # vocab: low 6, newest 6, lower 2, widest 3 → top-2 = (low, newest)
+    assert row.vocab_size == 2
+    assert row.covered_tokens == 12 and row.total_tokens == 17
+    assert row.oov_permille == (17 - 12) * 1000 // 17

@@ -73,6 +73,7 @@ def _generate_clustered() -> None:
         pa.table(
             {
                 "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "cluster_id": pa.array(assign, pa.int32()),
                 "embedding": pa.array(
                     emb.tolist(), pa.list_(pa.float32())
                 ),
@@ -140,7 +141,18 @@ def main() -> None:
             .write.mode("overwrite")
             .parquet(norm_path)
         )
-    corpus = spark.read.parquet(norm_path)
+    corpus = spark.read.parquet(norm_path).select("vec_id", "embedding")
+    cluster_of = None
+    if GEOMETRY == "clustered":
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(src, columns=["vec_id", "cluster_id"])
+        cluster_of = dict(
+            zip(
+                t.column("vec_id").to_pylist(),
+                t.column("cluster_id").to_pylist(),
+            )
+        )  # evaluation-only driver map (the tiers never see it)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES)
     cells = corpus.filter(F.col("vec_id") < N_CELLS).select(
         "vec_id", "embedding"
@@ -232,6 +244,21 @@ def main() -> None:
             "recall_at_5": round(recall, 4),
             "bytes_per_vec": bytes_per_vec[name],
         }
+        if cluster_of is not None:
+            # clustered regime: recall-vs-exact is tie-dominated (every
+            # same-cluster member shares a code, so ADC top-5 among ties
+            # is id-order — the test_pq metric-design note); the honest
+            # quality signal is cluster retrieval
+            hit = sum(
+                sum(
+                    1
+                    for n in got.get(q, [])
+                    if cluster_of.get(n) == cluster_of.get(q)
+                )
+                / max(len(got.get(q, [])), 1)
+                for q in exact
+            ) / len(exact)
+            out[name]["cluster_hit_at_5"] = round(hit, 4)
     print(
         json.dumps(
             {

@@ -191,6 +191,36 @@ MEMBER_MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def _parse_member_manifest(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """mapInPandas kernel shared by the batch and streaming manifest
+    readers: tar header walk, member data never materialized, corrupt or
+    truncated shards degrade to the member prefix read so far."""
+    for pdf in batches:
+        out = {
+            "shard_id": [],
+            "member_idx": [],
+            "member_name": [],
+            "size_bytes": [],
+        }
+        for _, row in pdf.iterrows():
+            name = posixpath.basename(row["path"])
+            sid = int(name[len("shard-") : -len(".tar")])
+            try:
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(row["content"]))
+                ) as tar:
+                    for idx, member in enumerate(tar):
+                        out["shard_id"].append(sid)
+                        out["member_idx"].append(idx)
+                        out["member_name"].append(member.name)
+                        out["size_bytes"].append(int(member.size))
+            except tarfile.TarError:
+                pass  # keep the member prefix read before the fault
+        yield pd.DataFrame(out)
+
+
 def read_webdataset_member_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Member-level shard manifest: one row per tar member with the
     shard id (from the file name), the member's position in the archive,
@@ -206,33 +236,43 @@ def read_webdataset_member_manifest(spark: SparkSession, path: str) -> DataFrame
     shards = spark.read.format("binaryFile").load(
         posixpath.join(path, "shard-*.tar")
     )
-
-    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        for pdf in batches:
-            out = {
-                "shard_id": [],
-                "member_idx": [],
-                "member_name": [],
-                "size_bytes": [],
-            }
-            for _, row in pdf.iterrows():
-                name = posixpath.basename(row["path"])
-                sid = int(name[len("shard-") : -len(".tar")])
-                try:
-                    with tarfile.open(
-                        fileobj=io.BytesIO(bytes(row["content"]))
-                    ) as tar:
-                        for idx, member in enumerate(tar):
-                            out["shard_id"].append(sid)
-                            out["member_idx"].append(idx)
-                            out["member_name"].append(member.name)
-                            out["size_bytes"].append(int(member.size))
-                except tarfile.TarError:
-                    pass  # keep the member prefix read before the fault
-            yield pd.DataFrame(out)
-
     return shards.select("path", "content").mapInPandas(
-        parse, MEMBER_MANIFEST_SCHEMA
+        _parse_member_manifest, MEMBER_MANIFEST_SCHEMA
+    )
+
+
+def stream_webdataset_member_manifest(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of `read_webdataset_member_manifest`: shards land
+    continuously (an ingest fleet appending `shard-*.tar`) and each
+    micro-batch manifests ONLY the newly arrived files — Structured
+    Streaming's file-source ledger is the incremental state, the kernel
+    is the identical map-side header walk.  Returns a streaming
+    DataFrame; pair with `availableNow` triggers for catch-up runs and a
+    `toTable`/parquet sink for a queryable manifest ledger."""
+    # the streaming file source takes a DIRECTORY (its ledger tracks new
+    # files under it); shard selection rides pathGlobFilter, and file
+    # streaming sources require the schema up front (binaryFile's is
+    # fixed by the format)
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "shard-*.tar")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    shards = reader.load(path)
+    return shards.select("path", "content").mapInPandas(
+        _parse_member_manifest, MEMBER_MANIFEST_SCHEMA
     )
 
 

@@ -210,3 +210,49 @@ def test_reader_salvages_truncated_shard(spark, media, tmp_path):
     assert 800 in by_id, "truncated shard yielded nothing — prefix not salvaged"
     assert bytes(by_id[800].content) == b"x" * 600
     assert 802 not in by_id or by_id[802].content is None
+
+
+def test_streaming_member_manifest_incremental(spark, media, tmp_path):
+    """The streaming manifest twin: shards arriving across micro-batches
+    manifest incrementally (file-source ledger = the state), and the
+    union of batches equals the batch reader's output."""
+    from noaa_oracle_spark.pipeline.webdataset import (
+        read_webdataset_member_manifest,
+        stream_webdataset_member_manifest,
+    )
+
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(media, d, samples_per_shard=10)
+
+    out = str(tmp_path / "manifest_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_webdataset_member_manifest(spark, d)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(out).count()
+    batch = read_webdataset_member_manifest(spark, d).count()
+    assert first == batch > 0
+
+    # a new shard lands; the next availableNow run manifests ONLY it
+    extra = media.limit(3)
+    write_webdataset_shards(extra, str(tmp_path / "staging"), 10)
+    import shutil
+
+    shutil.copy(
+        os.path.join(str(tmp_path / "staging"), "shard-000000.tar"),
+        os.path.join(d, "shard-000099.tar"),
+    )
+    drain()
+    rows = spark.read.parquet(out)
+    assert rows.count() == first + 6  # 3 samples × (blob + sidecar)
+    assert rows.filter("shard_id = 99").count() == 6

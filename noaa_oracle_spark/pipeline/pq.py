@@ -662,6 +662,72 @@ def pq_knn(
     )
 
 
+def ivfpq_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    cell_centroids: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ candidate generation + EXACT re-ranking — the two-stage
+    shape every deployed ANN service actually runs (FAISS's
+    `IndexRefineFlat`, ScaNN's reordering stage): the compressed index
+    nominates `rerank` candidates per query by ADC, then only those
+    candidate ids' RAW vectors are fetched and scored exactly, and the
+    final top-`k` ranks by true cosine.  ADC error then costs recall
+    only when a true neighbor falls outside the candidate list entirely
+    — quantization noise inside the list is corrected for free.
+
+    Scale shape: the expensive index scan is `ivfpq_knn` unchanged
+    (cells bound which codes are scored, codes bound their memory); the
+    refinement joins a `|queries| x rerank`-row candidate list —
+    broadcast-sized by construction — against the raw corpus, so the
+    full-precision vectors are read exactly once for candidates and
+    never shuffled (in a real deployment this is the "refine from
+    storage" random-read tier).  Exact scores round at 6 dp before the
+    final per-query window (sim DESC, id ASC) — the suite's cross-engine
+    float rule.  Returns (q_id, rank, n_id, cos_sim)."""
+    from noaa_oracle_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    cands = ivfpq_knn(
+        queries,
+        corpus,
+        codebooks,
+        cell_centroids,
+        k=rerank,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("q_id", "n_id")
+    refined = corpus.select(
+        F.col(id_col).alias("n_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+    ).join(F.broadcast(cands), "n_id")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    )
+    exact = refined.join(F.broadcast(qv), "q_id").select(
+        "q_id",
+        "n_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("n_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("n_vec"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # OPQ — Optimized Product Quantization (Ge, He, Ke, Sun — CVPR 2013).
 #

@@ -117,6 +117,62 @@ def quality_filter(
     )
 
 
+#: Default weights for `quality_classifier` — integer milli-logits so the
+#: decision boundary (z >= 0) is EXACT integer arithmetic in any engine.
+#: Shaped like the public-corpus heuristics (C4/CCNet/Gopher rules): longer
+#: documents with natural stopword density score up, digit-heavy text
+#: scores down.  In production these would come from a logistic regression
+#: trained offline on labeled docs — training is out-of-engine (like the
+#: fastText quality filters used for LLaMA/CCNet data), SCORING is the
+#: engine's map-side job.
+CLASSIFIER_WEIGHTS = {
+    "bias": -2000,
+    "stop_permille": 8,
+    "digit_permille": -6,
+    "n_tokens_capped": 20,  # n_tokens clamped at 100: length saturates
+}
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: "dict[str, int] | None" = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality scoring: a logistic classifier over the
+    `_quality_cols` features, the learned-filter tier ABOVE the rule
+    score of `quality_scores` (real pipelines run both: cheap rules
+    first, a trained classifier on the survivors).
+
+    Float discipline: the logit z is computed entirely in INTEGER
+    milli-units (weights x per-mille features), so the keep/drop label
+    compares `z_milli >= 0` exactly — no float threshold can flip a
+    label between engines.  Only the reported probability touches
+    doubles (sigmoid, rounded 6 dp).  Pure map-side expressions: no
+    shuffle, no UDF, scores 100 TB at scan speed.
+
+    Returns (doc_id, z_milli, quality_prob, keep)."""
+    w = dict(CLASSIFIER_WEIGHTS)
+    if weights:
+        w.update(weights)
+    cols = _quality_cols(text_col)
+    z = (
+        F.lit(int(w["bias"]))
+        + F.lit(int(w["stop_permille"])) * cols["stop_permille"]
+        + F.lit(int(w["digit_permille"])) * cols["digit_permille"]
+        + F.lit(int(w["n_tokens_capped"]))
+        * F.least(cols["n_tokens"], F.lit(100))
+    ).cast("long")
+    return spread(docs).select(
+        "doc_id",
+        z.alias("z_milli"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-z.cast("double") / F.lit(1000.0))),
+            6,
+        ).alias("quality_prob"),
+        (z >= 0).cast("long").alias("keep"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE-ish token counting via regex pre-tokenization."""
     return spread(docs).select(

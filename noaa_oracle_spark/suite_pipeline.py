@@ -2240,6 +2240,165 @@ FROM sizes GROUP BY 1
 """
 
 
+def q116_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (pipeline/pq.ivfpq_rerank) — the deployed
+    two-stage ANN shape (FAISS IndexRefineFlat / ScaNN reordering): the
+    q101 index (same seed codebooks, 8 cells, nprobe=2) nominates the
+    ADC top-10 per query, then ONLY those candidates' raw vectors are
+    fetched and the final top-3 ranks by exact cosine (6 dp, id-asc
+    tiebreak).  The oracle recomputes the whole cascade in SQL: q101's
+    cell routing + ADC, the rank<=10 candidate cut, and the exact-cosine
+    re-rank — so the gate grades the refinement contract, not just the
+    index."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_rerank, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=8, iters=0)
+    cells = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_rerank(q, emb, books, cells, k=3, rerank=10, nprobe=2)
+
+
+SQL_Q116 = f"""
+WITH {_PQ_CTE}
+, cell_d AS (
+    SELECT e.vec_id, s.vec_id AS cid,
+           {_COS_SQL.format(a='e.embedding', b='s.embedding')} AS cos_sim
+    FROM embeddings e, seeds s
+), cells AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid ASC) AS rnk
+        FROM cell_d) WHERE rnk = 1
+), probes AS (
+    SELECT q_id, cid FROM (
+        SELECT vec_id AS q_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cid ASC) AS rnk
+        FROM cell_d WHERE vec_id < 5) WHERE rnk <= 2
+), adc AS (
+    SELECT l.q_id, c.vec_id AS n_id, round(sum(l.pd), 6) AS adc_dist
+    FROM codes c
+    JOIN cells ce ON ce.vec_id = c.vec_id
+    JOIN probes p ON p.cid = ce.cid
+    JOIN lut l ON l.sub = c.sub AND l.code = c.code AND l.q_id = p.q_id
+    WHERE l.q_id <> c.vec_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY adc_dist ASC, n_id ASC) AS rnk
+        FROM adc) WHERE rnk <= 10
+), exact AS (
+    SELECT c.q_id, c.n_id,
+           {_COS_SQL.format(a='q.embedding', b='e.embedding')} AS cos_sim
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.n_id
+    JOIN embeddings q ON q.vec_id = c.q_id
+)
+SELECT q_id, rank, n_id, cos_sim FROM (
+    SELECT q_id, n_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, n_id ASC) AS rank
+    FROM exact) WHERE rank <= 3
+"""
+
+
+def q117_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality classifier (pipeline/text.quality_classifier):
+    the learned-filter tier above q21's rule score — integer milli-logit
+    over the shared quality features, sigmoid probability at 6 dp, and
+    an EXACT integer decision boundary (keep = z_milli >= 0), so no
+    float threshold can flip a label between engines.  Weights are
+    injectable (trained offline, like the fastText filters real
+    pipelines use); the gate runs the defaults."""
+    from noaa_oracle_spark.pipeline.text import quality_classifier
+
+    return quality_classifier(load(spark, sf_dir, "documents"))
+
+
+SQL_Q117 = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ({_ALL_STOP}))) AS n_stopwords,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+), feats AS (
+    SELECT doc_id,
+           CAST(-2000
+                + 8 * floor(n_stopwords * 1000 / n_tokens)
+                - 6 * floor(n_digits * 1000 / greatest(n_nonspace, 1))
+                + 20 * least(n_tokens, 100) AS BIGINT) AS z_milli
+    FROM base
+)
+SELECT doc_id, z_milli,
+       round(1.0 / (1.0 + exp(-CAST(z_milli AS DOUBLE) / 1000.0)), 6)
+           AS quality_prob,
+       CAST(CASE WHEN z_milli >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM feats
+"""
+
+
+def q118_source_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length percentiles (pipeline/profile
+    .source_percentiles): p25/p50/p90/p99 of n_chars by linear
+    interpolation (the quantile_cont definition both engines share,
+    6 dp), plus doc/char totals — the distribution readout a curator
+    checks before chunking or min-length filtering a source."""
+    from noaa_oracle_spark.pipeline.profile import source_percentiles
+
+    return source_percentiles(load(spark, sf_dir, "documents"))
+
+
+SQL_Q118 = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+"""
+
+
+def q119_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching + padding-waste audit (pipeline/profile
+    .length_batches): global (n_chars asc, doc_id asc) rank via the
+    scale-safe two-pass range-partition kernel (profile.global_rank —
+    NOT an empty-partition window), fixed 32-doc batches, and per-batch
+    pad_waste = max*count - sum, the metric dynamic batching exists to
+    minimize.  The oracle is the single-node row_number the kernel
+    replaces."""
+    from noaa_oracle_spark.pipeline.profile import length_batches
+
+    return length_batches(load(spark, sf_dir, "documents"), batch_size=32)
+
+
+SQL_Q119 = """
+WITH ranked AS (
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank
+    FROM documents
+), b AS (
+    SELECT CAST(floor((rank - 1) / 32) AS BIGINT) AS batch_id, n_chars
+    FROM ranked
+)
+SELECT batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT) AS pad_waste
+FROM b GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2292,6 +2451,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_zipf_slope": q113_zipf_slope,
     "q114_vocab_coverage": q114_vocab_coverage,
     "q115_dup_cluster_stats": q115_dup_cluster_stats,
+    "q116_ivfpq_rerank": q116_ivfpq_rerank,
+    "q117_quality_classifier": q117_quality_classifier,
+    "q118_source_percentiles": q118_source_percentiles,
+    "q119_length_batches": q119_length_batches,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2346,4 +2509,8 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q113_zipf_slope": SQL_Q113,
     "q114_vocab_coverage": SQL_Q114,
     "q115_dup_cluster_stats": SQL_Q115,
+    "q116_ivfpq_rerank": SQL_Q116,
+    "q117_quality_classifier": SQL_Q117,
+    "q118_source_percentiles": SQL_Q118,
+    "q119_length_batches": SQL_Q119,
 }

@@ -65,11 +65,12 @@ _GRADE_FIRST = [
     "q114_vocab_coverage", "q115_dup_cluster_stats",
     "q116_ivfpq_rerank", "q117_quality_classifier",
     "q118_source_percentiles", "q119_length_batches",
-    # fill: last graded in r4 (29 of the 48 r4-only names; the 19-name
-    # tail omitted to make room — q63, q64, q66, q68, q70, q71, q72,
-    # q73, q74, q75, q76, q87, q88, q89, q90, q91, q92, q93, q99 —
-    # ends r6 exactly 2 rounds stale and must lead the r7 window; the
-    # staleness test enforces this).
+    "q120_perplexity_buckets", "q121_hash_split",
+    # fill: last graded in r4 (27 of the 48 r4-only names; the 21-name
+    # tail omitted to make room — q48, q56, q63, q64, q66, q68, q70,
+    # q71, q72, q73, q74, q75, q76, q87, q88, q89, q90, q91, q92, q93,
+    # q99 — ends r6 exactly 2 rounds stale and must lead the r7 window;
+    # the staleness test enforces this).
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q100_pq_adc_knn", "q101_ivfpq_knn", "q102_pack_bins",
     "q103_corpus_pipeline", "q104_ivfpq_residual", "q105_redact_pii",
@@ -79,7 +80,6 @@ _GRADE_FIRST = [
     "q23_fingerprint", "q24_token_counts", "q26_sessionization",
     "q27_lsh_ann", "q28_latest_limit", "q30_ivf_ann",
     "q38_dedup_components", "q42_json_extract", "q46_winnowing",
-    "q48_stratified_sample", "q56_time_weighted_avg",
 ]
 
 

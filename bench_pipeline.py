@@ -210,6 +210,11 @@ def main() -> None:
     run("bigram_logprob", lambda: bigram_logprob(docs).count())
     run("boilerplate_ngrams", lambda: boilerplate_ngram_stats(
         docs).filter(F.col("n_boilerplate") > 0).count())
+    # the q106-style alternative: freq-filter to boilerplate TYPES, then
+    # broadcast-mark the occurrence stream (no gram-keyed join at all)
+    run("boilerplate_ngrams_bmark", lambda: boilerplate_ngram_stats(
+        docs, plan="broadcast_mark"
+    ).filter(F.col("n_boilerplate") > 0).count())
 
     # --- round-6 tokenizer-training / corpus-health rungs: both ride the
     # single word-type exchange (the q106 discipline), so corpus scale

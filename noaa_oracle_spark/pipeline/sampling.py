@@ -55,6 +55,53 @@ def hash_sample(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: "tuple[tuple[str, float], ...]" = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds `split_col` naming
+    which split each row belongs to.  Every engine that can compute
+    md5(salt|key) reproduces the exact same partition of the corpus —
+    the property a training pipeline needs so that evaluation rows can
+    NEVER leak into training no matter which system materializes which
+    split (the same contract q77's decontamination enforces after the
+    fact, applied up front).
+
+    `splits` is an ordered (name, fraction) tuple; fractions must sum to
+    1.0 (within the 1/4096 hash grid — each boundary is floored to the
+    grid, the remainder goes to the last split).  Assignment is a CASE
+    over cumulative thresholds on ONE hash, so splits are disjoint and
+    exhaustive by construction; changing one fraction moves only the
+    rows at the moved boundary (the stability argument from
+    `stratified_hash_sample`).
+
+    Scale shape: pure map-side column expression — no shuffle, no state;
+    composes with any downstream groupBy at zero plan cost."""
+    fracs = [f for _, f in splits]
+    if len(splits) < 2:
+        raise ValueError("hash_split: need at least 2 splits")
+    if any(f <= 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split: fractions must be positive and sum to 1.0, "
+            f"got {fracs}"
+        )
+    bucket = _bucket(F.col(key_col).cast("string"), salt)
+    expr = F.lit(splits[-1][0])  # everything above the last boundary
+    cum = 0.0
+    bounds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, _threshold_hex(cum)))
+    for name, bound in reversed(bounds):
+        expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -314,7 +314,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
 
 def boilerplate_ngram_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 5, min_docs: int = 10,
+    n: int = 5, min_docs: int = 10, plan: str = "join",
 ) -> DataFrame:
     """Cross-document boilerplate detection: a word n-gram appearing in ≥
     `min_docs` DISTINCT documents is boilerplate (headers, footers,
@@ -322,10 +322,25 @@ def boilerplate_ngram_stats(
     n-gram mass is boilerplate. The C4/RefinedWeb-style line-dedup analog
     for corpora without line structure.
 
-    Scale shape: (doc, gram) pairs dedup in one shuffle; gram→doc-count is
-    a second; the per-doc rollup joins gram frequencies back — all keyed
-    on the gram, so hot boilerplate grams are exactly the AQE-skew case
-    the engine already handles (session defaults in session.py)."""
+    Scale shape (plan='join', the default): (doc, gram) pairs dedup in one
+    shuffle; gram→doc-count is a second; the per-doc rollup joins gram
+    frequencies back — all keyed on the gram, so hot boilerplate grams
+    are exactly the AQE-skew case the engine already handles (session
+    defaults in session.py).
+
+    plan='broadcast_mark' exploits that the JOIN only needs the
+    *boilerplate* gram types (freq >= min_docs), a tiny, selective subset
+    of the gram dimension: filter the frequency table down to those
+    types, broadcast it, and LEFT-mark the occurrence stream — the
+    occurrence-scale rows then cross only the uniform doc-keyed rollup
+    exchange, never a gram-keyed join (the q106 de-skew discipline).
+    The catch at 100 TB: with a low min_docs over natural text the
+    boilerplate-type set itself can outgrow a broadcast (common phrases
+    clear any small threshold), and the gram subtree is evaluated twice
+    (freq + mark) — identical exchange subtrees, so the runtime gets to
+    reuse the dedup shuffle (the PPJoin shared-stage shape). Measured at
+    1M Zipf docs both effects net out (SCALE.md); 'join' stays the
+    default because its memory envelope is unconditional."""
     from noaa_oracle_spark.pipeline.dedup import _word_shingles
 
     grams = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
@@ -334,6 +349,22 @@ def boilerplate_ngram_stats(
     freq = grams.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    if plan == "broadcast_mark":
+        boiler = freq.filter(F.col("n_docs") >= F.lit(min_docs)).select(
+            "shingle", F.lit(1).alias("_b")
+        )
+        return (
+            grams.join(F.broadcast(boiler), "shingle", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.col("_b").isNotNull().cast("long")
+                ).alias("n_boilerplate"),
+            )
+        )
+    if plan != "join":
+        raise ValueError(f"boilerplate_ngram_stats: unknown plan {plan!r}")
     per_doc = (
         grams.join(freq, "shingle")
         .groupBy(id_col)
@@ -1342,4 +1373,59 @@ def vocab_coverage(docs: DataFrame, top_k: int = 1000) -> DataFrame:
         )
         .cast("long")
         .alias("oov_permille"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: "tuple[str, ...]" = ("head", "middle", "tail"),
+    n_parts: int = 32,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-trained LM (`unigram_logprob` — the
+    SQL-expressible rung of the perplexity ladder), rank the corpus by
+    score, and cut it into equal-population buckets — head (most fluent)
+    / middle / tail (least).  CCNet keeps head+middle and drops or
+    down-weights tail; emitting the bucket as a column leaves that
+    policy to the caller.
+
+    Bucket boundaries are POPULATION quantiles, not score thresholds, so
+    the cut is stable under any monotone rescoring and the buckets are
+    equal-sized by construction (±1 doc).
+
+    Scale shape: scoring is q91's uniform explode/join; ranking is the
+    two-pass range-partition `profile.global_rank` (NO empty-partition
+    window, <= n_parts rows ever reach the driver); the corpus count
+    rides along as a broadcast 1-row aggregate (q98 pattern).  Ordering
+    is (logprob DESC, id ASC) on the 6-dp-rounded score — the suite's
+    float-portability rule makes the rank, and therefore the bucket,
+    engine-exact.
+
+    Returns (id, n_tokens, logprob, ppl_bucket)."""
+    from noaa_oracle_spark.pipeline.profile import global_rank
+
+    scores = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    ranked = global_rank(
+        scores,
+        [F.desc("logprob"), F.asc(id_col)],
+        n_parts=n_parts,
+        rank_col="_rank",
+    )
+    total = scores.agg(F.count(F.lit(1)).alias("_n"))
+    k = len(labels)
+    bucket = F.floor(
+        (F.col("_rank") - 1) * F.lit(float(k)) / F.col("_n")
+    ).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            "logprob",
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), bucket + 1
+            ).alias("ppl_bucket"),
+        )
     )

@@ -2399,6 +2399,86 @@ FROM b GROUP BY 1
 """
 
 
+def q120_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (pipeline.text.perplexity_buckets,
+    Wenzek et al. 2020): corpus-LM score per doc (q91's unigram rung),
+    global (logprob DESC, doc_id ASC) rank via the scale-safe two-pass
+    kernel, equal-population head/middle/tail cut.  The oracle restates
+    the whole contract — scoring, ranking, and the population-quantile
+    bucket arithmetic — in single-node SQL."""
+    from noaa_oracle_spark.pipeline.text import perplexity_buckets
+
+    return perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+SQL_Q120 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), counts AS (
+    SELECT term, count(*) AS tc FROM w GROUP BY 1
+), total AS (
+    SELECT count(*) AS n_total FROM w
+), scores AS (
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(tc / n_total)), 6) AS logprob
+    FROM w JOIN counts USING (term) CROSS JOIN total
+    GROUP BY doc_id
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY logprob DESC, doc_id ASC) AS rnk,
+           count(*) OVER () AS n
+    FROM scores
+)
+SELECT doc_id, n_tokens, logprob,
+       CASE CAST(floor((rnk - 1) * 3.0 / n) AS INT)
+            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM ranked
+"""
+
+
+def q121_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (pipeline.sampling.hash_split):
+    80/10/10 assignment by cumulative thresholds on one md5 hash — the
+    same-doc-same-split-everywhere contract a training pipeline needs so
+    eval rows can never leak into training.  Rolled up per split with an
+    id checksum so the oracle certifies the exact membership, not just
+    the sizes."""
+    from noaa_oracle_spark.pipeline.sampling import hash_split
+
+    return (
+        hash_split(load(spark, sf_dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+SQL_Q121 = """
+WITH assigned AS (
+    SELECT *,
+           CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 3)
+                     < 'ccc' THEN 'train'
+                WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 3)
+                     < 'e66' THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM assigned GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2455,6 +2535,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_quality_classifier": q117_quality_classifier,
     "q118_source_percentiles": q118_source_percentiles,
     "q119_length_batches": q119_length_batches,
+    "q120_perplexity_buckets": q120_perplexity_buckets,
+    "q121_hash_split": q121_hash_split,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2513,4 +2595,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q117_quality_classifier": SQL_Q117,
     "q118_source_percentiles": SQL_Q118,
     "q119_length_batches": SQL_Q119,
+    "q120_perplexity_buckets": SQL_Q120,
+    "q121_hash_split": SQL_Q121,
 }

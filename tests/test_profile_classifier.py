@@ -106,6 +106,29 @@ def test_length_batching_cuts_padding_vs_random_order(spark):
     assert sorted_waste < random_waste
 
 
+def test_boilerplate_plans_agree(spark):
+    """plan='broadcast_mark' (freq-filter to boilerplate types, broadcast
+    LEFT-mark, no gram-keyed join) is row-identical to the default
+    gram-join plan; unknown plans are rejected."""
+    from noaa_oracle_spark.pipeline.text import boilerplate_ngram_stats
+
+    docs = _docs(spark)
+    a = sorted(
+        map(tuple, boilerplate_ngram_stats(docs, min_docs=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            boilerplate_ngram_stats(
+                docs, min_docs=3, plan="broadcast_mark"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        boilerplate_ngram_stats(docs, plan="nope")
+
+
 # ------------------------------------------------------------- classifier
 
 
@@ -198,3 +221,95 @@ def test_rerank_recall_at_least_matches_plain_ivfpq(spark, rerank_setup):
         for r in ivfpq_rerank(q, emb, books, cells, k=3, rerank=10, nprobe=2).collect()
     }
     assert len(rer & truth) >= len(plain & truth)
+
+
+# -------------------------------------------------- perplexity bucketing
+
+
+def test_perplexity_buckets_contract(spark):
+    """Equal-population cut (±1 doc), exhaustive over scored docs, and
+    ORDER-CONSISTENT: every head logprob >= every middle >= every tail
+    (ties across a boundary are legal only at equal rounded score)."""
+    from noaa_oracle_spark.pipeline.text import perplexity_buckets
+
+    docs = _docs(spark)
+    rows = perplexity_buckets(docs).collect()
+    n = docs.count()
+    assert len(rows) == n  # every doc scored and bucketed exactly once
+    by = {}
+    for r in rows:
+        by.setdefault(r.ppl_bucket, []).append(r.logprob)
+    assert set(by) == {"head", "middle", "tail"}
+    sizes = {k: len(v) for k, v in by.items()}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert min(by["head"]) >= max(by["middle"]) - 1e-12
+    assert min(by["middle"]) >= max(by["tail"]) - 1e-12
+
+
+def test_perplexity_buckets_custom_labels(spark):
+    from noaa_oracle_spark.pipeline.text import perplexity_buckets
+
+    rows = perplexity_buckets(
+        _docs(spark), labels=("keep", "drop")
+    ).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.ppl_bucket] = sizes.get(r.ppl_bucket, 0) + 1
+    assert set(sizes) == {"keep", "drop"}
+    assert abs(sizes["keep"] - sizes["drop"]) <= 1
+
+
+# ------------------------------------------------------------ hash split
+
+
+def test_hash_split_partition_and_determinism(spark):
+    """Splits are disjoint + exhaustive, deterministic across runs, and
+    sized near the requested fractions."""
+    from noaa_oracle_spark.pipeline.sampling import hash_split
+
+    docs = _docs(spark)
+    a = hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    b = hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = docs.count()
+    assert len(a) == n  # withColumn: no row gained or lost
+    sizes = {}
+    for _, s in map(tuple, a):
+        sizes[s] = sizes.get(s, 0) + 1
+    assert set(sizes) == {"train", "val", "test"}
+    assert abs(sizes["train"] / n - 0.8) < 0.1
+    assert abs(sizes["val"] / n - 0.1) < 0.06
+    assert abs(sizes["test"] / n - 0.1) < 0.06
+
+
+def test_hash_split_boundary_stability(spark):
+    """Growing train 0.8→0.9 at val's expense moves ONLY former val rows
+    into train: test membership is untouched and no train row leaves —
+    the reassignment-stability contract the docstring promises."""
+    from noaa_oracle_spark.pipeline.sampling import hash_split
+
+    docs = _docs(spark)
+
+    def assign(splits):
+        return {
+            r.doc_id: r.split
+            for r in hash_split(docs, "doc_id", splits=splits).collect()
+        }
+
+    base = assign((("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    grown = assign((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    for k, s in base.items():
+        if s == "train":
+            assert grown[k] == "train"
+        if s == "test":
+            assert grown[k] in ("test", "val")  # only boundaries moved
+
+
+def test_hash_split_validation(spark):
+    from noaa_oracle_spark.pipeline.sampling import hash_split
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", splits=(("all", 1.0),))
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", splits=(("a", 0.7), ("b", 0.2)))

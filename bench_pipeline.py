@@ -314,6 +314,27 @@ def main() -> None:
         _word_shingles(d_bench, n=3).select("shingle").distinct(),
     ).count())
 
+    # --- mergeable-sketch rungs (q122-q124): KMV rides the distinct
+    # (group, hash) stream through the two-phase per-bucket bottom-k cut
+    # (no task holds more than a sort buffer); CMS builds its d*w cell
+    # table from the term-TYPE dimension. Both should cost roughly the
+    # one corpus-scale exchange their input stream already pays.
+    from noaa_oracle_spark.pipeline.sketches import (
+        countmin_heavy_hitters,
+        kmv_distinct,
+        kmv_jaccard,
+    )
+
+    sdocs = docs.withColumn("source", (F.col("doc_id") % 20).cast("string"))
+    run("kmv_distinct", lambda: kmv_distinct(
+        _word_shingles(sdocs, id_col="source", n=3),
+        ["source"], F.col("shingle"), k=256).count())
+    run("kmv_jaccard", lambda: kmv_jaccard(
+        _word_shingles(sdocs, id_col="source", n=3),
+        "source", F.col("shingle"), k=256).count())
+    run("countmin_hh", lambda: countmin_heavy_hitters(
+        docs, top_n=20).count())
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

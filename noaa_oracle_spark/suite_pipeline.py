@@ -2479,6 +2479,162 @@ FROM assigned GROUP BY 1
 """
 
 
+def q122_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch (pipeline/sketches
+    .kmv_distinct, Bar-Yossef et al. 2002): per-source distinct
+    word-3-gram cardinality estimated from the 256 smallest md5 hashes —
+    the mergeable sublinear counter a 100 TB profile keeps per shard
+    instead of exact distinct state.  md5-keyed, so the estimate is
+    bit-identical in any engine; the exact count rides along so the
+    sketch error is visible in the gate output."""
+    from noaa_oracle_spark.pipeline.dedup import _word_shingles
+    from noaa_oracle_spark.pipeline.sketches import kmv_distinct
+
+    sh = _word_shingles(
+        load(spark, sf_dir, "documents"), id_col="source", n=3
+    )
+    est = kmv_distinct(sh, ["source"], F.col("shingle"), k=256)
+    exact = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return est.join(exact, "source").select(
+        "source", "n_exact", "n_sketch", "kmv_distinct"
+    )
+
+
+SQL_Q122 = """
+WITH w AS (
+    SELECT source, string_split(text, ' ') AS words FROM documents
+), sh AS (
+    SELECT DISTINCT source,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM (SELECT source, words,
+                 unnest(generate_series(1, len(words) - 2)) AS i
+          FROM w WHERE len(words) >= 3)
+), hd AS (
+    SELECT DISTINCT source,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS hv
+    FROM sh
+), ranked AS (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rnk
+    FROM hd
+), agg AS (
+    SELECT source, count(*) AS n_sketch, max(hv) AS kth
+    FROM ranked WHERE rnk <= 256 GROUP BY 1
+), exact AS (
+    SELECT source, count(*) AS n_exact FROM sh GROUP BY 1
+)
+SELECT source,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_sketch AS BIGINT) AS n_sketch,
+       round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / (kth + 1.0)
+             END, 6) AS kmv_distinct
+FROM agg JOIN exact USING (source)
+"""
+
+
+def q123_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap from merged KMV sketches
+    (pipeline/sketches.kmv_jaccard — the Theta-sketch intersection
+    estimator): the bottom-256 of each pair's UNION is reconstructed
+    exactly from the two per-source sketches, and jaccard = |bottom ∩
+    A ∩ B| / |bottom|.  The oracle recomputes the union-bottom
+    relationally (rank over the pair-expanded distinct hashes), proving
+    the sketch algebra equals the definition."""
+    from noaa_oracle_spark.pipeline.dedup import _word_shingles
+    from noaa_oracle_spark.pipeline.sketches import kmv_jaccard
+
+    sh = _word_shingles(
+        load(spark, sf_dir, "documents"), id_col="source", n=3
+    )
+    return kmv_jaccard(sh, "source", F.col("shingle"), k=256)
+
+
+SQL_Q123 = """
+WITH w AS (
+    SELECT source, string_split(text, ' ') AS words FROM documents
+), sh AS (
+    SELECT DISTINCT source,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM (SELECT source, words,
+                 unnest(generate_series(1, len(words) - 2)) AS i
+          FROM w WHERE len(words) >= 3)
+), hd AS (
+    SELECT DISTINCT source AS g,
+           ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS hv
+    FROM sh
+), srcs AS (
+    SELECT DISTINCT g FROM hd
+), pairs AS (
+    SELECT a.g AS ga, b.g AS gb FROM srcs a JOIN srcs b ON a.g < b.g
+), u AS (
+    SELECT ga, gb, hv,
+           max(CASE WHEN hd.g = ga THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN hd.g = gb THEN 1 ELSE 0 END) AS in_b
+    FROM pairs JOIN hd ON hd.g = ga OR hd.g = gb
+    GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rnk
+    FROM u
+)
+SELECT ga AS group_a, gb AS group_b,
+       CAST(count(*) AS BIGINT) AS n_union_sketch,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       round(sum(in_a * in_b) / count(*), 6) AS jaccard
+FROM ranked WHERE rnk <= 256 GROUP BY 1, 2
+"""
+
+
+def q124_countmin_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch heavy hitters (pipeline/sketches, Cormode &
+    Muthukrishnan 2005): 4x64 seeded-md5 cell table built from the
+    term-TYPE dimension (the q106 de-skew discipline), point-queried for
+    the exact top-20 corpus terms.  cms_estimate >= exact_count always
+    (collisions only add); the oracle restates the cell build and the
+    min-over-rows query."""
+    from noaa_oracle_spark.pipeline.sketches import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(
+        load(spark, sf_dir, "documents"), top_n=20, d=4, w=64
+    )
+
+
+SQL_Q124 = """
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+    SELECT term, count(*) AS n FROM words WHERE term <> '' GROUP BY 1
+), seeds AS (
+    SELECT unnest(range(0, 4)) AS seed
+), cells AS (
+    SELECT seed,
+           ('0x' || substring(md5(CAST(seed AS VARCHAR) || '|' || term),
+                              1, 15))::BIGINT % 64 AS bucket,
+           sum(n) AS cell_count
+    FROM counts CROSS JOIN seeds GROUP BY 1, 2
+), top AS (
+    SELECT term, n,
+           row_number() OVER (ORDER BY n DESC, term ASC) AS rnk
+    FROM counts
+), probes AS (
+    SELECT term, n, seed,
+           ('0x' || substring(md5(CAST(seed AS VARCHAR) || '|' || term),
+                              1, 15))::BIGINT % 64 AS bucket
+    FROM top CROSS JOIN seeds WHERE rnk <= 20
+)
+SELECT term,
+       CAST(max(n) AS BIGINT) AS exact_count,
+       CAST(min(cell_count) AS BIGINT) AS cms_estimate
+FROM probes JOIN cells USING (seed, bucket)
+GROUP BY term
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2537,6 +2693,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_length_batches": q119_length_batches,
     "q120_perplexity_buckets": q120_perplexity_buckets,
     "q121_hash_split": q121_hash_split,
+    "q122_kmv_distinct": q122_kmv_distinct,
+    "q123_kmv_source_overlap": q123_kmv_source_overlap,
+    "q124_countmin_heavy_hitters": q124_countmin_heavy_hitters,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2597,4 +2756,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q119_length_batches": SQL_Q119,
     "q120_perplexity_buckets": SQL_Q120,
     "q121_hash_split": SQL_Q121,
+    "q122_kmv_distinct": SQL_Q122,
+    "q123_kmv_source_overlap": SQL_Q123,
+    "q124_countmin_heavy_hitters": SQL_Q124,
 }

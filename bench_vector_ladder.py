@@ -217,21 +217,50 @@ def main() -> None:
             True,
         )
 
+    # Matryoshka prefix-truncation tiers (q125): no training at all —
+    # the "compression" is reading only the head dims. On embeddings NOT
+    # trained with the matryoshka loss (both fixtures here) truncation
+    # discards information uniformly, so these rungs measure the
+    # geometry floor an MRL-trained model would lift — the honest
+    # negative control beside SQ8 at the same 64 B/vec.
+    from noaa_oracle_spark.pipeline.similarity import matryoshka_knn
+
+    def tier_mrl(d_prefix):
+        return top5(
+            matryoshka_knn(
+                queries, corpus, d_prefix=d_prefix, k=K, backend="numpy"
+            ).withColumnRenamed("cos_prefix", "cos_sim"),
+            "cos_sim",
+            False,
+        )
+
     bytes_per_vec = {
         "raw": 64 * 4,
+        "mrl16": 16 * 4,
+        "mrl32": 32 * 4,
         "sq8": 64,
         "pq": 8,
         "ivfpq": 8,
         "residual_ivfpq": 8,
     }
+    # PIPELINE_BENCH_TIERS=mrl16,mrl32 reruns a subset against fresh
+    # ground truth (raw ALWAYS runs — it defines `exact`); recall values
+    # are tier-independent, so subset runs splice into the full table
+    tiers_only = {
+        s for s in os.environ.get("PIPELINE_BENCH_TIERS", "").split(",") if s
+    }
     out: dict = {}
     for name, fn in [
         ("raw", tier_raw),
+        ("mrl16", lambda: tier_mrl(16)),
+        ("mrl32", lambda: tier_mrl(32)),
         ("sq8", tier_sq8),
         ("pq", tier_pq),
         ("ivfpq", tier_ivfpq),
         ("residual_ivfpq", tier_residual),
     ]:
+        if tiers_only and name != "raw" and name not in tiers_only:
+            continue
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         got = fn()

@@ -102,6 +102,63 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def epoch_upsample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "epoch",
+    copy_col: str = "epoch",
+    max_weight: float = 100.0,
+) -> DataFrame:
+    """Deterministic weighted upsampling — the epoch MATERIALIZATION step
+    downstream of `source_mix_weights` (q98): a row with weight w is
+    emitted floor(w) times, plus once more iff its hash bucket falls
+    below frac(w) on the 1/4096 grid.  A source weighted 2.3 therefore
+    sees every document twice and a deterministic ~30% of its documents
+    a third time — the fractional-epoch semantics LLM data mixtures use
+    (e.g. the Pile / LLaMA tables), reproducible on any engine that can
+    compute md5 (same doc gets the extra copy everywhere, so reshards
+    and retries never change the mixture).
+
+    Emits one row per copy with `copy_col` = 1..n_copies; rows with
+    n_copies = 0 (w < 1 and hash above frac) drop out, which is exactly
+    hash_sample's downsampling semantics — weights below 1 subsample.
+
+    Scale shape: pure map-side explode — no shuffle, no state; output
+    row count = Σ n_copies ≈ Σ w.  `max_weight` guards against a
+    mixture bug amplifying one row into millions (raise explicitly for
+    aggressive upsampling)."""
+    w = F.col(weight_col).cast("double")
+    bucket_int = F.conv(
+        _bucket(F.col(key_col).cast("string"), salt), 16, 10
+    ).cast("int")
+    n_copies = F.when(
+        w > F.lit(max_weight),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"epoch_upsample: weight exceeds max_weight="
+                    f"{max_weight}: "
+                ),
+                w.cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(
+        F.floor(w).cast("int")
+        + (bucket_int < F.floor((w - F.floor(w)) * _GRID)).cast("int")
+    )
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n_copies"))
+            ).alias(copy_col),
+        )
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

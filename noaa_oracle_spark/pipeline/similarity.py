@@ -107,6 +107,57 @@ def brute_force_knn(
     )
 
 
+def matryoshka_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    d_prefix: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    backend: str = "expr",
+) -> DataFrame:
+    """Matryoshka prefix-truncation retrieval (MRL, Kusupati et al.
+    NeurIPS 2022): embeddings trained with the matryoshka loss keep
+    their leading dimensions informative, so candidate retrieval can run
+    on just the first `d_prefix` dims at d_prefix/d of the FLOPs — and,
+    in a columnar store, d_prefix/d of the scanned vector bytes — with
+    no codebook to train (the funnel tier that composes with q116's
+    exact re-rank cascade).
+
+    Returns the prefix-metric top-k per query with BOTH scores: the
+    truncated cosine the ranking used (`cos_prefix`) and the
+    full-dimension cosine of the same pair (`cos_full`) — the
+    truncation-error readout an MRL evaluation reports.
+
+    Scale shape: the slice is map-side on both streams; ranking is
+    `brute_force_knn`'s broadcast-queries kernel on the short vectors;
+    the full-dimension score touches only the k·|queries| selected
+    pairs, broadcast against one pass over the corpus vectors."""
+    pre = F.slice(F.col(vec_col), 1, d_prefix)
+    top = brute_force_knn(
+        queries.withColumn(vec_col, pre),
+        corpus.withColumn(vec_col, pre),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        backend=backend,
+    ).withColumnRenamed("cos_sim", "cos_prefix")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("_nv")
+    )
+    full = F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits)
+    return (
+        nv.join(F.broadcast(top), "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "rank", "n_id", "cos_prefix", full.alias("cos_full"))
+    )
+
+
 def sq8_train(
     corpus: DataFrame,
     vec_col: str = "embedding",

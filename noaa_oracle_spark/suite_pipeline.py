@@ -2635,6 +2635,208 @@ GROUP BY term
 """
 
 
+def q125_matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation retrieval (pipeline/similarity
+    .matryoshka_knn, Kusupati et al. NeurIPS 2022): top-5 by cosine on
+    the first 16 of 64 dims — the codebook-free cheap-candidate tier —
+    with the full-dimension cosine of each selected pair alongside (the
+    truncation-error readout).  The oracle restates the slice, the
+    prefix ranking, and the full-dim re-score in SQL."""
+    from noaa_oracle_spark.pipeline.similarity import matryoshka_knn
+
+    emb = load(spark, sf_dir, "embeddings")
+    return matryoshka_knn(
+        emb.filter(F.col("vec_id") < 10), emb, d_prefix=16, k=5
+    )
+
+
+SQL_Q125 = """
+WITH q AS (
+    SELECT vec_id AS q_id, embedding[1:16] AS q_vec
+    FROM embeddings WHERE vec_id < 10
+), scored AS (
+    SELECT q.q_id, e.vec_id AS n_id,
+           round(
+             list_sum(list_transform(range(1, 17),
+                      i -> q.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.q_vec,
+                        x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(e.embedding[1:16],
+                        x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cos_prefix
+    FROM q, embeddings e
+    WHERE e.vec_id != q.q_id
+), ranked AS (
+    SELECT q_id, n_id, cos_prefix,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_prefix DESC, n_id ASC) AS rank
+    FROM scored
+), sel AS (
+    SELECT q_id, rank, n_id, cos_prefix FROM ranked WHERE rank <= 5
+)
+SELECT sel.q_id, sel.rank, sel.n_id, sel.cos_prefix,
+       round(
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> qq.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(qq.embedding,
+                    x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(e.embedding,
+                    x -> x::DOUBLE * x::DOUBLE)))),
+         6) AS cos_full
+FROM sel
+JOIN embeddings e ON e.vec_id = sel.n_id
+JOIN embeddings qq ON qq.vec_id = sel.q_id
+"""
+
+
+def q126_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted epoch materialization (pipeline/sampling
+    .epoch_upsample): weight = min(n_chars/400, 3), each doc emitted
+    floor(w) times plus a hash-decided extra for frac(w) — the
+    fractional-epoch mixture semantics of LLM data recipes, reproducible
+    on any engine.  Rolled up per (source, epoch) with an id checksum so
+    the oracle certifies exactly WHICH docs got the extra copy."""
+    from noaa_oracle_spark.pipeline.sampling import epoch_upsample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.col("n_chars") / F.lit(400.0), F.lit(3.0))
+    )
+    return (
+        epoch_upsample(docs, "doc_id", "w")
+        .groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+SQL_Q126 = """
+WITH weighted AS (
+    SELECT source, doc_id,
+           least(n_chars / 400.0, 3.0) AS w,
+           ('0x' || substring(md5('epoch|' || CAST(doc_id AS VARCHAR)),
+                              1, 3))::INT AS bucket
+    FROM documents
+), copies AS (
+    SELECT source, doc_id,
+           CAST(floor(w) AS INT)
+           + CASE WHEN bucket < floor((w - floor(w)) * 4096)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM weighted
+), expanded AS (
+    SELECT source, doc_id,
+           unnest(range(1, n_copies + 1)) AS epoch
+    FROM copies WHERE n_copies >= 1
+)
+SELECT source, CAST(epoch AS INT) AS epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def q127_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-mix build, graded as ONE query (the q103
+    discipline applied to the round-6 tier): learned quality filter
+    (q117's exact integer boundary) → deterministic 80/10/10 split
+    (q121) → fractional-epoch upsampling of ONLY the train split (q126,
+    w = min(n_chars/400, 2) — eval splits are never upsampled), rolled
+    up per (split, source) with a doc_id·epoch checksum.  Pins
+    operator-boundary drift across the whole mix pipeline: a filter that
+    drops the wrong rows, a split that leaks, or an upsample that
+    touches an eval row all flip the hash."""
+    from noaa_oracle_spark.pipeline.sampling import (
+        epoch_upsample,
+        hash_split,
+    )
+    from noaa_oracle_spark.pipeline.text import quality_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    kept = quality_classifier(docs).filter(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    assigned = hash_split(docs.join(kept, "doc_id"), "doc_id")
+    train = assigned.filter(F.col("split") == "train").withColumn(
+        "w", F.least(F.col("n_chars") / F.lit(400.0), F.lit(2.0))
+    )
+    up = epoch_upsample(train, "doc_id", "w").select(
+        "split", "source", "doc_id", "epoch"
+    )
+    evals = assigned.filter(F.col("split") != "train").select(
+        "split", "source", "doc_id", F.lit(1).alias("epoch")
+    )
+    return (
+        up.unionByName(evals)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.sum(F.col("doc_id") * F.col("epoch"))
+            .cast("long")
+            .alias("mix_checksum"),
+        )
+    )
+
+
+SQL_Q127 = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ({_ALL_STOP}))) AS n_stopwords,
+           length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+), feats AS (
+    SELECT doc_id,
+           -2000
+           + 8 * floor(n_stopwords * 1000 / n_tokens)
+           - 6 * floor(n_digits * 1000 / greatest(n_nonspace, 1))
+           + 20 * least(n_tokens, 100) AS z_milli
+    FROM base
+), kept AS (
+    SELECT d.source, d.doc_id, d.n_chars
+    FROM documents d JOIN feats USING (doc_id) WHERE z_milli >= 0
+), assigned AS (
+    SELECT *,
+           CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 3)
+                     < 'ccc' THEN 'train'
+                WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 3)
+                     < 'e66' THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM kept
+), train AS (
+    SELECT source, doc_id,
+           least(n_chars / 400.0, 2.0) AS w,
+           ('0x' || substring(md5('epoch|' || CAST(doc_id AS VARCHAR)),
+                              1, 3))::INT AS bucket
+    FROM assigned WHERE split = 'train'
+), copies AS (
+    SELECT source, doc_id,
+           CAST(floor(w) AS INT)
+           + CASE WHEN bucket < floor((w - floor(w)) * 4096)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM train
+), up AS (
+    SELECT 'train' AS split, source, doc_id,
+           unnest(range(1, n_copies + 1)) AS epoch
+    FROM copies WHERE n_copies >= 1
+), evals AS (
+    SELECT split, source, doc_id, 1 AS epoch
+    FROM assigned WHERE split <> 'train'
+), allr AS (
+    SELECT * FROM up UNION ALL SELECT * FROM evals
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id * epoch) AS BIGINT) AS mix_checksum
+FROM allr GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2696,6 +2898,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_kmv_distinct": q122_kmv_distinct,
     "q123_kmv_source_overlap": q123_kmv_source_overlap,
     "q124_countmin_heavy_hitters": q124_countmin_heavy_hitters,
+    "q125_matryoshka_knn": q125_matryoshka_knn,
+    "q126_epoch_upsample": q126_epoch_upsample,
+    "q127_training_mix": q127_training_mix,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2759,4 +2964,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q122_kmv_distinct": SQL_Q122,
     "q123_kmv_source_overlap": SQL_Q123,
     "q124_countmin_heavy_hitters": SQL_Q124,
+    "q125_matryoshka_knn": SQL_Q125,
+    "q126_epoch_upsample": SQL_Q126,
+    "q127_training_mix": SQL_Q127,
 }

@@ -5,6 +5,7 @@ from noaa_oracle_spark.streaming.corpus import (
     streaming_minhash_dedup,
 )
 from noaa_oracle_spark.streaming.sessions import value_capped_sessions
+from noaa_oracle_spark.streaming.sketches import streaming_kmv_distinct
 from noaa_oracle_spark.streaming.snapshots import (
     stream_snapshots,
     streaming_daily_observations,
@@ -18,6 +19,7 @@ __all__ = [
     "stream_snapshots",
     "streaming_daily_observations",
     "streaming_exact_dedup",
+    "streaming_kmv_distinct",
     "streaming_latest_forecasts",
     "value_capped_sessions",
 ]

@@ -1,0 +1,127 @@
+"""Streaming KMV sketch: the running estimate after N microbatches must
+EQUAL the batch kmv_distinct over the union of all batches — the
+mergeability property made executable."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.sketches import kmv_distinct
+from noaa_oracle_spark.streaming.sketches import streaming_kmv_distinct
+
+ELEM_SCHEMA = "g string, e string"
+
+
+def _write_batch(path, name, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "g": pa.array([g for g, _ in rows]),
+            "e": pa.array([e for _, e in rows]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, f"{name}.parquet"))
+
+
+def _latest_per_group(spark, qname):
+    # update-mode memory sink keeps every emission; KMV state is
+    # MONOTONE (distinct count only grows, so the k-th minimum only
+    # shrinks and both n_sketch and the estimate only rise) — the
+    # latest sketch per group is therefore the max by (n_sketch, est)
+    rows = spark.sql(
+        f"SELECT * FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY group ORDER BY n_sketch DESC, kmv_distinct DESC) "
+        f"rn FROM {qname}) WHERE rn = 1"
+    ).collect()
+    return {r.group: (r.n_sketch, r.kmv_distinct) for r in rows}
+
+
+def test_streaming_kmv_equals_batch_over_union(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [("a", f"x{i}") for i in range(400)] + [
+        ("b", f"y{i}") for i in range(30)
+    ]
+    b2 = [("a", f"x{i}") for i in range(200, 700)] + [
+        ("b", f"y{i}") for i in range(10, 50)
+    ]
+    _write_batch(src, "b1", b1)
+
+    stream = (
+        spark.readStream.schema(ELEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    est = streaming_kmv_distinct(stream, "g", "e", k=64)
+    q = (
+        est.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = _latest_per_group(spark, "kmv_stream")
+        _write_batch(src, "b2", b2)
+        q.processAllAvailable()
+        final = _latest_per_group(spark, "kmv_stream")
+    finally:
+        q.stop()
+
+    def batch_est(rows):
+        df = spark.createDataFrame(rows, ELEM_SCHEMA)
+        return {
+            r.g: (r.n_sketch, r.kmv_distinct)
+            for r in kmv_distinct(df, ["g"], F.col("e"), k=64).collect()
+        }
+
+    want_mid, want_final = batch_est(b1), batch_est(b1 + b2)
+    for got, want in ((mid, want_mid), (final, want_final)):
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g][0] == want[g][0]  # n_sketch exact
+            # estimate: same integer hash math; the only divergence
+            # channel is the final 6-dp rounding mode (banker's vs
+            # HALF_UP), which cannot move a value more than 1e-6
+            assert abs(got[g][1] - want[g][1]) <= 1e-6, g
+    # group b stays below k in batch 1 (exact regime), crosses later
+    assert mid["b"][0] == 30 and mid["b"][1] == 30.0
+    assert final["a"][0] == 64  # estimator regime for the big group
+
+
+def test_streaming_kmv_state_is_bottom_k_only(spark, tmp_path):
+    """Replaying the same batch twice changes nothing (idempotent merge),
+    and n_sketch never exceeds k."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [("g1", f"v{i}") for i in range(500)]
+    _write_batch(src, "b1", rows)
+    stream = (
+        spark.readStream.schema(ELEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    est = streaming_kmv_distinct(stream, "g", "e", k=32)
+    q = (
+        est.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_idem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = _latest_per_group(spark, "kmv_idem")
+        _write_batch(src, "b2", rows)  # identical content, new file
+        q.processAllAvailable()
+        second = _latest_per_group(spark, "kmv_idem")
+    finally:
+        q.stop()
+    assert first == second
+    assert second["g1"][0] == 32

@@ -416,3 +416,46 @@ def test_q106_bigram_stream_shuffles_once(spark):
             {"term"},
             {"doc_id"},
         ), keysets
+
+
+def test_boilerplate_broadcast_mark_has_no_gram_keyed_join(spark):
+    """plan='broadcast_mark' (q64's de-skew alternative): the occurrence
+    stream must pick up its boilerplate flag via a BROADCAST join — no
+    shuffle join keyed on the gram anywhere, so a web-scale hot shingle
+    never concentrates a join task. The default 'join' plan keeps its
+    gram-keyed shuffle (the AQE-skew case) — asserted as the contrast."""
+    from noaa_oracle_spark.pipeline.text import boilerplate_ngram_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    marked = _plan(boilerplate_ngram_stats(docs, plan="broadcast_mark"))
+    assert "BroadcastHashJoin" in marked
+    assert "SortMergeJoin" not in marked
+    import re
+
+    shuffle_keys = [
+        frozenset(re.findall(r"(\w+)#\d+", m))
+        for m in re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", marked
+        )
+    ]
+    # occurrence rows cross only the per-doc rollup exchange; the gram
+    # key appears solely in the (bounded) frequency agg feeding the
+    # broadcast side
+    assert all(
+        k == {"doc_id"} or "shingle" in k for k in shuffle_keys
+    ), shuffle_keys
+    joined = _plan(boilerplate_ngram_stats(docs))
+    assert "hashpartitioning(shingle" in joined  # the contrast shape
+
+
+def test_q122_kmv_gate_reuses_the_shingle_exchange(spark):
+    """q122 grades the sketch BESIDE the exact distinct count, which
+    evaluates the shingle-dedup subtree twice; the two subtrees are
+    identical, so AQE must stitch them with a ReusedExchange (the PPJoin
+    shared-stage behavior) — the gate then pays ONE gram shuffle, not
+    two. Runtime-plan assertion: reuse appears only after execution."""
+    from noaa_oracle_spark.suite_pipeline import q122_kmv_distinct
+
+    df = q122_kmv_distinct(spark, "/root/testdata/sf0.001")
+    df.collect()
+    assert "ReusedExchange" in _plan(df)

@@ -68,11 +68,11 @@ _GRADE_FIRST = [
     "q120_perplexity_buckets", "q121_hash_split",
     "q122_kmv_distinct", "q123_kmv_source_overlap",
     "q124_countmin_heavy_hitters", "q125_matryoshka_knn",
-    "q126_epoch_upsample", "q127_training_mix",
-    # fill: last graded in r4 (21 of the 48 r4-only names; the 27-name
-    # tail omitted to make room — q27, q28, q30, q38, q42, q46, q48,
-    # q56, q63, q64, q66, q68, q70, q71, q72, q73, q74, q75, q76, q87,
-    # q88, q89, q90, q91, q92, q93, q99 — ends r6 exactly 2 rounds
+    "q126_epoch_upsample", "q127_training_mix", "q128_wav_features",
+    # fill: last graded in r4 (20 of the 48 r4-only names; the 28-name
+    # tail omitted to make room — q26, q27, q28, q30, q38, q42, q46,
+    # q48, q56, q63, q64, q66, q68, q70, q71, q72, q73, q74, q75, q76,
+    # q87, q88, q89, q90, q91, q92, q93, q99 — ends r6 exactly 2 rounds
     # stale and must lead the r7 window; the staleness test enforces
     # this).
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
@@ -81,7 +81,7 @@ _GRADE_FIRST = [
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",
     "q20_ann_cosine", "q21_quality_scores", "q22_language_id",
-    "q23_fingerprint", "q24_token_counts", "q26_sessionization",
+    "q23_fingerprint", "q24_token_counts",
 ]
 
 

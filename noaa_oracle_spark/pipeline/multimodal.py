@@ -357,6 +357,73 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak_i16", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame, codec: str = "wav") -> DataFrame:
+    """Whole-clip audio descriptors from REAL PCM decode
+    (media_codecs.decode_wav): sample count, header sample rate, and
+    three INTEGER-domain features — energy as Σ s², zero crossings
+    (strict sign flips), peak |s| — over the recovered 16-bit samples.
+
+    The integer domain is deliberate: every feature is exact in any
+    engine, so the full mux → RIFF parse → PCM decode → feature path is
+    hash-gradeable end to end (q128), the same discipline as the MP4 and
+    MP3 container gates; derived floats (RMS) belong downstream, rounded
+    from these integers.  Undecodable blobs yield NULL feature columns
+    with the row kept (the metadata pattern — a corrupt clip is a fact
+    about the corpus, not a task failure).
+
+    Scale shape: map-side Arrow-batched mapInPandas; blobs never cross a
+    shuffle; output is a slim 6-column frame joins can key on."""
+    _require_codec(codec, ("wav",))
+    frames = media.select("media_id", "content")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from noaa_oracle_spark.pipeline.media_codecs import decode_wav
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "n_samples", "sample_rate", "sum_sq",
+                "zero_crossings", "peak_i16",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                out["media_id"].append(mid)
+                try:
+                    x, rate = decode_wav(bytes(blob or b""))
+                except ValueError:
+                    for k in ("n_samples", "sample_rate", "sum_sq",
+                              "zero_crossings", "peak_i16"):
+                        out[k].append(None)
+                    continue
+                # width-2 PCM decodes to i16/32768 exactly — the rint
+                # recovers the original integer samples losslessly
+                s = np.rint(x * 32768.0).astype(np.int64)
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(int(rate))
+                out["sum_sq"].append(int((s * s).sum()) if len(s) else 0)
+                out["zero_crossings"].append(
+                    int(((s[1:] * s[:-1]) < 0).sum()) if len(s) > 1 else 0
+                )
+                out["peak_i16"].append(
+                    int(np.abs(s).max()) if len(s) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def chunk_audio(
     media: DataFrame, window_ms: int = 5_000, codec: str = "fake"
 ) -> DataFrame:

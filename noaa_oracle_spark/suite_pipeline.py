@@ -2837,6 +2837,88 @@ FROM allr GROUP BY 1, 2
 """
 
 
+def q128_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL WAV codec (pipeline/
+    multimodal.audio_features — the q110/q112 container-gate discipline
+    extended to the decoded-sample level): each document becomes a mono
+    16-bit 8 kHz PCM clip (sample_j = ascii(char_j)·129 − 8000, built
+    map-side with the stdlib muxer), the RIFF/WAVE blob is decoded back
+    by media_codecs.decode_wav, and the features come off the recovered
+    integer samples — so the oracle can restate the whole mux → parse →
+    decode → feature path as integer math on the text.  RMS is derived
+    from the exact integers and rounded at 6 dp (the suite float
+    rule)."""
+    import io
+    import wave
+
+    from noaa_oracle_spark.pipeline.multimodal import audio_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mux(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                i16 = np.array(
+                    [ord(c) * 129 - 8000 for c in t], dtype="<i2"
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(i16.tobytes())
+                rows.append(
+                    {"media_id": doc_id, "content": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(mux, "media_id long, content binary")
+    return audio_features(media).select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "sum_sq",
+        "zero_crossings",
+        "peak_i16",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples"))
+            / F.lit(32768.0),
+            6,
+        ).alias("rms"),
+    )
+
+
+SQL_Q128 = """
+WITH chars AS (
+    SELECT doc_id,
+           ascii(substring(text, i, 1)) * 129 - 8000 AS s,
+           i
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents)
+), lagged AS (
+    SELECT doc_id, s, i,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM chars
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND s * prev < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(max(abs(s)) AS BIGINT) AS peak_i16,
+       round(sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) / 32768.0, 6)
+           AS rms
+FROM lagged GROUP BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -2901,6 +2983,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_matryoshka_knn": q125_matryoshka_knn,
     "q126_epoch_upsample": q126_epoch_upsample,
     "q127_training_mix": q127_training_mix,
+    "q128_wav_features": q128_wav_features,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -2967,4 +3050,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q125_matryoshka_knn": SQL_Q125,
     "q126_epoch_upsample": SQL_Q126,
     "q127_training_mix": SQL_Q127,
+    "q128_wav_features": SQL_Q128,
 }

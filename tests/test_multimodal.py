@@ -159,3 +159,42 @@ def test_video_ppmstream_subsampling(spark):
     )
     out = sample_video_frames(media, every_ms=3000, codec="ppmstream").collect()
     assert sorted(r.frame_index for r in out) == [0, 3, 6, 9]
+
+
+def test_audio_features_roundtrip_and_corrupt(spark):
+    """audio_features over real WAV blobs: integer features match numpy
+    computed from the source samples; corrupt blobs yield NULL features
+    with the row kept; empty clips yield zeros."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.media_codecs import encode_wav
+    from noaa_oracle_spark.pipeline.multimodal import audio_features
+
+    rng = np.random.RandomState(3)
+    i16_a = (rng.randint(-20000, 20000, 500)).astype(np.int64)
+    i16_a[i16_a == 0] = 7  # keep the strict-sign-flip rule unambiguous
+    i16_b = np.array([5, -5, 5, -5, 1000], np.int64)
+    rows = [
+        (1, bytes(encode_wav(i16_a / 32767.0, 8000))),
+        (2, bytes(encode_wav(i16_b / 32767.0, 44100))),
+        (3, b"RIFF not a real wav"),
+        (4, bytes(encode_wav(np.zeros(0), 8000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in audio_features(df).collect()}
+
+    # encode_wav scales by 32767 then rounds; recompute the stored i16
+    for mid, src in ((1, i16_a), (2, i16_b)):
+        stored = np.clip(src / 32767.0, -1, 1) * 32767.0
+        stored = stored.astype("<i2").astype(np.int64)
+        r = got[mid]
+        assert r.n_samples == len(stored)
+        assert r.sum_sq == int((stored * stored).sum())
+        assert r.zero_crossings == int(
+            ((stored[1:] * stored[:-1]) < 0).sum()
+        )
+        assert r.peak_i16 == int(np.abs(stored).max())
+    assert got[2].sample_rate == 44100
+    assert got[2].zero_crossings == 4
+    assert got[3].n_samples is None and got[3].sum_sq is None  # corrupt
+    assert got[4].n_samples == 0 and got[4].sum_sq == 0

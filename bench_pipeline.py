@@ -335,6 +335,48 @@ def main() -> None:
     run("countmin_hh", lambda: countmin_heavy_hitters(
         docs, top_n=20).count())
 
+    # --- q128 audio rung: mux every doc into a real PCM clip map-side,
+    # parse + decode it back, extract integer features — the multimodal
+    # tier's corpus throughput (pure mapInPandas, blobs never shuffle)
+    from noaa_oracle_spark.pipeline.multimodal import audio_features
+
+    def _wav_media():
+        import io
+        import wave
+
+        import pandas as pd
+
+        def mux(batches):
+            for pdf in batches:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    i16 = (
+                        np.frombuffer(
+                            (text or "").encode("latin-1"), np.uint8
+                        ).astype(np.int32)
+                        * 129
+                        - 8000
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(i16.tobytes())
+                    rows.append(
+                        {"media_id": doc_id, "content": buf.getvalue()}
+                    )
+                yield pd.DataFrame(rows)
+
+        import pandas  # noqa: F401 — mapInPandas needs pandas present
+
+        return docs.select("doc_id", "text").mapInPandas(
+            mux, "media_id long, content binary"
+        )
+
+    run("wav_features", lambda: audio_features(_wav_media())
+        .filter(F.col("sum_sq") > 0).count())
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

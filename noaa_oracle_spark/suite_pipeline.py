@@ -2863,9 +2863,14 @@ def q128_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text or ""
-                i16 = np.array(
-                    [ord(c) * 129 - 8000 for c in t], dtype="<i2"
-                )
+                # vectorized ord(): latin-1 bytes ARE the codepoints for
+                # this corpus's ascii range — no per-char Python loop
+                i16 = (
+                    np.frombuffer(t.encode("latin-1"), np.uint8)
+                    .astype(np.int32)
+                    * 129
+                    - 8000
+                ).astype("<i2")
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)

@@ -926,3 +926,85 @@ def householder_rotate(
     scale = F.lit(2.0) * dot / vv
     rotated = F.zip_with(xd, vl, lambda x, vi: x - scale * vi)
     return corpus.select(F.col(id_col), rotated.alias(vec_col))
+
+
+# ---------------------------------------------------------------------------
+# index persistence — train once, serve many
+# ---------------------------------------------------------------------------
+
+_PQ_MANIFEST_SCHEMA = (
+    "format_version int, m int, n_codes int, dim int, metric string, "
+    "has_cells boolean"
+)
+
+
+def save_pq_index(
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    path: str,
+    cells: DataFrame | None = None,
+    metric: str = "l2_adc",
+) -> None:
+    """Persist a trained PQ index — codebooks + encoded corpus (+ coarse
+    cells for IVF) — as parquet under `path`, with a 1-row manifest
+    carrying the quantizer geometry.  At 100 TB the index is trained and
+    encoded ONCE and served many times; without persistence every
+    session would re-pay the encode pass over the full corpus.  Parquet
+    (not pickle) so any engine — and any later version of this one —
+    can read the index back; the layout is plain directories a catalog
+    can register as tables.
+
+    Layout: path/codebooks (sub, code, centroid), path/codes
+    (vec_id, codes), path/cells (vec_id, embedding; IVF only),
+    path/manifest."""
+    import numpy as np
+
+    spark = codebooks.sparkSession
+    books = _books_dict(codebooks)
+    m = len(books)
+    n_codes, sub_len = books[0].shape
+    manifest = spark.createDataFrame(
+        [(1, m, int(n_codes), int(m * sub_len), metric, cells is not None)],
+        _PQ_MANIFEST_SCHEMA,
+    )
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+    if cells is not None:
+        cells.write.mode("overwrite").parquet(f"{path}/cells")
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def load_pq_index(spark, path: str) -> "dict":
+    """Reload a persisted PQ index: returns {"codebooks", "codes",
+    "cells" (or None), "manifest" (Row)} — frames that plug directly
+    into pq_knn / ivfpq_knn.  Validates the manifest geometry against
+    the loaded codebooks so a half-written or mixed-version directory
+    fails loudly instead of scoring garbage."""
+    manifest = spark.read.parquet(f"{path}/manifest").collect()
+    if len(manifest) != 1:
+        raise ValueError(f"load_pq_index: bad manifest at {path}")
+    meta = manifest[0]
+    if meta.format_version != 1:
+        raise ValueError(
+            f"load_pq_index: unsupported format_version "
+            f"{meta.format_version}"
+        )
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    books = _books_dict(codebooks)
+    m = len(books)
+    n_codes, sub_len = books[0].shape
+    if (m, int(n_codes), m * sub_len) != (meta.m, meta.n_codes, meta.dim):
+        raise ValueError(
+            f"load_pq_index: manifest geometry (m={meta.m}, "
+            f"n_codes={meta.n_codes}, dim={meta.dim}) does not match "
+            f"codebooks (m={m}, n_codes={n_codes}, dim={m * sub_len})"
+        )
+    cells = (
+        spark.read.parquet(f"{path}/cells") if meta.has_cells else None
+    )
+    return {
+        "codebooks": codebooks,
+        "codes": spark.read.parquet(f"{path}/codes"),
+        "cells": cells,
+        "manifest": meta,
+    }

@@ -1,0 +1,84 @@
+"""PQ index persistence: save → load → search equals in-memory search;
+geometry validation fails loudly on manifest/codebook mismatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.pq import (
+    ivfpq_knn,
+    load_pq_index,
+    pq_encode,
+    pq_knn,
+    pq_train,
+    save_pq_index,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_index_roundtrip_search(spark, emb, tmp_path):
+    books = pq_train(emb, m=4, k=8, iters=1)
+    enc = pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 5)
+    fresh = sorted(map(tuple, pq_knn(q, enc, books, k=3).collect()))
+
+    path = str(tmp_path / "idx")
+    save_pq_index(books, enc, path)
+    idx = load_pq_index(spark, path)
+    assert idx["cells"] is None
+    loaded = sorted(
+        map(
+            tuple,
+            pq_knn(q, idx["codes"], idx["codebooks"], k=3).collect(),
+        )
+    )
+    assert loaded == fresh
+    assert idx["manifest"].dim == 16 and idx["manifest"].m == 4
+
+
+def test_ivfpq_index_roundtrip_search(spark, emb, tmp_path):
+    books = pq_train(emb, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 8)
+    q = emb.filter(F.col("vec_id") < 3)
+    fresh = sorted(
+        map(
+            tuple,
+            ivfpq_knn(q, emb, books, cells, k=3, nprobe=4).collect(),
+        )
+    )
+    path = str(tmp_path / "ividx")
+    save_pq_index(books, pq_encode(emb, books), path, cells=cells)
+    idx = load_pq_index(spark, path)
+    loaded = sorted(
+        map(
+            tuple,
+            ivfpq_knn(
+                q, emb, idx["codebooks"], idx["cells"], k=3, nprobe=4
+            ).collect(),
+        )
+    )
+    assert loaded == fresh
+
+
+def test_pq_index_geometry_validation(spark, emb, tmp_path):
+    books = pq_train(emb, m=4, k=8, iters=1)
+    enc = pq_encode(emb, books)
+    path = str(tmp_path / "bad")
+    save_pq_index(books, enc, path)
+    # corrupt: overwrite the codebooks with a different geometry
+    pq_train(emb, m=2, k=8, iters=1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        load_pq_index(spark, path)

@@ -90,7 +90,13 @@ def hash_split(
             f"hash_split: fractions must be positive and sum to 1.0, "
             f"got {fracs}"
         )
-    bucket = _bucket(F.col(key_col).cast("string"), salt)
+    # a NULL key would hash to NULL, fail every `<` comparison, and land
+    # silently in the LAST split — a leak-shaped surprise; fail loudly
+    key = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit(f"hash_split: NULL {key_col}")),
+    ).otherwise(F.col(key_col).cast("string"))
+    bucket = _bucket(key, salt)
     expr = F.lit(splits[-1][0])  # everything above the last boundary
     cum = 0.0
     bounds = []
@@ -132,7 +138,16 @@ def epoch_upsample(
     bucket_int = F.conv(
         _bucket(F.col(key_col).cast("string"), salt), 16, 10
     ).cast("int")
+    # the NULL guard must be the FIRST when-branch: guarding inside a
+    # sub-expression lets Catalyst's null propagation fold `x < NULL`
+    # away WITHOUT evaluating the raise, and the row would vanish
+    # silently — a mixture bug, not a sampling decision
     n_copies = F.when(
+        F.col(key_col).isNull() | w.isNull(),
+        F.raise_error(
+            F.lit(f"epoch_upsample: NULL {key_col} or {weight_col}")
+        ).cast("int"),
+    ).when(
         w > F.lit(max_weight),
         F.raise_error(
             F.concat(

@@ -64,8 +64,12 @@ def kmv_distinct(
 
     Returns (group..., n_sketch, kmv_distinct) where n_sketch =
     min(k, true distinct) and kmv_distinct is the 6-dp estimate."""
-    hashed = df.select(*group_cols, _h60(element).alias("_h")).dropDuplicates(
-        [*group_cols, "_h"]
+    # NULL elements are outside the sketch domain (they would hash to
+    # NULL and sort as the minimum, polluting every bottom-k)
+    hashed = (
+        df.select(*group_cols, _h60(element).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .dropDuplicates([*group_cols, "_h"])
     )
     # phase 1: k smallest per (group, hash-bucket) — bounded survivors
     bucketed = hashed.withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))
@@ -104,9 +108,11 @@ def kmv_sketches(
     of the k smallest distinct element hashes, ascending).  The
     mergeable form: sketches union by concat → sort → cut.  Same
     two-phase scale shape as `kmv_distinct`."""
-    hashed = df.select(
-        F.col(group_col).alias("_g"), _h60(element).alias("_h")
-    ).dropDuplicates(["_g", "_h"])
+    hashed = (
+        df.select(F.col(group_col).alias("_g"), _h60(element).alias("_h"))
+        .filter(F.col("_h").isNotNull())  # NULL ∉ sketch domain
+        .dropDuplicates(["_g", "_h"])
+    )
     bucketed = hashed.withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))
     w1 = Window.partitionBy("_g", "_b").orderBy("_h")
     survivors = (

@@ -94,7 +94,7 @@ def streaming_kmv_distinct(
         F.conv(F.substring(F.md5(F.col(element_col)), 1, 15), 16, 10)
         .cast("long")
         .alias("_h"),
-    )
+    ).filter(F.col("_h").isNotNull())  # NULL ∉ sketch domain (batch rule)
     return hashed.groupBy("group").applyInPandasWithState(
         _make_kmv_kernel(k),
         outputStructType=KMV_OUTPUT_SCHEMA,

@@ -164,3 +164,18 @@ def test_epoch_upsample_overweight_raises(spark):
     with pytest.raises(Exception) as exc:
         epoch_upsample(df, "id", "w", max_weight=100.0).collect()
     assert "max_weight" in str(exc.value)
+
+
+def test_hash_split_and_upsample_null_keys_raise(spark):
+    """NULL keys/weights fail loudly instead of silently landing in the
+    last split (hash_split) or vanishing (epoch_upsample)."""
+    from noaa_oracle_spark.pipeline.sampling import epoch_upsample, hash_split
+
+    df = spark.createDataFrame([(1, 1.5), (None, 2.0)], "id long, w double")
+    with pytest.raises(Exception, match="NULL"):
+        hash_split(df, "id").collect()
+    with pytest.raises(Exception, match="NULL"):
+        epoch_upsample(df, "id", "w").collect()
+    dfw = spark.createDataFrame([(1, 1.5), (2, None)], "id long, w double")
+    with pytest.raises(Exception, match="NULL"):
+        epoch_upsample(dfw, "id", "w").collect()

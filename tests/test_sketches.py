@@ -192,3 +192,16 @@ def test_heavy_hitters_contract(spark):
     for r in rows:
         assert r.exact_count == exact[r.term]
         assert r.cms_estimate >= r.exact_count
+
+
+def test_kmv_null_elements_are_outside_the_domain(spark):
+    """NULL elements never enter a sketch (they would hash NULL and sort
+    as the minimum) — estimates see only the non-null domain."""
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(40)] + [("a", None)] * 5,
+        "g string, e string",
+    )
+    row = kmv_distinct(df, ["g"], F.col("e"), k=64).collect()[0]
+    assert (row.n_sketch, row.kmv_distinct) == (40, 40.0)
+    sk = kmv_sketches(df, "g", F.col("e"), k=64).collect()[0]
+    assert len(sk.sketch) == 40 and None not in sk.sketch

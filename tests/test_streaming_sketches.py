@@ -125,3 +125,71 @@ def test_streaming_kmv_state_is_bottom_k_only(spark, tmp_path):
         q.stop()
     assert first == second
     assert second["g1"][0] == 32
+
+
+def test_streaming_countmin_cells_via_native_aggregation(spark, tmp_path):
+    """The module docstring's claim made executable: count-min cells are
+    a plain (seed, bucket) SUM, so Structured Streaming's native
+    update-mode aggregation maintains them with no custom operator —
+    and the final cells equal the batch countmin_cells over the union
+    of all microbatches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.sketches import countmin_cells
+
+    d, w = 3, 16
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [("t1", 5), ("t2", 3), ("t3", 9)]
+    b2 = [("t1", 2), ("t4", 7)]
+
+    def write(name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array([t for t, _ in rows]),
+                    "n": pa.array([n for _, n in rows], pa.int64()),
+                }
+            ),
+            os.path.join(src, f"{name}.parquet"),
+        )
+
+    write("b1", b1)
+    write("b2", b2)
+    stream = (
+        spark.readStream.schema("term string, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # the cell build IS countmin_cells' expression tree — reused verbatim
+    # on the streaming frame; the groupBy sum runs as a native stateful
+    # aggregation in update mode
+    cells = countmin_cells(stream, count_col="n", d=d, w=w)
+    q = (
+        cells.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode sink: latest emission per (seed, bucket) = max count
+    # (cells only grow)
+    got = {}
+    for r in spark.sql("SELECT * FROM cms_stream").collect():
+        key = (r.seed, r.bucket)
+        got[key] = max(got.get(key, 0), r.cell_count)
+    union = spark.createDataFrame(b1 + b2, "term string, n long")
+    want = {
+        (r.seed, r.bucket): r.cell_count
+        for r in countmin_cells(union, count_col="n", d=d, w=w).collect()
+    }
+    assert got == want

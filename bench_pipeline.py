@@ -337,44 +337,15 @@ def main() -> None:
 
     # --- q128 audio rung: mux every doc into a real PCM clip map-side,
     # parse + decode it back, extract integer features — the multimodal
-    # tier's corpus throughput (pure mapInPandas, blobs never shuffle)
-    from noaa_oracle_spark.pipeline.multimodal import audio_features
+    # tier's corpus throughput (pure mapInPandas, blobs never shuffle);
+    # text_to_wav_media is the SAME mux the gate uses, so the bench
+    # measures exactly the graded workload
+    from noaa_oracle_spark.pipeline.multimodal import (
+        audio_features,
+        text_to_wav_media,
+    )
 
-    def _wav_media():
-        import io
-        import wave
-
-        import pandas as pd
-
-        def mux(batches):
-            for pdf in batches:
-                rows = []
-                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                    i16 = (
-                        np.frombuffer(
-                            (text or "").encode("latin-1"), np.uint8
-                        ).astype(np.int32)
-                        * 129
-                        - 8000
-                    ).astype("<i2")
-                    buf = io.BytesIO()
-                    with wave.open(buf, "wb") as wf:
-                        wf.setnchannels(1)
-                        wf.setsampwidth(2)
-                        wf.setframerate(8000)
-                        wf.writeframes(i16.tobytes())
-                    rows.append(
-                        {"media_id": doc_id, "content": buf.getvalue()}
-                    )
-                yield pd.DataFrame(rows)
-
-        import pandas  # noqa: F401 — mapInPandas needs pandas present
-
-        return docs.select("doc_id", "text").mapInPandas(
-            mux, "media_id long, content binary"
-        )
-
-    run("wav_features", lambda: audio_features(_wav_media())
+    run("wav_features", lambda: audio_features(text_to_wav_media(docs))
         .filter(F.col("sum_sq") > 0).count())
 
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the

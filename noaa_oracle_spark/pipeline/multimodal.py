@@ -357,6 +357,54 @@ AUDIO_CHUNK_SCHEMA = T.StructType(
 )
 
 
+def text_to_wav_media(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic text→PCM mux (the q128 fixture contract, shared by
+    the gate and the bench so they always measure the same workload):
+    sample_j = codepoint(char_j)·129 − 8000, mono 16-bit WAV at `rate`.
+    Empty or NULL texts are dropped BEFORE muxing — a zero-sample clip
+    has no feature row, matching the oracle's per-character expansion
+    (which produces no rows for an empty string).  Map-side only."""
+
+    def mux(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                # vectorized ord(): latin-1 bytes ARE the codepoints for
+                # the ascii range — no per-char Python loop
+                i16 = (
+                    np.frombuffer(text.encode("latin-1"), np.uint8)
+                    .astype(np.int32)
+                    * 129
+                    - 8000
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(i16.tobytes())
+                rows.append(
+                    {"media_id": doc_id, "content": buf.getvalue()}
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        docs.select(id_col, text_col)
+        .filter(F.length(F.col(text_col)) >= 1)
+        .mapInPandas(mux, "media_id long, content binary")
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -934,8 +934,23 @@ def householder_rotate(
 
 _PQ_MANIFEST_SCHEMA = (
     "format_version int, m int, n_codes int, dim int, metric string, "
-    "has_cells boolean"
+    "has_cells boolean, codebook_md5 string, n_encoded long"
 )
+
+
+def _codebook_md5(books: "dict") -> str:
+    """Deterministic fingerprint of the codebook contents: md5 over the
+    (sub, code, 6-dp centroid) rows in canonical order."""
+    import hashlib
+
+    h = hashlib.md5()
+    for sub in sorted(books):
+        for code, row in enumerate(books[sub]):
+            h.update(
+                f"{sub}|{code}|"
+                f"{','.join(f'{x:.6f}' for x in row)}\n".encode()
+            )
+    return h.hexdigest()
 
 
 def save_pq_index(
@@ -947,39 +962,58 @@ def save_pq_index(
 ) -> None:
     """Persist a trained PQ index — codebooks + encoded corpus (+ coarse
     cells for IVF) — as parquet under `path`, with a 1-row manifest
-    carrying the quantizer geometry.  At 100 TB the index is trained and
+    carrying the quantizer geometry, a codebook content fingerprint,
+    and the encoded row count.  At 100 TB the index is trained and
     encoded ONCE and served many times; without persistence every
     session would re-pay the encode pass over the full corpus.  Parquet
     (not pickle) so any engine — and any later version of this one —
     can read the index back; the layout is plain directories a catalog
     can register as tables.
 
+    Crash consistency: the manifest is written LAST and fingerprints
+    the other components, so a save that dies mid-way — including a
+    RE-save over an existing index with same-geometry retrained
+    codebooks — leaves a directory whose (old) manifest no longer
+    matches the (new) components, and `load_pq_index` fails loudly
+    instead of decoding codes against the wrong codebooks.
+
     Layout: path/codebooks (sub, code, centroid), path/codes
     (vec_id, codes), path/cells (vec_id, embedding; IVF only),
     path/manifest."""
-    import numpy as np
-
     spark = codebooks.sparkSession
     books = _books_dict(codebooks)
     m = len(books)
     n_codes, sub_len = books[0].shape
-    manifest = spark.createDataFrame(
-        [(1, m, int(n_codes), int(m * sub_len), metric, cells is not None)],
-        _PQ_MANIFEST_SCHEMA,
-    )
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
     encoded.write.mode("overwrite").parquet(f"{path}/codes")
     if cells is not None:
         cells.write.mode("overwrite").parquet(f"{path}/cells")
+    n_encoded = spark.read.parquet(f"{path}/codes").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                m,
+                int(n_codes),
+                int(m * sub_len),
+                metric,
+                cells is not None,
+                _codebook_md5(books),
+                n_encoded,
+            )
+        ],
+        _PQ_MANIFEST_SCHEMA,
+    )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def load_pq_index(spark, path: str) -> "dict":
     """Reload a persisted PQ index: returns {"codebooks", "codes",
     "cells" (or None), "manifest" (Row)} — frames that plug directly
-    into pq_knn / ivfpq_knn.  Validates the manifest geometry against
-    the loaded codebooks so a half-written or mixed-version directory
-    fails loudly instead of scoring garbage."""
+    into pq_knn / ivfpq_knn.  Validates the manifest's geometry,
+    codebook fingerprint, and encoded row count against the loaded
+    components, so a half-written, partially re-saved, or
+    mixed-version directory fails loudly instead of scoring garbage."""
     manifest = spark.read.parquet(f"{path}/manifest").collect()
     if len(manifest) != 1:
         raise ValueError(f"load_pq_index: bad manifest at {path}")
@@ -999,12 +1033,25 @@ def load_pq_index(spark, path: str) -> "dict":
             f"n_codes={meta.n_codes}, dim={meta.dim}) does not match "
             f"codebooks (m={m}, n_codes={n_codes}, dim={m * sub_len})"
         )
+    if _codebook_md5(books) != meta.codebook_md5:
+        raise ValueError(
+            f"load_pq_index: codebook contents at {path} do not match "
+            f"the manifest fingerprint — the index directory is "
+            f"inconsistent (interrupted re-save?)"
+        )
+    codes = spark.read.parquet(f"{path}/codes")
+    n_encoded = codes.count()
+    if n_encoded != meta.n_encoded:
+        raise ValueError(
+            f"load_pq_index: {n_encoded} encoded rows at {path} vs "
+            f"{meta.n_encoded} in the manifest — inconsistent index"
+        )
     cells = (
         spark.read.parquet(f"{path}/cells") if meta.has_cells else None
     )
     return {
         "codebooks": codebooks,
-        "codes": spark.read.parquet(f"{path}/codes"),
+        "codes": codes,
         "cells": cells,
         "manifest": meta,
     }

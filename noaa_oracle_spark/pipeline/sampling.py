@@ -100,9 +100,21 @@ def hash_split(
     expr = F.lit(splits[-1][0])  # everything above the last boundary
     cum = 0.0
     bounds = []
+    grid_bounds = [0]
     for name, frac in splits[:-1]:
         cum += frac
         bounds.append((name, _threshold_hex(cum)))
+        grid_bounds.append(min(int(cum * _GRID), _GRID))
+    grid_bounds.append(_GRID)
+    # a fraction below the 1/4096 grid resolution floors two boundaries
+    # onto the same bucket — that split would be PERMANENTLY empty on
+    # every engine, which for an eval split is a silent disaster
+    for (name, _), lo, hi in zip(splits, grid_bounds, grid_bounds[1:]):
+        if hi <= lo:
+            raise ValueError(
+                f"hash_split: split {name!r} is empty at the 1/{_GRID} "
+                f"hash-grid resolution — use a larger fraction"
+            )
     for name, bound in reversed(bounds):
         expr = F.when(bucket < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
@@ -138,14 +150,22 @@ def epoch_upsample(
     bucket_int = F.conv(
         _bucket(F.col(key_col).cast("string"), salt), 16, 10
     ).cast("int")
-    # the NULL guard must be the FIRST when-branch: guarding inside a
-    # sub-expression lets Catalyst's null propagation fold `x < NULL`
-    # away WITHOUT evaluating the raise, and the row would vanish
-    # silently — a mixture bug, not a sampling decision
+    # the invalid-input guard must be the FIRST when-branch: guarding
+    # inside a sub-expression lets Catalyst's null propagation fold
+    # `x < NULL` away WITHOUT evaluating the raise, and the row would
+    # vanish silently — a mixture bug, not a sampling decision.  NULL,
+    # NaN, and negative weights are all mixture bugs (w == 0 is a
+    # legitimate "exclude" and stays silent, like hash_sample)
     n_copies = F.when(
-        F.col(key_col).isNull() | w.isNull(),
+        F.col(key_col).isNull() | w.isNull() | F.isnan(w) | (w < 0),
         F.raise_error(
-            F.lit(f"epoch_upsample: NULL {key_col} or {weight_col}")
+            F.concat(
+                F.lit(
+                    f"epoch_upsample: NULL/NaN/negative {weight_col} "
+                    f"or NULL {key_col}: "
+                ),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
         ).cast("int"),
     ).when(
         w > F.lit(max_weight),

@@ -134,6 +134,8 @@ def matryoshka_knn(
     `brute_force_knn`'s broadcast-queries kernel on the short vectors;
     the full-dimension score touches only the k·|queries| selected
     pairs, broadcast against one pass over the corpus vectors."""
+    if d_prefix < 1:
+        raise ValueError(f"matryoshka_knn: d_prefix must be >= 1, got {d_prefix}")
     pre = F.slice(F.col(vec_col), 1, d_prefix)
     top = brute_force_knn(
         queries.withColumn(vec_col, pre),

@@ -64,6 +64,11 @@ def kmv_distinct(
 
     Returns (group..., n_sketch, kmv_distinct) where n_sketch =
     min(k, true distinct) and kmv_distinct is the 6-dp estimate."""
+    if k < 2 or n_buckets < 1:
+        raise ValueError(
+            f"kmv_distinct: need k >= 2 and n_buckets >= 1, "
+            f"got k={k}, n_buckets={n_buckets}"
+        )
     # NULL elements are outside the sketch domain (they would hash to
     # NULL and sort as the minimum, polluting every bottom-k)
     hashed = (
@@ -108,6 +113,11 @@ def kmv_sketches(
     of the k smallest distinct element hashes, ascending).  The
     mergeable form: sketches union by concat → sort → cut.  Same
     two-phase scale shape as `kmv_distinct`."""
+    if k < 1 or n_buckets < 1:
+        raise ValueError(
+            f"kmv_sketches: need k >= 1 and n_buckets >= 1, "
+            f"got k={k}, n_buckets={n_buckets}"
+        )
     hashed = (
         df.select(F.col(group_col).alias("_g"), _h60(element).alias("_h"))
         .filter(F.col("_h").isNotNull())  # NULL ∉ sketch domain
@@ -183,6 +193,8 @@ def countmin_cells(
     hashing there.  d*w rows total — broadcastable at any corpus size.
     Build it from pre-aggregated type counts, never the occurrence
     stream (the d-way explode then costs |vocab|*d, not |corpus|*d)."""
+    if d < 1 or w < 1:
+        raise ValueError(f"countmin: need d >= 1 and w >= 1, got d={d}, w={w}")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
     cells = counts.select(
         F.col(term_col).alias("_t"), F.col(count_col).alias("_n"), seeds
@@ -207,7 +219,10 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each term in `terms`: estimate = min
     over the d rows of that term's cell — always >= the true count
-    (collisions only ADD).  The cell table joins broadcast (d*w rows)."""
+    (collisions only ADD).  The cell table joins broadcast (d*w rows).
+    A probe term whose cell was never populated gets the true CMS
+    answer — 0 — not a dropped row (LEFT join + coalesce), so probing
+    unseen terms (the decontamination shape) stays total."""
     probes = terms.select(
         term_col,
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
@@ -219,9 +234,13 @@ def countmin_estimate(
         ).alias("bucket"),
     )
     return (
-        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        probes.join(F.broadcast(cells), ["seed", "bucket"], "left")
         .groupBy(term_col)
-        .agg(F.min("cell_count").cast("long").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce("cell_count", F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
     )
 
 

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_TWO60 = float(1 << 60)
+# the batch tier's hash idiom and normalization constant — imported, not
+# re-implemented, so the streaming==batch equality cannot silently break
+from noaa_oracle_spark.pipeline.sketches import _TWO60, _h60
 
 KMV_OUTPUT_SCHEMA = T.StructType(
     [
@@ -39,6 +41,20 @@ KMV_OUTPUT_SCHEMA = T.StructType(
 _KMV_STATE_SCHEMA = T.StructType(
     [T.StructField("hashes", T.ArrayType(T.LongType()), False)]
 )
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's F.round on DOUBLE is BigDecimal HALF_UP over the exact
+    binary value; Python's round() is banker's.  Quantizing the exact
+    Decimal of the double reproduces Spark's result bit-for-bit, which
+    is what makes the streaming estimate EQUAL the batch one."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _make_kmv_kernel(k: int):
@@ -54,9 +70,12 @@ def _make_kmv_kernel(k: int):
             est = float(len(bottom))
         else:
             # same integer hash math as the batch estimator; Python and
-            # Spark doubles are both IEEE-754, so the value matches the
-            # batch expression bit-for-bit before the final rounding
-            est = round((k - 1) * _TWO60 / (float(bottom[-1]) + 1.0), 6)
+            # Spark doubles are both IEEE-754, and the HALF_UP quantize
+            # matches F.round, so the value equals the batch expression
+            # bit-for-bit
+            est = _round6_half_up(
+                (k - 1) * _TWO60 / (float(bottom[-1]) + 1.0)
+            )
         yield pd.DataFrame(
             [
                 {
@@ -89,11 +108,11 @@ def streaming_kmv_distinct(
     (group, hash) pairs; state is k longs per group forever — the reason
     sketches exist is that this is the ENTIRE memory cost of a
     cardinality readout over an unbounded stream."""
+    if k < 2:
+        raise ValueError(f"streaming_kmv_distinct: need k >= 2, got {k}")
     hashed = elements.select(
         F.col(group_col).cast("string").alias("group"),
-        F.conv(F.substring(F.md5(F.col(element_col)), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_h"),
+        _h60(F.col(element_col)).alias("_h"),
     ).filter(F.col("_h").isNotNull())  # NULL ∉ sketch domain (batch rule)
     return hashed.groupBy("group").applyInPandasWithState(
         _make_kmv_kernel(k),

@@ -2847,42 +2847,14 @@ def q128_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer samples — so the oracle can restate the whole mux → parse →
     decode → feature path as integer math on the text.  RMS is derived
     from the exact integers and rounded at 6 dp (the suite float
-    rule)."""
-    import io
-    import wave
+    rule).  Empty/NULL texts mux to no clip at all (text_to_wav_media),
+    matching the oracle's zero-row per-character expansion."""
+    from noaa_oracle_spark.pipeline.multimodal import (
+        audio_features,
+        text_to_wav_media,
+    )
 
-    from noaa_oracle_spark.pipeline.multimodal import audio_features
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def mux(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                t = text or ""
-                # vectorized ord(): latin-1 bytes ARE the codepoints for
-                # this corpus's ascii range — no per-char Python loop
-                i16 = (
-                    np.frombuffer(t.encode("latin-1"), np.uint8)
-                    .astype(np.int32)
-                    * 129
-                    - 8000
-                ).astype("<i2")
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as wf:
-                    wf.setnchannels(1)
-                    wf.setsampwidth(2)
-                    wf.setframerate(8000)
-                    wf.writeframes(i16.tobytes())
-                rows.append(
-                    {"media_id": doc_id, "content": buf.getvalue()}
-                )
-            yield pd.DataFrame(rows)
-
-    media = docs.mapInPandas(mux, "media_id long, content binary")
+    media = text_to_wav_media(load(spark, sf_dir, "documents"))
     return audio_features(media).select(
         "media_id",
         "n_samples",

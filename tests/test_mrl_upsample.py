@@ -10,7 +10,6 @@ import math
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from noaa_oracle_spark.pipeline.sampling import epoch_upsample
 from noaa_oracle_spark.pipeline.similarity import (
@@ -179,3 +178,31 @@ def test_hash_split_and_upsample_null_keys_raise(spark):
     dfw = spark.createDataFrame([(1, 1.5), (2, None)], "id long, w double")
     with pytest.raises(Exception, match="NULL"):
         epoch_upsample(dfw, "id", "w").collect()
+
+
+def test_epoch_upsample_negative_and_nan_weights_raise(spark):
+    """Negative and NaN weights are mixture bugs and raise; w == 0 is a
+    legitimate exclude and stays silent (like hash_sample)."""
+    neg = spark.createDataFrame([(1, -2.3)], "id long, w double")
+    with pytest.raises(Exception, match="negative"):
+        epoch_upsample(neg, "id", "w").collect()
+    nan = spark.createDataFrame([(1, float("nan"))], "id long, w double")
+    with pytest.raises(Exception, match="NaN"):
+        epoch_upsample(nan, "id", "w").collect()
+    zero = spark.createDataFrame([(1, 0.0), (2, 2.0)], "id long, w double")
+    rows = epoch_upsample(zero, "id", "w").collect()
+    assert sorted(r.id for r in rows) == [2, 2]
+
+
+def test_hash_split_subgrid_fraction_raises(spark):
+    """A fraction below the 1/4096 hash-grid resolution would produce a
+    permanently empty split — rejected at construction."""
+    from noaa_oracle_spark.pipeline.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="empty"):
+        hash_split(
+            df, "id",
+            splits=(("train", 0.99995), ("val", 0.00004),
+                    ("test", 0.00001)),
+        )

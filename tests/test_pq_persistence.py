@@ -82,3 +82,27 @@ def test_pq_index_geometry_validation(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="geometry"):
         load_pq_index(spark, path)
+
+
+def test_pq_index_interrupted_resave_fails_loudly(spark, emb, tmp_path):
+    """A re-save that dies after writing SAME-geometry retrained
+    codebooks but before the manifest leaves old-manifest + new-books:
+    the content fingerprint catches it (geometry alone would not)."""
+    books = pq_train(emb, m=4, k=8, iters=1)
+    enc = pq_encode(emb, books)
+    path = str(tmp_path / "resave")
+    save_pq_index(books, enc, path)
+    retrained = pq_train(emb, m=4, k=8, iters=2)  # same geometry
+    retrained.write.mode("overwrite").parquet(f"{path}/codebooks")
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_pq_index(spark, path)
+
+
+def test_pq_index_codes_count_validation(spark, emb, tmp_path):
+    books = pq_train(emb, m=4, k=8, iters=1)
+    enc = pq_encode(emb, books)
+    path = str(tmp_path / "cnt")
+    save_pq_index(books, enc, path)
+    enc.limit(10).write.mode("overwrite").parquet(f"{path}/codes")
+    with pytest.raises(ValueError, match="encoded rows"):
+        load_pq_index(spark, path)

@@ -205,3 +205,35 @@ def test_kmv_null_elements_are_outside_the_domain(spark):
     assert (row.n_sketch, row.kmv_distinct) == (40, 40.0)
     sk = kmv_sketches(df, "g", F.col("e"), k=64).collect()[0]
     assert len(sk.sketch) == 40 and None not in sk.sketch
+
+
+def test_countmin_unseen_probe_estimates_zero(spark):
+    """Probing a term the sketch never counted returns the true CMS
+    answer (0 when its cells are unpopulated, the collision mass
+    otherwise) — never a dropped row."""
+    counts = {"only": 7}
+    cells = countmin_cells(
+        _word_counts(spark, counts), count_col="n", d=4, w=4096
+    )
+    probes = spark.createDataFrame(
+        [("only",), ("never-counted",)], "term string"
+    )
+    est = {
+        r.term: r.cms_estimate
+        for r in countmin_estimate(cells, probes, d=4, w=4096).collect()
+    }
+    assert est == {"only": 7, "never-counted": 0}
+
+
+def test_sketch_parameter_validation(spark):
+    df = _group_df(spark, {"a": ["x"]})
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], F.col("e"), k=1)
+    with pytest.raises(ValueError):
+        kmv_sketches(df, "g", F.col("e"), k=0)
+    with pytest.raises(ValueError):
+        countmin_cells(_word_counts(spark, {"t": 1}), count_col="n", d=0)
+    from noaa_oracle_spark.pipeline.similarity import matryoshka_knn
+
+    with pytest.raises(ValueError):
+        matryoshka_knn(df, df, d_prefix=0)

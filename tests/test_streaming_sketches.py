@@ -83,13 +83,9 @@ def test_streaming_kmv_equals_batch_over_union(spark, tmp_path):
 
     want_mid, want_final = batch_est(b1), batch_est(b1 + b2)
     for got, want in ((mid, want_mid), (final, want_final)):
-        assert set(got) == set(want)
-        for g in want:
-            assert got[g][0] == want[g][0]  # n_sketch exact
-            # estimate: same integer hash math; the only divergence
-            # channel is the final 6-dp rounding mode (banker's vs
-            # HALF_UP), which cannot move a value more than 1e-6
-            assert abs(got[g][1] - want[g][1]) <= 1e-6, g
+        # EXACT equality: same integer hash math, and the kernel's
+        # HALF_UP decimal quantize reproduces F.round bit-for-bit
+        assert got == want
     # group b stays below k in batch 1 (exact regime), crosses later
     assert mid["b"][0] == 30 and mid["b"][1] == 30.0
     assert final["a"][0] == 64  # estimator regime for the big group

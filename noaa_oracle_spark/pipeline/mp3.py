@@ -55,13 +55,21 @@ class Mp3Error(ValueError):
 
 
 def _id3v2_size(data: bytes) -> int:
-    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    """Bytes to skip for a leading ID3v2 tag (0 if none).
+
+    The synchsafe size excludes BOTH the 10-byte header and, when the
+    ID3v2.4 footer flag (byte 5, bit 0x10) is set, the 10-byte '3DI'
+    footer — a footered tag skipped 10 short would land the sync scan
+    on the footer bytes and drop a perfectly decodable stream."""
     if len(data) >= 10 and data[:3] == b"ID3":
         ss = data[6:10]
         if all(b < 0x80 for b in ss):
-            return 10 + (
+            size = 10 + (
                 (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
             )
+            if data[5] & 0x10:
+                size += 10  # ID3v2.4 footer present
+            return size
     return 0
 
 

@@ -166,19 +166,14 @@ def _parse_track(data: bytes, s: int, e: int) -> dict | None:
         if uniform:
             track["sizes"] = [uniform] * count
         else:
+            # _read_table skips one leading word (normally version/
+            # flags) before its count word; passing v_s + 4 aligns that
+            # skipped word onto stsz's uniform-size field, the count
+            # onto sample_count (v_s + 8), and the entries onto v_s + 12
+            # — exactly the stsz layout
             track["sizes"] = [
                 r[0] for r in _read_table(data, v_s + 4, stsz[1], ">I", 4)
             ]
-            # _read_table skips the leading count word it doesn't know
-            # about; stsz has TWO leading words, so re-read properly:
-            pos = v_s + 12
-            sizes = []
-            for _ in range(count):
-                if pos + 4 > stsz[1]:
-                    break
-                sizes.append(struct.unpack_from(">I", data, pos)[0])
-                pos += 4
-            track["sizes"] = sizes
     stsc = _find(data, ss, se, b"stsc")
     track["stsc"] = (
         _read_table(data, *stsc, ">III", 12) if stsc is not None else []

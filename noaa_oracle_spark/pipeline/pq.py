@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from noaa_oracle_spark.pipeline.rounding import round_half_up
+
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -97,7 +99,7 @@ def _assign_codes(subs: DataFrame, books: "dict", id_col: str):
             for s in np.unique(sub_ids):
                 mask = sub_ids == s
                 cb = books[int(s)]  # k × sub_len
-                d = np.round(
+                d = round_half_up(
                     ((svecs[mask][:, None, :] - cb[None, :, :]) ** 2).sum(
                         axis=2
                     ),
@@ -341,7 +343,7 @@ def ivfpq_knn(
             )
             rowsq = np.asarray([qidx[int(q)] for q in qs])
             # 6-dp rounding BEFORE ranking: the suite's float convention
-            dists = np.round(
+            dists = round_half_up(
                 lut_[rowsq[:, None], subs_idx[None, :], codes].sum(axis=1),
                 6,
             )
@@ -541,7 +543,7 @@ def ivfpq_knn_residual(
             )
             rq = np.asarray([qidx[int(x)] for x in qs])
             rc = np.asarray([cidx[int(x)] for x in cells_n])
-            dists = np.round(
+            dists = round_half_up(
                 lut_[rq[:, None], rc[:, None], subs_idx[None, :], codes]
                 .sum(axis=1),
                 6,
@@ -631,7 +633,7 @@ def pq_knn(
             # BEFORE ranking (cross-engine float convention: the id
             # tiebreak must see the same ordering an oracle engine sees)
             gathered = lut_[:, subs_idx[None, :], codes]  # q × n × m
-            dists = np.round(gathered.sum(axis=2), 6)
+            dists = round_half_up(gathered.sum(axis=2), 6)
             # k+1: a query drawn from the corpus sits in some batch at
             # distance ~0; keeping one extra candidate means the post-hoc
             # self-filter can never cost a true top-k member
@@ -799,6 +801,8 @@ def covariance_matrix(
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()
     )  # dim² + dim rows — kilobytes at embedding dims
+    if not rows:
+        raise ValueError("covariance_matrix: empty corpus")
     dim = 1 + max(int(r["j"]) for r in rows)
     xtx = np.zeros((dim, dim))
     sx = np.zeros(dim)

@@ -40,8 +40,20 @@ def global_rank(
     counts — at most `n_parts` rows — are collected, prefix-summed on
     the driver, and broadcast back as offsets.  Equivalent to
     `row_number() OVER (ORDER BY ...)` without serializing the dataset
-    through a single task.  The sort keys must be deterministic and
-    total (include a unique id as the last key) so both passes agree."""
+    through a single task.
+
+    Correctness contract: the two passes evaluate `df` INDEPENDENTLY
+    (the counts collect is its own job), so the whole input FRAME — not
+    just the sort keys — must be deterministic under recomputation: no
+    `sample()` without a seed, no re-listed growing directory, no
+    stream-backed frame (a frame that changes between the jobs would
+    pair offsets from one partitioning with row_numbers from another —
+    duplicate/skipped ranks with no error).  The sort keys must also be
+    total (include a unique id as the last key).  Cost note: the
+    upstream subtree is computed twice; callers with an expensive
+    upstream that control caching may persist it first — a gate query
+    cannot (the run-twice protocol would grade cache reads, the q68
+    lesson)."""
     parts = df.repartitionByRange(n_parts, *order).withColumn(
         "_pid", F.spark_partition_id()
     )

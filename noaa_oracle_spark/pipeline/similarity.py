@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from noaa_oracle_spark.pipeline.rounding import round_half_up
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -383,7 +385,7 @@ def _sq8_candidates_numpy(
             dot = np.multiply.outer(mat_q[:, 0], mat_n[:, 0])
             for i in range(1, mat_q.shape[1]):
                 dot = dot + np.multiply.outer(mat_q[:, i], mat_n[:, i])
-            sims = np.round(dot / np.multiply.outer(nrm_q, nrm_n), 6)
+            sims = round_half_up(dot / np.multiply.outer(nrm_q, nrm_n), 6)
             sims[:, :] = np.where(
                 ids_n[None, :] == ids_q[:, None], -np.inf, sims
             )
@@ -464,7 +466,7 @@ def _knn_candidates_numpy(
             dot = np.multiply.outer(mat_q[:, 0], mat_n[:, 0])
             for i in range(1, mat_q.shape[1]):
                 dot = dot + np.multiply.outer(mat_q[:, i], mat_n[:, i])
-            sims = np.round(
+            sims = round_half_up(
                 dot / np.multiply.outer(nrm_q, nrm_n), round_digits
             )
             sims[:, :] = np.where(
@@ -1144,11 +1146,12 @@ def kmeans_assign(
     - ``backend="numpy"``: Arrow-batched mapInPandas with the same
       dimension-ordered accumulation as embedding_cosine_pairs (per-pair
       doubles are the IEEE-identical left fold), measured ~30× faster at
-      k=32/dim=64 — the large-k production path. Its one divergence from
-      the oracle is np.round's half-even vs SQL round's half-away tie
-      rule, reachable only when a cosine lands EXACTLY on a 0.5·10⁻⁶
-      boundary — measure-zero for real-valued embeddings (equality with
-      the expr backend is asserted in tests on the full test corpus).
+      k=32/dim=64 — the large-k production path. Rounding uses
+      `rounding.round_half_up` (np.round fast path + exact decimal
+      requantize on half-way candidates), so even a cosine landing
+      EXACTLY on a 0.5·10⁻⁶ boundary rounds the way F.round and DuckDB
+      round() do — no tie-rule divergence remains (equality with the
+      expr backend is asserted in tests on the full test corpus).
 
     Returns the input columns plus `cluster_id` and `cos_sim` (rounded).
     """
@@ -1269,7 +1272,7 @@ def _kmeans_assign_numpy(
             dot = np.multiply.outer(mat_p[:, 0], mat_c[:, 0])
             for i in range(1, mat_p.shape[1]):
                 dot = dot + np.multiply.outer(mat_p[:, i], mat_c[:, i])
-            sims = np.round(
+            sims = round_half_up(
                 dot / np.multiply.outer(nrm_p, nrm_c), round_digits
             )
             # argmax with lowest-cid tiebreak: cent_rows are sorted by

@@ -153,6 +153,14 @@ def quality_classifier(
     Returns (doc_id, z_milli, quality_prob, keep)."""
     w = dict(CLASSIFIER_WEIGHTS)
     if weights:
+        unknown = set(weights) - set(w)
+        if unknown:
+            # a typoed weight key would silently leave the real weight
+            # at its default — the caller believes the model changed
+            raise ValueError(
+                f"quality_classifier: unknown weight keys {sorted(unknown)}"
+                f" (known: {sorted(w)})"
+            )
         w.update(weights)
     cols = _quality_cols(text_col)
     z = (
@@ -1316,34 +1324,18 @@ def zipf_slope(docs: DataFrame, n_parts: int = 32) -> DataFrame:
 
 def ranked_word_frequencies(docs: DataFrame, n_parts: int = 32) -> DataFrame:
     """(w, n_w, rank) with the global frequency rank (count desc, word
-    asc) computed by the two-pass range-partition discipline — the
-    shared rank kernel behind zipf_slope and vocab_coverage; see
-    zipf_slope's docstring for why an empty-partition window is not an
-    option at vocabulary scale."""
-    from pyspark.sql.window import Window
+    asc) — the shared rank kernel behind zipf_slope and vocab_coverage,
+    now a thin wrapper over the generalized `profile.global_rank`
+    two-pass range-partition discipline (one distributed rank kernel to
+    maintain, not two); see zipf_slope's docstring for why an
+    empty-partition window is not an option at vocabulary scale."""
+    from noaa_oracle_spark.pipeline.profile import global_rank
 
-    wf = word_frequencies(docs)
-    parts = wf.repartitionByRange(
-        n_parts, F.desc("n_w"), F.asc("w")
-    ).withColumn("_pid", F.spark_partition_id())
-    local = parts.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(F.desc("n_w"), F.asc("w"))
-        ),
-    )
-    counts = sorted(
-        (r["_pid"], r["c"])
-        for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    )  # ≤ n_parts rows — small by construction
-    offsets, running = [], 0
-    for pid, c in counts:
-        offsets.append((pid, running))
-        running += c
-    off_df = docs.sparkSession.createDataFrame(offsets, "_pid int, _off long")
-    return local.join(F.broadcast(off_df), "_pid").select(
-        "w", "n_w", (F.col("_off") + F.col("_rn")).alias("rank")
-    )
+    return global_rank(
+        word_frequencies(docs),
+        [F.desc("n_w"), F.asc("w")],
+        n_parts=n_parts,
+    ).select("w", "n_w", "rank")
 
 
 def vocab_coverage(docs: DataFrame, top_k: int = 1000) -> DataFrame:

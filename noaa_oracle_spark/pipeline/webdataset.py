@@ -309,7 +309,17 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
                             data = tar.extractfile(member).read()
                             entry = samples.setdefault(key, {})
                             if ext == "json":
-                                entry["meta"] = json.loads(data)
+                                # a bit-flipped sidecar is a per-sample
+                                # defect, not a task failure: drop the
+                                # meta, let the sample fall to the
+                                # incomplete-sample rule below
+                                try:
+                                    entry["meta"] = json.loads(data)
+                                except (
+                                    json.JSONDecodeError,
+                                    UnicodeDecodeError,
+                                ):
+                                    pass
                             else:
                                 entry["blob"] = data
                                 entry["ext"] = ext
@@ -326,7 +336,16 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
                 }
                 for key in sorted(samples):
                     s = samples[key]
-                    meta = s.get("meta", {})
+                    # incomplete-sample rule: the writer emits the blob
+                    # BEFORE its .json sidecar, so a truncation (or a
+                    # corrupt sidecar) can leave a blob with no meta —
+                    # such a sample has no media_id/kind to honor
+                    # MEDIA_SCHEMA's non-null columns and is not
+                    # salvageable; skip it (the salvaged prefix is the
+                    # COMPLETE samples)
+                    if "meta" not in s:
+                        continue
+                    meta = s["meta"]
                     out["media_id"].append(meta.get("media_id"))
                     out["kind"].append(meta.get("kind"))
                     out["content"].append(s.get("blob"))

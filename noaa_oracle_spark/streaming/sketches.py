@@ -44,14 +44,16 @@ _KMV_STATE_SCHEMA = T.StructType(
 
 
 def _round6_half_up(x: float) -> float:
-    """Spark's F.round on DOUBLE is BigDecimal HALF_UP over the exact
-    binary value; Python's round() is banker's.  Quantizing the exact
-    Decimal of the double reproduces Spark's result bit-for-bit, which
-    is what makes the streaming estimate EQUAL the batch one."""
+    """Spark's F.round on DOUBLE is BigDecimal HALF_UP over the double's
+    SHORTEST DECIMAL REPR (BigDecimal.valueOf semantics — see
+    pipeline/rounding.py for the measurement); Python's round() is
+    banker's.  Quantizing Decimal(repr(x)) reproduces Spark's result
+    bit-for-bit, which is what makes the streaming estimate EQUAL the
+    batch one."""
     import decimal
 
     return float(
-        decimal.Decimal(x).quantize(
+        decimal.Decimal(repr(x)).quantize(
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )

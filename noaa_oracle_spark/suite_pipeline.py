@@ -1849,6 +1849,7 @@ def q108_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, member order, names, and sizes are all pure functions of
     the source table — which is what makes the tar layout SQL-oracle-able
     even though tar BYTES are not."""
+    import os
     import tempfile
 
     from noaa_oracle_spark.pipeline.webdataset import (
@@ -1865,7 +1866,17 @@ def q108_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    dest = tempfile.mkdtemp(prefix="noaa_wds_gate_")
+    # fixed per-sf destination, rebuilt in place: the grading/bench
+    # protocols call each gate several times (warm-up + timed + mirror),
+    # and a fresh mkdtemp per call would leak corpus-sized shard dirs
+    import hashlib
+    import shutil
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "noaa_wds_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(dest, ignore_errors=True)
     write_webdataset_shards(media, dest, samples_per_shard=64, salt="wds")
     return read_webdataset_member_manifest(spark, dest)
 

@@ -47,6 +47,27 @@ def test_id3v2_skip_and_truncation_prefix():
     assert len(parse_mp3(blob[:cut])["frames"]) == 6
 
 
+def test_id3v24_footer_flag_skips_extra_ten_bytes():
+    """An ID3v2.4 tag with the footer flag (byte 5, bit 0x10) occupies
+    header(10) + size + footer(10); skipping it 10 short lands the sync
+    scan on the '3DI' footer and drops a decodable stream."""
+    frames = build_mp3(4)
+    body = 40
+    tag = (
+        b"ID3"
+        + bytes([4, 0, 0x10])  # v2.4, footer flag set
+        + bytes(
+            [(body >> 21) & 0x7F, (body >> 14) & 0x7F,
+             (body >> 7) & 0x7F, body & 0x7F]
+        )
+        + bytes(body)
+        + b"3DI" + bytes([4, 0, 0x10]) + bytes(4)  # 10-byte footer
+    )
+    info = parse_mp3(tag + frames)
+    assert len(info["frames"]) == 4
+    assert info["frames"][0]["offset"] == 10 + body + 10
+
+
 def test_not_mp3_raises():
     with pytest.raises(Mp3Error):
         parse_mp3(b"")

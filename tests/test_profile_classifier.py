@@ -313,3 +313,10 @@ def test_hash_split_validation(spark):
         hash_split(docs, "doc_id", splits=(("all", 1.0),))
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", splits=(("a", 0.7), ("b", 0.2)))
+
+
+def test_classifier_rejects_unknown_weight_keys(spark):
+    """A typoed weight key would silently leave the real weight at its
+    default — rejected loudly instead."""
+    with pytest.raises(ValueError, match="unknown weight"):
+        quality_classifier(_docs(spark), weights={"stop_permile": 20})

@@ -212,6 +212,69 @@ def test_reader_salvages_truncated_shard(spark, media, tmp_path):
     assert 802 not in by_id or by_id[802].content is None
 
 
+def test_reader_truncation_between_blob_and_sidecar(spark, tmp_path):
+    """The WRITER's member order is blob-then-sidecar, so a cut landing
+    between a sample's .bin and its .json leaves a blob with no meta —
+    such a sample has no media_id/kind to honor MEDIA_SCHEMA's non-null
+    columns and must be SKIPPED (the salvaged prefix is the complete
+    samples), never emitted with NULL media_id."""
+    import io
+    import tarfile
+
+    d = str(tmp_path / "wds")
+    os.makedirs(d)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        members = [
+            ("sample-0.bin", b"a" * 600),
+            ("sample-0.json", b'{"media_id": 700, "kind": "text"}'),
+            ("sample-1.bin", b"b" * 600),
+            ("sample-1.json", b'{"media_id": 701, "kind": "text"}'),
+        ]
+        offsets = []
+        for name, data in members:
+            offsets.append(buf.tell())
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    whole = buf.getvalue()
+    # cut right after sample-1.bin's data, before sample-1.json's header
+    cut = offsets[3]
+    with open(os.path.join(d, "shard-0000.tar"), "wb") as fh:
+        fh.write(whole[:cut])
+    back = read_webdataset_shards(spark, d).collect()
+    assert [r.media_id for r in back] == [700]  # sample-1 skipped whole
+    assert all(r.media_id is not None and r.kind is not None for r in back)
+
+
+def test_reader_skips_sample_with_corrupt_sidecar(spark, tmp_path):
+    """A bit-flipped .json sidecar is a per-sample defect: the sample is
+    dropped, the rest of the shard parses, the task survives (previously
+    json.JSONDecodeError escaped the TarError-only except and killed the
+    whole task)."""
+    import io
+    import tarfile
+
+    d = str(tmp_path / "wds")
+    os.makedirs(d)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name, data in [
+            ("sample-0.bin", b"good"),
+            ("sample-0.json", b'{"media_id": 710, "kind": "text"}'),
+            ("sample-1.bin", b"bad-meta"),
+            ("sample-1.json", b'{"media_id": 711, "ki\xff\xfe GARBAGE'),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    with open(os.path.join(d, "shard-0000.tar"), "wb") as fh:
+        fh.write(buf.getvalue())
+    back = read_webdataset_shards(spark, d).collect()
+    assert [r.media_id for r in back] == [710]
+    assert bytes(back[0].content) == b"good"
+
+
 def test_streaming_member_manifest_incremental(spark, media, tmp_path):
     """The streaming manifest twin: shards arriving across micro-batches
     manifest incrementally (file-source ledger = the state), and the

@@ -121,7 +121,7 @@ def parse_mp3(data: bytes) -> dict:
     ends the walk at the parsed prefix."""
     pos = _id3v2_size(data)
     frames: list[dict] = []
-    total_samples = 0
+    dur_us = 0
     rate = None
     while pos + 4 <= len(data):
         if data[pos : pos + 3] == b"TAG":  # ID3v1 trailer
@@ -138,12 +138,16 @@ def parse_mp3(data: bytes) -> dict:
                 "samples": hdr["samples"],
             }
         )
-        total_samples += hdr["samples"]
+        # accumulate duration per frame: a stream may legally switch
+        # sample rates mid-way (e.g. MPEG1/MPEG2 transition), so the
+        # grand total of samples over the LAST frame's rate would be
+        # wrong; integer microseconds avoid float drift
+        dur_us += hdr["samples"] * 1_000_000 // hdr["sample_rate"]
         rate = hdr["sample_rate"]
         pos += hdr["size"]
     if not frames:
         raise Mp3Error("no valid MPEG audio frame")
-    dur_ms = total_samples * 1000 // rate
+    dur_ms = dur_us // 1000
     avg = sum(f["bitrate"] for f in frames) // len(frames)
     return {
         "frames": frames,

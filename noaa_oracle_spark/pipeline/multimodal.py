@@ -381,10 +381,13 @@ def text_to_wav_media(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 # vectorized ord(): latin-1 bytes ARE the codepoints for
                 # the ascii range — no per-char Python loop
+                try:
+                    raw = text.encode("latin-1")
+                except UnicodeEncodeError:
+                    continue  # degrade per row: a non-latin-1 document
+                    # drops one clip, it must not kill the task
                 i16 = (
-                    np.frombuffer(text.encode("latin-1"), np.uint8)
-                    .astype(np.int32)
-                    * 129
+                    np.frombuffer(raw, np.uint8).astype(np.int32) * 129
                     - 8000
                 ).astype("<i2")
                 buf = io.BytesIO()

@@ -27,53 +27,131 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _sort_col(expr: Column, direction: str) -> Column:
+    if direction == "asc":
+        return expr.asc()
+    if direction == "desc":
+        return expr.desc()
+    raise ValueError(f"direction must be 'asc' or 'desc', got {direction!r}")
+
+
+def _after(key: Column, bound: Column, direction: str) -> Column:
+    """True iff `key` sorts strictly AFTER `bound` under `direction`,
+    with Spark's default null placement (asc = nulls first, desc =
+    nulls last)."""
+    if direction == "asc":
+        return key.isNotNull() & (bound.isNull() | (key > bound))
+    return bound.isNotNull() & (key.isNull() | (key < bound))
+
+
+def _key_after_boundary(
+    keys: "list[Column]", bounds: "list[Column]", dirs: "list[str]"
+) -> Column:
+    """Lexicographic 'row key sorts strictly after boundary tuple'."""
+    pred = F.lit(False)
+    for j in range(len(keys) - 1, -1, -1):
+        pred = _after(keys[j], bounds[j], dirs[j]) | (
+            keys[j].eqNullSafe(bounds[j]) & pred
+        )
+    return pred
+
+
 def global_rank(
     df: DataFrame,
-    order: "list[Column]",
+    order: "list[tuple[Column | str, str]]",
     n_parts: int = 32,
     rank_col: str = "rank",
 ) -> DataFrame:
     """Scale-safe global row_number over arbitrary sort keys.
 
-    Two passes: (1) `repartitionByRange` on the keys + per-partition
-    row_number (each task sorts only its range slice); (2) per-partition
-    counts — at most `n_parts` rows — are collected, prefix-summed on
-    the driver, and broadcast back as offsets.  Equivalent to
+    `order` is a list of ``(column, 'asc'|'desc')`` pairs (explicit
+    direction — the kernel needs the plain key expression separately
+    from its sort direction to build deterministic bucket boundaries,
+    see below).
+
+    Two passes: (1) `repartitionByRange` on the keys; each task sorts
+    only its range slice, and per partition we collect ONE row — its
+    row count and its last (maximum-under-the-ordering) key tuple — at
+    most `n_parts` rows on the driver; (2) every row is assigned a
+    bucket by comparing its key tuple against those collected boundary
+    tuples AS LITERALS, ranked within its bucket by `row_number`, and
+    offset by the prefix-summed pass-1 counts.  Equivalent to
     `row_number() OVER (ORDER BY ...)` without serializing the dataset
     through a single task.
 
+    Why literal boundaries (round-6 advisor finding, empirically
+    confirmed at 300k rows): `repartitionByRange` SAMPLES its range
+    boundaries with a seed derived from the RDD id, so two separate
+    jobs over the same lineage can land on DIFFERENT partition
+    boundaries — offsets computed from one partitioning would pair with
+    row_numbers from another, yielding silently duplicated/skipped
+    ranks.  Freezing the observed pass-1 boundaries into literal
+    expressions makes the pass-2 bucket a PURE FUNCTION OF THE ROW:
+    pass-1 counts are per key-range (a range partitioner places equal
+    keys in one partition, and every key in partition p+1 sorts
+    strictly after partition p's maximum), so the literal-boundary
+    bucket reproduces the pass-1 partition index exactly, on every
+    re-evaluation.
+
     Correctness contract: the two passes evaluate `df` INDEPENDENTLY
-    (the counts collect is its own job), so the whole input FRAME — not
-    just the sort keys — must be deterministic under recomputation: no
-    `sample()` without a seed, no re-listed growing directory, no
-    stream-backed frame (a frame that changes between the jobs would
-    pair offsets from one partitioning with row_numbers from another —
-    duplicate/skipped ranks with no error).  The sort keys must also be
-    total (include a unique id as the last key).  Cost note: the
-    upstream subtree is computed twice; callers with an expensive
+    (the pass-1 collect is its own job), so the input FRAME must be
+    deterministic under recomputation: no `sample()` without a seed, no
+    re-listed growing directory, no stream-backed frame.  The sort keys
+    must be total (include a unique id as the last key).  Cost notes:
+    the upstream subtree is computed twice (callers with an expensive
     upstream that control caching may persist it first — a gate query
-    cannot (the run-twice protocol would grade cache reads, the q68
-    lesson)."""
-    parts = df.repartitionByRange(n_parts, *order).withColumn(
+    cannot: the run-twice protocol would grade cache reads, the q68
+    lesson); the bucket predicate inlines O(n_parts * n_keys)
+    comparisons, sized for n_parts in the tens, not thousands."""
+    keys = [F.col(c) if isinstance(c, str) else c for c, _ in order]
+    dirs = [d for _, d in order]
+    sort_cols = [_sort_col(k, d) for k, d in zip(keys, dirs)]
+
+    # Pass 1: range-partition, and per partition collect (count, boundary
+    # key tuple).  max_by(_rn) picks the partition's last row under the
+    # ordering; <= n_parts rows ever reach the driver.
+    parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     local = parts.withColumn(
         "_rn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*order)),
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols)),
     )
-    counts = sorted(
-        (r["_pid"], r["c"])
-        for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-    )  # <= n_parts rows — small by construction
+    info = sorted(
+        (r["_pid"], r["c"], r["_bk"])
+        for r in local.groupBy("_pid")
+        .agg(
+            F.count("*").alias("c"),
+            F.max_by(F.struct(*keys), F.col("_rn")).alias("_bk"),
+        )
+        .collect()
+    )
+
+    # Boundaries = the last-key tuple of every non-empty partition except
+    # the final one; offsets = prefix sums of the counts, keyed by the
+    # non-empty-partition ordinal (== the pass-2 bucket id).
+    boundaries = [row for _, _, row in info[:-1]]
     offsets, running = [], 0
-    for pid, c in counts:
-        offsets.append((pid, running))
+    for bucket_id, (_, c, _) in enumerate(info):
+        offsets.append((bucket_id, running))
         running += c
-    off = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    off = df.sparkSession.createDataFrame(offsets, "_bucket int, _off long")
+
+    bucket = F.lit(0)
+    for b in boundaries:
+        lits = [F.lit(b[i]) for i in range(len(keys))]
+        bucket = bucket + _key_after_boundary(keys, lits, dirs).cast("int")
+    local2 = df.withColumn("_bucket", bucket)
+    ranked = local2.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_bucket").orderBy(*sort_cols)
+        ),
+    )
     return (
-        local.join(F.broadcast(off), "_pid")
+        ranked.join(F.broadcast(off), "_bucket")
         .withColumn(rank_col, F.col("_off") + F.col("_rn"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_bucket", "_rn", "_off")
     )
 
 
@@ -123,7 +201,7 @@ def length_batches(
     pad_waste)."""
     ranked = global_rank(
         docs.select("doc_id", "n_chars"),
-        [F.asc("n_chars"), F.asc("doc_id")],
+        [("n_chars", "asc"), ("doc_id", "asc")],
         n_parts=n_parts,
     )
     batches = ranked.withColumn(

@@ -1333,7 +1333,7 @@ def ranked_word_frequencies(docs: DataFrame, n_parts: int = 32) -> DataFrame:
 
     return global_rank(
         word_frequencies(docs),
-        [F.desc("n_w"), F.asc("w")],
+        [("n_w", "desc"), ("w", "asc")],
         n_parts=n_parts,
     ).select("w", "n_w", "rank")
 
@@ -1401,7 +1401,7 @@ def perplexity_buckets(
     scores = unigram_logprob(docs, text_col=text_col, id_col=id_col)
     ranked = global_rank(
         scores,
-        [F.desc("logprob"), F.asc(id_col)],
+        [("logprob", "desc"), (id_col, "asc")],
         n_parts=n_parts,
         rank_col="_rank",
     )

@@ -206,7 +206,11 @@ def _parse_member_manifest(
         }
         for _, row in pdf.iterrows():
             name = posixpath.basename(row["path"])
-            sid = int(name[len("shard-") : -len(".tar")])
+            try:
+                sid = int(name[len("shard-") : -len(".tar")])
+            except ValueError:
+                continue  # non-numeric infix (e.g. a partial writer's
+                # shard-tmp.tar): skip the file, like corrupt tars
             try:
                 with tarfile.open(
                     fileobj=io.BytesIO(bytes(row["content"]))

@@ -37,6 +37,21 @@ def test_walk_counts_frames_and_duration():
     assert info["avg_bitrate"] == 192000
 
 
+def test_mixed_sample_rate_duration_accumulates_per_frame():
+    """Round-6 ADVICE (low): a stream that legally switches sample rate
+    mid-way must not have its duration computed as grand-total samples
+    over the LAST frame's rate — duration accumulates per frame."""
+    a = build_mp3(10, bitrate_kbps=128, sample_rate=32000)  # MPEG1 ladder
+    b = build_mp3(10, bitrate_kbps=128, sample_rate=44100)
+    info = parse_mp3(a + b)
+    assert len(info["frames"]) == 20
+    want = (
+        10 * (1152 * 1_000_000 // 32000) + 10 * (1152 * 1_000_000 // 44100)
+    ) // 1000
+    assert want == 621  # old last-rate math would have said 522
+    assert info["duration_ms"] == want
+
+
 def test_id3v2_skip_and_truncation_prefix():
     blob = build_mp3(10, id3v2_bytes=77)
     info = parse_mp3(blob)

@@ -161,6 +161,20 @@ def test_video_ppmstream_subsampling(spark):
     assert sorted(r.frame_index for r in out) == [0, 3, 6, 9]
 
 
+def test_text_to_wav_drops_non_latin1_rows(spark):
+    """Round-6 ADVICE (low): a non-latin-1 character must drop that one
+    clip (per-row degrade), not raise UnicodeEncodeError and kill the
+    whole task."""
+    from noaa_oracle_spark.pipeline.multimodal import text_to_wav_media
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "snowman ☃ here"), (3, "ok")],
+        "doc_id long, text string",
+    )
+    got = sorted(r.media_id for r in text_to_wav_media(docs).collect())
+    assert got == [1, 3]
+
+
 def test_audio_features_roundtrip_and_corrupt(spark):
     """audio_features over real WAV blobs: integer features match numpy
     computed from the source samples; corrupt blobs yield NULL features

@@ -34,7 +34,7 @@ def test_global_rank_matches_single_node_row_number(spark):
     got = {
         r.id: r.rank
         for r in global_rank(
-            df, [F.asc("v"), F.asc("id")], n_parts=7
+            df, [("v", "asc"), ("id", "asc")], n_parts=7
         ).collect()
     }
     want = {
@@ -48,10 +48,63 @@ def test_global_rank_invariant_to_input_partitioning(spark):
     rows = [(i, (i * 37) % 101) for i in range(200)]
     df1 = spark.createDataFrame(rows, "id long, v long").repartition(13)
     df2 = spark.createDataFrame(rows, "id long, v long").coalesce(1)
-    order = [F.desc("v"), F.asc("id")]
+    order = [("v", "desc"), ("id", "asc")]
     r1 = sorted(map(tuple, global_rank(df1, order, n_parts=5).collect()))
     r2 = sorted(map(tuple, global_rank(df2, order, n_parts=3).collect()))
     assert r1 == r2
+
+
+def test_global_rank_permutation_at_scale(spark):
+    """Round-6 advisor regression (ADVICE high): the old kernel's two
+    jobs could land on DIFFERENT sampled range boundaries, silently
+    duplicating/skipping ranks — empirically reproduced at 300k rows.
+    The literal-boundary kernel must produce an exact permutation
+    1..n at that scale."""
+    n = 300_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 1000).alias("v"),
+    )
+    ranked = global_rank(df, [("v", "asc"), ("id", "asc")], n_parts=32)
+    row = ranked.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rank").alias("d"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    ).collect()[0]
+    assert (row.n, row.d, row.lo, row.hi) == (n, n, 1, n)
+
+
+def test_global_rank_desc_string_and_null_keys(spark):
+    """Exercise the boundary predicate's desc branch on strings and
+    Spark's default null placement (asc = nulls first, desc = nulls
+    last) — the literal-boundary comparison must agree with the sort."""
+    rnd = random.Random(23)
+    words = ["ash", "birch", "cedar", "oak", "pine", None]
+    rows = [(i, rnd.choice(words)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w string")
+
+    def keyfn(t, desc):
+        # desc: non-null first (reverse alpha), nulls last; asc: nulls first
+        if desc:
+            return ((t[1] is None, "" if t[1] is None else _neg(t[1])), t[0])
+        return ((t[1] is not None, t[1] or ""), t[0])
+
+    def _neg(s):
+        return tuple(-ord(c) for c in s)
+
+    for direction, desc in (("asc", False), ("desc", True)):
+        got = {
+            r.id: r.rank
+            for r in global_rank(
+                df, [("w", direction), ("id", "asc")], n_parts=5
+            ).collect()
+        }
+        want = {
+            t[0]: i + 1
+            for i, t in enumerate(sorted(rows, key=lambda t: keyfn(t, desc)))
+        }
+        assert got == want, direction
 
 
 def test_source_percentiles_match_numpy(spark):

@@ -177,6 +177,29 @@ def test_member_manifest_matches_shards(spark, media, tmp_path):
     assert total_blob == expect
 
 
+def test_member_manifest_skips_non_numeric_shard_infix(spark, media, tmp_path):
+    """Round-6 ADVICE (low): a glob-matching file whose shard infix is
+    not numeric (a partial writer's shard-tmp.tar) must be skipped like
+    a corrupt tar, not fail the task."""
+    import shutil
+
+    from noaa_oracle_spark.pipeline.webdataset import (
+        read_webdataset_member_manifest,
+    )
+
+    d = str(tmp_path / "wds")
+    write_webdataset_shards(media, d, samples_per_shard=10)
+    before = sorted(
+        map(tuple, read_webdataset_member_manifest(spark, d).collect())
+    )
+    src = os.path.join(d, sorted(os.listdir(d))[0])
+    shutil.copy(src, os.path.join(d, "shard-tmp.tar"))
+    after = sorted(
+        map(tuple, read_webdataset_member_manifest(spark, d).collect())
+    )
+    assert after == before
+
+
 def test_reader_salvages_truncated_shard(spark, media, tmp_path):
     """A TRUNCATED tar opens fine and only fails during member iteration
     (r5 advice — tarfile.ReadError inside getmembers/extractfile, not

@@ -53,7 +53,19 @@ def main() -> None:
     for name in sorted(qs):
         run(name)
 
-    timings = {name: round(run(name), 3) for name in sorted(qs)}
+    # Min-of-N protocol (round-6 verdict): a single warm pass carries
+    # ±7–20% machine-state noise per query (two identical-protocol r6
+    # runs differed 7% on unchanged code), so round-over-round diffs
+    # flagged weather, not code.  Taking the per-query MIN over >=2
+    # timed passes keeps the series comparable across rounds.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    timings: dict[str, float] = {}
+    for _ in range(reps):
+        for name in sorted(qs):
+            t = run(name)
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+    timings = {name: round(t, 3) for name, t in timings.items()}
     total = sum(timings.values())
 
     print(
@@ -64,7 +76,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "mode": "warm",
+                "mode": f"warm-min{reps}",
                 "n_queries": len(timings),
             }
         )

@@ -90,11 +90,20 @@ def test_no_query_modified_since_grade():
     window = set(entry._GRADE_FIRST[:50])
     drifted = []
     for name, h in current.items():
-        if name in window:
-            continue  # being (re-)graded this round; ledger refreshed at write time
         recorded = ledger.get(name)
-        if recorded is None:
+        if recorded == h:
+            continue
+        if name in window:
+            # r6 verdict ask #9: the ledger is only as good as its refresh
+            # discipline — an edited/new WINDOW name must have its hash
+            # re-recorded in the SAME commit, or the post-grade drift
+            # check above has nothing trustworthy to compare against.
+            drifted.append(
+                (name, "window name not refreshed — run "
+                 "python -m noaa_oracle_spark.grade_hashes")
+            )
+        elif recorded is None:
             drifted.append((name, "no recorded hash and not in window"))
-        elif recorded != h:
+        else:
             drifted.append((name, "source or oracle changed since last grade"))
-    assert not drifted, f"modified since last driver grade: {drifted}"
+    assert not drifted, f"ledger drift: {drifted}"

@@ -23,6 +23,7 @@ is the thin request/response shell the reference serves with axum
 | GET /oracle/events/{id}/entries/{entry_id} | oracle_routes.rs:160-180      |
 | POST /oracle/update               | oracle_routes.rs:185-207 (update_data) |
 | GET /oracle/update/{process_id}   | (status poll — twin extension)         |
+| POST /search/knn                  | (PQ-index vector serve — extension)    |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
 status) + etl.run_scoring_cycle (the reference's Oracle::etl_data,
@@ -238,6 +239,31 @@ def make_handler(
     update_tasks: dict[int, dict] = {}
     tasks_lock = threading.Lock()
 
+    # POST /search/knn index registry: path → loaded index dict.  The
+    # whole point of save_pq_index is train-once/serve-many — the load
+    # (manifest validation + two bounded counts) happens on a path's
+    # FIRST query, then every request scores against the cached frames.
+    # A re-saved index under a cached path is picked up by passing
+    # {"reload": true} (the manifest fingerprint check in load_pq_index
+    # keeps a torn re-save from ever being served).
+    pq_indexes: dict[str, dict] = {}
+    pq_lock = threading.Lock()
+
+    def get_pq_index(path: str, reload: bool = False) -> dict:
+        from noaa_oracle_spark.pipeline.pq import load_pq_index
+
+        with pq_lock:
+            if reload or path not in pq_indexes:
+                try:
+                    pq_indexes[path] = load_pq_index(spark, path)
+                except ValueError:
+                    raise  # consistency violations surface as 400s
+                except Exception as exc:  # unreadable/missing directory
+                    raise BadRequest(
+                        f"cannot load PQ index at {path!r}: {exc}"
+                    ) from exc
+            return pq_indexes[path]
+
     def run_update(pid: int) -> None:
         from noaa_oracle_spark.etl import run_scoring_cycle
 
@@ -375,6 +401,8 @@ def make_handler(
                     self._add_entries(unquote(eid))
                 elif path == "/oracle/update":
                     self._kick_update()
+                elif path == "/search/knn":
+                    self._search_knn()
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
@@ -545,6 +573,69 @@ def make_handler(
                 return
             self._send_json(
                 json.dumps({"etl_process_id": pid, **state}).encode()
+            )
+
+        def _search_knn(self) -> None:
+            """POST /search/knn — serve a SAVED PQ index (r6 verdict ask
+            #6): body {"index_path": ..., "vector": [...], "k": 5,
+            "reload": false}.  The index is loaded (and fingerprint-
+            validated) once per path and cached; each request then runs
+            flat ADC (`pq_knn`) against the persisted codebooks + codes
+            — no training, no corpus vectors, the train-once/serve-many
+            contract the persistence layer exists for."""
+            from noaa_oracle_spark.pipeline.pq import pq_knn
+
+            body = self._read_json_body()
+            index_path = body.get("index_path")
+            if not isinstance(index_path, str) or not index_path:
+                raise BadRequest("index_path (string) is required")
+            vec = body.get("vector")
+            if (
+                not isinstance(vec, list)
+                or not vec
+                or not all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in vec
+                )
+            ):
+                raise BadRequest("vector (non-empty number array) is required")
+            k = body.get("k", 5)
+            if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+                raise BadRequest("k must be a positive integer")
+            idx = get_pq_index(index_path, reload=bool(body.get("reload")))
+            dim = int(idx["manifest"].dim)
+            if len(vec) != dim:
+                raise BadRequest(
+                    f"vector has {len(vec)} dims, index expects {dim}"
+                )
+            # id -1 cannot collide with corpus ids, so pq_knn's
+            # self-pair filter (q_id != n_id) never drops a neighbor
+            queries = spark.createDataFrame(
+                [(-1, [float(x) for x in vec])],
+                "vec_id long, embedding array<double>",
+            )
+            rows = sorted(
+                pq_knn(
+                    queries, idx["codes"], idx["codebooks"], k=k
+                ).collect(),
+                key=lambda r: r.rank,
+            )
+            self._send_json(
+                json.dumps(
+                    {
+                        "k": k,
+                        "metric": idx["manifest"].metric,
+                        "n_encoded": int(idx["manifest"].n_encoded),
+                        "neighbors": [
+                            {
+                                "rank": r.rank,
+                                "vec_id": r.n_id,
+                                "adc_dist": r.adc_dist,
+                            }
+                            for r in rows
+                        ],
+                    }
+                ).encode()
             )
 
         def _upload(self, file_name: str) -> None:

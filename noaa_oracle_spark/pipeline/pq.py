@@ -377,6 +377,7 @@ def ivfpq_knn_residual(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    geometry_guard: bool = False,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the accuracy-coupled FAISS form:
     each vector is assigned to its nearest coarse cell and its RESIDUAL
@@ -397,11 +398,40 @@ def ivfpq_knn_residual(
     Lloyd rounds (0 = seed codebooks, the SQL-oracle-able form).
 
     Returns (q_id, rank, n_id, adc_dist) with the suite's 6-dp
-    rounded-before-ranking float convention."""
+    rounded-before-ranking float convention.
+
+    Geometry rule (measured, SCALE.md 1M ladder): residual encoding WINS
+    on clustered corpora (recall 0.056 vs plain ivfpq 0.002) and LOSES
+    on isotropic ones (0.010 vs sq8's 0.978) — residuals of random cells
+    are ~√2× as wide as the vectors themselves.  Pass
+    ``geometry_guard=True`` to have `similarity.cell_geometry` measure
+    the between/within-cell variance ratio (two extra bounded jobs) and
+    warn when it is below 1.0, i.e. when flat PQ / SQ8 is the right
+    tier; the default stays off so index-build plans and benches are
+    unchanged."""
+    import warnings
+
     import numpy as np
     import pandas as pd
 
-    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+    from noaa_oracle_spark.pipeline.similarity import (
+        cell_geometry,
+        kmeans_assign,
+    )
+
+    if geometry_guard:
+        geo = cell_geometry(
+            corpus, cell_centroids, id_col=id_col, vec_col=vec_col
+        )
+        if geo["ratio"] < 1.0:
+            warnings.warn(
+                "ivfpq_knn_residual: between/within cell variance ratio "
+                f"{geo['ratio']:.3f} < 1.0 — cells capture little "
+                "structure (isotropic geometry); residual encoding "
+                "measured WORSE than flat PQ/SQ8 here, prefer those "
+                "tiers (SCALE.md quantization ladder)",
+                stacklevel=2,
+            )
 
     spark = corpus.sparkSession
     dim = _dim_of(corpus, vec_col)

@@ -118,6 +118,7 @@ def matryoshka_knn(
     vec_col: str = "embedding",
     round_digits: int = 6,
     backend: str = "expr",
+    geometry_guard: bool = False,
 ) -> DataFrame:
     """Matryoshka prefix-truncation retrieval (MRL, Kusupati et al.
     NeurIPS 2022): embeddings trained with the matryoshka loss keep
@@ -135,9 +136,31 @@ def matryoshka_knn(
     Scale shape: the slice is map-side on both streams; ranking is
     `brute_force_knn`'s broadcast-queries kernel on the short vectors;
     the full-dimension score touches only the k·|queries| selected
-    pairs, broadcast against one pass over the corpus vectors."""
+    pairs, broadcast against one pass over the corpus vectors.
+
+    Geometry rule (measured, SCALE.md 1M ladder): prefix ranking only
+    works when the embedding front-loads information (actual MRL
+    training); on isotropic embeddings recall collapses to the 0.004–
+    0.036 floor.  Pass ``geometry_guard=True`` to have `prefix_energy`
+    (one extra bounded job) warn when the first `d_prefix` dims carry
+    less than 2× their uniform share of the variance — the signature of
+    an un-MRL-trained embedding; default off keeps plans unchanged."""
     if d_prefix < 1:
         raise ValueError(f"matryoshka_knn: d_prefix must be >= 1, got {d_prefix}")
+    if geometry_guard:
+        import warnings
+
+        pe = prefix_energy(corpus, d_prefix, vec_col=vec_col)
+        if pe["energy"] < 2.0 * pe["uniform_floor"]:
+            warnings.warn(
+                "matryoshka_knn: first "
+                f"{d_prefix}/{pe['dim']} dims carry {pe['energy']:.3f} "
+                f"of the variance (uniform floor {pe['uniform_floor']:.3f})"
+                " — no matryoshka front-loading detected; prefix "
+                "retrieval measured at the recall floor on such "
+                "embeddings (SCALE.md quantization ladder)",
+                stacklevel=2,
+            )
     pre = F.slice(F.col(vec_col), 1, d_prefix)
     top = brute_force_knn(
         queries.withColumn(vec_col, pre),
@@ -1367,3 +1390,137 @@ def lloyd_refine(
         [(cid, vec) for cid, vec in sorted(cent.items())],
         f"{id_col} long, {vec_col} array<double>",
     )
+
+
+def cell_geometry(
+    corpus: DataFrame,
+    cell_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "numpy",
+) -> dict:
+    """Inter/intra-cell variance diagnostic for the quantization ladder
+    (round-6 verdict ask: make the measured "pick tier by geometry" rule
+    machine-visible instead of docstring folklore).
+
+    The 1M-vector ladder (SCALE.md) measured that residual IVF-PQ and
+    low-dim Matryoshka prefixes WIN on clustered embeddings and LOSE
+    badly on isotropic ones (residual recall 0.056 clustered vs 0.010
+    isotropic): when cells capture no structure, residuals are as wide
+    as the raw vectors and the extra machinery only adds quantization
+    stages.  The scree for that rule is the classic scatter
+    decomposition  total = within + between:
+
+        within  = avg ||x − c(assign(x))||²   (intra-cell variance)
+        between = total − within              (inter-cell variance)
+        ratio   = between / within
+
+    Isotropic data gives ratio ≈ 0 (cells explain nothing); clustered
+    data gives ratio ≫ 0.  Callers should prefer the residual /
+    prefix-truncation tiers only when ratio is comfortably positive
+    (the ladder's measured crossover is around 1.0 — see
+    `ivfpq_knn_residual(geometry_guard=True)`).
+
+    Plan shape: one zero-shuffle assign (numpy backend), then ONE hash
+    aggregation producing a single row — the global mean rides along as
+    a per-dimension `avg` inside the same agg (no second corpus scan):
+    total is recovered from E||x||² − ||E x||² driver-side.  Collects
+    one row; nothing grows with corpus size."""
+    import math
+
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in cell_centroids.select(id_col, vec_col).collect()
+    )
+    if not cent_rows:
+        raise ValueError("cell_geometry: empty centroid set")
+    assigned = kmeans_assign(
+        corpus.select(id_col, vec_col),
+        cell_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        backend=backend,
+    )
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(cid) for cid, _ in cent_rows]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _, vec in cent_rows
+            ]
+        ),
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    resid2 = F.aggregate(
+        F.zip_with(
+            vec_d,
+            F.element_at(cent_map, F.col("cluster_id").cast("int")),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = F.aggregate(
+        F.transform(vec_d, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dim = len(cent_rows[0][1])
+    row = assigned.agg(
+        F.count("*").alias("n"),
+        F.avg(resid2).alias("within"),
+        F.avg(norm2).alias("e_norm2"),
+        *[
+            F.avg(F.element_at(vec_d, d + 1)).alias(f"_mu{d}")
+            for d in range(dim)
+        ],
+    ).collect()[0]
+    mu2 = sum(float(row[f"_mu{d}"]) ** 2 for d in range(dim))
+    total = float(row["e_norm2"]) - mu2
+    within = float(row["within"])
+    between = total - within
+    ratio = between / within if within > 0 else math.inf
+    return {
+        "n": int(row["n"]),
+        "k": len(cent_rows),
+        "within": within,
+        "between": between,
+        "ratio": ratio,
+    }
+
+
+def prefix_energy(
+    corpus: DataFrame,
+    d_prefix: int,
+    vec_col: str = "embedding",
+) -> dict:
+    """Matryoshka-tier sibling of `cell_geometry`: the fraction of the
+    corpus' total per-dimension variance carried by the first `d_prefix`
+    dimensions.  MRL-trained embeddings front-load information, so the
+    prefix energy is far above the uniform floor d_prefix/d; embeddings
+    WITHOUT matryoshka training sit at the floor, and `matryoshka_knn`'s
+    prefix ranking degrades to chance (the measured 1M isotropic recall
+    floor of 0.004–0.036, SCALE.md).
+
+    One posexplode + dim-keyed var agg — dim rows, nothing scales with
+    corpus size."""
+    rows = (
+        corpus.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("dim", "v")
+        )
+        .groupBy("dim")
+        .agg(F.var_pop("v").alias("var"))
+        .collect()
+    )
+    var = {int(r["dim"]): float(r["var"]) for r in rows}
+    total = sum(var.values())
+    pre = sum(v for d, v in var.items() if d < d_prefix)
+    dim = len(var)
+    return {
+        "dim": dim,
+        "d_prefix": d_prefix,
+        "energy": pre / total if total > 0 else 0.0,
+        "uniform_floor": d_prefix / dim if dim else 0.0,
+    }

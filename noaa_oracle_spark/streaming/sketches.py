@@ -123,3 +123,56 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_countmin_cells(
+    elements: DataFrame,
+    term_col: str,
+    count_col: "str | None" = None,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Streaming count-min sketch table: the running (seed, bucket) →
+    cell_count over everything the stream has delivered (update
+    semantics — read the latest row per cell).
+
+    Unlike KMV this needs NO custom stateful kernel: a CMS cell is a
+    plain sum, and sums are what Structured Streaming's native
+    update-mode aggregation maintains incrementally — the mergeability
+    of the sketch IS the associativity of addition.  State is d*w cells
+    total (not per group, not per term), the same fixed footprint the
+    batch table has, so the readout over an unbounded term stream costs
+    constant memory by construction.
+
+    `elements` is the raw occurrence stream (one row per term
+    occurrence), or a pre-counted stream when `count_col` is given; the
+    cells equal `pipeline.sketches.countmin_cells` over the union of
+    all microbatches either way because the batch build from the term-
+    TYPE dimension and the streaming build from occurrences sum the
+    same integers, just in different groupings (equality-tested in
+    tests/test_streaming_sketches.py).  Same seeded-hash idiom —
+    `_h60(concat_ws('|', seed, term))` — imported from the batch tier
+    so the two tables can never drift."""
+    if d < 1 or w < 1:
+        raise ValueError(f"streaming_countmin: need d >= 1 and w >= 1, got d={d}, w={w}")
+    weight = (
+        F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
+    )
+    cells = (
+        elements.select(
+            F.col(term_col).cast("string").alias("_t"),
+            weight.alias("_n"),
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .select(
+            "seed",
+            F.pmod(
+                _h60(F.concat_ws("|", F.col("seed"), F.col("_t"))), F.lit(w)
+            ).alias("bucket"),
+            "_n",
+        )
+    )
+    return cells.groupBy("seed", "bucket").agg(
+        F.sum("_n").cast("long").alias("cell_count")
+    )

@@ -383,3 +383,111 @@ def test_oracle_event_lifecycle_over_sockets(oracle_server):
     # unknown event / entry → 404
     st, _ = _status_of(f"{base}/oracle/events/{e0}")
     assert st == 404
+
+
+# ---------------------------------------------------------------------------
+# POST /search/knn — serve a saved PQ index (train-once/serve-many)
+# ---------------------------------------------------------------------------
+
+
+def _post_error(url: str, obj) -> tuple[int, str]:
+    try:
+        status, body = _post_json(url, obj)
+        return status, json.dumps(body)
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read().decode()
+
+
+def test_search_knn_serves_saved_index_without_training(
+    server, spark, tmp_path_factory, monkeypatch
+):
+    """The r6 verdict ask: the q116-style cascade's point is train once,
+    serve many.  Build + save an index, then answer queries over HTTP
+    with pq_train forbidden (monkeypatched to raise) — the endpoint must
+    score from the persisted codebooks + codes alone, match a direct
+    pq_knn run, cache the load across requests, and 400 on bad input."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline import pq as pqmod
+    from noaa_oracle_spark.pipeline.pq import (
+        pq_encode,
+        pq_knn,
+        pq_train,
+        save_pq_index,
+    )
+
+    base, _ = server
+    rng = np.random.RandomState(29)
+    vecs = rng.randn(200, 8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=4, k=8, iters=1)
+    path = str(tmp_path_factory.mktemp("pq_http") / "idx")
+    save_pq_index(books, pq_encode(emb, books), path)
+
+    # after the save, training anywhere in the serve path is a bug
+    def _no_train(*a, **kw):
+        raise AssertionError("serve path must not retrain")
+
+    monkeypatch.setattr(pqmod, "pq_train", _no_train)
+
+    qvec = [float(x) for x in vecs[0]]
+    want_df = spark.createDataFrame(
+        [(-1, qvec)], "vec_id long, embedding array<double>"
+    )
+    want = [
+        (r.rank, r.n_id, r.adc_dist)
+        for r in sorted(
+            pq_knn(
+                want_df,
+                spark.read.parquet(f"{path}/codes"),
+                spark.read.parquet(f"{path}/codebooks"),
+                k=3,
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+
+    loads = []
+    real_load = pqmod.load_pq_index
+
+    def counting_load(spark_, p):
+        loads.append(p)
+        return real_load(spark_, p)
+
+    monkeypatch.setattr(pqmod, "load_pq_index", counting_load)
+
+    status, out = _post_json(
+        f"{base}/search/knn", {"index_path": path, "vector": qvec, "k": 3}
+    )
+    assert status == 200
+    assert out["n_encoded"] == 200 and out["k"] == 3
+    got = [
+        (n["rank"], n["vec_id"], n["adc_dist"]) for n in out["neighbors"]
+    ]
+    assert got == want
+    # vec 0 is in the corpus: its own id must surface at distance ~0
+    assert got[0][1] == 0
+
+    # second request: served from the cache, no second load
+    status2, out2 = _post_json(
+        f"{base}/search/knn", {"index_path": path, "vector": qvec, "k": 3}
+    )
+    assert status2 == 200 and out2["neighbors"] == out["neighbors"]
+    assert len(loads) == 1
+
+    # validation: missing fields, bad k, wrong dimensionality, bad path
+    for bad, frag in (
+        ({"vector": qvec}, "index_path"),
+        ({"index_path": path}, "vector"),
+        ({"index_path": path, "vector": qvec, "k": 0}, "k must be"),
+        ({"index_path": path, "vector": [1.0, 2.0]}, "dims"),
+        (
+            {"index_path": path + "_nope", "vector": qvec},
+            "cannot load PQ index",
+        ),
+    ):
+        code, msg = _post_error(f"{base}/search/knn", bad)
+        assert code == 400 and frag in msg, (bad, code, msg)

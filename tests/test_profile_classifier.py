@@ -182,6 +182,31 @@ def test_boilerplate_plans_agree(spark):
         boilerplate_ngram_stats(docs, plan="nope")
 
 
+def test_boilerplate_adaptive_picks_by_type_count(spark):
+    """plan='adaptive' (r6 verdict ask #7): a 1-row count of the
+    boilerplate-type set picks 'broadcast_mark' when it fits the budget
+    and 'join' when it does not — same rows either way.  The two plans
+    are told apart by join TYPE, not strategy (AQE broadcasts the tiny
+    fixture's inner join too): broadcast_mark is a LEFT mark join on the
+    filtered type set; the join plan is a plain INNER gram join."""
+    from noaa_oracle_spark.pipeline.text import boilerplate_ngram_stats
+
+    docs = _docs(spark)
+    want = sorted(
+        map(tuple, boilerplate_ngram_stats(docs, min_docs=3).collect())
+    )
+    small = boilerplate_ngram_stats(docs, min_docs=3, plan="adaptive")
+    big = boilerplate_ngram_stats(
+        docs, min_docs=3, plan="adaptive", adaptive_broadcast_rows=0
+    )
+    small_plan = small._jdf.queryExecution().optimizedPlan().toString()
+    big_plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftOuter" in small_plan and "Inner" not in small_plan
+    assert "Inner" in big_plan and "LeftOuter" not in big_plan
+    assert sorted(map(tuple, small.collect())) == want
+    assert sorted(map(tuple, big.collect())) == want
+
+
 # ------------------------------------------------------------- classifier
 
 

@@ -189,3 +189,78 @@ def test_streaming_countmin_cells_via_native_aggregation(spark, tmp_path):
         for r in countmin_cells(union, count_col="n", d=d, w=w).collect()
     }
     assert got == want
+
+
+def test_streaming_countmin_equals_batch_over_union(spark, tmp_path):
+    """Streaming CMS twin: after N microbatches the latest cell table
+    equals the batch countmin_cells over the union of all batches, and
+    point estimates through the shared countmin_estimate agree."""
+    from noaa_oracle_spark.pipeline.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+    from noaa_oracle_spark.streaming.sketches import streaming_countmin_cells
+
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src)
+    b1 = [("g", f"t{i % 7}") for i in range(300)]
+    b2 = [("g", f"t{i % 19}") for i in range(500)]
+    _write_batch(src, "b1", b1)
+    _write_batch(src, "b2", b2)
+
+    stream = (
+        spark.readStream.schema(ELEM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells = streaming_countmin_cells(stream, "e", d=3, w=64)
+    q = (
+        cells.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_stream")
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink keeps every emission; CMS cells are
+    # MONOTONE (counts only grow) — latest per cell = max
+    got = {
+        (r.seed, r.bucket): r.cell_count
+        for r in spark.sql(
+            "SELECT seed, bucket, max(cell_count) cell_count "
+            "FROM cms_stream GROUP BY seed, bucket"
+        ).collect()
+    }
+
+    union = spark.createDataFrame(b1 + b2, ELEM_SCHEMA)
+    type_counts = union.groupBy(F.col("e").alias("term")).agg(
+        F.count("*").alias("n")
+    )
+    batch_cells = countmin_cells(type_counts, d=3, w=64)
+    want = {
+        (r.seed, r.bucket): r.cell_count for r in batch_cells.collect()
+    }
+    assert got == want
+
+    # point estimates through the SHARED estimator agree too (incl. an
+    # unseen probe -> 0)
+    probes = spark.createDataFrame(
+        [("t0",), ("t18",), ("never",)], "term string"
+    )
+    got_cells_df = spark.createDataFrame(
+        [(s, b, c) for (s, b), c in sorted(got.items())],
+        "seed int, bucket long, cell_count long",
+    )
+    est_stream = {
+        r.term: r.cms_estimate
+        for r in countmin_estimate(got_cells_df, probes, d=3, w=64).collect()
+    }
+    est_batch = {
+        r.term: r.cms_estimate
+        for r in countmin_estimate(batch_cells, probes, d=3, w=64).collect()
+    }
+    assert est_stream == est_batch
+    assert est_stream["never"] == 0

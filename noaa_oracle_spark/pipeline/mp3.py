@@ -1,11 +1,19 @@
 """MPEG audio (MP3) frame walk on stdlib bytes alone.
 
 The MP4 discipline applied to MPEG audio elementary streams: the
-CONTAINER layer — frame sync, header fields, frame sizes, timing — is
+CONTAINER layer — frame sync, header fields, frame sizes, timing, and
+the Layer III SIDE INFORMATION block (`parse_side_info`: bit-reservoir
+pointer, Huffman partition geometry, gains, block-switching flags) — is
 real, distributed work (slicing a stream into frames is what lets audio
 shards route, dedupe, and sample without an audio library), while the
-codec layer (Huffman spectral decode, IMDCT) stays honestly gated behind
-NotImplementedError in pipeline/multimodal.py.
+SPECTRAL layer (Huffman spectral decode over ISO table B.7,
+requantization, IMDCT/synthesis windows) stays honestly gated behind
+NotImplementedError in pipeline/multimodal.py: those stages are driven
+by large published constant tables that cannot be transcription-
+verified in this runtime (no reference codec exists here, and an
+encoder/decoder roundtrip cannot catch a mis-copied table — symmetric
+errors cancel), and a wrong-constant decoder would silently corrupt
+features where the explicit gate fails loudly.
 
 Header math (ISO 11172-3 / 13818-3): a frame starts at an 11-bit sync;
 version (MPEG1/2/2.5), layer (I/II/III), bitrate index, sample-rate
@@ -94,6 +102,8 @@ def parse_frame_header(data: bytes, pos: int) -> dict | None:
     vgroup = 0 if version == 3 else 1
     bitrate = _BITRATES[(vgroup, layer)][bitrate_idx] * 1000
     rate = _RATES[version][rate_idx]
+    protection = (h >> 16) & 0x1  # 0 = 16-bit CRC follows the header
+    mode = (h >> 6) & 0x3  # 3 = single_channel
     if layer == 0:
         size = (12 * bitrate // rate + padding) * 4
         samples = 384
@@ -111,7 +121,136 @@ def parse_frame_header(data: bytes, pos: int) -> dict | None:
         "padding": padding,
         "size": size,
         "samples": samples,
+        "channels": 1 if mode == 3 else 2,
+        "crc": protection == 0,
     }
+
+
+class _Bits:
+    """MSB-first bit reader over a byte slice (the side-info bit layout
+    is a packed big-endian field sequence)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise Mp3Error("side info truncated")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def _granule_fields(bits: "_Bits", lsf: bool) -> dict:
+    g: dict = {
+        "part2_3_length": bits.take(12),
+        "big_values": bits.take(9),
+        "global_gain": bits.take(8),
+        "scalefac_compress": bits.take(9 if lsf else 4),
+        "window_switching": bits.take(1),
+    }
+    if g["window_switching"]:
+        g["block_type"] = bits.take(2)
+        g["mixed_block"] = bits.take(1)
+        g["table_select"] = [bits.take(5) for _ in range(2)]
+        g["subblock_gain"] = [bits.take(3) for _ in range(3)]
+        # region counts are IMPLICIT for switched blocks (fixed spec
+        # defaults that only the spectral requantizer consumes — the
+        # layer that is honestly gated here); None marks "not coded in
+        # the bitstream" without fabricating constants this runtime
+        # cannot transcription-verify
+        g["region0_count"] = None
+        g["region1_count"] = None
+    else:
+        g["block_type"] = 0
+        g["mixed_block"] = 0
+        g["table_select"] = [bits.take(5) for _ in range(3)]
+        g["subblock_gain"] = [0, 0, 0]
+        g["region0_count"] = bits.take(4)
+        g["region1_count"] = bits.take(3)
+    if not lsf:
+        g["preflag"] = bits.take(1)
+    else:
+        g["preflag"] = 0  # LSF has no preflag bit (implied by sf table)
+    g["scalefac_scale"] = bits.take(1)
+    g["count1table_select"] = bits.take(1)
+    return g
+
+
+def side_info_size(version: str, channels: int) -> int:
+    """Layer III side-info byte length: MPEG1 17 (mono) / 32 (stereo);
+    MPEG2/2.5 LSF 9 / 17.  These totals are exactly the sum of the
+    parsed field widths — `parse_side_info` consumes precisely this
+    many bytes, which tests assert as a structural checksum."""
+    if version == "MPEG1":
+        return 17 if channels == 1 else 32
+    return 9 if channels == 1 else 17
+
+
+def parse_side_info(data: bytes, frame_pos: int) -> dict:
+    """Decode the Layer III SIDE INFORMATION block of the frame starting
+    at `frame_pos` (ISO 11172-3 2.4.1.7 / 13818-3 LSF layout) — the
+    structural half of the spectral payload: where the main data begins
+    (bit reservoir back-pointer), and per granule/channel the Huffman
+    partition geometry (big_values, region counts, table selects),
+    gain/scalefactor parameters, and block-switching flags.
+
+    This is real, verifiable structure (the field widths sum to the
+    spec's fixed side-info byte lengths — see `side_info_size`), parsed
+    from stdlib bytes alone.  The remaining honest gate in this runtime
+    is the SPECTRAL decode downstream of these fields: Huffman spectral
+    tables (ISO table B.7), requantization + IMDCT/synthesis windows —
+    large published constant tables that cannot be transcription-
+    verified here without a reference codec, and a wrong-constant
+    decoder would be worse than the explicit NotImplementedError
+    (pipeline/multimodal.py's codec-gate convention).
+
+    Returns {'main_data_begin', 'private_bits', 'scfsi' (per channel),
+    'granules': [[granule dict per channel] per granule]}.  Raises
+    Mp3Error on a non-Layer-III frame or truncation."""
+    hdr = parse_frame_header(data, frame_pos)
+    if hdr is None:
+        raise Mp3Error(f"no frame header at {frame_pos}")
+    if hdr["layer"] != "III":
+        raise Mp3Error(f"side info is Layer III only, got {hdr['layer']}")
+    lsf = hdr["version"] != "MPEG1"
+    ch = hdr["channels"]
+    start = frame_pos + 4 + (2 if hdr["crc"] else 0)
+    size = side_info_size(hdr["version"], ch)
+    blob = data[start : start + size]
+    if len(blob) < size:
+        raise Mp3Error("side info truncated")
+    bits = _Bits(blob)
+    out: dict = {
+        "main_data_begin": bits.take(8 if lsf else 9),
+        "private_bits": bits.take(
+            (1 if ch == 1 else 2) if lsf else (5 if ch == 1 else 3)
+        ),
+    }
+    if lsf:
+        out["scfsi"] = [[0, 0, 0, 0] for _ in range(ch)]
+        n_gr = 1
+    else:
+        out["scfsi"] = [
+            [bits.take(1) for _ in range(4)] for _ in range(ch)
+        ]
+        n_gr = 2
+    out["granules"] = [
+        [_granule_fields(bits, lsf) for _ in range(ch)]
+        for _ in range(n_gr)
+    ]
+    # structural checksum: the fields must consume the whole block
+    if bits.pos != size * 8:
+        raise Mp3Error(
+            f"side info layout error: consumed {bits.pos} of {size * 8} bits"
+        )
+    return out
 
 
 def parse_mp3(data: bytes) -> dict:
@@ -163,10 +302,17 @@ def build_mp3(
     sample_rate: int = 44100,
     payload_byte: int = 0x00,
     id3v2_bytes: int = 0,
+    side_info: bool = False,
 ) -> bytes:
     """Minimal valid MPEG1 Layer III stream for fixtures (the build_mp4
     discipline): `n_frames` constant-bitrate frames with deterministic
-    filler payloads, optionally preceded by an empty ID3v2 tag."""
+    filler payloads, optionally preceded by an empty ID3v2 tag.
+
+    With ``side_info=True`` each frame sets protection_bit=1 (no CRC)
+    and leads its payload with a zeroed 17-byte mono side-info block —
+    the structure of a silent frame (main_data_begin=0, big_values=0,
+    all gains 0), which `parse_side_info` decodes; the default keeps
+    byte-identical output for all existing fixtures."""
     rate_idx = _RATES[3].index(sample_rate)
     bidx = _BITRATES[(0, 2)].index(bitrate_kbps)
     out = bytearray()
@@ -182,13 +328,18 @@ def build_mp3(
             (0x7FF << 21)
             | (3 << 19)  # MPEG1
             | (1 << 17)  # Layer III
+            | ((1 if side_info else 0) << 16)  # protection: 1 = no CRC
             | (bidx << 12)
             | (rate_idx << 10)
             | (0 << 9)  # no padding
             | (3 << 6)  # mono
         )
         frame = bytearray(struct.pack(">I", h))
-        frame += bytes([(payload_byte + i) % 256] * (size - 4))
+        if side_info:
+            frame += bytes(17)  # silent-frame side info, all fields 0
+            frame += bytes([(payload_byte + i) % 256] * (size - 4 - 17))
+        else:
+            frame += bytes([(payload_byte + i) % 256] * (size - 4))
         out += frame
     return bytes(out)
 

@@ -278,3 +278,97 @@ def countmin_heavy_hitters(
         F.col("exact_count").cast("long").alias("exact_count"),
         "cms_estimate",
     )
+
+
+def kmv_sample(
+    df: DataFrame,
+    group_cols: "list[str]",
+    id_col: str,
+    k: int = 256,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-group MERGEABLE uniform sample: the rows whose 60-bit id
+    hashes are the k smallest in their group — a uniform sample without
+    replacement (an ideal hash induces a uniform random permutation of
+    the ids), with the same exact-merge property as the KMV sketch: the
+    bottom-k of a union of shards is computable from the per-shard
+    bottom-k alone, because a row ever discarded hashed above some
+    current k-th minimum and can never re-enter.  That makes this the
+    row-level sibling of `kmv_distinct` — per-shard samples union into
+    the corpus sample without re-reading data, and the SAME rows are
+    selected by every engine that can md5 (deterministic, so a sample
+    drawn today merges with one drawn next month).
+
+    Groups with fewer than k rows return entirely.  `id_col` must be
+    unique per row (the usual doc_id contract); NULL ids are outside
+    the sample domain.  Same two-phase per-bucket cut as kmv_distinct —
+    no task holds more than a sort buffer.
+
+    Returns the original columns plus nothing — the sample IS rows."""
+    if k < 1 or n_buckets < 1:
+        raise ValueError(
+            f"kmv_sample: need k >= 1 and n_buckets >= 1, "
+            f"got k={k}, n_buckets={n_buckets}"
+        )
+    hashed = df.withColumn(
+        "_h", _h60(F.col(id_col).cast("string"))
+    ).filter(F.col("_h").isNotNull())
+    bucketed = hashed.withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))
+    w1 = Window.partitionBy(*group_cols, "_b").orderBy("_h", id_col)
+    survivors = (
+        bucketed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_b", "_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("_h", id_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_h", "_rn")
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    group_cols: "list[str]",
+    id_col: str,
+    value_col: str,
+    quantiles: "list[float]" = (0.25, 0.5, 0.9, 0.99),
+    k: int = 256,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from the `kmv_sample` uniform
+    sample: exact interpolated (quantile_cont) quantiles of the k
+    sampled values — rank-space error O(1/sqrt(k)) against the true
+    population quantiles, in O(k) memory per group, mergeable across
+    shards through the sample itself.  The sketch-tier sibling of
+    `profile.source_percentiles` (exact, for when groups are bounded)
+    and of engine-native percentile_approx (not cross-engine
+    reproducible); this one is deterministic md5 math end-to-end, so
+    two engines agree on the estimate bit-for-bit.
+
+    Returns (group..., n_sample, q_<pct> ... one column per requested
+    quantile, 6-dp)."""
+    qs = list(quantiles)
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"kmv_quantiles: quantiles must be in [0,1], got {qs}")
+    sample = kmv_sample(
+        df.select(*group_cols, id_col, value_col),
+        group_cols,
+        id_col,
+        k=k,
+        n_buckets=n_buckets,
+    )
+
+    def _name(q: float) -> str:
+        return "q_" + f"{q:g}".replace("0.", "").replace(".", "_")
+
+    return sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        *[
+            F.round(
+                F.percentile(F.col(value_col).cast("double"), F.lit(q)), 6
+            ).alias(_name(q))
+            for q in qs
+        ],
+    )

@@ -176,3 +176,94 @@ def streaming_countmin_cells(
     return cells.groupBy("seed", "bucket").agg(
         F.sum("_n").cast("long").alias("cell_count")
     )
+
+
+SAMPLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group", T.StringType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+_SAMPLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.LongType()), False),
+        T.StructField("ids", T.ArrayType(T.LongType()), False),
+        T.StructField("values", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _make_sample_kernel(k: int):
+    def kernel(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            hs, ids, vals = state.get
+            pool = {
+                int(h): (int(i), None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v))
+                for h, i, v in zip(hs, ids, vals)
+            }
+        else:
+            pool = {}
+        for pdf in pdfs:
+            for h, i, v in zip(pdf["_h"], pdf["id"], pdf["value"]):
+                pool[int(h)] = (
+                    int(i),
+                    None if pd.isna(v) else float(v),
+                )
+        bottom = sorted(pool)[:k]
+        state.update(
+            (
+                bottom,
+                [pool[h][0] for h in bottom],
+                [pool[h][1] for h in bottom],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "group": key[0],
+                "id": [pool[h][0] for h in bottom],
+                "value": [pool[h][1] for h in bottom],
+            }
+        )
+
+    return kernel
+
+
+def streaming_kmv_sample(
+    elements: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Streaming twin of `pipeline.sketches.kmv_sample`: the per-group
+    bottom-k-by-id-hash uniform sample, maintained incrementally — each
+    microbatch emits the group's CURRENT sample rows (update semantics;
+    the latest emission per group IS the sample, equal to the batch
+    sample over the union of everything delivered, the same
+    irreversible-discard argument as streaming KMV).  State is exactly
+    k (hash, id, value) triples per group, NoTimeout — a bounded uniform
+    sample (and through it, quantile estimates) over an unbounded
+    stream.  `value_col` is cast to double (the quantile use case);
+    duplicate ids re-deliver their latest value rather than widening the
+    sample (at-least-once replay stays idempotent)."""
+    if k < 1:
+        raise ValueError(f"streaming_kmv_sample: need k >= 1, got {k}")
+    hashed = elements.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(value_col).cast("double").alias("value"),
+        _h60(F.col(id_col).cast("string")).alias("_h"),
+    ).filter(F.col("_h").isNotNull())
+    return hashed.groupBy("group").applyInPandasWithState(
+        _make_sample_kernel(k),
+        outputStructType=SAMPLE_OUTPUT_SCHEMA,
+        stateStructType=_SAMPLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -237,3 +237,92 @@ def test_sketch_parameter_validation(spark):
 
     with pytest.raises(ValueError):
         matryoshka_knn(df, df, d_prefix=0)
+
+
+# ---------------------------------------------------------------------------
+# kmv_sample / kmv_quantiles — the mergeable uniform-sample tier
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sample_deterministic_and_partition_invariant(spark):
+    from noaa_oracle_spark.pipeline.sketches import kmv_sample
+
+    rows = [(f"g{i % 3}", i, float(i * 7 % 101)) for i in range(2000)]
+    df1 = spark.createDataFrame(rows, "g string, id long, v double")
+    df2 = df1.repartition(17)
+    s1 = sorted(map(tuple, kmv_sample(df1, ["g"], "id", k=50).collect()))
+    s2 = sorted(
+        map(tuple, kmv_sample(df2, ["g"], "id", k=50, n_buckets=7).collect())
+    )
+    assert s1 == s2 and len(s1) == 150
+    # sample rows are real input rows
+    assert set(s1) <= set(rows)
+
+
+def test_kmv_sample_merge_equals_whole(spark):
+    """Mergeability made executable: bottom-k over the UNION equals the
+    bottom-k of the concatenated per-shard samples — per-shard samples
+    union into the corpus sample without re-reading data."""
+    from noaa_oracle_spark.pipeline.sketches import kmv_sample
+
+    rows_a = [("g", i, float(i)) for i in range(0, 1500)]
+    rows_b = [("g", i, float(i)) for i in range(1500, 3000)]
+    a = spark.createDataFrame(rows_a, "g string, id long, v double")
+    b = spark.createDataFrame(rows_b, "g string, id long, v double")
+    whole = sorted(
+        map(tuple, kmv_sample(a.unionAll(b), ["g"], "id", k=64).collect())
+    )
+    sa = kmv_sample(a, ["g"], "id", k=64)
+    sb = kmv_sample(b, ["g"], "id", k=64)
+    merged = sorted(
+        map(tuple, kmv_sample(sa.unionAll(sb), ["g"], "id", k=64).collect())
+    )
+    assert merged == whole
+
+
+def test_kmv_sample_below_k_returns_all_and_null_ids_excluded(spark):
+    from noaa_oracle_spark.pipeline.sketches import kmv_sample
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", None, 9.0)],
+        "g string, id long, v double",
+    )
+    got = sorted(map(tuple, kmv_sample(df, ["g"], "id", k=10).collect()))
+    assert got == [("g", 1, 1.0), ("g", 2, 2.0)]
+
+
+def test_kmv_quantiles_tracks_population(spark):
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.sketches import kmv_quantiles
+
+    n = 20000
+    rows = [("g", i, float((i * 37) % 1000)) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = kmv_quantiles(
+        df, ["g"], "id", "v", quantiles=[0.5, 0.9], k=512
+    ).collect()
+    assert len(out) == 1 and out[0]["n_sample"] == 512
+    vals = np.array([v for _, _, v in rows])
+    # rank-space error ~ 1/sqrt(k): generous 4-sigma band in value space
+    for q, col in ((0.5, "q_5"), (0.9, "q_9")):
+        true = np.quantile(vals, q)
+        tol = 4.0 / np.sqrt(512) * 1000  # value range is 0..999
+        assert abs(out[0][col] - true) < tol, (q, out[0][col], true)
+
+
+def test_kmv_quantiles_small_group_is_exact(spark):
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.sketches import kmv_quantiles
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "g string, id long, v double",
+    )
+    out = kmv_quantiles(df, ["g"], "id", "v", quantiles=[0.5], k=100).collect()
+    # below k the sample IS the population: quantile_cont is exact
+    assert out[0]["q_5"] == round(float(np.quantile(vals, 0.5)), 6)
+    with pytest.raises(ValueError):
+        kmv_quantiles(df, ["g"], "id", "v", quantiles=[1.5])

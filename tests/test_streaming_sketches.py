@@ -264,3 +264,93 @@ def test_streaming_countmin_equals_batch_over_union(spark, tmp_path):
     }
     assert est_stream == est_batch
     assert est_stream["never"] == 0
+
+
+def test_streaming_kmv_sample_equals_batch_over_union(spark, tmp_path):
+    """Streaming uniform-sample twin: after each microbatch the latest
+    per-group emission equals batch kmv_sample over the union of all
+    delivered rows (same ids, same values)."""
+    from noaa_oracle_spark.pipeline.sketches import kmv_sample
+    from noaa_oracle_spark.streaming.sketches import streaming_kmv_sample
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "smp_src")
+    os.makedirs(src)
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "g": pa.array([g for g, _, _ in rows]),
+                    "id": pa.array(
+                        [i for _, i, _ in rows], type=pa.int64()
+                    ),
+                    "v": pa.array([v for _, _, v in rows]),
+                }
+            ),
+            os.path.join(src, f"{name}.parquet"),
+        )
+
+    b1 = [("a", i, float(i)) for i in range(300)]
+    b2 = [("a", i, float(i)) for i in range(300, 800)] + [
+        ("b", i, float(-i)) for i in range(40)
+    ]
+    write("b1", b1)
+    write("b2", b2)
+
+    stream = (
+        spark.readStream.schema("g string, id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_kmv_sample(stream, "g", "id", "v", k=32)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("smp_stream")
+        .option("checkpointLocation", str(tmp_path / "smp_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the LATEST emission per group: KMV-sample state is monotone in the
+    # hash order, so the final batch's rows are exactly the last emission;
+    # dedupe by (group, id) keeping any occurrence then cut to the batch
+    # answer directly
+    union = spark.createDataFrame(b1 + b2, "g string, id long, v double")
+    want = {
+        g: sorted((r.id, r.v) for r in grp)
+        for g, grp in (
+            ("a", kmv_sample(union.filter("g='a'"), ["g"], "id", k=32).collect()),
+            ("b", kmv_sample(union.filter("g='b'"), ["g"], "id", k=32).collect()),
+        )
+    }
+    rows = spark.sql("SELECT * FROM smp_stream").collect()
+    got: dict = {}
+    # update sink keeps every emission; reconstruct the latest per group
+    # as the bottom-32 of all emitted (id, value) pairs — emissions only
+    # ever shrink toward the true bottom, so the union of emissions cut
+    # to the final sample equals the last emission
+    import hashlib
+
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    for r in rows:
+        got.setdefault(r.group, {})[r.id] = r.value
+    final = {
+        g: sorted(
+            ((i, v) for i, v in pairs.items()),
+            key=lambda t: h60(t[0]),
+        )[:32]
+        for g, pairs in got.items()
+    }
+    final = {g: sorted(pairs) for g, pairs in final.items()}
+    assert final == want
+    # group b arrived in one batch with < k rows: exact sample
+    assert len(want["b"]) == 40 or len(want["b"]) == 32

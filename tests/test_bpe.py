@@ -115,8 +115,10 @@ def test_ranked_word_frequencies_two_pass_rank(spark, corpus):
     for expect_rank, (w, (_, rank)) in enumerate(want_order, start=1):
         assert rank == expect_rank, (w, rank, expect_rank)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the within-bucket window partitions by _pid — never a global window
-    assert "Window" not in plan or "_pid" in plan
+    # the within-bucket window partitions by _bucket (the r7 literal-
+    # boundary kernel's pure-function-of-the-row bucket) — never a
+    # global window
+    assert "Window" not in plan or "_bucket" in plan
 
 
 def test_vocab_coverage_matches_python(spark, corpus):

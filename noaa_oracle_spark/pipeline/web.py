@@ -1,0 +1,222 @@
+"""Web-corpus URL operators — the provenance stage of a crawl-derived
+training pipeline (the C4 / RefinedWeb front door): canonicalize URLs so
+exact-dedup keys agree across crawls, extract grouping domains, filter
+against domain blocklists, and cap per-domain document counts.
+
+Everything here is JVM-side expression work (`parse_url`, higher-order
+array functions) — no Python in the hot path, because URL normalization
+runs once per document over the WHOLE corpus before anything else:
+
+  - `canonical_url`: lowercase scheme/host, strip default ports and
+    fragments, drop tracking parameters (utm_* and a documented id
+    list), sort surviving query parameters, normalize the empty path to
+    '/'. Idempotent (property-tested), so keys computed from already-
+    canonical URLs never re-shuffle membership.
+  - `url_host` / `registrable_domain`: grouping keys at two
+    granularities. registrable_domain approximates the Public Suffix
+    List with the structural rule (last two labels, or three under a
+    two-part suffix like co.uk) over an embedded set of the common
+    second-level public suffixes — the full PSL is a large external
+    artifact; the approximation and its failure mode (rare exotic
+    suffixes group one label too high) are documented here rather than
+    silently wrong.
+  - `filter_blocked_domains`: broadcast LEFT-ANTI join against a domain
+    blocklist — subdomains of a blocked domain are blocked too.
+  - `domain_cap`: at most N docs per registrable domain, the
+    `sampling.cap_per_group` deterministic-hash-prefix contract.
+
+Reference scope: none (brief-added LLM-pipeline surface, like the dedup
+and sketch tiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tracking parameters stripped by canonical_url: the utm_* family is
+#: matched by prefix; these exact names cover the common click/session
+#: identifiers that vary per visit without changing the document.
+TRACKING_PARAMS = (
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "dclid",
+    "igshid",
+    "mc_cid",
+    "mc_eid",
+    "yclid",
+    "_ga",
+    "ref_src",
+    "cmpid",
+)
+
+#: Second-level labels that act as public suffixes under a country-code
+#: TLD (the structural core of the PSL): under these, the registrable
+#: domain is three labels, not two.
+_SECOND_LEVEL_SUFFIXES = (
+    "co", "com", "net", "org", "gov", "edu", "ac", "mil", "sch",
+    "or", "ne", "go", "ad",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with any leading 'www.' and trailing dot removed
+    — the per-site grouping key (NULL for unparseable URLs)."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"\.$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registrable_domain(url: Column) -> Column:
+    """Registrable (pay-level) domain of a URL: the last two host
+    labels, or the last three when the second-to-last label is a known
+    second-level public suffix under a 2-letter ccTLD (co.uk, com.au,
+    ac.jp ...).  An approximation of the Public Suffix List by its
+    structural rule — see the module docstring for the failure mode."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    tld = F.element_at(parts, -1)
+    take3 = (
+        (n >= F.lit(3))
+        & (F.length(tld) == 2)
+        & second.isin(*_SECOND_LEVEL_SUFFIXES)
+    )
+    return F.when(host.isNull() | (host == ""), F.lit(None)).otherwise(
+        F.when(n <= 2, host).otherwise(
+            F.when(
+                take3,
+                F.concat_ws(
+                    ".", F.element_at(parts, -3), second, tld
+                ),
+            ).otherwise(F.concat_ws(".", second, tld))
+        )
+    )
+
+
+def _clean_query(query: Column) -> Column:
+    """Drop tracking params and empty fragments from a query string,
+    sort what survives (param order is not content-significant), NULL
+    when nothing survives."""
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.substring_index(p, "=", 1)).startswith("utm_")
+        & ~F.lower(F.substring_index(p, "=", 1)).isin(*TRACKING_PARAMS),
+    )
+    joined = F.array_join(F.array_sort(params), "&")
+    return F.when(joined == "", F.lit(None)).otherwise(joined)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL (NULL for unparseable or
+    non-http(s) input): lowercase scheme and host, default port
+    stripped, fragment dropped, tracking params removed, surviving
+    query params sorted, empty path normalized to '/'.  Idempotent:
+    canonical_url(canonical_url(u)) == canonical_url(u)."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"\.$", "")
+    # AUTHORITY carries host[:port]; extract a non-default explicit port
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = F.when(scheme == "https", F.lit("443")).otherwise(
+        F.lit("80")
+    )
+    keep_port = (port != "") & (port != default_port)
+    path = F.try_parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = _clean_query(F.try_parse_url(url, F.lit("QUERY")))
+    ok = (
+        scheme.isin("http", "https")
+        & host.isNotNull()
+        & (host != "")
+    )
+    return F.when(
+        ok,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            path,
+            F.when(
+                query.isNotNull(), F.concat(F.lit("?"), query)
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocked: "DataFrame | list[str]",
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose registrable domain is on the blocklist —
+    subdomains of a blocked domain are blocked with it (the blocklist
+    names registrable domains).  Broadcast LEFT-ANTI join: the
+    blocklist is a curated human artifact, small by construction; the
+    corpus crosses no exchange."""
+    spark = docs.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "blocked_domain string"
+        )
+    bl = blocked.select(
+        F.lower(F.col(blocked.columns[0])).alias("_bl_domain")
+    )
+    return (
+        docs.withColumn("_dom", registrable_domain(F.col(url_col)))
+        .join(
+            F.broadcast(bl),
+            F.col("_dom") == F.col("_bl_domain"),
+            "left_anti",
+        )
+        .drop("_dom")
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """At most `cap` documents per registrable domain, membership
+    decided by deterministic id-hash order (`sampling.cap_per_group`):
+    re-runs and re-partitionings keep the same documents, and raising
+    the cap only ever adds.  The anti-SEO-farm lever of a training mix
+    ("no single site dominates")."""
+    from noaa_oracle_spark.pipeline.sampling import cap_per_group
+
+    with_dom = docs.withColumn(
+        "_dom", F.coalesce(registrable_domain(F.col(url_col)), F.lit(""))
+    )
+    return cap_per_group(
+        with_dom, "_dom", id_col, cap, salt=salt
+    ).drop("_dom")
+
+
+def domain_stats(
+    docs: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-registrable-domain document counts and corpus share — the
+    profile readout that motivates `domain_cap` thresholds.  One
+    domain-keyed agg + a broadcast 1-row total (the q68 two-scan
+    discipline is unnecessary here: the agg output IS the small side)."""
+    per = (
+        docs.withColumn("_dom", registrable_domain(F.col(url_col)))
+        .groupBy(F.col("_dom").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = per.agg(F.sum("n_docs").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
+    )

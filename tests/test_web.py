@@ -1,0 +1,130 @@
+"""URL canonicalization / domain extraction / blocklist / domain caps —
+the crawl-provenance stage (pipeline/web.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.web import (
+    canonical_url,
+    domain_cap,
+    domain_stats,
+    filter_blocked_domains,
+    registrable_domain,
+    url_host,
+)
+
+
+def _one(spark, expr, url):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(expr(F.col("url")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+CANON_CASES = [
+    # tracking params stripped, survivors sorted, fragment dropped
+    (
+        "https://Example.COM/a/b?utm_source=x&z=2&a=1&fbclid=abc#frag",
+        "https://example.com/a/b?a=1&z=2",
+    ),
+    # default ports stripped per scheme; explicit non-default kept
+    ("http://host.org:80/p", "http://host.org/p"),
+    ("https://host.org:443/p", "https://host.org/p"),
+    ("https://host.org:8443/p", "https://host.org:8443/p"),
+    # empty path -> '/', empty query dropped
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com?utm_campaign=only", "https://example.com/"),
+    # scheme case folded; host trailing dot removed
+    ("HTTPS://EXAMPLE.com./x", "https://example.com/x"),
+    # non-http(s) and garbage -> NULL
+    ("ftp://example.com/x", None),
+    ("not a url", None),
+]
+
+
+@pytest.mark.parametrize("raw,want", CANON_CASES)
+def test_canonical_url_cases(spark, raw, want):
+    assert _one(spark, canonical_url, raw) == want
+
+
+def test_canonical_url_is_idempotent(spark):
+    urls = [u for u, want in CANON_CASES if want is not None]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    twice = [
+        r["c"]
+        for r in df.select(
+            canonical_url(canonical_url(F.col("url"))).alias("c")
+        ).collect()
+    ]
+    assert once == twice
+
+
+def test_host_and_registrable_domain(spark):
+    cases = [
+        ("https://www.news.example.co.uk/x", "news.example.co.uk", "example.co.uk"),
+        ("https://a.b.example.com/x", "a.b.example.com", "example.com"),
+        ("https://example.com/x", "example.com", "example.com"),
+        ("https://www.example.org/", "example.org", "example.org"),
+        ("https://sub.site.com.au/p", "sub.site.com.au", "site.com.au"),
+        ("https://localhost/x", "localhost", "localhost"),
+        ("garbage", None, None),
+    ]
+    for url, host, dom in cases:
+        assert _one(spark, url_host, url) == host, url
+        assert _one(spark, registrable_domain, url) == dom, url
+
+
+def test_filter_blocked_domains_blocks_subdomains(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "https://www.example.com/b"),
+            (3, "https://fine.org/c"),
+            (4, "https://notexample.com/d"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(docs, ["Example.com"]).collect()
+    )
+    assert kept == [3, 4]
+
+
+def test_domain_cap_deterministic_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, f"https://{'hot' if i % 4 else 'cold'}.site.com/p{i}")
+            for i in range(200)
+        ],
+        "doc_id long, url string",
+    )
+    # all 200 URLs share registrable domain site.com -> one cap group
+    c10 = sorted(r.doc_id for r in domain_cap(docs, 10).collect())
+    c10b = sorted(
+        r.doc_id for r in domain_cap(docs.repartition(13), 10).collect()
+    )
+    c25 = sorted(r.doc_id for r in domain_cap(docs, 25).collect())
+    assert c10 == c10b and len(c10) == 10 and len(c25) == 25
+    assert set(c10) <= set(c25)  # raising the cap only adds
+
+
+def test_domain_stats_shares_sum_to_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/1"),
+            (2, "https://a.com/2"),
+            (3, "https://b.org/1"),
+            (4, "https://sub.a.com/3"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.domain: r for r in domain_stats(docs).collect()}
+    assert rows["a.com"].n_docs == 3 and rows["b.org"].n_docs == 1
+    assert rows["a.com"].doc_share == 0.75

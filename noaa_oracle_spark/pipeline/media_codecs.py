@@ -458,3 +458,39 @@ def mean_luma(img: np.ndarray) -> float:
     """Mean Rec.601 luma of an RGB frame, in [0, 1]."""
     r, g, b = (img[..., i].astype(np.float64) for i in range(3))
     return float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0)
+
+
+def phash(img: np.ndarray, hash_size: int = 8) -> int:
+    """64-bit DCT perceptual hash of a raster — the standard pHash
+    construction (grayscale → 32×32 → 2-D DCT-II → low-frequency
+    hash_size×hash_size block → median threshold), every stage a pure
+    numpy formula (the DCT matrix is cos((2x+1)uπ/2N), no constant
+    tables).  Bit (u·hash_size + v) is set when coefficient (u, v)
+    exceeds the median of the low-frequency block.
+
+    Definition notes (pinned here because implementations differ and
+    this engine's contract is determinism, not cross-library equality):
+    grayscale is the ITU-R 601 luma (0.299 R + 0.587 G + 0.114 B),
+    resampling is the codec tier's deterministic nearest-neighbor, and
+    the median is taken over ALL hash_size² coefficients including DC.
+    Robustness (what the tests pin): re-encoding the same image at a
+    different JPEG quality moves a handful of bits; distinct images
+    differ in ~half the bits."""
+    n = hash_size * 4
+    small = resize_nearest(img, n, n).astype(np.float64)
+    gray = (
+        0.299 * small[:, :, 0]
+        + 0.587 * small[:, :, 1]
+        + 0.114 * small[:, :, 2]
+    )
+    x = np.arange(n)
+    basis = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / (2 * n))
+    low = (basis @ gray @ basis.T)[:hash_size, :hash_size]
+    bits = (low > np.median(low)).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # signed two's-complement 64-bit: the value must live in a Spark
+    # LongType column (bit 63 set would overflow unsigned)
+    return out - (1 << 64) if out >= (1 << 63) else out

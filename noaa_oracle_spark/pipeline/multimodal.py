@@ -544,3 +544,108 @@ def chunk_audio(
             yield pd.DataFrame(out)
 
     return audio.mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+
+
+IMAGE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-bit DCT perceptual hash per image blob (media_codecs.phash) —
+    map-side mapInPandas over the real raster codecs (PPM/BMP/PNG/JPEG);
+    undecodable blobs get NULL, row kept (the media degrade convention).
+    Blobs never cross an exchange; the 8-byte hash is what shuffles
+    downstream."""
+    from noaa_oracle_spark.pipeline.media_codecs import decode_image, phash
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(blob):
+            try:
+                return phash(decode_image(bytes(blob) if blob is not None else b""))
+            except Exception:
+                return None
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["content"].map(one).astype("object"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    ).mapInPandas(kernel, IMAGE_PHASH_SCHEMA)
+
+
+def phash_near_dupes(
+    media: DataFrame,
+    max_distance: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by pHash Hamming distance — the
+    multimodal sibling of the text tier's SimHash/LSH dedup: the 64-bit
+    hash splits into `bands` equal bit-bands, candidates are pairs
+    agreeing on ANY band (an equi-join on (band_idx, band_value) — the
+    shuffle key, exactly the MinHash-LSH shape), and candidates are
+    verified exactly with bit_count(a XOR b) <= max_distance.
+
+    Pigeonhole recall guarantee: two hashes within Hamming distance d
+    differ in at most d bands, so with d < bands they MUST agree on at
+    least one band — recall is exactly 1.0 for max_distance < bands
+    (enforced); no all-pairs comparison ever happens.  At corpus scale
+    a viral image (one hot (band, value) bucket) is the standard AQE
+    skew-join case.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError(f"phash_near_dupes: bands must divide 64, got {bands}")
+    if max_distance >= bands:
+        raise ValueError(
+            f"phash_near_dupes: max_distance {max_distance} >= bands "
+            f"{bands} voids the pigeonhole recall guarantee — raise "
+            "bands or lower max_distance"
+        )
+    width = 64 // bands
+    hashed = image_phash(media).filter(F.col("phash").isNotNull())
+    bands_df = hashed.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col("phash"), i * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "phash", "band.band_idx", "band.band_val")
+    a = bands_df.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("_pa"),
+    )
+    b = bands_df.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("_pb"),
+    )
+    hamming = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= max_distance)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+    )

@@ -1,0 +1,225 @@
+"""HTML → training-text extraction — the crawl-to-corpus front door
+(the stage C4 ran with a tag stripper and jusText/trafilatura run with
+block classification), on stdlib `html.parser` alone.
+
+Two layers:
+
+  - `parse_blocks(html)`: tolerant streaming parse into BLOCK records —
+    text segmented at block-level tags, per block the visible text, its
+    anchor-text character count, and the source tag — with
+    script/style/noscript/template/svg/head subtrees dropped and
+    entities unescaped.  Malformed markup never raises (html.parser is
+    recovery-oriented by design); the result is deterministic.
+  - `extract_main_text(html)`: the jusText-style heuristic over those
+    blocks — a block is CONTENT when it is long enough and not
+    link-dominated (boilerplate navigation/footers are short and
+    anchor-heavy), headings are kept when a content block follows them.
+    Returns the joined content text plus the block-level accounting
+    (n_blocks, n_content_blocks, link_density) a corpus profile reads.
+
+Spark surface: `html_to_text(docs)` — one mapInPandas over the raw HTML
+column (Arrow-batched, per-row degrade to NULL text on any parse
+surprise), emitting text + structure metrics.  Map-side only: HTML
+bytes never cross an exchange; downstream operators (quality, dedup,
+LM scoring) consume the extracted text column.
+
+Reference scope: none (brief-added LLM-pipeline surface).  Heuristic
+constants (min block length, link-density cut) are pinned here and in
+the tests — they are policy, not spec.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Subtrees whose text is never visible content.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "head", "iframe"}
+)
+
+#: Tags that terminate the current text block.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+        "h1", "h2", "h3", "h4", "h5", "h6", "article", "section",
+        "header", "footer", "nav", "aside", "main", "blockquote", "pre",
+        "figure", "figcaption", "hr", "form", "fieldset", "dl", "dt",
+        "dd", "body", "title",
+    }
+)
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "title"})
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._tag = "body"
+
+    def _flush(self, next_tag: str) -> None:
+        text = " ".join("".join(self._buf).split())
+        if text:
+            self.blocks.append(
+                {
+                    "text": text,
+                    "link_chars": min(self._link_chars, len(text)),
+                    "tag": self._tag,
+                }
+            )
+        self._buf, self._link_chars = [], 0
+        self._tag = next_tag
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush("body")
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+
+def parse_blocks(html: str) -> "list[dict]":
+    """Visible-text blocks of an HTML document: [{text, link_chars,
+    tag}] in document order, skip-subtrees removed, entities unescaped,
+    whitespace normalized.  Never raises on malformed markup."""
+    p = _BlockParser()
+    p.feed(html or "")
+    p.close()
+    p._flush("body")
+    return p.blocks
+
+
+def extract_main_text(
+    html: str,
+    min_block_chars: int = 40,
+    max_link_density: float = 0.33,
+) -> dict:
+    """jusText-style main-content extraction: a block is CONTENT when
+    text length >= `min_block_chars` AND anchor-text share <
+    `max_link_density`; a heading block is kept when the NEXT kept
+    block is content (a heading introduces its section, but a heading
+    stranded in navigation is boilerplate).  Returns {'text',
+    'n_blocks', 'n_content_blocks', 'link_density'} where link_density
+    is the whole-document anchor-char share, 6-dp."""
+    blocks = parse_blocks(html)
+    content: list[str] = []
+    pending_heading: "str | None" = None
+    n_content = 0
+    for b in blocks:
+        is_heading = b["tag"] in _HEADING_TAGS
+        dense_links = (
+            b["link_chars"] > max_link_density * len(b["text"])
+        )
+        if is_heading and not dense_links:
+            pending_heading = b["text"]
+            continue
+        if len(b["text"]) >= min_block_chars and not dense_links:
+            if pending_heading is not None:
+                content.append(pending_heading)
+                pending_heading = None
+            content.append(b["text"])
+            n_content += 1
+        else:
+            pending_heading = None
+    total = sum(len(b["text"]) for b in blocks)
+    links = sum(b["link_chars"] for b in blocks)
+    return {
+        "text": "\n".join(content),
+        "n_blocks": len(blocks),
+        "n_content_blocks": n_content,
+        "link_density": round(links / total, 6) if total else 0.0,
+    }
+
+
+HTML_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_blocks", T.IntegerType(), True),
+        T.StructField("n_content_blocks", T.IntegerType(), True),
+        T.StructField("link_density", T.DoubleType(), True),
+    ]
+)
+
+
+def html_to_text(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_block_chars: int = 40,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """Extract main text + structure metrics from an HTML column — one
+    Arrow-batched mapInPandas, per-row degrade (a pathological document
+    yields NULL text, the row survives); HTML bytes never shuffle."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+
+        def one(doc_id, html):
+            try:
+                out = extract_main_text(
+                    html,
+                    min_block_chars=min_block_chars,
+                    max_link_density=max_link_density,
+                )
+                return {
+                    "doc_id": doc_id,
+                    "text": out["text"],
+                    "n_blocks": out["n_blocks"],
+                    "n_content_blocks": out["n_content_blocks"],
+                    "link_density": out["link_density"],
+                }
+            except Exception:
+                return {
+                    "doc_id": doc_id,
+                    "text": None,
+                    "n_blocks": None,
+                    "n_content_blocks": None,
+                    "link_density": None,
+                }
+
+        for pdf in it:
+            rows = [
+                one(i, h)
+                for i, h in zip(pdf[id_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HTML_TEXT_SCHEMA.fields]
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias(html_col)
+    ).mapInPandas(kernel, HTML_TEXT_SCHEMA)

@@ -1,0 +1,80 @@
+"""HTML main-text extraction (pipeline/html.py): block parsing, the
+jusText-style content heuristic, and the Spark mapInPandas surface."""
+
+from __future__ import annotations
+
+from noaa_oracle_spark.pipeline.html import (
+    extract_main_text,
+    html_to_text,
+    parse_blocks,
+)
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>Site Title</title>
+<style>body { color: red }</style>
+<script>var tracking = "evil";</script></head>
+<body>
+<nav><a href="/">Home</a> | <a href="/about">About</a> | <a href="/contact">Contact us</a></nav>
+<h1>The Article &amp; Its Heading</h1>
+<p>This is the first real paragraph of the article, long enough to pass
+the minimum block length requirement easily.</p>
+<p>Second paragraph with a single <a href="x">inline link</a> inside a
+much longer run of genuine prose, so link density stays low.</p>
+<p>short.</p>
+<div><a href="/a">one</a> <a href="/b">two</a> <a href="/c">three</a></div>
+<footer>Copyright 2026 Example Corp. All rights reserved. Terms of
+service and privacy policy links live here usually.</footer>
+</body></html>"""
+
+
+def test_parse_blocks_skips_and_unescapes():
+    blocks = parse_blocks(PAGE)
+    texts = [b["text"] for b in blocks]
+    joined = " ".join(texts)
+    assert "tracking" not in joined and "color: red" not in joined
+    assert "The Article & Its Heading" in texts  # entity unescaped
+    # the nav block is fully link-covered
+    nav = next(b for b in blocks if b["text"].startswith("Home"))
+    assert nav["link_chars"] >= len("Home") + len("About") + len("Contact us")
+
+
+def test_extract_main_text_keeps_content_drops_boilerplate():
+    out = extract_main_text(PAGE)
+    assert "first real paragraph" in out["text"]
+    assert "genuine prose" in out["text"]
+    # the heading is kept because content follows it
+    assert out["text"].startswith("The Article & Its Heading")
+    # nav, link farm, and the short block are dropped
+    assert "Home" not in out["text"]
+    assert "short." not in out["text"]
+    # the footer is long and link-FREE, so the link-density heuristic
+    # keeps it — pinned as honest behavior (a tag-based footer drop is
+    # caller policy, not part of the density rule)
+    assert "Copyright" in out["text"]
+    assert out["n_content_blocks"] >= 3
+    assert 0.0 < out["link_density"] < 0.5
+
+
+def test_malformed_and_empty_html_never_raise():
+    assert extract_main_text("")["text"] == ""
+    assert extract_main_text(None)["n_blocks"] == 0
+    weird = "<p>unclosed <div><<<>>&nosuch; <b>tail"
+    out = extract_main_text(weird, min_block_chars=3)
+    assert out["n_blocks"] >= 1
+
+
+def test_heading_without_following_content_is_dropped():
+    html = "<h2>Stranded Heading</h2><div><a href='/'>x</a></div>"
+    assert extract_main_text(html)["text"] == ""
+
+
+def test_html_to_text_spark_surface(spark):
+    docs = spark.createDataFrame(
+        [(1, PAGE), (2, "<p>tiny</p>"), (3, None)],
+        "doc_id long, html string",
+    )
+    rows = {r.doc_id: r for r in html_to_text(docs).collect()}
+    assert "first real paragraph" in rows[1].text
+    assert rows[2].text == "" and rows[2].n_blocks == 1
+    assert rows[3].text == "" and rows[3].n_blocks == 0
+    assert rows[1].link_density > 0

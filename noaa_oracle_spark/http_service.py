@@ -252,17 +252,24 @@ def make_handler(
     def get_pq_index(path: str, reload: bool = False) -> dict:
         from noaa_oracle_spark.pipeline.pq import load_pq_index
 
+        # double-checked: the (multi-second) Spark load runs OUTSIDE the
+        # lock so one cold load never serializes traffic for other,
+        # already-cached paths; concurrent loads of the SAME path both
+        # validate and last-write-wins, which is idempotent
         with pq_lock:
-            if reload or path not in pq_indexes:
-                try:
-                    pq_indexes[path] = load_pq_index(spark, path)
-                except ValueError:
-                    raise  # consistency violations surface as 400s
-                except Exception as exc:  # unreadable/missing directory
-                    raise BadRequest(
-                        f"cannot load PQ index at {path!r}: {exc}"
-                    ) from exc
-            return pq_indexes[path]
+            if not reload and path in pq_indexes:
+                return pq_indexes[path]
+        try:
+            idx = load_pq_index(spark, path)
+        except ValueError:
+            raise  # consistency violations surface as 400s
+        except Exception as exc:  # unreadable/missing directory
+            raise BadRequest(
+                f"cannot load PQ index at {path!r}: {exc}"
+            ) from exc
+        with pq_lock:
+            pq_indexes[path] = idx
+        return idx
 
     def run_update(pid: int) -> None:
         from noaa_oracle_spark.etl import run_scoring_cycle
@@ -608,10 +615,14 @@ def make_handler(
                 raise BadRequest(
                     f"vector has {len(vec)} dims, index expects {dim}"
                 )
-            # id -1 cannot collide with corpus ids, so pq_knn's
-            # self-pair filter (q_id != n_id) never drops a neighbor
+            # the query id must sit OUTSIDE the corpus id domain, or
+            # pq_knn's self-pair filter (q_id != n_id) would silently
+            # drop the matching corpus vector; one below the index's
+            # smallest encoded id is outside by construction
+            lo = idx.get("min_vec_id")
+            sentinel = min(-1, (lo - 1) if lo is not None else -1)
             queries = spark.createDataFrame(
-                [(-1, [float(x) for x in vec])],
+                [(sentinel, [float(x) for x in vec])],
                 "vec_id long, embedding array<double>",
             )
             rows = sorted(

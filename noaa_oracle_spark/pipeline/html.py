@@ -38,9 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Subtrees whose text is never visible content.
+#: Subtrees whose text is never visible content.  `head` is handled as
+#: a recoverable flag (HTML5 allows omitting </head>), not skip depth.
 _SKIP_TAGS = frozenset(
-    {"script", "style", "noscript", "template", "svg", "head", "iframe"}
+    {"script", "style", "noscript", "template", "svg", "iframe"}
 )
 
 #: Tags that terminate the current text block.
@@ -58,12 +59,21 @@ _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6", "title"})
 
 
 class _BlockParser(HTMLParser):
+    # html.parser performs NO implied end tags, and HTML5 allows
+    # omitting </head> — without recovery an omitted </head> would
+    # leave the head-skip stuck and silently drop the whole body
+    # (round-7 review finding).  `head` is therefore tracked as a FLAG
+    # cleared by <body> or by any block-level start tag (except title,
+    # which is legitimate head content), not as skip depth; <body> also
+    # resets the skip depth outright (an unclosed <svg>/<iframe> before
+    # it is malformed markup — recover rather than eat the document).
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[dict] = []
         self._buf: list[str] = []
         self._link_chars = 0
         self._skip_depth = 0
+        self._in_head = False
         self._link_depth = 0
         self._tag = "body"
 
@@ -78,13 +88,29 @@ class _BlockParser(HTMLParser):
                 }
             )
         self._buf, self._link_chars = [], 0
+        # an anchor is not allowed to span a block boundary here: an
+        # UNCLOSED <a> would otherwise mark every later block
+        # link-dense and erase the rest of the document (review
+        # finding).  Cost: <a><div>card</div></a> wrappers undercount
+        # link chars — conservative toward keeping content.
+        self._link_depth = 0
         self._tag = next_tag
 
     def handle_starttag(self, tag, attrs):
+        if tag == "head":
+            self._in_head = True
+            return
+        if tag == "body":
+            self._in_head = False
+            self._skip_depth = 0
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
             return
         if self._skip_depth:
+            return
+        if self._in_head and tag in _BLOCK_TAGS and tag != "title":
+            self._in_head = False  # implied </head> (HTML5 omission)
+        if self._in_head:
             return
         if tag == "a":
             self._link_depth += 1
@@ -92,10 +118,13 @@ class _BlockParser(HTMLParser):
             self._flush(tag)
 
     def handle_endtag(self, tag):
+        if tag == "head":
+            self._in_head = False
+            return
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
-        if self._skip_depth:
+        if self._skip_depth or self._in_head:
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
@@ -103,7 +132,7 @@ class _BlockParser(HTMLParser):
             self._flush("body")
 
     def handle_data(self, data):
-        if self._skip_depth or not data:
+        if self._skip_depth or self._in_head or not data:
             return
         self._buf.append(data)
         if self._link_depth:

@@ -602,8 +602,14 @@ def phash_near_dupes(
     skew-join case.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
-    if not 1 <= bands <= 64 or 64 % bands:
-        raise ValueError(f"phash_near_dupes: bands must divide 64, got {bands}")
+    if not 2 <= bands <= 64 or 64 % bands:
+        # bands=1 would need a 64-bit all-ones mask literal, which
+        # overflows LongType — and a single band is an exact-equality
+        # join anyway, not a near-dup search
+        raise ValueError(
+            f"phash_near_dupes: bands must divide 64 and be in [2, 64], "
+            f"got {bands}"
+        )
     if max_distance >= bands:
         raise ValueError(
             f"phash_near_dupes: max_distance {max_distance} >= bands "

@@ -1074,10 +1074,12 @@ def load_pq_index(spark, path: str) -> "dict":
             f"inconsistent (interrupted re-save?)"
         )
     codes = spark.read.parquet(f"{path}/codes")
-    n_encoded = codes.count()
-    if n_encoded != meta.n_encoded:
+    stats = codes.agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("lo")
+    ).collect()[0]
+    if stats["n"] != meta.n_encoded:
         raise ValueError(
-            f"load_pq_index: {n_encoded} encoded rows at {path} vs "
+            f"load_pq_index: {stats['n']} encoded rows at {path} vs "
             f"{meta.n_encoded} in the manifest — inconsistent index"
         )
     cells = (
@@ -1088,4 +1090,8 @@ def load_pq_index(spark, path: str) -> "dict":
         "codes": codes,
         "cells": cells,
         "manifest": meta,
+        # smallest encoded id, for callers that need a query-id sentinel
+        # guaranteed outside the corpus id domain (the serve endpoint's
+        # self-pair-filter correctness); None for an empty index
+        "min_vec_id": None if stats["lo"] is None else int(stats["lo"]),
     }

@@ -1475,6 +1475,11 @@ def cell_geometry(
             for d in range(dim)
         ],
     ).collect()[0]
+    if int(row["n"]) == 0 or row["within"] is None:
+        raise ValueError(
+            "cell_geometry: empty corpus (or no decodable vectors) — "
+            "nothing to diagnose"
+        )
     mu2 = sum(float(row[f"_mu{d}"]) ** 2 for d in range(dim))
     total = float(row["e_norm2"]) - mu2
     within = float(row["within"])

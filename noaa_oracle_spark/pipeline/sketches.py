@@ -352,6 +352,11 @@ def kmv_quantiles(
     qs = list(quantiles)
     if not qs or not all(0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"kmv_quantiles: quantiles must be in [0,1], got {qs}")
+    if len({_q_col_name(q) for q in qs}) != len(qs):
+        raise ValueError(
+            f"kmv_quantiles: duplicate quantiles in {qs} would collide "
+            "in the output column names"
+        )
     sample = kmv_sample(
         df.select(*group_cols, id_col, value_col),
         group_cols,
@@ -360,15 +365,19 @@ def kmv_quantiles(
         n_buckets=n_buckets,
     )
 
-    def _name(q: float) -> str:
-        return "q_" + f"{q:g}".replace("0.", "").replace(".", "_")
-
     return sample.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_sample"),
         *[
             F.round(
                 F.percentile(F.col(value_col).cast("double"), F.lit(q)), 6
-            ).alias(_name(q))
+            ).alias(_q_col_name(q))
             for q in qs
         ],
     )
+
+
+def _q_col_name(q: float) -> str:
+    """Collision-free column name for a quantile: q_0_25 for 0.25, q_1
+    for 1.0 (the leading '0.' is NOT stripped — stripping made 0.1 and
+    1.0 both 'q_1', a round-7 review finding)."""
+    return "q_" + f"{q:g}".replace(".", "_")

@@ -156,28 +156,46 @@ def filter_blocked_domains(
     blocked: "DataFrame | list[str]",
     url_col: str = "url",
 ) -> DataFrame:
-    """Drop documents whose registrable domain is on the blocklist —
-    subdomains of a blocked domain are blocked with it (the blocklist
-    names registrable domains).  Broadcast LEFT-ANTI join: the
-    blocklist is a curated human artifact, small by construction; the
-    corpus crosses no exchange."""
-    spark = docs.sparkSession
-    if not isinstance(blocked, DataFrame):
-        blocked = spark.createDataFrame(
-            [(d,) for d in blocked], "blocked_domain string"
-        )
-    bl = blocked.select(
-        F.lower(F.col(blocked.columns[0])).alias("_bl_domain")
+    """Drop documents whose host matches a blocklist entry by HOST
+    SUFFIX: an entry blocks itself and every subdomain of it
+    ('example.com' blocks 'spam.example.com'; 'spam.example.com' blocks
+    only that subtree) — real blocklists name hosts at any granularity,
+    so matching on registrable domain alone would silently ignore
+    subdomain entries (round-7 review finding).  Entries are normalized
+    like `url_host` (lowercase, leading 'www.' and trailing dot
+    stripped).
+
+    The blocklist is a curated human artifact, small by construction:
+    it is collected to the driver and inlined as an array literal, so
+    the filter is pure map-side expression work — the corpus crosses no
+    exchange and no join.  For machine-generated lists beyond literal
+    size, the decontamination tier's bloom/broadcast join is the right
+    tool instead."""
+    if isinstance(blocked, DataFrame):
+        col = blocked.columns[0]
+        entries = [r[col] for r in blocked.select(col).collect()]
+    else:
+        entries = list(blocked)
+    norm = sorted(
+        {
+            e.lower().lstrip(".").removeprefix("www.").rstrip(".")
+            for e in entries
+            if e
+        }
     )
-    return (
-        docs.withColumn("_dom", registrable_domain(F.col(url_col)))
-        .join(
-            F.broadcast(bl),
-            F.col("_dom") == F.col("_bl_domain"),
-            "left_anti",
-        )
-        .drop("_dom")
+    if not norm:
+        return docs
+    host = url_host(F.col(url_col))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    # every suffix of the host's label chain: a.b.c -> [a.b.c, b.c, c]
+    chain = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
     )
+    blocked_arr = F.array(*[F.lit(e) for e in norm])
+    hit = F.exists(chain, lambda s: F.array_contains(blocked_arr, s))
+    return docs.filter(~F.coalesce(hit, F.lit(False)))
 
 
 def domain_cap(

@@ -158,20 +158,21 @@ def streaming_countmin_cells(
     weight = (
         F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
     )
-    cells = (
-        elements.select(
-            F.col(term_col).cast("string").alias("_t"),
-            weight.alias("_n"),
-            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
-        )
-        .filter(F.col("_t").isNotNull())
-        .select(
-            "seed",
-            F.pmod(
-                _h60(F.concat_ws("|", F.col("seed"), F.col("_t"))), F.lit(w)
-            ).alias("bucket"),
-            "_n",
-        )
+    # NO NULL-term filter: the batch tier hashes concat_ws('|', seed,
+    # term), and concat_ws SKIPS NULLs — a NULL term lands in the
+    # seed-only cell there, so the streaming twin must send it to the
+    # same cell or the claimed cell equality breaks (round-7 review
+    # finding)
+    cells = elements.select(
+        F.col(term_col).cast("string").alias("_t"),
+        weight.alias("_n"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed"),
+    ).select(
+        "seed",
+        F.pmod(
+            _h60(F.concat_ws("|", F.col("seed"), F.col("_t"))), F.lit(w)
+        ).alias("bucket"),
+        "_n",
     )
     return cells.groupBy("seed", "bucket").agg(
         F.sum("_n").cast("long").alias("cell_count")
@@ -201,33 +202,38 @@ def _make_sample_kernel(k: int):
 
         import pandas as pd
 
+        # pool keyed by (hash, id) — NOT hash alone: two distinct ids
+        # with colliding hashes must both survive, in the batch twin's
+        # (_h, id) tie order (round-7 review finding; 2^-60 per pair,
+        # but the batch kernel explicitly orders the tie)
         if state.exists:
             hs, ids, vals = state.get
             pool = {
-                int(h): (int(i), None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v))
+                (int(h), int(i)): (
+                    None
+                    if v is None or (isinstance(v, float) and math.isnan(v))
+                    else float(v)
+                )
                 for h, i, v in zip(hs, ids, vals)
             }
         else:
             pool = {}
         for pdf in pdfs:
             for h, i, v in zip(pdf["_h"], pdf["id"], pdf["value"]):
-                pool[int(h)] = (
-                    int(i),
-                    None if pd.isna(v) else float(v),
-                )
+                pool[(int(h), int(i))] = None if pd.isna(v) else float(v)
         bottom = sorted(pool)[:k]
         state.update(
             (
-                bottom,
-                [pool[h][0] for h in bottom],
-                [pool[h][1] for h in bottom],
+                [h for h, _ in bottom],
+                [i for _, i in bottom],
+                [pool[key_] for key_ in bottom],
             )
         )
         yield pd.DataFrame(
             {
                 "group": key[0],
-                "id": [pool[h][0] for h in bottom],
-                "value": [pool[h][1] for h in bottom],
+                "id": [i for _, i in bottom],
+                "value": [pool[key_] for key_ in bottom],
             }
         )
 

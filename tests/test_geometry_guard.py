@@ -116,3 +116,10 @@ def test_matryoshka_guard_warns_only_without_front_loading(spark, isotropic):
         warnings.simplefilter("always")
         matryoshka_knn(qs, isotropic, d_prefix=4).collect()
     assert not any("matryoshka_knn" in str(w.message) for w in rec)
+
+
+def test_cell_geometry_empty_corpus_raises_cleanly(spark, clustered):
+    cents = lloyd_refine(clustered, k=4, iters=0)
+    empty = clustered.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        cell_geometry(empty, cents)

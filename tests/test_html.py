@@ -78,3 +78,40 @@ def test_html_to_text_spark_surface(spark):
     assert rows[2].text == "" and rows[2].n_blocks == 1
     assert rows[3].text == "" and rows[3].n_blocks == 0
     assert rows[1].link_density > 0
+
+
+def test_omitted_head_end_tag_recovers():
+    """HTML5 allows omitting </head> (round-7 review): the body must
+    still be extracted."""
+    html = (
+        "<html><head><title>T</title>"
+        "<body><p>A perfectly normal paragraph of article text that is "
+        "long enough to be treated as content.</p>"
+    )
+    out = extract_main_text(html)
+    assert "perfectly normal paragraph" in out["text"]
+    # head content stays suppressed
+    blocks = parse_blocks(html)
+    assert all(b["text"] != "T" for b in blocks)
+    # implied </head> via a block tag, without <body>
+    html2 = "<head><title>T</title><p>%s</p>" % ("prose " * 20)
+    assert "prose" in extract_main_text(html2)["text"]
+
+
+def test_unclosed_anchor_does_not_erase_following_blocks():
+    html = (
+        "<p><a href='/x'>nav link without close</p>"
+        "<p>Real article prose, long enough to clear the block length "
+        "threshold and completely free of anchors.</p>"
+    )
+    out = extract_main_text(html)
+    assert "Real article prose" in out["text"]
+
+
+def test_body_start_recovers_unclosed_skip_subtree():
+    html = (
+        "<svg><circle r='1'/>"
+        "<body><p>Content after a malformed unclosed svg element, long "
+        "enough to pass the minimum length bar.</p>"
+    )
+    assert "Content after" in extract_main_text(html)["text"]

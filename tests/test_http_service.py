@@ -491,3 +491,34 @@ def test_search_knn_serves_saved_index_without_training(
     ):
         code, msg = _post_error(f"{base}/search/knn", bad)
         assert code == 400 and frag in msg, (bad, code, msg)
+
+
+def test_search_knn_returns_negative_corpus_ids(server, spark, tmp_path_factory):
+    """Round-7 review: the endpoint's sentinel query id must sit outside
+    the corpus id domain — a corpus that legitimately contains vec_id=-1
+    must still get it back as a neighbor."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import (
+        pq_encode,
+        pq_train,
+        save_pq_index,
+    )
+
+    base, _ = server
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(50, 8)
+    emb = spark.createDataFrame(
+        [(i - 1, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )  # ids -1..48
+    books = pq_train(emb, m=4, k=8, iters=1)
+    path = str(tmp_path_factory.mktemp("pq_http_neg") / "idx")
+    save_pq_index(books, pq_encode(emb, books), path)
+    status, out = _post_json(
+        f"{base}/search/knn",
+        {"index_path": path, "vector": [float(x) for x in vecs[0]], "k": 3},
+    )
+    assert status == 200
+    # vec 0 has corpus id -1: it must be the top neighbor, not dropped
+    assert out["neighbors"][0]["vec_id"] == -1

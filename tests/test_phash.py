@@ -89,3 +89,9 @@ def test_phash_near_dupes_parameter_guards(spark):
         phash_near_dupes(media, max_distance=8, bands=8)  # voids recall
     with pytest.raises(ValueError):
         phash_near_dupes(media, bands=7)  # 7 does not divide 64
+
+
+def test_phash_near_dupes_rejects_single_band(spark):
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(ValueError):
+        phash_near_dupes(media, max_distance=0, bands=1)

@@ -305,7 +305,7 @@ def test_kmv_quantiles_tracks_population(spark):
     assert len(out) == 1 and out[0]["n_sample"] == 512
     vals = np.array([v for _, _, v in rows])
     # rank-space error ~ 1/sqrt(k): generous 4-sigma band in value space
-    for q, col in ((0.5, "q_5"), (0.9, "q_9")):
+    for q, col in ((0.5, "q_0_5"), (0.9, "q_0_9")):
         true = np.quantile(vals, q)
         tol = 4.0 / np.sqrt(512) * 1000  # value range is 0..999
         assert abs(out[0][col] - true) < tol, (q, out[0][col], true)
@@ -323,6 +323,22 @@ def test_kmv_quantiles_small_group_is_exact(spark):
     )
     out = kmv_quantiles(df, ["g"], "id", "v", quantiles=[0.5], k=100).collect()
     # below k the sample IS the population: quantile_cont is exact
-    assert out[0]["q_5"] == round(float(np.quantile(vals, 0.5)), 6)
+    assert out[0]["q_0_5"] == round(float(np.quantile(vals, 0.5)), 6)
     with pytest.raises(ValueError):
         kmv_quantiles(df, ["g"], "id", "v", quantiles=[1.5])
+
+
+def test_kmv_quantiles_name_scheme_and_collision_guard(spark):
+    from noaa_oracle_spark.pipeline.sketches import kmv_quantiles
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(50)],
+        "g string, id long, v double",
+    )
+    out = kmv_quantiles(df, ["g"], "id", "v", quantiles=[0.1, 1.0], k=100)
+    # 0.1 -> q_0_1 and 1.0 -> q_1 must NOT collide (round-7 review)
+    assert {"q_0_1", "q_1"} <= set(out.columns)
+    row = out.collect()[0]
+    assert row["q_1"] == 49.0
+    with pytest.raises(ValueError):
+        kmv_quantiles(df, ["g"], "id", "v", quantiles=[0.5, 0.5])

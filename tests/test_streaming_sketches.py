@@ -204,7 +204,9 @@ def test_streaming_countmin_equals_batch_over_union(spark, tmp_path):
     src = str(tmp_path / "cms_src")
     os.makedirs(src)
     b1 = [("g", f"t{i % 7}") for i in range(300)]
-    b2 = [("g", f"t{i % 19}") for i in range(500)]
+    # NULL terms included: batch concat_ws SKIPS NULLs (seed-only cell),
+    # and the streaming twin must land them in the same cell (r7 review)
+    b2 = [("g", f"t{i % 19}") for i in range(500)] + [("g", None)] * 3
     _write_batch(src, "b1", b1)
     _write_batch(src, "b2", b2)
 

@@ -128,3 +128,24 @@ def test_domain_stats_shares_sum_to_one(spark):
     rows = {r.domain: r for r in domain_stats(docs).collect()}
     assert rows["a.com"].n_docs == 3 and rows["b.org"].n_docs == 1
     assert rows["a.com"].doc_share == 0.75
+
+
+def test_blocklist_subdomain_entry_blocks_only_its_subtree(spark):
+    """Round-7 review: blocklist entries at subdomain granularity must
+    match (host-suffix semantics), and must NOT block the parent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "https://deep.spam.example.com/b"),
+            (3, "https://www.example.com/c"),
+            (4, "https://other.org/d"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(docs, ["spam.example.com"]).collect()
+    )
+    assert kept == [3, 4]
+    # empty/None-host rows survive an empty blocklist untouched
+    assert filter_blocked_domains(docs, []).count() == 4

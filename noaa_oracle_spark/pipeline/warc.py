@@ -1,0 +1,281 @@
+"""WARC (Web ARChive, ISO 28500) reader/writer on stdlib bytes — the
+container format web crawls ship in (Common Crawl's distribution
+format), which makes it the entry point of a crawl-to-corpus pipeline:
+WARC shard → `warc_records` → `html.html_to_text` → quality/dedup/mix.
+
+Format facts implemented (WARC/1.0 and 1.1):
+  - a record = version line, CRLF header block (Name: value, folding
+    not emitted by crawlers and not supported here), CRLF CRLF, exactly
+    Content-Length payload bytes, CRLF CRLF record terminator;
+  - shards are either plain concatenated records or MEMBER-WISE gzip
+    (one gzip member per record, concatenated — the Common Crawl
+    layout; a plain `gzip.decompress` of such a file yields ONLY the
+    first member, so the reader walks members with zlib's
+    unused_data);
+  - `response` records carry an HTTP message as payload: status line +
+    headers + body, split here so callers get the body and the
+    Content-Type without re-parsing.
+
+Spark surface: `warc_records(spark, path_glob)` — binaryFile source
+(one task per shard, the webdataset discipline: payload bytes never
+cross an exchange) → mapInPandas walk → one row per record with
+(shard, record offset/index, WARC type, target URI, date, HTTP status,
+content type, payload).  A corrupt shard degrades to the records parsed
+before the corruption (the truncation convention every container reader
+here follows); a corrupt single record ends that shard's walk, never
+the task.
+
+The writer exists for fixtures and for re-sharding extracted subsets
+(`build_warc` — deterministic bytes, member-gzip optional), the
+build_mp4/build_mp3 discipline.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+
+class WarcError(ValueError):
+    pass
+
+
+def _parse_headers(block: bytes) -> "dict[str, str]":
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise WarcError(f"malformed header line {line[:60]!r}")
+        headers[name.decode("latin-1").strip().lower()] = value.decode(
+            "latin-1"
+        ).strip()
+    return headers
+
+
+def _parse_record(data: bytes, pos: int) -> "tuple[dict, int] | None":
+    """One WARC record at `pos` → (record dict, next pos); None at a
+    clean end of data.  Raises WarcError on malformed structure."""
+    if pos >= len(data):
+        return None
+    end_ver = data.find(_CRLF, pos)
+    if end_ver < 0:
+        raise WarcError("truncated version line")
+    version = data[pos:end_ver]
+    if not version.startswith(b"WARC/"):
+        raise WarcError(f"bad version line {version[:20]!r}")
+    end_hdr = data.find(_CRLF + _CRLF, end_ver)
+    if end_hdr < 0:
+        raise WarcError("truncated header block")
+    headers = _parse_headers(data[end_ver + 2 : end_hdr])
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError) as exc:
+        raise WarcError("missing/bad Content-Length") from exc
+    body_start = end_hdr + 4
+    body_end = body_start + length
+    if body_end + 4 > len(data):
+        raise WarcError("truncated payload")
+    if data[body_end : body_end + 4] != _CRLF + _CRLF:
+        raise WarcError("missing record terminator")
+    return (
+        {
+            "version": version.decode("latin-1"),
+            "headers": headers,
+            "payload": data[body_start:body_end],
+        },
+        body_end + 4,
+    )
+
+
+def _split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
+    """(status, content_type, body) of an HTTP response payload; payload
+    returned whole (status None) when it is not an HTTP message."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(_CRLF + _CRLF)
+    if head_end < 0:
+        return None, None, payload
+    head = payload[:head_end]
+    status_line, _, rest = head.partition(_CRLF)
+    parts = status_line.split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    http_headers = _parse_headers(rest) if rest else {}
+    ctype = http_headers.get("content-type")
+    return status, ctype, payload[head_end + 4 :]
+
+
+def _gzip_members(data: bytes) -> "Iterator[bytes]":
+    """Decompress concatenated gzip members one by one (zlib's
+    unused_data walk).  The walk — rather than one whole-file
+    `gzip.decompress` — exists for the degrade contract: a corrupt or
+    truncated LATER member still yields every earlier member, where a
+    single decompress call would throw away the whole shard."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+            while not d.eof:
+                tail = d.decompress(b"")
+                if not tail:
+                    break
+                chunk += tail
+            if not d.eof:
+                return  # truncated final member: salvage prior ones
+            yield chunk
+        except zlib.error:
+            return  # corrupt member ends the walk (truncation rule)
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def parse_warc(data: bytes) -> "list[dict]":
+    """All records of a WARC shard (plain or member-gzip, sniffed by
+    magic), each {'version', 'headers', 'payload'}; a structural error
+    ends the parse at the records seen so far."""
+    records: list[dict] = []
+    if data[:2] == b"\x1f\x8b":
+        for member in _gzip_members(data):
+            pos = 0
+            while True:
+                try:
+                    out = _parse_record(member, pos)
+                except WarcError:
+                    return records
+                if out is None:
+                    break
+                rec, pos = out
+                records.append(rec)
+        return records
+    pos = 0
+    while True:
+        try:
+            out = _parse_record(data, pos)
+        except WarcError:
+            return records
+        if out is None:
+            return records
+        rec, pos = out
+        records.append(rec)
+
+
+def build_warc(
+    records: "list[dict]",
+    member_gzip: bool = True,
+) -> bytes:
+    """Serialize records ({'type', 'uri', 'date', 'payload', optional
+    'http_status'/'http_content_type'}) into WARC/1.0 bytes —
+    deterministic (no clocks, no uuids: record ids derive from the
+    index), member-wise gzip with mtime=0 by default (the Common Crawl
+    layout and the webdataset reproducibility rule)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        payload = r["payload"]
+        if "http_status" in r:
+            head = (
+                f"HTTP/1.1 {r['http_status']} OK\r\n"
+                f"Content-Type: {r.get('http_content_type', 'text/html')}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1")
+            payload = head + payload
+        headers = [
+            ("WARC-Type", r.get("type", "response")),
+            ("WARC-Record-ID", f"<urn:noaa-oracle-spark:record:{i}>"),
+            ("WARC-Date", r.get("date", "2026-01-01T00:00:00Z")),
+            ("WARC-Target-URI", r.get("uri", "")),
+            ("Content-Type", "application/http;msgtype=response"
+             if "http_status" in r else r.get("content_type", "text/plain")),
+            ("Content-Length", str(len(payload))),
+        ]
+        rec = bytearray(b"WARC/1.0\r\n")
+        for k, v in headers:
+            if v != "":
+                rec += f"{k}: {v}\r\n".encode("latin-1")
+        rec += _CRLF + payload + _CRLF + _CRLF
+        if member_gzip:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(bytes(rec))
+            out += buf.getvalue()
+        else:
+            out += rec
+    return bytes(out)
+
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("record_idx", T.LongType(), False),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("n_payload_bytes", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def warc_records(
+    spark: SparkSession,
+    path_glob: str,
+    with_payload: bool = True,
+) -> DataFrame:
+    """One row per WARC record across the shards matching `path_glob` —
+    binaryFile source (one task per shard), mapInPandas walk, zero
+    Exchange: payload bytes never shuffle (drop them at the source with
+    `with_payload=False` when only the manifest is needed — the scan
+    then moves headers, not the crawl).  `response` records get their
+    HTTP status/Content-Type/body split out; other record types
+    (request, metadata, warcinfo) pass their payload through whole."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                recs = parse_warc(bytes(blob) if blob is not None else b"")
+                for i, rec in enumerate(recs):
+                    h = rec["headers"]
+                    status, ctype, body = _split_http_payload(rec["payload"])
+                    if status is None:
+                        ctype = h.get("content-type")
+                    rows.append(
+                        {
+                            "shard": path,
+                            "record_idx": i,
+                            "warc_type": h.get("warc-type"),
+                            "target_uri": h.get("warc-target-uri"),
+                            "warc_date": h.get("warc-date"),
+                            "http_status": status,
+                            "content_type": ctype,
+                            "n_payload_bytes": len(body),
+                            "payload": body if with_payload else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "content")
+        .mapInPandas(kernel, WARC_RECORD_SCHEMA)
+    )

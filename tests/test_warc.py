@@ -1,0 +1,179 @@
+"""WARC container reader/writer (pipeline/warc.py): round trips for
+plain and member-gzip shards, HTTP payload splitting, truncation
+salvage, and the WARC → HTML → text composition."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from noaa_oracle_spark.pipeline.warc import (
+    build_warc,
+    parse_warc,
+    warc_records,
+)
+
+PAGE = (
+    "<html><head><title>T</title></head><body>"
+    "<p>A content paragraph long enough to clear the extraction "
+    "threshold with plenty of room to spare.</p></body></html>"
+).encode()
+
+
+def _records(n=3):
+    return [
+        {
+            "type": "response",
+            "uri": f"https://example.com/page/{i}",
+            "date": f"2026-01-0{i + 1}T00:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "payload": PAGE.replace(b"content", b"content %d" % i),
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain_and_member_gzip():
+    recs = _records()
+    for member_gzip in (False, True):
+        blob = build_warc(recs, member_gzip=member_gzip)
+        out = parse_warc(blob)
+        assert len(out) == 3
+        for i, rec in enumerate(out):
+            h = rec["headers"]
+            assert h["warc-type"] == "response"
+            assert h["warc-target-uri"] == f"https://example.com/page/{i}"
+            assert rec["payload"].startswith(b"HTTP/1.1 200")
+            assert b"content %d" % i in rec["payload"]
+
+
+def test_member_gzip_is_deterministic_and_memberwise():
+    recs = _records()
+    blob = build_warc(recs)
+    assert blob == build_warc(recs)  # mtime=0, derived ids
+    # genuinely member-wise: a single gzip.decompress only sees the
+    # stream CONCATENATED; counting members via re-parse proves >1
+    assert blob[:2] == b"\x1f\x8b"
+    assert blob.count(b"\x1f\x8b\x08") >= 3
+    # whole-file decompress (concatenating members) parses identically
+    assert len(parse_warc(gzip.decompress(blob))) == 3
+
+
+def test_truncation_salvages_prefix():
+    recs = _records()
+    plain = build_warc(recs, member_gzip=False)
+    # chop mid-way through the last record's payload
+    cut = plain[: len(plain) - 40]
+    assert len(parse_warc(cut)) == 2
+    gz = build_warc(recs)
+    assert len(parse_warc(gz[: len(gz) - 20])) == 2
+    assert parse_warc(b"") == []
+    assert parse_warc(b"not warc at all") == []
+
+
+def test_warc_records_spark_surface(spark, tmp_path):
+    d = str(tmp_path / "warc")
+    os.makedirs(d)
+    with open(os.path.join(d, "shard-0.warc.gz"), "wb") as f:
+        f.write(build_warc(_records(3)))
+    with open(os.path.join(d, "shard-1.warc.gz"), "wb") as f:
+        f.write(
+            build_warc(
+                [
+                    {
+                        "type": "warcinfo",
+                        "uri": "",
+                        "content_type": "application/warc-fields",
+                        "payload": b"software: noaa-oracle-spark",
+                    }
+                ]
+            )
+        )
+    df = warc_records(spark, d)
+    rows = sorted(
+        map(
+            lambda r: (os.path.basename(r.shard), r.record_idx, r.warc_type,
+                       r.http_status, r.content_type),
+            df.collect(),
+        )
+    )
+    assert len(rows) == 4
+    assert rows[0] == (
+        "shard-0.warc.gz", 0, "response", 200, "text/html; charset=utf-8"
+    )
+    assert rows[3] == (
+        "shard-1.warc.gz", 0, "warcinfo", None, "application/warc-fields"
+    )
+    # manifest-only scan drops payloads but keeps sizes
+    manifest = warc_records(spark, d, with_payload=False).collect()
+    assert all(r.payload is None for r in manifest)
+    assert all(r.n_payload_bytes > 0 for r in manifest)
+
+
+def test_warc_to_text_composition(spark, tmp_path):
+    """The crawl front door end-to-end: WARC shard → records → HTML
+    body → extracted main text."""
+    from noaa_oracle_spark.pipeline.html import html_to_text
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "warc2")
+    os.makedirs(d)
+    with open(os.path.join(d, "shard-0.warc.gz"), "wb") as f:
+        f.write(build_warc(_records(2)))
+    recs = warc_records(spark, d).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    docs = recs.select(
+        F.col("record_idx").alias("doc_id"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    texts = {r.doc_id: r.text for r in html_to_text(docs).collect()}
+    assert "content 0" in texts[0] and "content 1" in texts[1]
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: the parsers must never raise and round trips must hold
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=300), min_size=1, max_size=5
+    ),
+    member_gzip=st.booleans(),
+)
+def test_warc_roundtrip_arbitrary_payloads(payloads, member_gzip):
+    """Payloads containing CRLF runs, 'WARC/' strings, gzip magic —
+    anything — must round trip exactly (Content-Length framing, not
+    delimiters, carries the record)."""
+    recs = [
+        {
+            "type": "resource",
+            "uri": f"https://x.test/{i}",
+            "content_type": "application/octet-stream",
+            "payload": p,
+        }
+        for i, p in enumerate(payloads)
+    ]
+    out = parse_warc(build_warc(recs, member_gzip=member_gzip))
+    assert [r["payload"] for r in out] == payloads
+
+
+@settings(max_examples=80, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=400))
+def test_parse_warc_never_raises_on_junk(junk):
+    assert isinstance(parse_warc(junk), list)
+
+
+@settings(max_examples=80, deadline=None)
+@given(junk=st.text(max_size=400))
+def test_html_extract_never_raises_on_junk(junk):
+    from noaa_oracle_spark.pipeline.html import extract_main_text
+
+    out = extract_main_text(junk, min_block_chars=5)
+    assert isinstance(out["text"], str)

@@ -348,6 +348,52 @@ def main() -> None:
     run("wav_features", lambda: audio_features(text_to_wav_media(docs))
         .filter(F.col("sum_sq") > 0).count())
 
+    # --- crawl front door (r7): synthesize an HTML page per fixture doc
+    # (nav + footer boilerplate around the real text) and run the
+    # block-parse + link-density extraction; plus URL canonicalization
+    # over one synthetic URL per doc (pure expressions).
+    def _html_rung():
+        from noaa_oracle_spark.pipeline.html import html_to_text
+
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "<html><head><title>t</title><style>.x{}</style></head>"
+                    "<body><nav><a href='/'>Home</a> <a href='/a'>About</a>"
+                    " <a href='/c'>Contact</a></nav><h1>Doc "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit(
+                    "</p><div><a href='/1'>x</a> <a href='/2'>y</a></div>"
+                    "<footer>c 2026</footer></body></html>"
+                ),
+            ).alias("html"),
+        )
+        return html_to_text(pages).filter(F.col("text") != "").count()
+
+    run("html_extract", _html_rung)
+
+    def _canon_rung():
+        from noaa_oracle_spark.pipeline.web import canonical_url
+
+        urls = docs.select(
+            F.concat(
+                F.lit("HTTPS://Site"),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit(".Example.COM:443/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=x&b=2&a=1&fbclid=z#frag"),
+            ).alias("url")
+        )
+        return urls.select(canonical_url(F.col("url")).alias("c")).filter(
+            F.col("c").isNotNull()
+        ).count()
+
+    run("canonical_url", _canon_rung)
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

@@ -1440,3 +1440,73 @@ def perplexity_buckets(
             ).alias("ppl_bucket"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query by Okapi BM25 — the
+    lexical-retrieval sibling of the vector tier (`brute_force_knn` et
+    al.); real retrieval stacks run both and fuse.  Uses the Lucene
+    idf form ln(1 + (N − df + 0.5)/(df + 0.5)), which is positive for
+    every df, and the standard tf saturation / length normalization:
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+
+    Scale shape: the term explode filters to the QUERY terms map-side
+    (the scan never materializes non-query terms), tf is one uniform
+    (doc, term) shuffle, df comes off the tf rows at the term-type
+    dimension, and N/avgdl ride in as ONE broadcast 1-row aggregate —
+    no driver collect, no all-terms pass.  Scores round 6 dp with doc
+    id as the total tiebreak (the suite float rule).
+
+    Returns (doc_id, bm25, rnk) for the k best documents."""
+    from pyspark.sql.window import Window
+
+    terms = sorted({t for t in query_terms if t})
+    if not terms:
+        raise ValueError("bm25_scores: need at least one non-empty query term")
+    words = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = (
+        words.filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w))
+        .select(id_col, "bm25", "rnk")
+    )

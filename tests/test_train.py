@@ -1,0 +1,168 @@
+"""In-engine logistic training (pipeline/train.py): gradient
+correctness vs numpy, convergence on separable data, partitioning
+determinism, and the quality-classifier train→serve loop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from noaa_oracle_spark.pipeline.train import (
+    fit_quality_classifier,
+    logistic_predict,
+    train_logistic,
+)
+
+
+def _xy(spark, n=400, seed=5, parts=None):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 2)
+    # planted rule: 2*x0 - x1 + 0.5 > 0
+    y = (2 * x[:, 0] - x[:, 1] + 0.5 > 0).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for (a, b), c in zip(x, y)],
+        "f0 double, f1 double, y long",
+    )
+    return (df.repartition(parts) if parts else df), x, y
+
+
+def test_first_iteration_gradient_matches_numpy(spark):
+    df, x, y = _xy(spark, n=100)
+    fit = train_logistic(df, ["f0", "f1"], "y", iters=1, lr=1.0)
+    # from w=0, b=0: p=0.5 for all rows
+    err = 0.5 - y
+    want_gb = err.mean()
+    want_g = (err[:, None] * x).mean(axis=0)
+    assert fit["bias"] == pytest.approx(-want_gb, rel=1e-9)
+    assert fit["weights"][0] == pytest.approx(-want_g[0], rel=1e-9)
+    assert fit["weights"][1] == pytest.approx(-want_g[1], rel=1e-9)
+    assert fit["losses"][0] == pytest.approx(-np.log(0.5), rel=1e-9)
+    assert fit["n"] == 100
+
+
+def test_converges_and_separates(spark):
+    df, x, y = _xy(spark)
+    fit = train_logistic(df, ["f0", "f1"], "y", iters=150, lr=0.8)
+    # loss strictly improves over training and ends low
+    assert fit["losses"][-1] < 0.15 < fit["losses"][0]
+    assert fit["losses"][-1] == min(fit["losses"])
+    scored = logistic_predict(
+        df, ["f0", "f1"], fit["weights"], fit["bias"]
+    )
+    acc = scored.filter(F.col("label_pred") == F.col("y")).count() / 400
+    assert acc >= 0.97
+    # recovered direction matches the planted rule (w0 > 0 > w1)
+    assert fit["weights"][0] > 0 > fit["weights"][1]
+
+
+def test_partitioning_invariance(spark):
+    df1, _, _ = _xy(spark, parts=None)
+    df2, _, _ = _xy(spark, parts=13)
+    f1 = train_logistic(df1, ["f0", "f1"], "y", iters=20, lr=0.5)
+    f2 = train_logistic(df2, ["f0", "f1"], "y", iters=20, lr=0.5)
+    for a, b in zip(f1["weights"] + [f1["bias"]], f2["weights"] + [f2["bias"]]):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_validation_errors(spark):
+    df, _, _ = _xy(spark, n=10)
+    with pytest.raises(ValueError):
+        train_logistic(df, [], "y")
+    with pytest.raises(ValueError):
+        train_logistic(df, ["f0"], "y", iters=0)
+    with pytest.raises(ValueError):
+        train_logistic(df.filter("f0 > 1e9"), ["f0"], "y", iters=1)
+    with pytest.raises(ValueError):
+        logistic_predict(df, ["f0", "f1"], [1.0], 0.0)
+
+
+def test_fit_quality_classifier_train_serve_loop(spark):
+    """Label documents with the DEFAULT production weights, train from
+    scratch on those labels, and the fitted integer milli-weights must
+    reproduce the labels through the exact serving path."""
+    from noaa_oracle_spark.pipeline.text import quality_classifier
+
+    rng = np.random.RandomState(11)
+    stop = ["the", "and", "of", "to", "a"]
+    junk = ["zqx9", "77##", "@@@@", "kkkk"]
+    rows = []
+    for i in range(300):
+        good = rng.rand() < 0.5
+        n = rng.randint(5, 60)
+        pool = stop if good else junk
+        words = [pool[rng.randint(len(pool))] for _ in range(n)]
+        if good:
+            words += ["word%d" % rng.randint(50) for _ in range(n)]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    base_rate = labels.agg(F.avg("label")).collect()[0][0]
+    assert 0.2 < base_rate < 0.8  # both classes present
+    w = fit_quality_classifier(docs, labels, iters=120, lr=5e-4)
+    assert set(w) == {"bias", "stop_permille", "digit_permille",
+                      "n_tokens_capped"}
+    refit = quality_classifier(docs, weights=w).select("doc_id", "keep")
+    agree = (
+        refit.join(labels, "doc_id")
+        .filter(F.col("keep") == F.col("label"))
+        .count()
+    )
+    assert agree >= 270  # >= 90% label reproduction through serving
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (text.bm25_scores) — pytest-only evidence
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_reference_formula(spark):
+    import math
+
+    from noaa_oracle_spark.pipeline.text import bm25_scores
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "apple apple apple apple apple apple",
+        3: "banana cherry date egg fig grape",
+        4: "unrelated words only here",
+        5: "apple banana",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    q = ["apple", "banana"]
+    got = {
+        r.doc_id: (r.bm25, r.rnk)
+        for r in bm25_scores(docs, q, k=10).collect()
+    }
+
+    # reference computation (Lucene idf, k1=1.2, b=0.75)
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for d in toks.values() if t in d) for t in q}
+    want = {}
+    for i, d in toks.items():
+        s = 0.0
+        for t in q:
+            tf = d.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if s > 0:
+            want[i] = round(s, 6)
+    assert {i: v for i, (v, _) in got.items()} == want
+    # doc 4 has no query terms: absent, not zero-scored
+    assert 4 not in got
+    # ranks follow (score desc, id asc)
+    order = [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order == [i for i, _ in sorted(
+        want.items(), key=lambda kv: (-kv[1], kv[0])
+    )]
+
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])

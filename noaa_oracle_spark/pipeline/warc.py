@@ -9,9 +9,11 @@ Format facts implemented (WARC/1.0 and 1.1):
     Content-Length payload bytes, CRLF CRLF record terminator;
   - shards are either plain concatenated records or MEMBER-WISE gzip
     (one gzip member per record, concatenated — the Common Crawl
-    layout; a plain `gzip.decompress` of such a file yields ONLY the
-    first member, so the reader walks members with zlib's
-    unused_data);
+    layout); the reader walks members one-by-one with zlib's
+    unused_data NOT because multi-member needs it (Python's
+    gzip.decompress concatenates members fine) but for the degrade
+    contract: a corrupt or truncated later member salvages every
+    earlier one, where one whole-file decompress throws the shard away;
   - `response` records carry an HTTP message as payload: status line +
     headers + body, split here so callers get the body and the
     Content-Type without re-parsing.
@@ -100,7 +102,13 @@ def _parse_record(data: bytes, pos: int) -> "tuple[dict, int] | None":
 
 def _split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]":
     """(status, content_type, body) of an HTTP response payload; payload
-    returned whole (status None) when it is not an HTTP message."""
+    returned whole (status None) when it is not an HTTP message.
+
+    Deliberately LENIENT where `_parse_headers` (WARC's own block) is
+    strict: real crawls contain folded continuation lines, bare-colon
+    junk, and garbage status lines — any of those must degrade to "not
+    an HTTP message we can split" (or skip the one bad header line),
+    never raise into the Spark task (round-7 review finding)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
     head_end = payload.find(_CRLF + _CRLF)
@@ -113,8 +121,14 @@ def _split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, None, payload
-    http_headers = _parse_headers(rest) if rest else {}
-    ctype = http_headers.get("content-type")
+    if not 100 <= status <= 999:
+        # garbage status (also: IntegerType schema domain)
+        return None, None, payload
+    ctype = None
+    for line in rest.split(_CRLF):
+        name, sep, value = line.partition(b":")
+        if sep and name.strip().lower() == b"content-type":
+            ctype = value.decode("latin-1").strip()
     return status, ctype, payload[head_end + 4 :]
 
 
@@ -253,7 +267,15 @@ def warc_records(
                 recs = parse_warc(bytes(blob) if blob is not None else b"")
                 for i, rec in enumerate(recs):
                     h = rec["headers"]
-                    status, ctype, body = _split_http_payload(rec["payload"])
+                    try:
+                        status, ctype, body = _split_http_payload(
+                            rec["payload"]
+                        )
+                    except Exception:
+                        # belt over the lenient parser's suspenders: a
+                        # pathological payload degrades to unsplit,
+                        # never to a task failure
+                        status, ctype, body = None, None, rec["payload"]
                     if status is None:
                         ctype = h.get("content-type")
                     rows.append(

@@ -20,8 +20,10 @@ runs once per document over the WHOLE corpus before anything else:
     artifact; the approximation and its failure mode (rare exotic
     suffixes group one label too high) are documented here rather than
     silently wrong.
-  - `filter_blocked_domains`: broadcast LEFT-ANTI join against a domain
-    blocklist — subdomains of a blocked domain are blocked too.
+  - `filter_blocked_domains`: map-side host-SUFFIX filter against a
+    curated blocklist (entries at any granularity; subdomains of an
+    entry are blocked with it), inlined as a literal array under an
+    enforced size budget.
   - `domain_cap`: at most N docs per registrable domain, the
     `sampling.cap_per_group` deterministic-hash-prefix contract.
 
@@ -155,6 +157,7 @@ def filter_blocked_domains(
     docs: DataFrame,
     blocked: "DataFrame | list[str]",
     url_col: str = "url",
+    max_entries: int = 10_000,
 ) -> DataFrame:
     """Drop documents whose host matches a blocklist entry by HOST
     SUFFIX: an entry blocks itself and every subdomain of it
@@ -168,14 +171,27 @@ def filter_blocked_domains(
     The blocklist is a curated human artifact, small by construction:
     it is collected to the driver and inlined as an array literal, so
     the filter is pure map-side expression work — the corpus crosses no
-    exchange and no join.  For machine-generated lists beyond literal
-    size, the decontamination tier's bloom/broadcast join is the right
-    tool instead."""
+    exchange and no join.  That design only holds under a SIZE budget,
+    so `max_entries` (default 10k) is ENFORCED, not advisory (round-7
+    review: a machine-generated million-entry list would otherwise fail
+    late as a driver collect + codegen blowup); for lists beyond the
+    budget, the decontamination tier's bloom/broadcast join is the
+    right tool instead."""
     if isinstance(blocked, DataFrame):
         col = blocked.columns[0]
-        entries = [r[col] for r in blocked.select(col).collect()]
+        entries = [
+            r[col]
+            for r in blocked.select(col).limit(max_entries + 1).collect()
+        ]
     else:
         entries = list(blocked)
+    if len(entries) > max_entries:
+        raise ValueError(
+            f"filter_blocked_domains: blocklist exceeds max_entries="
+            f"{max_entries} — this literal-inline filter is for curated "
+            "lists; use decontamination's bloom/broadcast join for "
+            "machine-generated ones"
+        )
     norm = sorted(
         {
             e.lower().lstrip(".").removeprefix("www.").rstrip(".")

@@ -177,3 +177,35 @@ def test_html_extract_never_raises_on_junk(junk):
 
     out = extract_main_text(junk, min_block_chars=5)
     assert isinstance(out["text"], str)
+
+
+def test_http_split_degrades_on_folded_headers_and_junk_status(spark, tmp_path):
+    """Round-7 review: folded HTTP header lines (RFC-7230 legacy) and
+    out-of-range status codes must degrade per record, never fail the
+    task."""
+    folded = (
+        b"HTTP/1.1 200 OK\r\nSet-Cookie: a\r\n folded-continuation\r\n"
+        b"Content-Type: text/html\r\n\r\nreal body"
+    )
+    junk_status = b"HTTP/1.1 123456789012 OK\r\nX: y\r\n\r\nbody"
+    recs = [
+        {"type": "response", "uri": "https://a/1",
+         "content_type": "application/http;msgtype=response",
+         "payload": folded},
+        {"type": "response", "uri": "https://a/2",
+         "content_type": "application/http;msgtype=response",
+         "payload": junk_status},
+    ]
+    d = str(tmp_path / "warc3")
+    os.makedirs(d)
+    with open(os.path.join(d, "shard-0.warc.gz"), "wb") as f:
+        f.write(build_warc(recs))
+    rows = {r.target_uri: r for r in warc_records(spark, d).collect()}
+    assert len(rows) == 2
+    # folded header: the lenient parser still splits the message
+    assert rows["https://a/1"].http_status == 200
+    assert rows["https://a/1"].content_type == "text/html"
+    assert bytes(rows["https://a/1"].payload) == b"real body"
+    # junk status: record degrades to unsplit, row survives
+    assert rows["https://a/2"].http_status is None
+    assert bytes(rows["https://a/2"].payload) == junk_status

@@ -149,3 +149,18 @@ def test_blocklist_subdomain_entry_blocks_only_its_subtree(spark):
     assert kept == [3, 4]
     # empty/None-host rows survive an empty blocklist untouched
     assert filter_blocked_domains(docs, []).count() == 4
+
+
+def test_blocklist_size_budget_enforced(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/x")], "doc_id long, url string"
+    )
+    with pytest.raises(ValueError, match="max_entries"):
+        filter_blocked_domains(
+            docs, [f"d{i}.com" for i in range(30)], max_entries=10
+        )
+    bl_df = spark.createDataFrame(
+        [(f"d{i}.com",) for i in range(30)], "domain string"
+    )
+    with pytest.raises(ValueError, match="max_entries"):
+        filter_blocked_domains(docs, bl_df, max_entries=10)

@@ -247,18 +247,9 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
-def warc_records(
-    spark: SparkSession,
-    path_glob: str,
-    with_payload: bool = True,
-) -> DataFrame:
-    """One row per WARC record across the shards matching `path_glob` —
-    binaryFile source (one task per shard), mapInPandas walk, zero
-    Exchange: payload bytes never shuffle (drop them at the source with
-    `with_payload=False` when only the manifest is needed — the scan
-    then moves headers, not the crawl).  `response` records get their
-    HTTP status/Content-Type/body split out; other record types
-    (request, metadata, warcinfo) pass their payload through whole."""
+def _records_kernel(with_payload: bool):
+    """mapInPandas kernel shared by the batch and streaming record
+    walks (the webdataset twin discipline)."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -295,9 +286,61 @@ def warc_records(
                 rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
             )
 
+    return kernel
+
+
+def warc_records(
+    spark: SparkSession,
+    path_glob: str,
+    with_payload: bool = True,
+) -> DataFrame:
+    """One row per WARC record across the shards matching `path_glob` —
+    binaryFile source (one task per shard), mapInPandas walk, zero
+    Exchange: payload bytes never shuffle (drop them at the source with
+    `with_payload=False` when only the manifest is needed — the scan
+    then moves headers, not the crawl).  `response` records get their
+    HTTP status/Content-Type/body split out; other record types
+    (request, metadata, warcinfo) pass their payload through whole."""
     return (
         spark.read.format("binaryFile")
         .load(path_glob)
         .select("path", "content")
-        .mapInPandas(kernel, WARC_RECORD_SCHEMA)
+        .mapInPandas(_records_kernel(with_payload), WARC_RECORD_SCHEMA)
+    )
+
+
+def stream_warc_records(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    with_payload: bool = True,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """Streaming twin of `warc_records` (the webdataset-manifest
+    discipline): a crawl fleet appends shards under `path`, Structured
+    Streaming's file-source ledger tracks arrivals, and every
+    micro-batch walks ONLY the new shards with the identical map-side
+    kernel.  Pair with `availableNow` triggers for catch-up and a
+    parquet/`toTable` sink for a queryable crawl ledger; downstream
+    stateless stages (html_to_text, canonical_url, quality) compose
+    directly on the streaming frame."""
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.load(path)
+        .select("path", "content")
+        .mapInPandas(_records_kernel(with_payload), WARC_RECORD_SCHEMA)
     )

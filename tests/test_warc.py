@@ -209,3 +209,41 @@ def test_http_split_degrades_on_folded_headers_and_junk_status(spark, tmp_path):
     # junk status: record degrades to unsplit, row survives
     assert rows["https://a/2"].http_status is None
     assert bytes(rows["https://a/2"].payload) == junk_status
+
+
+def test_stream_warc_records_incremental(spark, tmp_path):
+    """Streaming twin: shards arriving across microbatches manifest
+    incrementally and the union equals the batch walk; the composed
+    downstream stage (main-text extraction) runs on the stream."""
+    from noaa_oracle_spark.pipeline.warc import stream_warc_records
+
+    d = str(tmp_path / "warc_s")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(_records(2)))
+
+    q = (
+        stream_warc_records(spark, d, max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_stream")
+        .option("checkpointLocation", str(tmp_path / "warc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) c FROM warc_stream").collect()[0].c
+        with open(os.path.join(d, "b.warc.gz"), "wb") as f:
+            f.write(build_warc(_records(3)))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT shard, record_idx, target_uri, http_status "
+            "FROM warc_stream"
+        ).collect()
+    finally:
+        q.stop()
+    assert n1 == 2 and len(rows) == 5
+    batch = warc_records(spark, d, with_payload=False).select(
+        "shard", "record_idx", "target_uri", "http_status"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))

@@ -394,6 +394,44 @@ def main() -> None:
 
     run("canonical_url", _canon_rung)
 
+    # --- WARC record walk: N_DOCS records across ceil(N/5000)
+    # member-gzip shards (the Common Crawl layout), manifest-mode read
+    # (payload dropped at the source).  The shard fixture is built once
+    # per size and reused.
+    def _warc_rung():
+        import math as _math
+
+        from noaa_oracle_spark.pipeline.warc import build_warc, warc_records
+
+        wdir = FIXTURE + "_warc"
+        if not os.path.isdir(wdir):
+            os.makedirs(wdir)
+            per = 5000
+            body = (b"<html><body><p>" + b"crawl text " * 40
+                    + b"</p></body></html>")
+            n_shards = _math.ceil(N_DOCS / per)
+            for s in range(n_shards):
+                k = min(per, N_DOCS - s * per)
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"https://site{(s * per + j) % 997}.test/p/{s * per + j}",
+                        "http_status": 200,
+                        "http_content_type": "text/html",
+                        "payload": body,
+                    }
+                    for j in range(k)
+                ]
+                with open(
+                    os.path.join(wdir, f"shard-{s:05d}.warc.gz"), "wb"
+                ) as f:
+                    f.write(build_warc(recs))
+        return warc_records(spark, wdir, with_payload=False).filter(
+            F.col("http_status") == 200
+        ).count()
+
+    run("warc_manifest", _warc_rung)
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

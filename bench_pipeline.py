@@ -405,7 +405,16 @@ def main() -> None:
 
         wdir = FIXTURE + "_warc"
         if not os.path.isdir(wdir):
-            os.makedirs(wdir)
+            # build into a temp dir and rename LAST (the _generate
+            # convention): an interrupted build must not leave a
+            # partial fixture that later runs silently reuse — the
+            # recorded throughput would then be over the wrong N
+            tmp = wdir + ".building"
+            if os.path.isdir(tmp):
+                import shutil as _shutil
+
+                _shutil.rmtree(tmp)
+            os.makedirs(tmp)
             per = 5000
             body = (b"<html><body><p>" + b"crawl text " * 40
                     + b"</p></body></html>")
@@ -423,12 +432,19 @@ def main() -> None:
                     for j in range(k)
                 ]
                 with open(
-                    os.path.join(wdir, f"shard-{s:05d}.warc.gz"), "wb"
+                    os.path.join(tmp, f"shard-{s:05d}.warc.gz"), "wb"
                 ) as f:
                     f.write(build_warc(recs))
-        return warc_records(spark, wdir, with_payload=False).filter(
+            os.rename(tmp, wdir)
+        n = warc_records(spark, wdir, with_payload=False).filter(
             F.col("http_status") == 200
         ).count()
+        if n != N_DOCS:
+            raise AssertionError(
+                f"warc_manifest rung read {n} records, expected {N_DOCS} "
+                f"— stale/partial fixture at {wdir}?"
+            )
+        return n
 
     run("warc_manifest", _warc_rung)
 

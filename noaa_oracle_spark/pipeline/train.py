@@ -100,39 +100,50 @@ def train_logistic(
     b = 0.0
     losses: "list[float]" = []
     n = 0
-    for _ in range(iters):
-        z: Column = F.lit(b)
-        for wj, xj in zip(w, feats):
-            z = z + F.lit(wj) * xj
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - y
-        eps = F.lit(1e-12)
-        row = train.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(
-                -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(
-                    F.lit(1.0) - p + eps
-                ))
-            ).alias("loss"),
-            F.avg(err).alias("gb"),
-            *[
-                F.avg(err * xj).alias(f"g{j}")
-                for j, xj in enumerate(feats)
-            ],
-        ).collect()[0]
-        n = int(row["n"])
-        if n == 0:
-            if cache:
-                train.unpersist()
-            raise ValueError("train_logistic: empty training frame")
-        losses.append(float(row["loss"]))
-        b -= lr * float(row["gb"])
-        w = [
-            wj - lr * (float(row[f"g{j}"]) + l2 * wj)
-            for j, wj in enumerate(w)
-        ]
-    if cache:
-        train.unpersist()
+    try:
+        for _ in range(iters):
+            z: Column = F.lit(b)
+            for wj, xj in zip(w, feats):
+                z = z + F.lit(wj) * xj
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - y
+            eps = F.lit(1e-12)
+            row = train.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(y).alias("n_labeled"),
+                F.avg(
+                    -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(
+                        F.lit(1.0) - p + eps
+                    ))
+                ).alias("loss"),
+                F.avg(err).alias("gb"),
+                *[
+                    F.avg(err * xj).alias(f"g{j}")
+                    for j, xj in enumerate(feats)
+                ],
+            ).collect()[0]
+            n = int(row["n"])
+            if n == 0:
+                raise ValueError("train_logistic: empty training frame")
+            if int(row["n_labeled"]) != n or row["loss"] is None:
+                # a non-numeric label column casts to NULL: Spark's avg
+                # would silently train on the non-NULL subset (or on
+                # nothing) while reporting the full row count
+                raise ValueError(
+                    f"train_logistic: {n - int(row['n_labeled'])} of {n} "
+                    f"labels are NULL after cast to double — "
+                    f"'{label_col}' must be numeric 0/1 (or the feature "
+                    "columns produced NULL aggregates)"
+                )
+            losses.append(float(row["loss"]))
+            b -= lr * float(row["gb"])
+            w = [
+                wj - lr * (float(row[f"g{j}"]) + l2 * wj)
+                for j, wj in enumerate(w)
+            ]
+    finally:
+        if cache:
+            train.unpersist()
     return {"weights": w, "bias": b, "losses": losses, "n": n}
 
 

@@ -126,6 +126,10 @@ def _split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]
         return None, None, payload
     ctype = None
     for line in rest.split(_CRLF):
+        if line[:1] in (b" ", b"\t"):
+            continue  # RFC-7230 obs-fold continuation: part of the
+            # PREVIOUS header's value, never a fresh header line (a
+            # fold containing a colon must not overwrite Content-Type)
         name, sep, value = line.partition(b":")
         if sep and name.strip().lower() == b"content-type":
             ctype = value.decode("latin-1").strip()
@@ -312,7 +316,7 @@ def warc_records(
 def stream_warc_records(
     spark: SparkSession,
     path: str,
-    glob: str = "*.warc.gz",
+    glob: str = "*",
     with_payload: bool = True,
     max_files_per_trigger: "int | None" = None,
 ) -> DataFrame:
@@ -320,27 +324,16 @@ def stream_warc_records(
     discipline): a crawl fleet appends shards under `path`, Structured
     Streaming's file-source ledger tracks arrivals, and every
     micro-batch walks ONLY the new shards with the identical map-side
-    kernel.  Pair with `availableNow` triggers for catch-up and a
-    parquet/`toTable` sink for a queryable crawl ledger; downstream
-    stateless stages (html_to_text, canonical_url, quality) compose
-    directly on the streaming frame."""
-    binary_file_schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("modificationTime", T.TimestampType()),
-            T.StructField("length", T.LongType()),
-            T.StructField("content", T.BinaryType()),
-        ]
-    )
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(binary_file_schema)
-        .option("pathGlobFilter", glob)
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        reader.load(path)
-        .select("path", "content")
-        .mapInPandas(_records_kernel(with_payload), WARC_RECORD_SCHEMA)
-    )
+    kernel.  The default glob is `*` to MATCH the batch walk's
+    semantics (parse_warc sniffs gzip vs plain per file, and non-WARC
+    files yield zero records) — a narrower default like `*.warc.gz`
+    would silently drop plain `.warc` shards the batch twin reads,
+    breaking the stream==batch contract.  Pair with `availableNow`
+    triggers for catch-up and a parquet/`toTable` sink for a queryable
+    crawl ledger; downstream stateless stages (html_to_text,
+    canonical_url, quality) compose directly on the streaming frame."""
+    from noaa_oracle_spark.pipeline.binary_stream import stream_binary_files
+
+    return stream_binary_files(
+        spark, path, glob, max_files_per_trigger
+    ).mapInPandas(_records_kernel(with_payload), WARC_RECORD_SCHEMA)

@@ -255,29 +255,11 @@ def stream_webdataset_member_manifest(
     is the identical map-side header walk.  Returns a streaming
     DataFrame; pair with `availableNow` triggers for catch-up runs and a
     `toTable`/parquet sink for a queryable manifest ledger."""
-    # the streaming file source takes a DIRECTORY (its ledger tracks new
-    # files under it); shard selection rides pathGlobFilter, and file
-    # streaming sources require the schema up front (binaryFile's is
-    # fixed by the format)
-    binary_file_schema = T.StructType(
-        [
-            T.StructField("path", T.StringType()),
-            T.StructField("modificationTime", T.TimestampType()),
-            T.StructField("length", T.LongType()),
-            T.StructField("content", T.BinaryType()),
-        ]
-    )
-    reader = (
-        spark.readStream.format("binaryFile")
-        .schema(binary_file_schema)
-        .option("pathGlobFilter", "shard-*.tar")
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    shards = reader.load(path)
-    return shards.select("path", "content").mapInPandas(
-        _parse_member_manifest, MEMBER_MANIFEST_SCHEMA
-    )
+    from noaa_oracle_spark.pipeline.binary_stream import stream_binary_files
+
+    return stream_binary_files(
+        spark, path, "shard-*.tar", max_files_per_trigger
+    ).mapInPandas(_parse_member_manifest, MEMBER_MANIFEST_SCHEMA)
 
 
 def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:

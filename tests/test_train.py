@@ -166,3 +166,20 @@ def test_bm25_matches_reference_formula(spark):
 
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_null_labels_raise_cleanly_and_unpersist(spark):
+    """Round-7 review wave 3: NULL labels must raise a clear
+    validation error (Spark's avg would silently train on the non-NULL
+    subset) and must not leak the persisted training frame.  (Bad
+    STRING labels already fail loudly via the ANSI cast.)"""
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, None), (3.0, 0)], "f0 double, y int"
+    )
+    def n_persisted():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persisted()
+    with pytest.raises(ValueError, match="labels are NULL"):
+        train_logistic(df, ["f0"], "y", iters=1)
+    assert n_persisted() == before  # try/finally released the persist

@@ -247,3 +247,44 @@ def test_stream_warc_records_incremental(spark, tmp_path):
         "shard", "record_idx", "target_uri", "http_status"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+
+
+def test_http_split_ignores_folded_continuation_with_colon():
+    """Round-7 review wave 3: an obs-fold continuation line containing a
+    colon must not be misread as a fresh Content-Type header."""
+    from noaa_oracle_spark.pipeline.warc import _split_http_payload
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b'Link: <u>; title="a\r\n content-type: text/plain"\r\n\r\nbody'
+    )
+    status, ctype, body = _split_http_payload(payload)
+    assert (status, ctype, body) == (200, "text/html", b"body")
+
+
+def test_stream_default_glob_matches_batch_on_mixed_shards(spark, tmp_path):
+    """The streaming twin's default glob must read everything the batch
+    walk reads — including PLAIN .warc shards."""
+    from noaa_oracle_spark.pipeline.warc import stream_warc_records
+
+    d = str(tmp_path / "warc_mixed")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(_records(2)))
+    with open(os.path.join(d, "b.warc"), "wb") as f:
+        f.write(build_warc(_records(3), member_gzip=False))
+    q = (
+        stream_warc_records(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_mixed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM warc_mixed_stream").collect()[0].c
+    finally:
+        q.stop()
+    n_batch = warc_records(spark, d, with_payload=False).count()
+    assert n == n_batch == 5

@@ -136,12 +136,15 @@ def _split_http_payload(payload: bytes) -> "tuple[int | None, str | None, bytes]
     return status, ctype, payload[head_end + 4 :]
 
 
-def _gzip_members(data: bytes) -> "Iterator[bytes]":
+def _gzip_members(data: bytes) -> "Iterator[tuple[bytes, int, int]]":
     """Decompress concatenated gzip members one by one (zlib's
-    unused_data walk).  The walk — rather than one whole-file
-    `gzip.decompress` — exists for the degrade contract: a corrupt or
-    truncated LATER member still yields every earlier member, where a
-    single decompress call would throw away the whole shard."""
+    unused_data walk), yielding (member bytes, compressed offset,
+    compressed length).  The walk — rather than one whole-file
+    `gzip.decompress` — exists for the degrade contract (a corrupt or
+    truncated LATER member still yields every earlier one, where a
+    single decompress call would throw away the whole shard) AND for
+    the offsets, which are what a CDX-style index records so one record
+    can later be fetched with a single range read."""
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
@@ -154,22 +157,27 @@ def _gzip_members(data: bytes) -> "Iterator[bytes]":
                 chunk += tail
             if not d.eof:
                 return  # truncated final member: salvage prior ones
-            yield chunk
         except zlib.error:
             return  # corrupt member ends the walk (truncation rule)
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             return
+        yield chunk, pos, consumed
         pos += consumed
 
 
-def parse_warc(data: bytes) -> "list[dict]":
-    """All records of a WARC shard (plain or member-gzip, sniffed by
-    magic), each {'version', 'headers', 'payload'}; a structural error
-    ends the parse at the records seen so far."""
-    records: list[dict] = []
+def _walk_warc(data: bytes) -> "list[tuple[dict, int, int]]":
+    """All records of a shard with their byte extents IN SHARD
+    COORDINATES — (record, offset, length) where the extent is the
+    record's bytes for a plain shard and the containing gzip MEMBER's
+    compressed bytes for a member-gzip shard (the Common Crawl layout
+    is one record per member, so the member extent IS the record
+    extent; a multi-record member assigns its extent to each of its
+    records).  `fetch_warc_record(path, offset, length)` re-reads
+    exactly these extents."""
+    records: "list[tuple[dict, int, int]]" = []
     if data[:2] == b"\x1f\x8b":
-        for member in _gzip_members(data):
+        for member, m_off, m_len in _gzip_members(data):
             pos = 0
             while True:
                 try:
@@ -179,7 +187,7 @@ def parse_warc(data: bytes) -> "list[dict]":
                 if out is None:
                     break
                 rec, pos = out
-                records.append(rec)
+                records.append((rec, m_off, m_len))
         return records
     pos = 0
     while True:
@@ -189,8 +197,35 @@ def parse_warc(data: bytes) -> "list[dict]":
             return records
         if out is None:
             return records
-        rec, pos = out
-        records.append(rec)
+        rec, new_pos = out
+        records.append((rec, pos, new_pos - pos))
+        pos = new_pos
+
+
+def parse_warc(data: bytes) -> "list[dict]":
+    """All records of a WARC shard (plain or member-gzip, sniffed by
+    magic), each {'version', 'headers', 'payload'}; a structural error
+    ends the parse at the records seen so far."""
+    return [rec for rec, _, _ in _walk_warc(data)]
+
+
+def fetch_warc_record(shard_path: str, offset: int, length: int) -> dict:
+    """Fetch ONE record by its indexed byte extent — the CDX
+    consumption pattern (the index answers WHERE, then a single range
+    read answers WHAT, without re-walking the shard).  Locally this is
+    a seek+read; on an object store the same (offset, length) pair maps
+    to one ranged GET.  The extent comes from `warc_records`'s
+    offset/length columns; raises WarcError if the extent does not
+    parse to a record."""
+    with open(shard_path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    recs = parse_warc(blob)
+    if not recs:
+        raise WarcError(
+            f"no record at {shard_path!r} offset={offset} length={length}"
+        )
+    return recs[0]
 
 
 def build_warc(
@@ -246,6 +281,12 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("content_type", T.StringType(), True),
         T.StructField("n_payload_bytes", T.LongType(), False),
+        # byte extent of the record in SHARD coordinates (gzip: the
+        # containing member's compressed extent) — together with
+        # `shard` these columns ARE the CDX index: fetch_warc_record
+        # re-reads one record with a single range read
+        T.StructField("record_offset", T.LongType(), False),
+        T.StructField("record_length", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
     ]
 )
@@ -259,8 +300,8 @@ def _records_kernel(with_payload: bool):
         for pdf in it:
             rows = []
             for path, blob in zip(pdf["path"], pdf["content"]):
-                recs = parse_warc(bytes(blob) if blob is not None else b"")
-                for i, rec in enumerate(recs):
+                recs = _walk_warc(bytes(blob) if blob is not None else b"")
+                for i, (rec, r_off, r_len) in enumerate(recs):
                     h = rec["headers"]
                     try:
                         status, ctype, body = _split_http_payload(
@@ -283,6 +324,8 @@ def _records_kernel(with_payload: bool):
                             "http_status": status,
                             "content_type": ctype,
                             "n_payload_bytes": len(body),
+                            "record_offset": r_off,
+                            "record_length": r_len,
                             "payload": body if with_payload else None,
                         }
                     )

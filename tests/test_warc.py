@@ -7,6 +7,8 @@ from __future__ import annotations
 import gzip
 import os
 
+import pytest
+
 from noaa_oracle_spark.pipeline.warc import (
     build_warc,
     parse_warc,
@@ -288,3 +290,45 @@ def test_stream_default_glob_matches_batch_on_mixed_shards(spark, tmp_path):
         q.stop()
     n_batch = warc_records(spark, d, with_payload=False).count()
     assert n == n_batch == 5
+
+
+def test_cdx_index_then_fetch_roundtrip(spark, tmp_path):
+    """The Common Crawl consumption pattern: the manifest's
+    (shard, record_offset, record_length) columns ARE the CDX index —
+    fetching each extent with one range read reproduces every record,
+    for both member-gzip and plain shards."""
+    from noaa_oracle_spark.pipeline.warc import fetch_warc_record
+
+    d = str(tmp_path / "warc_cdx")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(_records(3)))
+    with open(os.path.join(d, "b.warc"), "wb") as f:
+        f.write(build_warc(_records(2), member_gzip=False))
+    idx = warc_records(spark, d, with_payload=False).collect()
+    assert len(idx) == 5
+    full = {
+        (r.shard, r.record_idx): r
+        for r in warc_records(spark, d, with_payload=True).collect()
+    }
+    for row in idx:
+        rec = fetch_warc_record(
+            row.shard.replace("file:", ""), row.record_offset,
+            row.record_length,
+        )
+        want = full[(row.shard, row.record_idx)]
+        assert rec["headers"]["warc-target-uri"] == want.target_uri
+        # fetched payload is the WHOLE record payload (HTTP head + body)
+        assert rec["payload"].endswith(bytes(want.payload))
+    # plain-shard extents are record-exact: offsets strictly increase
+    # and lengths sum to the file size
+    plain = sorted(
+        (r.record_offset, r.record_length)
+        for r in idx
+        if r.shard.endswith("b.warc")
+    )
+    size = os.path.getsize(os.path.join(d, "b.warc"))
+    assert plain[0][0] == 0 and sum(ln for _, ln in plain) == size
+
+    with pytest.raises(Exception):
+        fetch_warc_record(os.path.join(d, "b.warc"), size - 3, 3)

@@ -380,3 +380,66 @@ def stream_warc_records(
     return stream_binary_files(
         spark, path, glob, max_files_per_trigger
     ).mapInPandas(_records_kernel(with_payload), WARC_RECORD_SCHEMA)
+
+
+def crawl_to_documents(
+    spark: SparkSession,
+    path_glob: str,
+    min_block_chars: int = 40,
+    max_link_density: float = 0.33,
+) -> DataFrame:
+    """The whole crawl front door as one lazy plan: WARC shards →
+    successful HTML responses → main-text extraction → canonical URL —
+    emitting rows in the engine's documents shape (doc_id, url, source,
+    text) so everything downstream (quality, dedup, LM scoring, splits,
+    packing) composes unchanged.
+
+    doc_id is the 60-bit hash of the record's (shard, offset) — stable
+    across re-walks of the same shards, independent of partitioning,
+    and derived from the CDX coordinates so a document can always be
+    traced back to (and re-fetched from) its record.  `source` is the
+    registrable domain (the provenance key domain caps and mixes group
+    on).  Zero extra scans: one binaryFile pass, two mapInPandas
+    stages, map-side expressions — nothing shuffles until the caller
+    aggregates."""
+    from noaa_oracle_spark.pipeline.html import html_to_text
+    from noaa_oracle_spark.pipeline.web import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    recs = warc_records(spark, path_glob, with_payload=True).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    pages = recs.select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("shard"), F.col("record_offset")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("doc_id"),
+        canonical_url(F.col("target_uri")).alias("url"),
+        registrable_domain(F.col("target_uri")).alias("source"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    texts = html_to_text(
+        pages.select("doc_id", "html"),
+        min_block_chars=min_block_chars,
+        max_link_density=max_link_density,
+    )
+    return (
+        pages.select("doc_id", "url", "source")
+        .join(texts.select("doc_id", "text"), "doc_id")
+        .filter(F.col("text") != "")
+    )

@@ -332,3 +332,48 @@ def test_cdx_index_then_fetch_roundtrip(spark, tmp_path):
 
     with pytest.raises(Exception):
         fetch_warc_record(os.path.join(d, "b.warc"), size - 3, 3)
+
+
+def test_crawl_to_documents_end_to_end(spark, tmp_path):
+    """The one-call crawl front door: WARC shards in, documents-shaped
+    rows out (stable doc ids from CDX coordinates, canonical urls,
+    registrable-domain source, extracted main text)."""
+    from noaa_oracle_spark.pipeline.warc import crawl_to_documents
+
+    d = str(tmp_path / "warc_docs")
+    os.makedirs(d)
+    page = (
+        "<html><head><title>t</title></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<p>The reproducible article body text, long enough to clear "
+        "the extraction threshold comfortably for this test page.</p>"
+        "</body></html>"
+    ).encode()
+    recs = [
+        {"type": "response",
+         "uri": f"https://News.Example.co.uk/p/{i}?utm_source=x&b=2",
+         "http_status": 200, "http_content_type": "text/html",
+         "payload": page}
+        for i in range(3)
+    ] + [
+        # non-HTML and non-200 records must be filtered out
+        {"type": "response", "uri": "https://x.test/img",
+         "http_status": 200, "http_content_type": "image/png",
+         "payload": b"\x89PNG"},
+        {"type": "response", "uri": "https://x.test/404",
+         "http_status": 404, "http_content_type": "text/html",
+         "payload": b"<html><body><p>gone gone gone gone gone</p></body></html>"},
+    ]
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(recs))
+    out = crawl_to_documents(spark, d).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.url.startswith("https://news.example.co.uk/p/")
+        assert "utm_source" not in r.url and "b=2" in r.url
+        assert r.source == "example.co.uk"
+        assert "reproducible article body" in r.text
+        assert "Home" not in r.text
+    # doc ids are stable across re-walks and distinct per record
+    again = {r.doc_id for r in crawl_to_documents(spark, d).collect()}
+    assert again == {r.doc_id for r in out} and len(again) == 3

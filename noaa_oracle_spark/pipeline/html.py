@@ -209,14 +209,28 @@ def html_to_text(
     id_col: str = "doc_id",
     min_block_chars: int = 40,
     max_link_density: float = 0.33,
+    keep_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Extract main text + structure metrics from an HTML column — one
     Arrow-batched mapInPandas, per-row degrade (a pathological document
-    yields NULL text, the row survives); HTML bytes never shuffle."""
+    yields NULL text, the row survives); HTML bytes never shuffle.
+
+    `keep_cols` are passed THROUGH the kernel unchanged (provenance
+    columns like url/source): without passthrough a caller would have
+    to join the output back to its input on the id — two evaluations of
+    the upstream plan where the source is expensive (the crawl walk in
+    `warc.crawl_to_documents`, round-7 efficiency finding)."""
+    keep = list(keep_cols or [])
+    bad = set(keep) & {"text", "n_blocks", "n_content_blocks",
+                       "link_density", id_col}
+    if bad:
+        raise ValueError(f"html_to_text: keep_cols collide with outputs: {sorted(bad)}")
+    schema = T.StructType(
+        list(HTML_TEXT_SCHEMA.fields)
+        + [docs.schema[c] for c in keep]
+    )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
-
         def one(doc_id, html):
             try:
                 out = extract_main_text(
@@ -245,10 +259,15 @@ def html_to_text(
                 one(i, h)
                 for i, h in zip(pdf[id_col], pdf[html_col])
             ]
-            yield pd.DataFrame(
+            out_pdf = pd.DataFrame(
                 rows, columns=[f.name for f in HTML_TEXT_SCHEMA.fields]
             )
+            for c in keep:
+                out_pdf[c] = pdf[c].values
+            yield out_pdf
 
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.col(html_col).alias(html_col)
-    ).mapInPandas(kernel, HTML_TEXT_SCHEMA)
+        F.col(id_col).alias("doc_id"),
+        F.col(html_col).alias(html_col),
+        *[F.col(c) for c in keep],
+    ).mapInPandas(kernel, schema)

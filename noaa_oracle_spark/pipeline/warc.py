@@ -399,9 +399,10 @@ def crawl_to_documents(
     and derived from the CDX coordinates so a document can always be
     traced back to (and re-fetched from) its record.  `source` is the
     registrable domain (the provenance key domain caps and mixes group
-    on).  Zero extra scans: one binaryFile pass, two mapInPandas
-    stages, map-side expressions — nothing shuffles until the caller
-    aggregates."""
+    on).  Truly ONE pass: url/source ride THROUGH the extraction
+    kernel as passthrough columns (`html_to_text(keep_cols=...)`) —
+    the join-back alternative would evaluate the crawl walk twice —
+    and nothing shuffles until the caller aggregates."""
     from noaa_oracle_spark.pipeline.html import html_to_text
     from noaa_oracle_spark.pipeline.web import (
         canonical_url,
@@ -434,12 +435,11 @@ def crawl_to_documents(
         F.col("payload").cast("string").alias("html"),
     )
     texts = html_to_text(
-        pages.select("doc_id", "html"),
+        pages,
         min_block_chars=min_block_chars,
         max_link_density=max_link_density,
+        keep_cols=["url", "source"],
     )
-    return (
-        pages.select("doc_id", "url", "source")
-        .join(texts.select("doc_id", "text"), "doc_id")
-        .filter(F.col("text") != "")
+    return texts.select("doc_id", "url", "source", "text").filter(
+        F.col("text") != ""
     )

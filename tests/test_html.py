@@ -115,3 +115,25 @@ def test_body_start_recovers_unclosed_skip_subtree():
         "enough to pass the minimum length bar.</p>"
     )
     assert "Content after" in extract_main_text(html)["text"]
+
+
+def test_html_to_text_keep_cols_passthrough(spark):
+    """keep_cols ride through the kernel aligned to their rows (the
+    single-pass provenance contract crawl_to_documents relies on);
+    collisions with output names are rejected."""
+    docs = spark.createDataFrame(
+        [(1, "<p>%s</p>" % ("words " * 20), "u1", "s1"),
+         (2, None, "u2", "s2")],
+        "doc_id long, html string, url string, source string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in html_to_text(docs, keep_cols=["url", "source"]).collect()
+    }
+    assert (rows[1].url, rows[1].source) == ("u1", "s1")
+    assert (rows[2].url, rows[2].source) == ("u2", "s2")
+    assert "words" in rows[1].text and rows[2].text == ""
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        html_to_text(docs, keep_cols=["text"])

@@ -26,6 +26,12 @@ runs once per document over the WHOLE corpus before anything else:
     enforced size budget.
   - `domain_cap`: at most N docs per registrable domain, the
     `sampling.cap_per_group` deterministic-hash-prefix contract.
+  - `parse_robots` / `robots_allows` / `filter_robots_disallowed`:
+    RFC 9309 robots.txt compliance (group selection by most specific
+    product token, longest-match rule with Allow winning ties, '*'
+    wildcards and '$' anchors) — the one Arrow-batched stage in this
+    module, because rule evaluation over per-host rule lists is not
+    expressible as a fixed-depth column expression.
 
 Reference scope: none (brief-added LLM-pipeline surface, like the dedup
 and sketch tiers).
@@ -254,3 +260,147 @@ def domain_stats(
         "n_docs",
         F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
     )
+
+
+def parse_robots(robots_txt: str, user_agent: str = "*") -> "list[tuple[str, bool]]":
+    """Parse a robots.txt body (RFC 9309) into the rule list that
+    applies to `user_agent`: [(path_prefix, allow)] — the group whose
+    User-agent line most specifically matches wins (exact product token
+    beats '*'; groups separated by User-agent lines; multiple UA lines
+    share one group).  Comments (#) stripped; unknown directives
+    ignored; an empty Disallow means allow-all (the RFC's explicit
+    no-restriction form) and contributes no rule."""
+    target = user_agent.lower()
+    groups: "list[tuple[list[str], list[tuple[str, bool]]]]" = []
+    agents: "list[str]" = []
+    rules: "list[tuple[str, bool]]" = []
+    in_group_body = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        name, sep, value = line.partition(":")
+        if not sep:
+            continue
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "user-agent":
+            if in_group_body:
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_group_body = False
+            agents.append(value.lower())
+        elif name in ("allow", "disallow"):
+            in_group_body = True
+            if value:
+                rules.append((value, name == "allow"))
+            # empty value: no restriction — contributes nothing
+        # other directives (sitemap, crawl-delay...) are ignored
+    if agents:
+        groups.append((agents, rules))
+    # pick the most specific matching group: exact token > '*'
+    exact = [r for a, r in groups if target in a]
+    if exact:
+        return exact[0]
+    starred = [r for a, r in groups if "*" in a]
+    return starred[0] if starred else []
+
+
+def robots_allows(rules: "list[tuple[str, bool]]", path: str) -> bool:
+    """RFC 9309 evaluation: the LONGEST rule whose prefix matches the
+    path decides; on a length tie Allow wins; no match ⇒ allowed.
+    '$' anchors end-of-path and '*' wildcards inside rule paths are
+    honored (the two special characters the RFC defines)."""
+    best_len = -1
+    best_allow = True
+    for rule_path, allow in rules:
+        anchored = rule_path.endswith("$")
+        body = rule_path[:-1] if anchored else rule_path
+        parts = body.split("*")
+        # greedy wildcard match over the path
+        pos = 0
+        ok = True
+        for i, frag in enumerate(parts):
+            if i == 0:
+                if not path.startswith(frag):
+                    ok = False
+                    break
+                pos = len(frag)
+            else:
+                nxt = path.find(frag, pos)
+                if nxt < 0:
+                    ok = False
+                    break
+                pos = nxt + len(frag)
+        if ok and anchored and pos != len(path):
+            ok = False
+        if not ok:
+            continue
+        specificity = len(rule_path)
+        if specificity > best_len or (
+            specificity == best_len and allow and not best_allow
+        ):
+            best_len = specificity
+            best_allow = allow
+    return best_allow
+
+
+def filter_robots_disallowed(
+    docs: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Drop documents whose URL path a site's robots.txt disallows —
+    the compliance pass a crawl-derived corpus runs before anything
+    else (C4 did; RFC 9309 semantics: longest-match, Allow wins ties,
+    no-match ⇒ allowed, hosts WITHOUT a robots.txt allowed).
+
+    `robots` is (host, robots_txt) — one row per site, the artifact a
+    crawler already fetched.  Scale shape: the rule evaluation runs in
+    ONE Arrow-batched stage over the documents (rules pre-parsed once
+    per robots row, broadcast as a plain dict — robots bodies are
+    per-HOST, a broadcast-sized dimension even at web scale, and only
+    the parsed rules travel, not the bodies); documents never shuffle."""
+    rows = robots.select("host", "robots_txt").collect()
+    rule_map = {
+        str(r["host"]).lower(): parse_robots(
+            r["robots_txt"] or "", user_agent
+        )
+        for r in rows
+    }
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(rule_map)
+
+    from pyspark.sql import types as T
+
+    def _allowed_series(urls):
+        from urllib.parse import urlsplit
+
+        rules = bc.value
+
+        def one(u):
+            if u is None:
+                return True
+            try:
+                parts = urlsplit(u)
+            except ValueError:
+                return True
+            host = (parts.hostname or "").lower().removeprefix("www.")
+            r = rules.get(host)
+            if not r:
+                return True
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+            return robots_allows(r, path)
+
+        return urls.map(one)
+
+    # NOTE: this module has `from __future__ import annotations`, which
+    # stringifies type hints beyond what pandas_udf's inference resolves
+    # — the Series-kind eval type is declared explicitly instead
+    _allowed = F.pandas_udf(
+        _allowed_series, T.BooleanType(), F.PandasUDFType.SCALAR
+    )
+    return docs.filter(_allowed(F.col(url_col)))

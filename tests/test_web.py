@@ -164,3 +164,81 @@ def test_blocklist_size_budget_enforced(spark):
     )
     with pytest.raises(ValueError, match="max_entries"):
         filter_blocked_domains(docs, bl_df, max_entries=10)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance (RFC 9309)
+# ---------------------------------------------------------------------------
+
+ROBOTS = """
+# site policy
+User-agent: specialbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok/
+Disallow: /*.pdf$
+Allow:
+"""
+
+
+def test_parse_robots_group_selection():
+    from noaa_oracle_spark.pipeline.web import parse_robots
+
+    star = parse_robots(ROBOTS, "*")
+    assert ("/private/", False) in star and ("/private/ok/", True) in star
+    # empty Disallow/Allow values contribute no rule
+    assert all(p for p, _ in star)
+    # exact product token wins its own (stricter) group
+    special = parse_robots(ROBOTS, "SpecialBot")
+    assert special == [("/", False)]
+    # unknown agent falls back to the * group
+    assert parse_robots(ROBOTS, "otherbot") == star
+    assert parse_robots("", "*") == []
+
+
+def test_robots_allows_longest_match_and_specials():
+    from noaa_oracle_spark.pipeline.web import parse_robots, robots_allows
+
+    rules = parse_robots(ROBOTS, "*")
+    assert robots_allows(rules, "/") is True  # no match => allowed
+    assert robots_allows(rules, "/private/x") is False
+    assert robots_allows(rules, "/private/ok/x") is True  # longer Allow
+    assert robots_allows(rules, "/tmpfile") is False  # prefix semantics
+    assert robots_allows(rules, "/doc/a.pdf") is False  # * and $ honored
+    assert robots_allows(rules, "/doc/a.pdfx") is True  # $ anchors end
+    # tie between Allow and Disallow of equal length: Allow wins
+    tie = [("/p", False), ("/p", True)]
+    assert robots_allows(tie, "/page") is True
+
+
+def test_filter_robots_disallowed_spark(spark):
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.a.test/private/x"),
+            (2, "https://a.test/public/x"),
+            (3, "https://b.test/anything"),  # no robots row: allowed
+            (4, "https://a.test/private/ok/y"),
+            (5, None),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", ROBOTS)], "host string, robots_txt string"
+    )
+    kept = sorted(
+        r.doc_id for r in filter_robots_disallowed(docs, robots).collect()
+    )
+    assert kept == [2, 3, 4, 5]
+    # the special agent's own group applies when requested
+    kept_special = sorted(
+        r.doc_id
+        for r in filter_robots_disallowed(
+            docs, robots, user_agent="specialbot"
+        ).collect()
+    )
+    assert kept_special == [3, 5]

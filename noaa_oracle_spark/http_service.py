@@ -24,6 +24,7 @@ is the thin request/response shell the reference serves with axum
 | POST /oracle/update               | oracle_routes.rs:185-207 (update_data) |
 | GET /oracle/update/{process_id}   | (status poll — twin extension)         |
 | POST /search/knn                  | (PQ-index vector serve — extension)    |
+| GET /warc/record                  | (CDX coordinate fetch — extension)     |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
 status) + etl.run_scoring_cycle (the reference's Oracle::etl_data,
@@ -217,6 +218,7 @@ def make_handler(
     data_dir: str,
     event_store_path: str | None = None,
     weather_provider=None,
+    warc_dir: str | None = None,
 ):
     """Handler class closed over the session + data dir (BaseHTTPRequestHandler
     is instantiated per request by the server, so state rides in the class)."""
@@ -384,6 +386,8 @@ def make_handler(
                         self._send_error_text(404, "not found")
                 elif path.startswith("/oracle/update/"):
                     self._update_status(path[len("/oracle/update/"):])
+                elif path == "/warc/record":
+                    self._warc_record(qs)
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
@@ -582,6 +586,68 @@ def make_handler(
                 json.dumps({"etl_process_id": pid, **state}).encode()
             )
 
+        def _warc_record(self, qs: dict) -> None:
+            """GET /warc/record?shard=…&offset=…&length=…[&idx=…] —
+            the serving twin of the CDX index-then-fetch story (r7
+            verdict ask #7): coordinates from `warc_records`'s
+            shard/record_offset/record_length columns come back as ONE
+            range read, no shard re-walk.  `shard` is a path RELATIVE
+            to the server's configured warc_dir (the endpoint is 404
+            when none is configured); traversal outside it is rejected.
+            The record returns as JSON — WARC headers verbatim plus the
+            payload base64-encoded (it is arbitrary bytes)."""
+            import base64
+
+            from noaa_oracle_spark.pipeline.warc import (
+                WarcError,
+                fetch_warc_record,
+            )
+
+            if warc_dir is None:
+                self._send_error_text(
+                    404, "no warc_dir configured on this server"
+                )
+                return
+            shard = (qs.get("shard") or [""])[0]
+            if not shard:
+                raise BadRequest("shard is required")
+            try:
+                offset = int((qs.get("offset") or [""])[0])
+                length = int((qs.get("length") or [""])[0])
+                idx = int((qs.get("idx") or ["0"])[0])
+            except ValueError as exc:
+                raise BadRequest(
+                    "offset/length/idx must be integers"
+                ) from exc
+            if offset < 0 or length <= 0 or idx < 0:
+                raise BadRequest("offset/length/idx out of range")
+            root = os.path.realpath(warc_dir)
+            full = os.path.realpath(os.path.join(root, shard))
+            if full != root and not full.startswith(root + os.sep):
+                raise BadRequest("shard escapes warc_dir")
+            if not os.path.isfile(full):
+                self._send_error_text(404, f"no such shard: {shard}")
+                return
+            try:
+                rec = fetch_warc_record(full, offset, length, idx=idx)
+            except WarcError as exc:
+                self._send_error_text(404, str(exc))
+                return
+            self._send_json(
+                json.dumps(
+                    {
+                        "shard": shard,
+                        "record_offset": offset,
+                        "record_length": length,
+                        "idx": idx,
+                        "headers": rec["headers"],
+                        "payload_b64": base64.b64encode(
+                            rec["payload"]
+                        ).decode("ascii"),
+                    }
+                ).encode()
+            )
+
         def _search_knn(self) -> None:
             """POST /search/knn — serve a SAVED PQ index (r6 verdict ask
             #6): body {"index_path": ..., "vector": [...], "k": 5,
@@ -765,6 +831,7 @@ def make_server(
     port: int = 0,
     event_store_path: str | None = None,
     weather_provider=None,
+    warc_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Bind (port=0 → ephemeral) and return the server; caller drives
     serve_forever (see serve_background)."""
@@ -774,6 +841,7 @@ def make_server(
             spark, data_dir,
             event_store_path=event_store_path,
             weather_provider=weather_provider,
+            warc_dir=warc_dir,
         ),
     )
 
@@ -785,6 +853,7 @@ def serve_background(
     port: int = 0,
     event_store_path: str | None = None,
     weather_provider=None,
+    warc_dir: str | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the twin on a daemon thread; returns (server, thread). Shut
     down with server.shutdown(); server.server_close()."""
@@ -792,6 +861,7 @@ def serve_background(
         spark, data_dir, host, port,
         event_store_path=event_store_path,
         weather_provider=weather_provider,
+        warc_dir=warc_dir,
     )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

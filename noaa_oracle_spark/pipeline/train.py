@@ -59,6 +59,8 @@ def train_logistic(
     lr: float = 0.5,
     l2: float = 0.0,
     cache: bool = True,
+    standardize: bool = False,
+    max_loss_growth: "float | None" = 3.0,
 ) -> dict:
     """Full-batch logistic regression by gradient descent.
 
@@ -81,9 +83,27 @@ def train_logistic(
     frame is a handful of doubles per row; `cache=False` opts out for
     inputs that must not be materialized.
 
+    `standardize=True` z-scores each feature with ONE extra aggregation
+    before the loop (mean / population stddev; zero-variance features
+    fall back to std 1 so a constant column degrades to a bias term
+    instead of dividing by zero) and trains in standardized space —
+    the footgun-remover for full-batch GD on features of wildly
+    different scales.  The returned weights are DE-standardized back
+    to raw feature space (w_raw = w_std/σ, b_raw = b_std − Σ w_std·μ/σ)
+    so `logistic_predict` on the raw columns serves the fit unchanged.
+
+    Divergence guard: a non-finite per-iteration loss, or one exceeding
+    `max_loss_growth`× the first iteration's loss (3× default — the
+    w=0 starting loss is log 2, and convex full-batch GD only blows
+    past that when the learning rate is too high), raises with the fix
+    spelled out instead of silently returning garbage weights; pass
+    `max_loss_growth=None` to disable the growth check.
+
     Returns {'weights': [...], 'bias': float, 'losses': [per-iter
     log-loss], 'n': row count} — the loss curve is the convergence
     receipt a training job should log."""
+    import math
+
     if not feature_cols:
         raise ValueError("train_logistic: need at least one feature")
     if iters < 1:
@@ -94,7 +114,32 @@ def train_logistic(
     )
     if cache:
         train = train.persist()
-    feats = [F.col(c) for c in feature_cols]
+    mu = [0.0] * len(feature_cols)
+    sigma = [1.0] * len(feature_cols)
+    if standardize:
+        srow = train.agg(
+            *[F.avg(c).alias(f"m{j}") for j, c in enumerate(feature_cols)],
+            *[
+                F.stddev_pop(c).alias(f"s{j}")
+                for j, c in enumerate(feature_cols)
+            ],
+        ).collect()[0]
+        for j, c in enumerate(feature_cols):
+            if srow[f"m{j}"] is None:
+                if cache:
+                    train.unpersist()
+                raise ValueError(
+                    f"train_logistic: feature '{c}' is entirely NULL — "
+                    "cannot standardize"
+                )
+            mu[j] = float(srow[f"m{j}"])
+            s = srow[f"s{j}"]
+            sigma[j] = float(s) if s is not None and float(s) > 0.0 else 1.0
+    feats = [
+        (F.col(c) - F.lit(mu[j])) / F.lit(sigma[j]) if standardize
+        else F.col(c)
+        for j, c in enumerate(feature_cols)
+    ]
     y = F.col(label_col)
     w = [0.0] * len(feature_cols)
     b = 0.0
@@ -111,6 +156,7 @@ def train_logistic(
             row = train.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(y).alias("n_labeled"),
+                F.count(err).alias("n_used"),
                 F.avg(
                     -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(
                         F.lit(1.0) - p + eps
@@ -135,7 +181,31 @@ def train_logistic(
                     f"'{label_col}' must be numeric 0/1 (or the feature "
                     "columns produced NULL aggregates)"
                 )
-            losses.append(float(row["loss"]))
+            if int(row["n_used"]) != int(row["n_labeled"]):
+                # a NULL in ANY feature column NULLs z/p/err, so avg()
+                # silently drops that row from every gradient and the
+                # loss while count(*) still reports it — the model
+                # would train on an unreported subset (round-8 advice)
+                raise ValueError(
+                    f"train_logistic: feature NULLs exclude "
+                    f"{int(row['n_labeled']) - int(row['n_used'])} of {n} "
+                    "rows from every gradient — clean or impute the "
+                    "feature columns before training"
+                )
+            loss = float(row["loss"])
+            if not math.isfinite(loss) or (
+                max_loss_growth is not None
+                and losses
+                and loss > max_loss_growth * losses[0]
+            ):
+                raise ValueError(
+                    f"train_logistic: diverging — iteration "
+                    f"{len(losses)} loss {loss!r} vs initial "
+                    f"{losses[0] if losses else loss!r} — lower lr "
+                    "(or pass standardize=True for features on "
+                    "mismatched scales)"
+                )
+            losses.append(loss)
             b -= lr * float(row["gb"])
             w = [
                 wj - lr * (float(row[f"g{j}"]) + l2 * wj)
@@ -144,6 +214,11 @@ def train_logistic(
     finally:
         if cache:
             train.unpersist()
+    if standardize:
+        # fold the z-scoring into the weights so raw-space serving
+        # (logistic_predict on the original columns) is the same model
+        b -= sum(wj * m / s for wj, m, s in zip(w, mu, sigma))
+        w = [wj / s for wj, s in zip(w, sigma)]
     return {"weights": w, "bias": b, "losses": losses, "n": n}
 
 

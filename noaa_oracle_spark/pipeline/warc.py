@@ -209,23 +209,32 @@ def parse_warc(data: bytes) -> "list[dict]":
     return [rec for rec, _, _ in _walk_warc(data)]
 
 
-def fetch_warc_record(shard_path: str, offset: int, length: int) -> dict:
+def fetch_warc_record(
+    shard_path: str, offset: int, length: int, idx: int = 0
+) -> dict:
     """Fetch ONE record by its indexed byte extent — the CDX
     consumption pattern (the index answers WHERE, then a single range
     read answers WHAT, without re-walking the shard).  Locally this is
     a seek+read; on an object store the same (offset, length) pair maps
     to one ranged GET.  The extent comes from `warc_records`'s
-    offset/length columns; raises WarcError if the extent does not
-    parse to a record."""
+    offset/length columns.
+
+    `idx` selects WITHIN the fetched extent: 0 for the standard
+    one-record-per-member layout; for a MULTI-record gzip member (all
+    its records share the member's extent — the same reason doc_id
+    hashes record_idx) it is the record's `record_idx` minus the
+    extent's first `record_idx`.  Raises WarcError if the extent does
+    not parse to enough records."""
     with open(shard_path, "rb") as f:
         f.seek(offset)
         blob = f.read(length)
     recs = parse_warc(blob)
-    if not recs:
+    if idx < 0 or len(recs) <= idx:
         raise WarcError(
-            f"no record at {shard_path!r} offset={offset} length={length}"
+            f"no record {idx} at {shard_path!r} "
+            f"offset={offset} length={length} ({len(recs)} records parse)"
         )
-    return recs[0]
+    return recs[idx]
 
 
 def build_warc(
@@ -394,10 +403,14 @@ def crawl_to_documents(
     text) so everything downstream (quality, dedup, LM scoring, splits,
     packing) composes unchanged.
 
-    doc_id is the 60-bit hash of the record's (shard, offset) — stable
+    doc_id is the 60-bit hash of (shard, offset, record_idx) — stable
     across re-walks of the same shards, independent of partitioning,
     and derived from the CDX coordinates so a document can always be
-    traced back to (and re-fetched from) its record.  `source` is the
+    traced back to (and re-fetched from) its record.  record_idx is in
+    the key because a multi-record gzip member assigns the SAME member
+    extent (offset) to every record inside it — (shard, offset) alone
+    would give two HTML responses in one member identical doc_ids and
+    silently corrupt downstream dedup/joins (round-8 advice).  `source` is the
     registrable domain (the provenance key domain caps and mixes group
     on).  Truly ONE pass: url/source ride THROUGH the extraction
     kernel as passthrough columns (`html_to_text(keep_cols=...)`) —
@@ -419,7 +432,10 @@ def crawl_to_documents(
             F.substring(
                 F.md5(
                     F.concat_ws(
-                        "|", F.col("shard"), F.col("record_offset")
+                        "|",
+                        F.col("shard"),
+                        F.col("record_offset"),
+                        F.col("record_idx"),
                     )
                 ),
                 1,

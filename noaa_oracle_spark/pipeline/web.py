@@ -26,12 +26,15 @@ runs once per document over the WHOLE corpus before anything else:
     enforced size budget.
   - `domain_cap`: at most N docs per registrable domain, the
     `sampling.cap_per_group` deterministic-hash-prefix contract.
-  - `parse_robots` / `robots_allows` / `filter_robots_disallowed`:
-    RFC 9309 robots.txt compliance (group selection by most specific
-    product token, longest-match rule with Allow winning ties, '*'
-    wildcards and '$' anchors) — the one Arrow-batched stage in this
-    module, because rule evaluation over per-host rule lists is not
-    expressible as a fixed-depth column expression.
+  - `parse_robots` / `robots_allows` / `parse_robots_rules` /
+    `filter_robots_disallowed`: RFC 9309 robots.txt compliance (group
+    selection by most specific product token, longest-match rule with
+    Allow winning ties, '*' wildcards and '$' anchors).  Rules are
+    pre-parsed in a distributed projection and joined to documents on
+    the shared normalized host key (broadcast under a counted budget,
+    shuffle-hash beyond it); evaluation is Arrow-batched because
+    longest-match over per-host rule lists is not expressible as a
+    fixed-depth column expression.
 
 Reference scope: none (brief-added LLM-pipeline surface, like the dedup
 and sketch tiers).
@@ -68,12 +71,22 @@ _SECOND_LEVEL_SUFFIXES = (
 )
 
 
+def normalize_host(host: Column) -> Column:
+    """Canonical host form shared by BOTH sides of every host-keyed
+    operation in this module (lowercase, trailing dot stripped, leading
+    'www.' stripped).  The robots join and the blocklist normalize
+    through this same function so a robots row keyed 'www.example.com'
+    (or 'example.com.') matches documents at 'example.com' — one-sided
+    normalization silently drops the row's rules (round-8 advice)."""
+    host = F.lower(host)
+    host = F.regexp_replace(host, r"\.$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
 def url_host(url: Column) -> Column:
     """Lowercased host with any leading 'www.' and trailing dot removed
     — the per-site grouping key (NULL for unparseable URLs)."""
-    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
-    host = F.regexp_replace(host, r"\.$", "")
-    return F.regexp_replace(host, r"^www\.", "")
+    return normalize_host(F.try_parse_url(url, F.lit("HOST")))
 
 
 def registrable_domain(url: Column) -> Column:
@@ -306,6 +319,35 @@ def parse_robots(robots_txt: str, user_agent: str = "*") -> "list[tuple[str, boo
     return starred[0] if starred else []
 
 
+def _rule_matches(rule_path: str, path: str) -> bool:
+    """Does one RFC 9309 rule path match `path`?  '*' is a full
+    wildcard and a trailing '$' anchors end-of-path.  Unanchored rules
+    use greedy leftmost fragment matching (complete for existence);
+    anchored rules match the FINAL fragment against the end of the path
+    instead — greedy leftmost would bind the last fragment to its first
+    occurrence and wrongly fail e.g. rule '/*x$' on path '/axbx'
+    (round-8 advice)."""
+    anchored = rule_path.endswith("$")
+    body = rule_path[:-1] if anchored else rule_path
+    parts = body.split("*")
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    if len(parts) == 1:
+        return pos == len(path) if anchored else True
+    mids = parts[1:-1]
+    last = parts[-1]
+    for frag in mids:
+        nxt = path.find(frag, pos)
+        if nxt < 0:
+            return False
+        pos = nxt + len(frag)
+    if anchored:
+        # the last fragment must sit flush at the end, at or after pos
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
 def robots_allows(rules: "list[tuple[str, bool]]", path: str) -> bool:
     """RFC 9309 evaluation: the LONGEST rule whose prefix matches the
     path decides; on a length tie Allow wins; no match ⇒ allowed.
@@ -314,27 +356,7 @@ def robots_allows(rules: "list[tuple[str, bool]]", path: str) -> bool:
     best_len = -1
     best_allow = True
     for rule_path, allow in rules:
-        anchored = rule_path.endswith("$")
-        body = rule_path[:-1] if anchored else rule_path
-        parts = body.split("*")
-        # greedy wildcard match over the path
-        pos = 0
-        ok = True
-        for i, frag in enumerate(parts):
-            if i == 0:
-                if not path.startswith(frag):
-                    ok = False
-                    break
-                pos = len(frag)
-            else:
-                nxt = path.find(frag, pos)
-                if nxt < 0:
-                    ok = False
-                    break
-                pos = nxt + len(frag)
-        if ok and anchored and pos != len(path):
-            ok = False
-        if not ok:
+        if not _rule_matches(rule_path, path):
             continue
         specificity = len(rule_path)
         if specificity > best_len or (
@@ -345,11 +367,73 @@ def robots_allows(rules: "list[tuple[str, bool]]", path: str) -> bool:
     return best_allow
 
 
+def parse_robots_rules(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Distributed pre-parse of a (host, robots_txt) dimension into the
+    per-host rule lists that apply to `user_agent`:
+    (host, rules array<struct<p string, allow boolean>>).
+
+    Raw bodies never leave the executors — parsing happens in one
+    Arrow-batched projection where the bodies already sit.  Hosts whose
+    applicable group is EMPTY (no robots.txt restrictions for this
+    agent — the overwhelming majority of the web) are dropped, so the
+    join side downstream carries only hosts that can actually change a
+    verdict — and so are hosts with ONLY Allow rules, since the
+    no-match default is already allow and only a matching Disallow can
+    flip it.  Hosts are normalized through `normalize_host`, the same
+    function the document side uses, and duplicate host rows (e.g.
+    'www.x.com' + 'x.com' collapsing under normalization) are resolved
+    deterministically by min(robots_txt) BEFORE parsing so the join can
+    never fan out a document row."""
+    from pyspark.sql import types as T
+
+    rules_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("p", T.StringType()),
+                T.StructField("allow", T.BooleanType()),
+            ]
+        )
+    )
+
+    def _parse_series(bodies):
+        return bodies.map(
+            lambda b: [
+                {"p": p, "allow": a}
+                for p, a in parse_robots(b or "", user_agent)
+            ]
+        )
+
+    # NOTE: this module has `from __future__ import annotations`, which
+    # stringifies type hints beyond what pandas_udf's inference resolves
+    # — the Series-kind eval type is declared explicitly instead
+    _parse = F.pandas_udf(_parse_series, rules_type, F.PandasUDFType.SCALAR)
+
+    one_per_host = (
+        robots.select(
+            normalize_host(F.col(host_col)).alias("host"),
+            F.col(txt_col).alias("_txt"),
+        )
+        .where(F.col("host").isNotNull() & (F.col("host") != ""))
+        .groupBy("host")
+        .agg(F.min("_txt").alias("_txt"))
+    )
+    return one_per_host.select(
+        "host", _parse(F.col("_txt")).alias("rules")
+    ).where(F.exists(F.col("rules"), lambda r: ~r["allow"]))
+
+
 def filter_robots_disallowed(
     docs: DataFrame,
     robots: DataFrame,
     url_col: str = "url",
     user_agent: str = "*",
+    plan: str = "auto",
+    broadcast_max_hosts: int = 1_000_000,
 ) -> DataFrame:
     """Drop documents whose URL path a site's robots.txt disallows —
     the compliance pass a crawl-derived corpus runs before anything
@@ -357,50 +441,74 @@ def filter_robots_disallowed(
     no-match ⇒ allowed, hosts WITHOUT a robots.txt allowed).
 
     `robots` is (host, robots_txt) — one row per site, the artifact a
-    crawler already fetched.  Scale shape: the rule evaluation runs in
-    ONE Arrow-batched stage over the documents (rules pre-parsed once
-    per robots row, broadcast as a plain dict — robots bodies are
-    per-HOST, a broadcast-sized dimension even at web scale, and only
-    the parsed rules travel, not the bodies); documents never shuffle."""
-    rows = robots.select("host", "robots_txt").collect()
-    rule_map = {
-        str(r["host"]).lower(): parse_robots(
-            r["robots_txt"] or "", user_agent
+    crawler already fetched.  Scale shape (round-8 rewrite of the
+    round-7 uncapped driver collect): rules are pre-parsed in a
+    DISTRIBUTED projection (`parse_robots_rules` — raw bodies never
+    reach the driver, restriction-free hosts drop out), then documents
+    LEFT-join the rule dimension on the shared normalized host key and
+    the longest-match evaluation runs in one Arrow-batched stage over
+    the joined rows.  `plan` picks the join strategy:
+
+      - 'broadcast': broadcast the rules dimension; documents cross no
+        exchange (map-side join).
+      - 'shuffle': shuffle-hash join — both sides partition by host;
+        the path when the rule dimension outgrows executor memory.
+      - 'auto' (default): one cheap count of the robots dimension picks
+        'broadcast' when it holds at most `broadcast_max_hosts` rows
+        (the count runs on the small side only — never the corpus).
+    """
+    if plan == "auto":
+        plan = (
+            "broadcast"
+            if robots.count() <= broadcast_max_hosts
+            else "shuffle"
         )
-        for r in rows
-    }
-    spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(rule_map)
+    if plan not in ("broadcast", "shuffle"):
+        raise ValueError(
+            f"filter_robots_disallowed: unknown plan {plan!r} "
+            "(expected 'auto', 'broadcast' or 'shuffle')"
+        )
+    rules_df = parse_robots_rules(robots, user_agent)
+    if plan == "broadcast":
+        rules_df = F.broadcast(rules_df)
+    else:
+        rules_df = rules_df.hint("shuffle_hash")
 
     from pyspark.sql import types as T
 
-    def _allowed_series(urls):
+    def _allowed_series(urls, rule_lists):
+        import pandas as pd
         from urllib.parse import urlsplit
 
-        rules = bc.value
-
-        def one(u):
-            if u is None:
-                return True
+        out = []
+        for u, rl in zip(urls, rule_lists):
+            if rl is None or len(rl) == 0 or u is None:
+                out.append(True)
+                continue
             try:
                 parts = urlsplit(u)
             except ValueError:
-                return True
-            host = (parts.hostname or "").lower().removeprefix("www.")
-            r = rules.get(host)
-            if not r:
-                return True
+                out.append(True)
+                continue
             path = parts.path or "/"
             if parts.query:
                 path += "?" + parts.query
-            return robots_allows(r, path)
+            out.append(
+                robots_allows(
+                    [(d["p"], d["allow"]) for d in rl], path
+                )
+            )
+        return pd.Series(out)
 
-        return urls.map(one)
-
-    # NOTE: this module has `from __future__ import annotations`, which
-    # stringifies type hints beyond what pandas_udf's inference resolves
-    # — the Series-kind eval type is declared explicitly instead
     _allowed = F.pandas_udf(
         _allowed_series, T.BooleanType(), F.PandasUDFType.SCALAR
     )
-    return docs.filter(_allowed(F.col(url_col)))
+
+    doc_host = url_host(F.col(url_col)).alias("_doc_host")
+    joined = docs.withColumn("_doc_host", doc_host).join(
+        rules_df, F.col("_doc_host") == rules_df["host"], "left"
+    )
+    return (
+        joined.filter(_allowed(F.col(url_col), F.col("rules")))
+        .drop("_doc_host", "host", "rules")
+    )

@@ -11,6 +11,7 @@ routes and missing files.
 from __future__ import annotations
 
 import json
+import os
 import urllib.error
 import urllib.request
 
@@ -522,3 +523,81 @@ def test_search_knn_returns_negative_corpus_ids(server, spark, tmp_path_factory)
     assert status == 200
     # vec 0 has corpus id -1: it must be the top neighbor, not dropped
     assert out["neighbors"][0]["vec_id"] == -1
+
+
+def test_warc_record_fetch_over_sockets(spark, tmp_path_factory):
+    """GET /warc/record serves one record by CDX coordinates (r7
+    verdict ask #7): coords straight from warc_records' columns come
+    back as the record's headers + base64 payload; traversal outside
+    warc_dir and bad extents fail loudly; servers without a warc_dir
+    404 the route."""
+    import base64
+    import urllib.parse
+
+    from noaa_oracle_spark.pipeline.warc import build_warc, warc_records
+
+    d = str(tmp_path_factory.mktemp("warc_serve"))
+    recs = [
+        {
+            "type": "response",
+            "uri": f"https://w.test/p/{i}",
+            "date": f"2026-02-0{i + 1}T00:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html",
+            "payload": b"<html><body>record %d</body></html>" % i,
+        }
+        for i in range(3)
+    ]
+    shard = os.path.join(d, "sub", "serve.warc.gz")
+    os.makedirs(os.path.dirname(shard))
+    with open(shard, "wb") as f:
+        f.write(build_warc(recs, member_gzip=True))
+
+    rows = warc_records(spark, shard).orderBy("record_idx").collect()
+    assert len(rows) == 3
+
+    srv, _ = serve_background(spark, d, warc_dir=d)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        row = rows[1]
+        q = urllib.parse.urlencode(
+            {
+                "shard": "sub/serve.warc.gz",
+                "offset": row.record_offset,
+                "length": row.record_length,
+            }
+        )
+        out = _get_json(f"{base}/warc/record?{q}")
+        assert out["headers"]["warc-target-uri"] == "https://w.test/p/1"
+        payload = base64.b64decode(out["payload_b64"])
+        assert payload.startswith(b"HTTP/1.1 200")
+        assert b"record 1" in payload
+        # traversal is rejected
+        bad = urllib.parse.urlencode(
+            {"shard": "../escape.warc", "offset": 0, "length": 10}
+        )
+        code, msg = _status_of(f"{base}/warc/record?{bad}")
+        assert code == 400 and "escapes" in msg
+        # an extent past the shard = clean 404, not a 500
+        past = urllib.parse.urlencode(
+            {"shard": "sub/serve.warc.gz", "offset": 10**9, "length": 100}
+        )
+        code, _ = _status_of(f"{base}/warc/record?{past}")
+        assert code == 404
+        code, _ = _status_of(f"{base}/warc/record?shard=x&offset=a&length=1")
+        assert code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # a server with no warc_dir does not expose the route
+    srv2, _ = serve_background(spark, d)
+    base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    try:
+        code, msg = _status_of(
+            f"{base2}/warc/record?shard=sub/serve.warc.gz&offset=0&length=9"
+        )
+        assert code == 404 and "warc_dir" in msg
+    finally:
+        srv2.shutdown()
+        srv2.server_close()

@@ -183,3 +183,67 @@ def test_null_labels_raise_cleanly_and_unpersist(spark):
     with pytest.raises(ValueError, match="labels are NULL"):
         train_logistic(df, ["f0"], "y", iters=1)
     assert n_persisted() == before  # try/finally released the persist
+
+
+def test_feature_nulls_raise_instead_of_silent_subset(spark):
+    """Round-8 advice: a NULL in any FEATURE column NULLs err for that
+    row, so avg() silently dropped it from every gradient while
+    count(*) still reported it — must raise."""
+    df = spark.createDataFrame(
+        [(1.0, 0.5, 1), (None, 0.2, 0), (3.0, None, 1), (2.0, 1.0, 0)],
+        "f0 double, f1 double, y int",
+    )
+    with pytest.raises(ValueError, match="feature NULLs exclude 2 of 4"):
+        train_logistic(df, ["f0", "f1"], "y", iters=1)
+
+
+def _badly_scaled(spark, n=300, seed=11):
+    """One feature in [0,1], one in the millions — the GD footgun."""
+    rng = np.random.RandomState(seed)
+    x0 = rng.rand(n)
+    x1 = rng.randn(n) * 1e6 + 5e6
+    y = (x0 * 4.0 - 2.0 + (x1 - 5e6) / 1e6 > 0).astype(int)
+    return spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x0, x1, y)],
+        "f0 double, f1 double, y long",
+    )
+
+
+def test_divergence_guard_and_standardize_fix(spark):
+    """On mismatched feature scales the unstandardized run diverges
+    loudly (not silently returning garbage), and standardize=True
+    converges at the same lr; the returned weights are de-standardized
+    so raw-space serving reproduces the fit."""
+    df = _badly_scaled(spark).cache()
+    try:
+        with pytest.raises(ValueError, match="diverging"):
+            train_logistic(df, ["f0", "f1"], "y", iters=50, lr=0.5)
+        fit = train_logistic(
+            df, ["f0", "f1"], "y", iters=80, lr=0.5, standardize=True
+        )
+        assert fit["losses"][-1] < 0.35 < fit["losses"][0]
+        assert fit["losses"][-1] == min(fit["losses"])
+        # raw-space serving: de-standardized weights score raw columns
+        scored = logistic_predict(
+            df, ["f0", "f1"], fit["weights"], fit["bias"]
+        )
+        acc = scored.filter(
+            F.col("label_pred") == F.col("y")
+        ).count() / scored.count()
+        assert acc > 0.9
+    finally:
+        df.unpersist()
+
+
+def test_standardize_noop_on_constant_feature(spark):
+    """Zero-variance feature: std falls back to 1 (no div-by-zero) and
+    the constant folds into the bias — training still converges."""
+    df = spark.createDataFrame(
+        [(float(i % 7) / 7.0, 42.0, int(i % 7 < 3)) for i in range(210)],
+        "f0 double, fconst double, y long",
+    )
+    fit = train_logistic(
+        df, ["f0", "fconst"], "y", iters=60, lr=0.5, standardize=True
+    )
+    assert all(np.isfinite(fit["weights"])) and np.isfinite(fit["bias"])
+    assert fit["losses"][-1] < fit["losses"][0]

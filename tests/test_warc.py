@@ -377,3 +377,22 @@ def test_crawl_to_documents_end_to_end(spark, tmp_path):
     # doc ids are stable across re-walks and distinct per record
     again = {r.doc_id for r in crawl_to_documents(spark, d).collect()}
     assert again == {r.doc_id for r in out} and len(again) == 3
+
+
+def test_crawl_doc_ids_unique_in_multi_record_member(spark, tmp_path):
+    """A single gzip member holding several records gives every record
+    the SAME member extent (record_offset); doc_id must still be unique
+    because record_idx is part of the hash key (round-8 advice)."""
+    from noaa_oracle_spark.pipeline.warc import crawl_to_documents
+
+    # one gzip member containing all three records
+    blob = gzip.compress(build_warc(_records(3), member_gzip=False), mtime=0)
+    p = tmp_path / "multi.warc.gz"
+    p.write_bytes(blob)
+    docs = crawl_to_documents(spark, str(p)).collect()
+    assert len(docs) == 3
+    assert len({r.doc_id for r in docs}) == 3
+    # and the records really did share one member extent
+    recs = warc_records(spark, str(p)).collect()
+    assert len({r.record_offset for r in recs}) == 1
+    assert sorted(r.record_idx for r in recs) == [0, 1, 2]

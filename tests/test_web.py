@@ -242,3 +242,143 @@ def test_filter_robots_disallowed_spark(spark):
         ).collect()
     )
     assert kept_special == [3, 5]
+
+
+def test_rule_matches_anchored_wildcard():
+    """Anchored rules must consider LATER fragment occurrences: greedy
+    leftmost binding of the final fragment wrongly failed '/*x$' on
+    '/axbx' (round-8 advice)."""
+    from noaa_oracle_spark.pipeline.web import _rule_matches, robots_allows
+
+    assert _rule_matches("/*x$", "/axbx") is True
+    assert _rule_matches("/*x$", "/axby") is False
+    assert _rule_matches("/a*b*c$", "/aXbXbYc") is True  # greedy mid, end-anchored tail
+    assert _rule_matches("/a*b$", "/ab") is True
+    assert _rule_matches("/a*$", "/anything") is True  # trailing *$ = prefix
+    assert _rule_matches("/x$", "/x") is True
+    assert _rule_matches("/x$", "/xy") is False
+    # the overlap case: last fragment may start before the middle match
+    # ends only if a LATER disjoint occurrence exists
+    assert _rule_matches("/*ab$", "/aab") is True
+    assert robots_allows([("/*.pdf$", False)], "/a.pdf.pdf") is False
+
+
+def test_robots_host_normalization_both_sides(spark):
+    """A robots row keyed 'www.example.com' (or with a trailing dot)
+    must still govern documents whose host normalizes to 'example.com'
+    — both sides share normalize_host (round-8 advice)."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://example.com/private/x"),
+            (2, "https://www.example.com/private/y"),
+            (3, "https://example.com/ok"),
+            (4, "https://other.test/private/z"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("www.example.com.", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    kept = sorted(
+        r.doc_id for r in filter_robots_disallowed(docs, robots).collect()
+    )
+    assert kept == [3, 4]
+
+
+def test_filter_robots_plans_agree(spark):
+    """broadcast and shuffle join plans produce identical verdicts, and
+    both agree with a driver-side pure-Python oracle."""
+    from urllib.parse import urlsplit
+
+    from noaa_oracle_spark.pipeline.web import (
+        filter_robots_disallowed,
+        parse_robots,
+        robots_allows,
+    )
+
+    doc_rows = [
+        (i, f"https://h{i % 7}.test/p{i % 5}/f{i}" + ("" if i % 3 else ".pdf"))
+        for i in range(60)
+    ] + [(100, None), (101, "not a url ://")]
+    robots_rows = [
+        (f"h{k}.test", f"User-agent: *\nDisallow: /p{k % 5}/\nDisallow: /*.pdf$")
+        for k in range(5)
+    ] + [("h5.test", "User-agent: *\nAllow: /")]  # no restriction -> drops out
+    docs = spark.createDataFrame(doc_rows, "doc_id long, url string")
+    robots = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+
+    kept_b = sorted(
+        r.doc_id
+        for r in filter_robots_disallowed(docs, robots, plan="broadcast").collect()
+    )
+    kept_s = sorted(
+        r.doc_id
+        for r in filter_robots_disallowed(docs, robots, plan="shuffle").collect()
+    )
+    assert kept_b == kept_s
+
+    rule_map = {h: parse_robots(t, "*") for h, t in robots_rows}
+    expect = []
+    for doc_id, u in doc_rows:
+        if u is None:
+            expect.append(doc_id)
+            continue
+        parts = urlsplit(u)
+        host = (parts.hostname or "").lower().removeprefix("www.")
+        rules = rule_map.get(host)
+        if not rules:
+            expect.append(doc_id)
+            continue
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        if robots_allows(rules, path):
+            expect.append(doc_id)
+    assert kept_b == sorted(expect)
+    # schema passthrough: helper columns dropped
+    out = filter_robots_disallowed(docs, robots, plan="broadcast")
+    assert out.columns == docs.columns
+
+
+def test_filter_robots_duplicate_host_rows_no_fanout(spark):
+    """Duplicate robots rows for one (normalized) host must not
+    duplicate document rows through the join; the min(robots_txt) body
+    wins deterministically."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [(1, "https://dup.test/a"), (2, "https://dup.test/b")],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("dup.test", "User-agent: *\nDisallow: /a"),
+            ("www.dup.test", "User-agent: *\nDisallow: /b"),
+        ],
+        "host string, robots_txt string",
+    )
+    out = filter_robots_disallowed(docs, robots).collect()
+    ids = sorted(r.doc_id for r in out)
+    # min() of the two bodies sorts 'User-agent: *\nDisallow: /a' first
+    assert ids == [2]
+    assert len(out) == len(set(r.doc_id for r in out))
+
+
+def test_parse_robots_rules_drops_unrestricted_hosts(spark):
+    from noaa_oracle_spark.pipeline.web import parse_robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nDisallow: /x"),
+            ("b.test", "User-agent: *\nAllow: /"),  # no restriction
+            ("c.test", ""),
+            (None, "User-agent: *\nDisallow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = parse_robots_rules(robots).collect()
+    assert [r.host for r in rows] == ["a.test"]
+    assert [(d.p, d.allow) for d in rows[0].rules] == [("/x", False)]

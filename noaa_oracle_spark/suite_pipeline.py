@@ -2907,6 +2907,194 @@ FROM lagged GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# STAGED for round 9 (r7 verdict ask #4): pre-written gate queries + oracles,
+# mirror-tested locally (tests/test_staged_r9.py) but NOT yet registered in
+# PIPELINE_QUERIES/PIPELINE_ORACLE_SQL — round 8 has zero new-gate window
+# capacity (the 28 r5-stale re-grades + 22 r6 fill exhaust all 50 slots).
+# Round-9 rotation: move these two entries into the main dicts, put their
+# names at the window FRONT, refresh GRADE_HASHES.
+# ---------------------------------------------------------------------------
+
+#: BM25 query terms for q129 — deterministic, present in the synthetic
+#: documents vocabulary at every SF.
+_BM25_TERMS = ["hash", "spark", "window"]
+
+
+def q129_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by Okapi BM25 (Lucene idf) for a fixed
+    bag-of-words query (pipeline/text.bm25_scores): map-side query-term
+    filter, one (doc, term) shuffle, df at term-type dim, broadcast
+    1-row corpus stats; 6-dp score with doc_id tiebreak."""
+    from noaa_oracle_spark.pipeline.text import bm25_scores
+
+    return bm25_scores(
+        load(spark, sf_dir, "documents"), _BM25_TERMS, k=10
+    )
+
+
+# Same words/tf/df/dlen/corpus splits, Lucene idf ln(1+(N-df+.5)/(df+.5)),
+# k1=1.2 b=0.75 (tf*(k1+1) = tf*2.2; k1*(1-b) = 0.3), 6-dp round, id
+# tiebreak.  n_docs/avgdl come from dlen (docs with >=1 token), exactly as
+# bm25_scores computes them.
+SQL_Q129 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM w
+    WHERE term IN ('hash', 'spark', 'window') GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+    SELECT doc_id, count(*) AS dl FROM w GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen
+), scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dlen USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY 1
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q130_crawl_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance stage over six deterministic URL shapes built
+    from doc_id (uppercase scheme/host, default + explicit ports,
+    tracking params, unsorted query, fragment, trailing-dot host,
+    co.uk public suffix, unparseable junk, non-http scheme):
+    canonical_url / url_host / registrable_domain
+    (pipeline/web.py — pure codegen expressions, zero Python).  The
+    oracle states each shape's expected output directly, so Spark's
+    parser is graded against hand-derived RFC expectations rather than
+    another parser's quirks."""
+    from noaa_oracle_spark.pipeline.web import (
+        canonical_url,
+        registrable_domain,
+        url_host,
+    )
+
+    d = F.col("doc_id")
+    g = (d % 10).cast("string")
+    i = d.cast("string")
+    url = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Site"), g, F.lit(".COM/path/"), i,
+                F.lit("?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            d % 6 == 1,
+            F.concat(
+                F.lit("https://site"), g, F.lit(".co.uk:443/a/"), i,
+                F.lit("?gclid=z&z=1"),
+            ),
+        )
+        .when(
+            d % 6 == 2,
+            F.concat(
+                F.lit("http://site"), g, F.lit(".test.:8080?q="), i
+            ),
+        )
+        .when(
+            d % 6 == 3,
+            F.concat(F.lit("https://sub.site"), g, F.lit(".org:80/"), i),
+        )
+        .when(d % 6 == 4, F.concat(F.lit("not a url "), i))
+        .otherwise(F.concat(F.lit("ftp://site"), g, F.lit(".net/"), i))
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            canonical_url(F.col("url")).alias("canon"),
+            url_host(F.col("url")).alias("host"),
+            registrable_domain(F.col("url")).alias("domain"),
+        )
+    )
+
+
+# The oracle CONSTRUCTS the same six URL shapes and states their expected
+# canonical/host/domain outputs per shape — golden expectations derived by
+# hand from RFC 3986 + the canonical_url contract (probe-verified against
+# Spark before staging).
+SQL_Q130 = """
+WITH shaped AS (
+    SELECT doc_id,
+           CAST(doc_id % 10 AS VARCHAR) AS g,
+           CAST(doc_id AS VARCHAR) AS i,
+           doc_id % 6 AS m
+    FROM documents
+)
+SELECT doc_id,
+       CASE m
+           WHEN 0 THEN 'HTTP://WWW.Site' || g || '.COM/path/' || i
+                       || '?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN 'https://site' || g || '.co.uk:443/a/' || i
+                       || '?gclid=z&z=1'
+           WHEN 2 THEN 'http://site' || g || '.test.:8080?q=' || i
+           WHEN 3 THEN 'https://sub.site' || g || '.org:80/' || i
+           WHEN 4 THEN 'not a url ' || i
+           ELSE 'ftp://site' || g || '.net/' || i
+       END AS url,
+       CASE m
+           WHEN 0 THEN 'http://www.site' || g || '.com/path/' || i
+                       || '?a=1&b=2'
+           WHEN 1 THEN 'https://site' || g || '.co.uk/a/' || i || '?z=1'
+           WHEN 2 THEN 'http://site' || g || '.test:8080/?q=' || i
+           WHEN 3 THEN 'https://sub.site' || g || '.org:80/' || i
+           ELSE NULL
+       END AS canon,
+       CASE m
+           WHEN 0 THEN 'site' || g || '.com'
+           WHEN 1 THEN 'site' || g || '.co.uk'
+           WHEN 2 THEN 'site' || g || '.test'
+           WHEN 3 THEN 'sub.site' || g || '.org'
+           WHEN 4 THEN NULL
+           ELSE 'site' || g || '.net'
+       END AS host,
+       CASE m
+           WHEN 0 THEN 'site' || g || '.com'
+           WHEN 1 THEN 'site' || g || '.co.uk'
+           WHEN 2 THEN 'site' || g || '.test'
+           WHEN 3 THEN 'site' || g || '.org'
+           WHEN 4 THEN NULL
+           ELSE 'site' || g || '.net'
+       END AS domain
+FROM shaped
+"""
+
+#: r9 staging registry — merged into the main dicts when the r9 window
+#: rotates (NOT before: the staleness/ledger tests treat every key of
+#: PIPELINE_QUERIES as a gate).
+PIPELINE_QUERIES_STAGED_R9: dict = {
+    "q129_bm25_retrieval": q129_bm25_retrieval,
+    "q130_crawl_urls": q130_crawl_urls,
+}
+
+PIPELINE_ORACLE_SQL_STAGED_R9: dict = {
+    "q129_bm25_retrieval": SQL_Q129,
+    "q130_crawl_urls": SQL_Q130,
+}
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,

@@ -398,10 +398,10 @@ def main() -> None:
     # member-gzip shards (the Common Crawl layout), manifest-mode read
     # (payload dropped at the source).  The shard fixture is built once
     # per size and reused.
-    def _warc_rung():
+    def _ensure_warc_fixture():
         import math as _math
 
-        from noaa_oracle_spark.pipeline.warc import build_warc, warc_records
+        from noaa_oracle_spark.pipeline.warc import build_warc
 
         wdir = FIXTURE + "_warc"
         if not os.path.isdir(wdir):
@@ -436,6 +436,12 @@ def main() -> None:
                 ) as f:
                     f.write(build_warc(recs))
             os.rename(tmp, wdir)
+        return wdir
+
+    def _warc_rung():
+        from noaa_oracle_spark.pipeline.warc import warc_records
+
+        wdir = _ensure_warc_fixture()
         n = warc_records(spark, wdir, with_payload=False).filter(
             F.col("http_status") == 200
         ).count()
@@ -447,6 +453,124 @@ def main() -> None:
         return n
 
     run("warc_manifest", _warc_rung)
+
+    # --- crawl composite (r8): the WHOLE front door as its committed
+    # single lazy plan (WARC walk → html_to_text → canonical_url /
+    # registrable_domain) over the same shard fixture — the separate
+    # walk (40.9 s/1M) and extraction (144 s/1M) rungs prove the
+    # stages; this rung proves the composition really is one pass
+    # (1 binaryFile scan, 0 joins) at scale.
+    def _crawl_rung():
+        from noaa_oracle_spark.pipeline.warc import crawl_to_documents
+
+        wdir = _ensure_warc_fixture()
+        n = crawl_to_documents(spark, wdir).count()
+        if n != N_DOCS:
+            raise AssertionError(
+                f"crawl_docs rung produced {n} documents, expected "
+                f"{N_DOCS}"
+            )
+        return n
+
+    run("crawl_docs", _crawl_rung)
+
+    # --- robots.txt compliance (r8 de-weak evidence): N_DOCS urls
+    # across PIPELINE_BENCH_ROBOTS_HOSTS distinct hosts (default 100k —
+    # a big-crawl host dimension), every host contributing parsed
+    # rules; both join plans measured.  The broadcast row is the
+    # default path; the shuffle row is the beyond-broadcast fallback.
+    n_hosts = int(os.environ.get("PIPELINE_BENCH_ROBOTS_HOSTS", "100000"))
+
+    def _robots_frames():
+        from pyspark.sql import functions as FF
+
+        doc_urls = docs.select(
+            "doc_id",
+            FF.concat(
+                FF.lit("https://h"),
+                (FF.col("doc_id") % n_hosts).cast("string"),
+                FF.lit(".test/p"),
+                (FF.col("doc_id") % 7).cast("string"),
+                FF.lit("/f"),
+                FF.col("doc_id").cast("string"),
+                FF.when(FF.col("doc_id") % 3 == 0, FF.lit(".pdf")).otherwise(
+                    FF.lit("")
+                ),
+            ).alias("url"),
+        )
+        robots = spark.range(n_hosts).select(
+            FF.concat(FF.lit("h"), FF.col("id").cast("string"), FF.lit(".test"))
+            .alias("host"),
+            FF.concat(
+                FF.lit("User-agent: *\nDisallow: /p"),
+                (FF.col("id") % 7).cast("string"),
+                FF.lit("/\nDisallow: /*.pdf$\nAllow: /p"),
+                (FF.col("id") % 7).cast("string"),
+                FF.lit("/ok/"),
+            ).alias("robots_txt"),
+        )
+        return doc_urls, robots
+
+    def _robots_rung(plan):
+        from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+        doc_urls, robots = _robots_frames()
+        return filter_robots_disallowed(doc_urls, robots, plan=plan).count()
+
+    run("robots_filter_broadcast", lambda: _robots_rung("broadcast"))
+    run("robots_filter_shuffle", lambda: _robots_rung("shuffle"))
+
+    # --- perceptual image dedup (r7 verdict ask #9): pHash banded
+    # Hamming join over PIPELINE_BENCH_IMAGES P6 PPM blobs (default
+    # 100k, 32x32) with a planted 5% near-dup cluster of one base image
+    # — ONE hot (band, value) bucket, the AQE skew-join case the
+    # operator docstring names.
+    def _phash_rung():
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from noaa_oracle_spark.pipeline.multimodal import phash_near_dupes
+
+        n_img = int(os.environ.get("PIPELINE_BENCH_IMAGES", "100000"))
+        idir = f"/tmp/noaa_pipeline_bench_images_{n_img}"
+        ipath = os.path.join(idir, "media.parquet")
+        if not os.path.exists(ipath):
+            tmp = idir + ".building"
+            import shutil as _shutil
+
+            if os.path.isdir(tmp):
+                _shutil.rmtree(tmp)
+            os.makedirs(tmp)
+            irng = np.random.RandomState(SEED + 7)
+            base = irng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+            n_hot = n_img // 20
+            header = b"P6\n32 32\n255\n"
+            blobs = []
+            for j in range(n_img):
+                if j < n_hot:
+                    img = base.copy()
+                    # flip a few pixels: near-dup of the base
+                    xs = irng.randint(0, 32, 3)
+                    ys = irng.randint(0, 32, 3)
+                    img[ys, xs] = irng.randint(0, 256, (3, 3))
+                else:
+                    img = irng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+                blobs.append(header + img.tobytes())
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "media_id": _pa.array(range(n_img), _pa.int64()),
+                        "kind": _pa.array(["image"] * n_img),
+                        "content": _pa.array(blobs, _pa.binary()),
+                    }
+                ),
+                os.path.join(tmp, "media.parquet"),
+            )
+            os.rename(tmp, idir)
+        media = spark.read.parquet(ipath)
+        return phash_near_dupes(media, max_distance=6, bands=8).count()
+
+    run("phash_near_dupes", _phash_rung)
 
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same

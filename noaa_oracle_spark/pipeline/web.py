@@ -391,27 +391,41 @@ def parse_robots_rules(
     never fan out a document row."""
     from pyspark.sql import types as T
 
-    rules_type = T.ArrayType(
-        T.StructType(
-            [
-                T.StructField("p", T.StringType()),
-                T.StructField("allow", T.BooleanType()),
-            ]
-        )
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField(
+                "rules",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("p", T.StringType()),
+                            T.StructField("allow", T.BooleanType()),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
     )
 
-    def _parse_series(bodies):
-        return bodies.map(
-            lambda b: [
-                {"p": p, "allow": a}
-                for p, a in parse_robots(b or "", user_agent)
-            ]
-        )
+    # mapInPandas (not a pandas_udf projection + a where): the kernel
+    # both parses and DROPS non-restricting hosts in one pass — a
+    # filter expressed over a UDF column would evaluate the UDF twice
+    # (once for the predicate, once for the projection; plan-verified)
+    def _parse_kernel(it):
+        import pandas as pd
 
-    # NOTE: this module has `from __future__ import annotations`, which
-    # stringifies type hints beyond what pandas_udf's inference resolves
-    # — the Series-kind eval type is declared explicitly instead
-    _parse = F.pandas_udf(_parse_series, rules_type, F.PandasUDFType.SCALAR)
+        for pdf in it:
+            hosts, rule_lists = [], []
+            for h, b in zip(pdf["host"], pdf["_txt"]):
+                rules = parse_robots(b or "", user_agent)
+                if any(not allow for _, allow in rules):
+                    hosts.append(h)
+                    rule_lists.append(
+                        [{"p": p, "allow": a} for p, a in rules]
+                    )
+            yield pd.DataFrame({"host": hosts, "rules": rule_lists})
 
     one_per_host = (
         robots.select(
@@ -422,9 +436,7 @@ def parse_robots_rules(
         .groupBy("host")
         .agg(F.min("_txt").alias("_txt"))
     )
-    return one_per_host.select(
-        "host", _parse(F.col("_txt")).alias("rules")
-    ).where(F.exists(F.col("rules"), lambda r: ~r["allow"]))
+    return one_per_host.mapInPandas(_parse_kernel, out_schema)
 
 
 def filter_robots_disallowed(
@@ -468,7 +480,13 @@ def filter_robots_disallowed(
             f"filter_robots_disallowed: unknown plan {plan!r} "
             "(expected 'auto', 'broadcast' or 'shuffle')"
         )
-    rules_df = parse_robots_rules(robots, user_agent)
+    # rename the dimension's columns before joining: a docs frame may
+    # legitimately carry its own host/rules columns (crawl pipelines
+    # often do), and a bare drop-by-name after the join would eat them
+    rules_df = parse_robots_rules(robots, user_agent).select(
+        F.col("host").alias("_robots_host"),
+        F.col("rules").alias("_robots_rules"),
+    )
     if plan == "broadcast":
         rules_df = F.broadcast(rules_df)
     else:
@@ -504,11 +522,12 @@ def filter_robots_disallowed(
         _allowed_series, T.BooleanType(), F.PandasUDFType.SCALAR
     )
 
-    doc_host = url_host(F.col(url_col)).alias("_doc_host")
-    joined = docs.withColumn("_doc_host", doc_host).join(
-        rules_df, F.col("_doc_host") == rules_df["host"], "left"
+    joined = docs.withColumn(
+        "_doc_host", url_host(F.col(url_col))
+    ).join(
+        rules_df, F.col("_doc_host") == F.col("_robots_host"), "left"
     )
     return (
-        joined.filter(_allowed(F.col(url_col), F.col("rules")))
-        .drop("_doc_host", "host", "rules")
+        joined.filter(_allowed(F.col(url_col), F.col("_robots_rules")))
+        .drop("_doc_host", "_robots_host", "_robots_rules")
     )

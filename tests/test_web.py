@@ -382,3 +382,54 @@ def test_parse_robots_rules_drops_unrestricted_hosts(spark):
     rows = parse_robots_rules(robots).collect()
     assert [r.host for r in rows] == ["a.test"]
     assert [(d.p, d.allow) for d in rows[0].rules] == [("/x", False)]
+
+
+def test_filter_robots_docs_with_own_host_column(spark):
+    """A docs frame carrying its OWN host/rules columns must pass
+    through untouched — the join's helper columns are renamed, never
+    dropped by a name that could collide."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.test/private/x", "keep-me", "r1"),
+            (2, "https://a.test/ok", "keep-me-too", "r2"),
+        ],
+        "doc_id long, url string, host string, rules string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    out = filter_robots_disallowed(docs, robots).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 2
+    assert out[0].host == "keep-me-too" and out[0].rules == "r2"
+
+
+def test_filter_robots_plan_shape(spark):
+    """Pin the de-weaked scale shape: rules pre-parse is ONE
+    MapInPandas (a pandas_udf projection + where would evaluate the
+    parse twice), evaluation is ONE Arrow stage, the broadcast plan
+    joins with BroadcastHashJoin (documents cross no exchange) and the
+    shuffle plan with ShuffledHashJoin (never sort-merge — no ordering
+    requirement on the corpus side)."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.test/x")], "doc_id long, url string"
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /p")],
+        "host string, robots_txt string",
+    )
+    plans = {}
+    for plan in ("broadcast", "shuffle"):
+        out = filter_robots_disallowed(docs, robots, plan=plan)
+        plans[plan] = out._jdf.queryExecution().executedPlan().toString()
+    for plan, s in plans.items():
+        assert s.count("MapInPandas") == 1, (plan, s)
+        assert s.count("ArrowEvalPython") == 1, (plan, s)
+        assert "SortMergeJoin" not in s, (plan, s)
+    assert "BroadcastHashJoin" in plans["broadcast"], plans["broadcast"]
+    assert "ShuffledHashJoin" in plans["shuffle"], plans["shuffle"]

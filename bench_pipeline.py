@@ -542,8 +542,13 @@ def main() -> None:
                 _shutil.rmtree(tmp)
             os.makedirs(tmp)
             irng = np.random.RandomState(SEED + 7)
+            # one HOT cluster (1% of the corpus near-dups of a single
+            # base — the viral-image band-bucket skew case) + unique
+            # noise for the rest.  Cluster size is bounded so the rung
+            # times the join, not the emission of a quadratic pair list
+            # (a 5% cluster at 100k = 12M output pairs, measured).
             base = irng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
-            n_hot = n_img // 20
+            n_hot = n_img // 100
             header = b"P6\n32 32\n255\n"
             blobs = []
             for j in range(n_img):

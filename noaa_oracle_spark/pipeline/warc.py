@@ -396,6 +396,8 @@ def crawl_to_documents(
     path_glob: str,
     min_block_chars: int = 40,
     max_link_density: float = 0.33,
+    robots: "DataFrame | None" = None,
+    user_agent: str = "*",
 ) -> DataFrame:
     """The whole crawl front door as one lazy plan: WARC shards →
     successful HTML responses → main-text extraction → canonical URL —
@@ -415,7 +417,14 @@ def crawl_to_documents(
     on).  Truly ONE pass: url/source ride THROUGH the extraction
     kernel as passthrough columns (`html_to_text(keep_cols=...)`) —
     the join-back alternative would evaluate the crawl walk twice —
-    and nothing shuffles until the caller aggregates."""
+    and nothing shuffles until the caller aggregates.
+
+    `robots`, when given, is the (host, robots_txt) dimension and
+    applies the RFC 9309 compliance pass
+    (`web.filter_robots_disallowed`) to the extracted pages BEFORE the
+    expensive text columns leave the stage: the rules dimension
+    broadcast-joins on host, so the documents still cross no exchange
+    and the plan stays one pass."""
     from noaa_oracle_spark.pipeline.html import html_to_text
     from noaa_oracle_spark.pipeline.web import (
         canonical_url,
@@ -427,6 +436,19 @@ def crawl_to_documents(
         & (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
     )
+    if robots is not None:
+        from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+        # filter on the raw target_uri before extraction ever runs;
+        # only the url string crosses into the Arrow eval stage — the
+        # payload column stays JVM-side through the filter
+        recs = filter_robots_disallowed(
+            recs,
+            robots,
+            url_col="target_uri",
+            user_agent=user_agent,
+            plan="broadcast",
+        )
     pages = recs.select(
         F.conv(
             F.substring(

@@ -396,3 +396,51 @@ def test_crawl_doc_ids_unique_in_multi_record_member(spark, tmp_path):
     recs = warc_records(spark, str(p)).collect()
     assert len({r.record_offset for r in recs}) == 1
     assert sorted(r.record_idx for r in recs) == [0, 1, 2]
+
+
+def test_crawl_to_documents_with_robots(spark, tmp_path):
+    """The compliance pass composes into the crawl front door: pages a
+    host's robots.txt disallows never become documents, hosts without a
+    robots row pass, and the plan keeps the single binaryFile scan with
+    a broadcast join (documents cross no exchange)."""
+    from noaa_oracle_spark.pipeline.warc import crawl_to_documents
+
+    recs = []
+    for i in range(4):
+        host = "a.test" if i % 2 == 0 else "b.test"
+        recs.append(
+            {
+                "type": "response",
+                "uri": f"https://{host}/{'blocked' if i < 2 else 'open'}/{i}",
+                "date": f"2026-03-0{i + 1}T00:00:00Z",
+                "http_status": 200,
+                "http_content_type": "text/html",
+                "payload": PAGE.replace(b"content", b"content %d" % i),
+            }
+        )
+    p = tmp_path / "robots.warc.gz"
+    p.write_bytes(build_warc(recs))
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /blocked/")],
+        "host string, robots_txt string",
+    )
+    out = crawl_to_documents(spark, str(p), robots=robots)
+    urls = sorted(r.url for r in out.collect())
+    # i=0 (a.test /blocked) dropped; i=1 (b.test /blocked, no robots row)
+    # kept; i=2 (a.test /open) and i=3 (b.test /open) kept
+    assert urls == [
+        "https://a.test/open/2",
+        "https://b.test/blocked/1",
+        "https://b.test/open/3",
+    ]
+    # AdaptiveSparkPlan.toString repeats subtrees under "== Initial
+    # Plan ==" — count scans only in the final section
+    s = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert s.count("BatchScan") + s.count("FileScan") == 1
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s

@@ -517,12 +517,13 @@ def main() -> None:
         doc_urls, robots = _robots_frames()
         return filter_robots_disallowed(doc_urls, robots, plan=plan).count()
 
+    run("robots_filter_inline", lambda: _robots_rung("inline"))
     run("robots_filter_broadcast", lambda: _robots_rung("broadcast"))
     run("robots_filter_shuffle", lambda: _robots_rung("shuffle"))
 
     # --- perceptual image dedup (r7 verdict ask #9): pHash banded
     # Hamming join over PIPELINE_BENCH_IMAGES P6 PPM blobs (default
-    # 100k, 32x32) with a planted 5% near-dup cluster of one base image
+    # 100k, 32x32) with a planted 1% near-dup cluster of one base image
     # — ONE hot (band, value) bucket, the AQE skew-join case the
     # operator docstring names.
     def _phash_rung():

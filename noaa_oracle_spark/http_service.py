@@ -591,7 +591,9 @@ def make_handler(
             the serving twin of the CDX index-then-fetch story (r7
             verdict ask #7): coordinates from `warc_records`'s
             shard/record_offset/record_length columns come back as ONE
-            range read, no shard re-walk.  `shard` is a path RELATIVE
+            range read, no shard re-walk; `idx` is the manifest's
+            member_idx column (multi-record gzip members share one
+            extent; default 0 fits the one-record-per-member layout).  `shard` is a path RELATIVE
             to the server's configured warc_dir (the endpoint is 404
             when none is configured); traversal outside it is rejected.
             The record returns as JSON — WARC headers verbatim plus the

@@ -116,36 +116,42 @@ def train_logistic(
         train = train.persist()
     mu = [0.0] * len(feature_cols)
     sigma = [1.0] * len(feature_cols)
-    if standardize:
-        srow = train.agg(
-            *[F.avg(c).alias(f"m{j}") for j, c in enumerate(feature_cols)],
-            *[
-                F.stddev_pop(c).alias(f"s{j}")
-                for j, c in enumerate(feature_cols)
-            ],
-        ).collect()[0]
-        for j, c in enumerate(feature_cols):
-            if srow[f"m{j}"] is None:
-                if cache:
-                    train.unpersist()
-                raise ValueError(
-                    f"train_logistic: feature '{c}' is entirely NULL — "
-                    "cannot standardize"
-                )
-            mu[j] = float(srow[f"m{j}"])
-            s = srow[f"s{j}"]
-            sigma[j] = float(s) if s is not None and float(s) > 0.0 else 1.0
-    feats = [
-        (F.col(c) - F.lit(mu[j])) / F.lit(sigma[j]) if standardize
-        else F.col(c)
-        for j, c in enumerate(feature_cols)
-    ]
-    y = F.col(label_col)
     w = [0.0] * len(feature_cols)
     b = 0.0
     losses: "list[float]" = []
     n = 0
+    # the try/finally covers EVERY job over the persisted frame —
+    # including the standardization pre-pass, whose failure would
+    # otherwise leak the persist (round-8 review)
     try:
+        if standardize:
+            srow = train.agg(
+                *[
+                    F.avg(c).alias(f"m{j}")
+                    for j, c in enumerate(feature_cols)
+                ],
+                *[
+                    F.stddev_pop(c).alias(f"s{j}")
+                    for j, c in enumerate(feature_cols)
+                ],
+            ).collect()[0]
+            for j, c in enumerate(feature_cols):
+                if srow[f"m{j}"] is None:
+                    raise ValueError(
+                        f"train_logistic: feature '{c}' is entirely "
+                        "NULL — cannot standardize"
+                    )
+                mu[j] = float(srow[f"m{j}"])
+                s = srow[f"s{j}"]
+                sigma[j] = (
+                    float(s) if s is not None and float(s) > 0.0 else 1.0
+                )
+        feats = [
+            (F.col(c) - F.lit(mu[j])) / F.lit(sigma[j]) if standardize
+            else F.col(c)
+            for j, c in enumerate(feature_cols)
+        ]
+        y = F.col(label_col)
         for _ in range(iters):
             z: Column = F.lit(b)
             for wj, xj in zip(w, feats):

@@ -219,12 +219,12 @@ def fetch_warc_record(
     to one ranged GET.  The extent comes from `warc_records`'s
     offset/length columns.
 
-    `idx` selects WITHIN the fetched extent: 0 for the standard
-    one-record-per-member layout; for a MULTI-record gzip member (all
-    its records share the member's extent — the same reason doc_id
-    hashes record_idx) it is the record's `record_idx` minus the
-    extent's first `record_idx`.  Raises WarcError if the extent does
-    not parse to enough records."""
+    `idx` selects WITHIN the fetched extent and is exactly the
+    manifest's `member_idx` column: 0 for the standard
+    one-record-per-member layout; in a MULTI-record gzip member all
+    records share the member's extent (the same reason doc_id hashes
+    record_idx) and member_idx disambiguates.  Raises WarcError if the
+    extent does not parse to enough records."""
     with open(shard_path, "rb") as f:
         f.seek(offset)
         blob = f.read(length)
@@ -293,9 +293,14 @@ WARC_RECORD_SCHEMA = T.StructType(
         # byte extent of the record in SHARD coordinates (gzip: the
         # containing member's compressed extent) — together with
         # `shard` these columns ARE the CDX index: fetch_warc_record
-        # re-reads one record with a single range read
+        # re-reads one record with a single range read.  member_idx is
+        # the record's index WITHIN its extent (0 for the standard
+        # one-record-per-member layout; in a multi-record member every
+        # record shares the member extent, and member_idx is exactly
+        # fetch_warc_record's / GET /warc/record's `idx` selector)
         T.StructField("record_offset", T.LongType(), False),
         T.StructField("record_length", T.LongType(), False),
+        T.StructField("member_idx", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
     ]
 )
@@ -310,7 +315,11 @@ def _records_kernel(with_payload: bool):
             rows = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 recs = _walk_warc(bytes(blob) if blob is not None else b"")
+                prev_off = None
+                midx = 0
                 for i, (rec, r_off, r_len) in enumerate(recs):
+                    midx = midx + 1 if r_off == prev_off else 0
+                    prev_off = r_off
                     h = rec["headers"]
                     try:
                         status, ctype, body = _split_http_payload(
@@ -335,6 +344,7 @@ def _records_kernel(with_payload: bool):
                             "n_payload_bytes": len(body),
                             "record_offset": r_off,
                             "record_length": r_len,
+                            "member_idx": midx,
                             "payload": body if with_payload else None,
                         }
                     )
@@ -398,6 +408,8 @@ def crawl_to_documents(
     max_link_density: float = 0.33,
     robots: "DataFrame | None" = None,
     user_agent: str = "*",
+    robots_plan: str = "auto",
+    robots_max_inline_hosts: int = 1_000_000,
 ) -> DataFrame:
     """The whole crawl front door as one lazy plan: WARC shards →
     successful HTML responses → main-text extraction → canonical URL —
@@ -421,10 +433,11 @@ def crawl_to_documents(
 
     `robots`, when given, is the (host, robots_txt) dimension and
     applies the RFC 9309 compliance pass
-    (`web.filter_robots_disallowed`) to the extracted pages BEFORE the
-    expensive text columns leave the stage: the rules dimension
-    broadcast-joins on host, so the documents still cross no exchange
-    and the plan stays one pass."""
+    (`web.filter_robots_disallowed`) to the records BEFORE extraction
+    ever runs.  `robots_plan`/`robots_max_inline_hosts` pass straight
+    through — the default 'auto' evaluates in the scan stage under the
+    inline budget (no join at all; the crawl stays one pass) and falls
+    back to the shuffle join for a beyond-budget rule dimension."""
     from noaa_oracle_spark.pipeline.html import html_to_text
     from noaa_oracle_spark.pipeline.web import (
         canonical_url,
@@ -447,7 +460,8 @@ def crawl_to_documents(
             robots,
             url_col="target_uri",
             user_agent=user_agent,
-            plan="broadcast",
+            plan=robots_plan,
+            max_inline_hosts=robots_max_inline_hosts,
         )
     pages = recs.select(
         F.conv(

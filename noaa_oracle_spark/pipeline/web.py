@@ -418,8 +418,12 @@ def parse_robots_rules(
 
         for pdf in it:
             hosts, rule_lists = [], []
-            for h, b in zip(pdf["host"], pdf["_txt"]):
-                rules = parse_robots(b or "", user_agent)
+            for h, bodies in zip(pdf["host"], pdf["_txts"]):
+                rules = [
+                    r
+                    for b in bodies
+                    for r in parse_robots(b or "", user_agent)
+                ]
                 if any(not allow for _, allow in rules):
                     hosts.append(h)
                     rule_lists.append(
@@ -427,6 +431,11 @@ def parse_robots_rules(
                     )
             yield pd.DataFrame({"host": hosts, "rules": rule_lists})
 
+    # distinct hosts folding to one normalized key (www/apex, trailing
+    # dot) contribute the UNION of their rule lists, sorted for
+    # determinism — picking one body (e.g. min()) could silently
+    # discard a host's Disallow rules when the sibling body sorts first
+    # (round-8 review); longest-match then evaluates over the union
     one_per_host = (
         robots.select(
             normalize_host(F.col(host_col)).alias("host"),
@@ -434,7 +443,7 @@ def parse_robots_rules(
         )
         .where(F.col("host").isNotNull() & (F.col("host") != ""))
         .groupBy("host")
-        .agg(F.min("_txt").alias("_txt"))
+        .agg(F.sort_array(F.collect_set("_txt")).alias("_txts"))
     )
     return one_per_host.mapInPandas(_parse_kernel, out_schema)
 
@@ -445,7 +454,7 @@ def filter_robots_disallowed(
     url_col: str = "url",
     user_agent: str = "*",
     plan: str = "auto",
-    broadcast_max_hosts: int = 1_000_000,
+    max_inline_hosts: int = 1_000_000,
 ) -> DataFrame:
     """Drop documents whose URL path a site's robots.txt disallows —
     the compliance pass a crawl-derived corpus runs before anything
@@ -454,36 +463,103 @@ def filter_robots_disallowed(
 
     `robots` is (host, robots_txt) — one row per site, the artifact a
     crawler already fetched.  Scale shape (round-8 rewrite of the
-    round-7 uncapped driver collect): rules are pre-parsed in a
+    round-7 uncapped driver collect): rules are ALWAYS pre-parsed in a
     DISTRIBUTED projection (`parse_robots_rules` — raw bodies never
-    reach the driver, restriction-free hosts drop out), then documents
-    LEFT-join the rule dimension on the shared normalized host key and
-    the longest-match evaluation runs in one Arrow-batched stage over
-    the joined rows.  `plan` picks the join strategy:
+    reach the driver, non-restricting hosts drop out).  `plan` picks
+    how the parsed dimension meets the corpus, a measured ladder
+    (SCALE.md §12; 1M docs × 10k hosts, local[32]):
 
-      - 'broadcast': broadcast the rules dimension; documents cross no
-        exchange (map-side join).
-      - 'shuffle': shuffle-hash join — both sides partition by host;
-        the path when the rule dimension outgrows executor memory.
-      - 'auto' (default): one cheap count of the robots dimension picks
-        'broadcast' when it holds at most `broadcast_max_hosts` rows
-        (the count runs on the small side only — never the corpus).
+      - 'inline' (~1 s): the parsed rules — never the bodies — collect
+        to the driver under an ENFORCED `max_inline_hosts` budget
+        (loud ValueError beyond it) and broadcast as a plain dict; the
+        verdict evaluates in one Arrow stage ON THE SCAN — zero joins,
+        zero exchanges for the corpus.  The driver footprint equals
+        what a broadcast join would put there anyway (BroadcastExchange
+        collects its child to the driver too), so under the budget
+        this plan strictly dominates 'broadcast'.
+      - 'shuffle' (~3.4 s): documents LEFT-join the rule dimension
+        with a shuffle-hash join on the shared normalized host key,
+        verdict in the joined Arrow stage.  The beyond-driver-memory
+        path — nothing materializes anywhere whole.
+      - 'broadcast' (~12 s): the same join as a broadcast-hash join.
+        Kept for completeness/regression: measured 3.5× slower than
+        'shuffle' locally (ArrowEvalPython downstream of a
+        BroadcastHashJoin pays a structural penalty regardless of
+        dimension size — measured at 1k/10k/100k hosts), and its
+        driver footprint already equals 'inline'.
+      - 'auto' (default): probe the parsed dimension with
+        limit(max_inline_hosts + 1) — if it fits, run 'inline'
+        REUSING the probe's rows (the parse runs once); else fall back
+        to 'shuffle'.  The probe touches only the (small) robots
+        lineage, never the corpus.
     """
-    if plan == "auto":
-        plan = (
-            "broadcast"
-            if robots.count() <= broadcast_max_hosts
-            else "shuffle"
-        )
-    if plan not in ("broadcast", "shuffle"):
+    from pyspark.sql import types as T
+
+    if plan not in ("auto", "inline", "broadcast", "shuffle"):
         raise ValueError(
             f"filter_robots_disallowed: unknown plan {plan!r} "
-            "(expected 'auto', 'broadcast' or 'shuffle')"
+            "(expected 'auto', 'inline', 'broadcast' or 'shuffle')"
         )
-    # rename the dimension's columns before joining: a docs frame may
-    # legitimately carry its own host/rules columns (crawl pipelines
-    # often do), and a bare drop-by-name after the join would eat them
-    rules_df = parse_robots_rules(robots, user_agent).select(
+    rules_df = parse_robots_rules(robots, user_agent)
+
+    inline_rows = None
+    if plan in ("auto", "inline"):
+        probe = rules_df.limit(max_inline_hosts + 1).collect()
+        if len(probe) <= max_inline_hosts:
+            inline_rows = probe
+        elif plan == "inline":
+            raise ValueError(
+                f"filter_robots_disallowed: more than "
+                f"{max_inline_hosts} restricting hosts — the inline "
+                "dict exceeds its driver budget; use plan='shuffle' "
+                "(or 'auto', which falls back to it)"
+            )
+        else:
+            plan = "shuffle"
+
+    if inline_rows is not None:
+        rule_map = {
+            r["host"]: [(d["p"], d["allow"]) for d in r["rules"]]
+            for r in inline_rows
+        }
+        bc = docs.sparkSession.sparkContext.broadcast(rule_map)
+
+        def _allowed_inline(urls):
+            from urllib.parse import urlsplit
+
+            rules = bc.value
+
+            def one(u):
+                if u is None:
+                    return True
+                try:
+                    parts = urlsplit(u)
+                except ValueError:
+                    return True
+                # normalize exactly like normalize_host: lowercase,
+                # ONE trailing dot stripped, then a leading 'www.'
+                host = (parts.hostname or "").lower()
+                host = host.removesuffix(".").removeprefix("www.")
+                r = rules.get(host)
+                if not r:
+                    return True
+                path = parts.path or "/"
+                if parts.query:
+                    path += "?" + parts.query
+                return robots_allows(r, path)
+
+            return urls.map(one)
+
+        _allowed = F.pandas_udf(
+            _allowed_inline, T.BooleanType(), F.PandasUDFType.SCALAR
+        )
+        return docs.filter(_allowed(F.col(url_col)))
+
+    # join path — rename the dimension's columns before joining: a
+    # docs frame may legitimately carry its own host/rules columns
+    # (crawl pipelines often do), and a bare drop-by-name after the
+    # join would eat them
+    rules_df = rules_df.select(
         F.col("host").alias("_robots_host"),
         F.col("rules").alias("_robots_rules"),
     )
@@ -491,8 +567,6 @@ def filter_robots_disallowed(
         rules_df = F.broadcast(rules_df)
     else:
         rules_df = rules_df.hint("shuffle_hash")
-
-    from pyspark.sql import types as T
 
     def _allowed_series(urls, rule_lists):
         import pandas as pd

@@ -392,10 +392,19 @@ def test_crawl_doc_ids_unique_in_multi_record_member(spark, tmp_path):
     docs = crawl_to_documents(spark, str(p)).collect()
     assert len(docs) == 3
     assert len({r.doc_id for r in docs}) == 3
-    # and the records really did share one member extent
-    recs = warc_records(spark, str(p)).collect()
+    # and the records really did share one member extent; member_idx
+    # disambiguates within it and IS fetch_warc_record's idx selector
+    from noaa_oracle_spark.pipeline.warc import fetch_warc_record
+
+    recs = warc_records(spark, str(p)).orderBy("record_idx").collect()
     assert len({r.record_offset for r in recs}) == 1
     assert sorted(r.record_idx for r in recs) == [0, 1, 2]
+    assert [r.member_idx for r in recs] == [0, 1, 2]
+    for r in recs:
+        got = fetch_warc_record(
+            str(p), r.record_offset, r.record_length, idx=r.member_idx
+        )
+        assert got["headers"]["warc-target-uri"] == r.target_uri
 
 
 def test_crawl_to_documents_with_robots(spark, tmp_path):
@@ -434,7 +443,10 @@ def test_crawl_to_documents_with_robots(spark, tmp_path):
         "https://b.test/open/3",
     ]
     # AdaptiveSparkPlan.toString repeats subtrees under "== Initial
-    # Plan ==" — count scans only in the final section
+    # Plan ==" — count scans only in the final section.  The default
+    # robots_plan='auto' lands on the inline tier here: the verdict
+    # evaluates IN the scan stage, so the crawl plan has exactly one
+    # binaryFile scan and no join of any kind.
     s = (
         out._jdf.queryExecution()
         .executedPlan()
@@ -442,5 +454,5 @@ def test_crawl_to_documents_with_robots(spark, tmp_path):
         .split("== Initial Plan ==")[0]
     )
     assert s.count("BatchScan") + s.count("FileScan") == 1
-    assert "BroadcastHashJoin" in s
-    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    assert "Join" not in s
+    assert "Exchange" not in s

@@ -318,7 +318,11 @@ def test_filter_robots_plans_agree(spark):
         r.doc_id
         for r in filter_robots_disallowed(docs, robots, plan="shuffle").collect()
     )
-    assert kept_b == kept_s
+    kept_i = sorted(
+        r.doc_id
+        for r in filter_robots_disallowed(docs, robots, plan="inline").collect()
+    )
+    assert kept_b == kept_s == kept_i
 
     rule_map = {h: parse_robots(t, "*") for h, t in robots_rows}
     expect = []
@@ -345,12 +349,16 @@ def test_filter_robots_plans_agree(spark):
 
 def test_filter_robots_duplicate_host_rows_no_fanout(spark):
     """Duplicate robots rows for one (normalized) host must not
-    duplicate document rows through the join; the min(robots_txt) body
-    wins deterministically."""
+    duplicate document rows through the join; the folded host gets the
+    UNION of both bodies' rules (so both /a and /b are disallowed)."""
     from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
 
     docs = spark.createDataFrame(
-        [(1, "https://dup.test/a"), (2, "https://dup.test/b")],
+        [
+            (1, "https://dup.test/a"),
+            (2, "https://dup.test/b"),
+            (3, "https://dup.test/c"),
+        ],
         "doc_id long, url string",
     )
     robots = spark.createDataFrame(
@@ -360,10 +368,9 @@ def test_filter_robots_duplicate_host_rows_no_fanout(spark):
         ],
         "host string, robots_txt string",
     )
-    out = filter_robots_disallowed(docs, robots).collect()
+    out = filter_robots_disallowed(docs, robots, plan="shuffle").collect()
     ids = sorted(r.doc_id for r in out)
-    # min() of the two bodies sorts 'User-agent: *\nDisallow: /a' first
-    assert ids == [2]
+    assert ids == [3]
     assert len(out) == len(set(r.doc_id for r in out))
 
 
@@ -433,3 +440,59 @@ def test_filter_robots_plan_shape(spark):
         assert "SortMergeJoin" not in s, (plan, s)
     assert "BroadcastHashJoin" in plans["broadcast"], plans["broadcast"]
     assert "ShuffledHashJoin" in plans["shuffle"], plans["shuffle"]
+
+
+def test_filter_robots_inline_budget_and_auto_fallback(spark):
+    """plan='inline' beyond max_inline_hosts raises loudly; plan='auto'
+    falls back to the shuffle join and still answers correctly."""
+    import pytest as _pytest
+
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 5}.test/p/{i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.test", "User-agent: *\nDisallow: /p/") for k in range(5)],
+        "host string, robots_txt string",
+    )
+    with _pytest.raises(ValueError, match="max_inline_hosts|driver budget"):
+        filter_robots_disallowed(
+            docs, robots, plan="inline", max_inline_hosts=2
+        )
+    out = filter_robots_disallowed(
+        docs, robots, plan="auto", max_inline_hosts=2
+    )
+    assert out.count() == 0  # every host disallows /p/
+
+
+def test_robots_union_of_folding_hosts(spark):
+    """www and apex rows folding to one normalized host contribute the
+    UNION of their rules — picking one body could silently discard the
+    other's Disallow (round-8 review)."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://x.test/a/1"),
+            (2, "https://x.test/b/2"),
+            (3, "https://x.test/c/3"),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("x.test", "User-agent: *\nAllow: /\nDisallow: /a/"),
+            ("www.x.test", "User-agent: *\nDisallow: /b/"),
+        ],
+        "host string, robots_txt string",
+    )
+    for plan in ("inline", "broadcast", "shuffle"):
+        kept = sorted(
+            r.doc_id
+            for r in filter_robots_disallowed(
+                docs, robots, plan=plan
+            ).collect()
+        )
+        assert kept == [3], plan

@@ -466,32 +466,39 @@ def filter_robots_disallowed(
     round-7 uncapped driver collect): rules are ALWAYS pre-parsed in a
     DISTRIBUTED projection (`parse_robots_rules` — raw bodies never
     reach the driver, non-restricting hosts drop out).  `plan` picks
-    how the parsed dimension meets the corpus, a measured ladder
-    (SCALE.md §12; 1M docs × 10k hosts, local[32]):
+    how the parsed dimension meets the corpus; the full measured
+    ladder is SCALE.md §12 (1M docs, 1k/10k/100k restricting hosts,
+    fresh local[32] processes):
 
-      - 'inline' (~1 s): the parsed rules — never the bodies — collect
-        to the driver under an ENFORCED `max_inline_hosts` budget
-        (loud ValueError beyond it) and broadcast as a plain dict; the
+      - 'inline': the parsed rules — never the bodies — collect to
+        the driver under an ENFORCED `max_inline_hosts` budget (loud
+        ValueError beyond it) and broadcast as a plain dict; the
         verdict evaluates in one Arrow stage ON THE SCAN — zero joins,
-        zero exchanges for the corpus.  The driver footprint equals
-        what a broadcast join would put there anyway (BroadcastExchange
-        collects its child to the driver too), so under the budget
-        this plan strictly dominates 'broadcast'.
-      - 'shuffle' (~3.4 s): documents LEFT-join the rule dimension
-        with a shuffle-hash join on the shared normalized host key,
-        verdict in the joined Arrow stage.  The beyond-driver-memory
-        path — nothing materializes anywhere whole.
-      - 'broadcast' (~12 s): the same join as a broadcast-hash join.
-        Kept for completeness/regression: measured 3.5× slower than
-        'shuffle' locally (ArrowEvalPython downstream of a
-        BroadcastHashJoin pays a structural penalty regardless of
-        dimension size — measured at 1k/10k/100k hosts), and its
-        driver footprint already equals 'inline'.
+        the corpus crosses ZERO exchanges.  11.7–18.4 s measured
+        locally.  The driver footprint equals what a broadcast join
+        would put there anyway (BroadcastExchange collects its child
+        to the driver too), so under the budget this plan strictly
+        dominates 'broadcast'.
+      - 'shuffle': documents LEFT-join the rule dimension with a
+        shuffle-hash join on the shared normalized host key, verdict
+        in the joined Arrow stage.  The beyond-driver-memory path —
+        nothing materializes anywhere whole.  7.7–10.0 s measured
+        locally — the LOCAL winner, because a local[32] exchange is a
+        memory copy; at cluster scale the same exchange ships the
+        ENTIRE corpus over the network, which is why it is the
+        fallback and not the default.
+      - 'broadcast': the same join as a broadcast-hash join.  Kept
+        for completeness/regression: ~19 s measured — ArrowEvalPython
+        downstream of a BroadcastHashJoin pays a structural penalty
+        regardless of dimension size (measured at 1k/10k/100k hosts),
+        and its driver footprint already equals 'inline'.
       - 'auto' (default): probe the parsed dimension with
         limit(max_inline_hosts + 1) — if it fits, run 'inline'
         REUSING the probe's rows (the parse runs once); else fall back
         to 'shuffle'.  The probe touches only the (small) robots
-        lineage, never the corpus.
+        lineage, never the corpus.  auto prefers inline over the
+        locally-faster shuffle because keeping the corpus map-side is
+        the property that survives the 100 TB scale-up.
     """
     from pyspark.sql import types as T
 

@@ -496,3 +496,57 @@ def test_robots_union_of_folding_hosts(spark):
             ).collect()
         )
         assert kept == [3], plan
+
+
+def test_filter_robots_inline_composes_with_streaming(spark, tmp_path):
+    """The inline plan is join-free (scan-stage UDF filter), so the
+    compliance pass composes directly into a Structured Streaming
+    ingest — the streaming twin comes for free; verdicts equal the
+    batch run over the same rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    src = tmp_path / "docs_in"
+    os.makedirs(src)
+    rows = [(i, f"https://h{i % 3}.test/p{i % 2}/f{i}") for i in range(40)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows]),
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.test", "User-agent: *\nDisallow: /p0/") for k in range(2)],
+        "host string, robots_txt string",
+    )
+    stream = spark.readStream.schema("doc_id long, url string").parquet(
+        str(src)
+    )
+    out = filter_robots_disallowed(stream, robots, plan="inline")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("robots_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id for r in spark.sql("SELECT * FROM robots_stream").collect()
+    )
+    batch = spark.createDataFrame(rows, "doc_id long, url string")
+    want = sorted(
+        r.doc_id
+        for r in filter_robots_disallowed(
+            batch, robots, plan="inline"
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -74,8 +74,11 @@ _GRADE_FIRST = [
     # q125_matryoshka_knn, q126_epoch_upsample, q127_training_mix,
     # q128_wav_features — end r8 exactly 2 rounds stale and MUST lead
     # the r9 window (28 names), leaving 22 slots for the pre-staged
-    # r9 gate debuts (BM25 / crawl queries) plus r7-name fill; the
-    # staleness test enforces the 28.
+    # r9 gate debuts (q129_bm25_retrieval / q130_crawl_urls /
+    # q131_robots_filter in suite_pipeline.PIPELINE_QUERIES_STAGED_R9
+    # — move them into the main dicts, put them at the window front,
+    # refresh GRADE_HASHES) plus r7-name fill; the staleness test
+    # enforces the 28.
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",

@@ -3081,17 +3081,81 @@ SELECT doc_id,
 FROM shaped
 """
 
+def q131_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 compliance filtering as a gate: three hosts with known
+    robots.txt bodies (longest-match, Allow-wins-tie, '$'-anchored
+    wildcard, and a host with no robots row), URLs built
+    deterministically from doc_id, kept documents returned
+    (web.filter_robots_disallowed, inline plan — the corpus crosses
+    zero exchanges).  The oracle states the keep/drop verdict per
+    (host, path-shape) case by hand from the RFC semantics."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    d = F.col("doc_id")
+    i = d.cast("string")
+    host = F.concat(F.lit("h"), (d % 3).cast("string"), F.lit(".test"))
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/private/x"), i))
+        .when(d % 4 == 1, F.concat(F.lit("/private/ok/x"), i))
+        .when(d % 4 == 2, F.concat(F.lit("/doc/x"), i, F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/pub/x"), i))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "h0.test",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok/",
+            ),
+            ("h1.test", "User-agent: *\nDisallow: /*.pdf$"),
+        ],
+        "host string, robots_txt string",
+    )
+    return filter_robots_disallowed(docs, robots, plan="inline")
+
+
+# Golden keep/drop verdicts per (doc_id % 3 = host, doc_id % 4 = path
+# shape), hand-derived from RFC 9309: h0 drops /private/ but its longer
+# Allow keeps /private/ok/; h1's anchored wildcard drops only *.pdf;
+# h2 has no robots row — everything allowed.
+SQL_Q131 = """
+WITH shaped AS (
+    SELECT doc_id,
+           doc_id % 3 AS h,
+           doc_id % 4 AS m,
+           CAST(doc_id AS VARCHAR) AS i
+    FROM documents
+)
+SELECT doc_id,
+       'https://h' || h || '.test' ||
+       CASE m
+           WHEN 0 THEN '/private/x' || i
+           WHEN 1 THEN '/private/ok/x' || i
+           WHEN 2 THEN '/doc/x' || i || '.pdf'
+           ELSE '/pub/x' || i
+       END AS url
+FROM shaped
+WHERE NOT (h = 0 AND m = 0)
+  AND NOT (h = 1 AND m = 2)
+"""
+
+
 #: r9 staging registry — merged into the main dicts when the r9 window
 #: rotates (NOT before: the staleness/ledger tests treat every key of
 #: PIPELINE_QUERIES as a gate).
 PIPELINE_QUERIES_STAGED_R9: dict = {
     "q129_bm25_retrieval": q129_bm25_retrieval,
     "q130_crawl_urls": q130_crawl_urls,
+    "q131_robots_filter": q131_robots_filter,
 }
 
 PIPELINE_ORACLE_SQL_STAGED_R9: dict = {
     "q129_bm25_retrieval": SQL_Q129,
     "q130_crawl_urls": SQL_Q130,
+    "q131_robots_filter": SQL_Q131,
 }
 
 

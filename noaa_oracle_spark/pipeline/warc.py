@@ -437,7 +437,10 @@ def crawl_to_documents(
     ever runs.  `robots_plan`/`robots_max_inline_hosts` pass straight
     through — the default 'auto' evaluates in the scan stage under the
     inline budget (no join at all; the crawl stays one pass) and falls
-    back to the shuffle join for a beyond-budget rule dimension."""
+    back to the shuffle join for a beyond-budget rule dimension.
+    Caveat: 'auto'/'inline' run eager (small-side-only) jobs at
+    plan-construction time — the budget probe and rule collect; pass
+    robots_plan='shuffle' to keep construction fully lazy."""
     from noaa_oracle_spark.pipeline.html import html_to_text
     from noaa_oracle_spark.pipeline.web import (
         canonical_url,

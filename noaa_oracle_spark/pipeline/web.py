@@ -386,9 +386,11 @@ def parse_robots_rules(
     no-match default is already allow and only a matching Disallow can
     flip it.  Hosts are normalized through `normalize_host`, the same
     function the document side uses, and duplicate host rows (e.g.
-    'www.x.com' + 'x.com' collapsing under normalization) are resolved
-    deterministically by min(robots_txt) BEFORE parsing so the join can
-    never fan out a document row."""
+    'www.x.com' + 'x.com' collapsing under normalization) contribute
+    the UNION of their (deterministically sorted) bodies' rule lists —
+    one row per host out, so the join can never fan out a document
+    row, and neither sibling's Disallow rules can be silently
+    discarded."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -429,7 +431,15 @@ def parse_robots_rules(
                     rule_lists.append(
                         [{"p": p, "allow": a} for p, a in rules]
                     )
-            yield pd.DataFrame({"host": hosts, "rules": rule_lists})
+            # explicit object dtype: a batch where EVERY host was
+            # dropped yields empty columns, which pandas would default
+            # to float64 and Arrow cannot convert to list<struct>
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype="object"),
+                    "rules": pd.Series(rule_lists, dtype="object"),
+                }
+            )
 
     # distinct hosts folding to one normalized key (www/apex, trailing
     # dot) contribute the UNION of their rule lists, sorted for
@@ -493,10 +503,13 @@ def filter_robots_disallowed(
         regardless of dimension size (measured at 1k/10k/100k hosts),
         and its driver footprint already equals 'inline'.
       - 'auto' (default): probe the parsed dimension with
-        limit(max_inline_hosts + 1) — if it fits, run 'inline'
-        REUSING the probe's rows (the parse runs once); else fall back
+        limit(max_inline_hosts + 1).count() — ONE number to the
+        driver, so the over-budget case never materializes a
+        driver-sized row set — then run 'inline' when it fits (one
+        extra parse of a by-definition-small dimension) or fall back
         to 'shuffle'.  The probe touches only the (small) robots
-        lineage, never the corpus.  auto prefers inline over the
+        lineage, never the corpus — but note it IS an eager job at
+        plan-construction time.  auto prefers inline over the
         locally-faster shuffle because keeping the corpus map-side is
         the property that survives the 100 TB scale-up.
     """
@@ -511,9 +524,13 @@ def filter_robots_disallowed(
 
     inline_rows = None
     if plan in ("auto", "inline"):
-        probe = rules_df.limit(max_inline_hosts + 1).collect()
-        if len(probe) <= max_inline_hosts:
-            inline_rows = probe
+        # budget probe: limit().count() ships ONE number — the failure
+        # case (dimension over budget) must not itself materialize a
+        # driver-sized row set (round-8 review); the under-budget case
+        # then pays one extra parse of a by-definition-small dimension
+        n_restricting = rules_df.limit(max_inline_hosts + 1).count()
+        if n_restricting <= max_inline_hosts:
+            inline_rows = rules_df.collect()
         elif plan == "inline":
             raise ValueError(
                 f"filter_robots_disallowed: more than "
@@ -529,38 +546,49 @@ def filter_robots_disallowed(
             r["host"]: [(d["p"], d["allow"]) for d in r["rules"]]
             for r in inline_rows
         }
+        if not rule_map:
+            # nothing restricts: every verdict is allow — skip the
+            # Arrow round-trip entirely (the common open-web case)
+            return docs
         bc = docs.sparkSession.sparkContext.broadcast(rule_map)
 
-        def _allowed_inline(urls):
+        def _allowed_inline(urls, hosts):
             from urllib.parse import urlsplit
 
             rules = bc.value
 
-            def one(u):
-                if u is None:
+            def one(u, h):
+                # h comes from the SAME url_host expression the join
+                # plans key on, so all three plans agree even on URLs
+                # Python's urlsplit and Spark's try_parse_url parse
+                # differently (round-8 review); urlsplit only ever
+                # extracts the PATH here, as in the join-plan kernel
+                if u is None or h is None:
+                    return True
+                r = rules.get(h)
+                if not r:
                     return True
                 try:
                     parts = urlsplit(u)
                 except ValueError:
-                    return True
-                # normalize exactly like normalize_host: lowercase,
-                # ONE trailing dot stripped, then a leading 'www.'
-                host = (parts.hostname or "").lower()
-                host = host.removesuffix(".").removeprefix("www.")
-                r = rules.get(host)
-                if not r:
                     return True
                 path = parts.path or "/"
                 if parts.query:
                     path += "?" + parts.query
                 return robots_allows(r, path)
 
-            return urls.map(one)
+            import pandas as pd
+
+            return pd.Series(
+                [one(u, h) for u, h in zip(urls, hosts)]
+            )
 
         _allowed = F.pandas_udf(
             _allowed_inline, T.BooleanType(), F.PandasUDFType.SCALAR
         )
-        return docs.filter(_allowed(F.col(url_col)))
+        return docs.filter(
+            _allowed(F.col(url_col), url_host(F.col(url_col)))
+        )
 
     # join path — rename the dimension's columns before joining: a
     # docs frame may legitimately carry its own host/rules columns

@@ -538,7 +538,7 @@ def test_filter_robots_inline_composes_with_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish"
     got = sorted(
         r.doc_id for r in spark.sql("SELECT * FROM robots_stream").collect()
     )
@@ -550,3 +550,55 @@ def test_filter_robots_inline_composes_with_streaming(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_filter_robots_plans_agree_on_malformed_urls(spark):
+    """The inline plan keys its dict lookup on the SAME url_host
+    expression the join plans key on, so URLs that Python's urlsplit
+    and Spark's try_parse_url parse differently (bad port, embedded
+    whitespace) get the same verdict from every plan (round-8
+    review)."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.test:80a/private/x"),  # invalid port
+            (2, "https://a.test/pri\tvate/x"),  # embedded tab
+            (3, "https://a.test/private/x"),  # well-formed: dropped
+            (4, None),
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    verdicts = {}
+    for plan in ("inline", "broadcast", "shuffle"):
+        verdicts[plan] = sorted(
+            r.doc_id
+            for r in filter_robots_disallowed(
+                docs, robots, plan=plan
+            ).collect()
+        )
+    assert verdicts["inline"] == verdicts["broadcast"] == verdicts["shuffle"]
+    assert 3 not in verdicts["inline"]
+
+
+def test_filter_robots_inline_no_restrictions_short_circuits(spark):
+    """An all-Allow robots dimension leaves the docs plan UNTOUCHED in
+    the inline path — no Arrow stage, no filter (the open-web common
+    case)."""
+    from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.test/x"), (2, "https://b.test/y")],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nAllow: /")],
+        "host string, robots_txt string",
+    )
+    out = filter_robots_disallowed(docs, robots, plan="inline")
+    assert out is docs
+    assert out.count() == 2

@@ -75,7 +75,8 @@ _GRADE_FIRST = [
     # q128_wav_features — end r8 exactly 2 rounds stale and MUST lead
     # the r9 window (28 names), leaving 22 slots for the pre-staged
     # r9 gate debuts (q129_bm25_retrieval / q130_crawl_urls /
-    # q131_robots_filter in suite_pipeline.PIPELINE_QUERIES_STAGED_R9
+    # q131_robots_filter / q132_warc_cdx_manifest in
+    # suite_pipeline.PIPELINE_QUERIES_STAGED_R9
     # — move them into the main dicts, put them at the window front,
     # refresh GRADE_HASHES) plus r7-name fill; the staleness test
     # enforces the 28.

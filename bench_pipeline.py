@@ -578,6 +578,60 @@ def main() -> None:
 
     run("phash_near_dupes", _phash_rung)
 
+    # --- crawl → multimodal composite: the same image corpus packaged
+    # as WARC image responses (the Common Crawl layout), then
+    # crawl_to_media → phash_near_dupes end-to-end — the two-call
+    # crawl-to-perceptual-dedup story at scale.
+    def _crawl_media_rung():
+        from noaa_oracle_spark.pipeline.multimodal import phash_near_dupes
+        from noaa_oracle_spark.pipeline.warc import build_warc, crawl_to_media
+
+        n_img = int(os.environ.get("PIPELINE_BENCH_IMAGES", "100000"))
+        wdir = f"/tmp/noaa_pipeline_bench_imgwarc_{n_img}"
+        if not os.path.isdir(wdir):
+            import shutil as _shutil
+
+            tmp = wdir + ".building"
+            if os.path.isdir(tmp):
+                _shutil.rmtree(tmp)
+            os.makedirs(tmp)
+            irng = np.random.RandomState(SEED + 7)
+            base = irng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+            n_hot = n_img // 100
+            header = b"P6\n32 32\n255\n"
+            per = 1000
+            shard_recs = []
+            s = 0
+            for j in range(n_img):
+                if j < n_hot:
+                    img = base.copy()
+                    xs = irng.randint(0, 32, 3)
+                    ys = irng.randint(0, 32, 3)
+                    img[ys, xs] = irng.randint(0, 256, (3, 3))
+                else:
+                    img = irng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+                shard_recs.append(
+                    {
+                        "type": "response",
+                        "uri": f"https://img{j % 997}.test/i/{j}.ppm",
+                        "http_status": 200,
+                        "http_content_type": "image/x-portable-pixmap",
+                        "payload": header + img.tobytes(),
+                    }
+                )
+                if len(shard_recs) == per or j == n_img - 1:
+                    with open(
+                        os.path.join(tmp, f"img-{s:05d}.warc.gz"), "wb"
+                    ) as f:
+                        f.write(build_warc(shard_recs))
+                    shard_recs = []
+                    s += 1
+            os.rename(tmp, wdir)
+        media = crawl_to_media(spark, wdir)
+        return phash_near_dupes(media, max_distance=6, bands=8).count()
+
+    run("crawl_media_phash", _crawl_media_rung)
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

@@ -23,6 +23,12 @@ surprise), emitting text + structure metrics.  Map-side only: HTML
 bytes never cross an exchange; downstream operators (quality, dedup,
 LM scoring) consume the extracted text column.
 
+Round 8 adds the frontier side of the loop: `extract_links` /
+`html_links(docs)` — out-link edges (doc_id, link) with relative hrefs
+resolved against the page URL, rel=nofollow honored, pseudo-schemes
+and fragments dropped — so fetch → extract → canonicalize →
+robots-filter → next frontier closes entirely in-engine.
+
 Reference scope: none (brief-added LLM-pipeline surface).  Heuristic
 constants (min block length, link-density cut) are pinned here and in
 the tests — they are policy, not spec.
@@ -271,3 +277,156 @@ def html_to_text(
         F.col(html_col).alias(html_col),
         *[F.col(c) for c in keep],
     ).mapInPandas(kernel, schema)
+
+
+class _LinkParser(HTMLParser):
+    """Collect <a href> targets with their rel attributes — the
+    frontier-discovery side of the crawl loop.  Links inside
+    script/style/template/svg/iframe subtrees are ignored (they are
+    not navigable content); malformed markup never raises."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: "list[tuple[str, bool]]" = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth or tag != "a":
+            return
+        href = None
+        nofollow = False
+        for k, v in attrs:
+            if k == "href" and v:
+                href = v
+            elif k == "rel" and v and "nofollow" in v.lower().split():
+                nofollow = True
+        if href:
+            self.links.append((href, nofollow))
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+
+def extract_links(
+    html: str,
+    base_url: "str | None" = None,
+    follow_only: bool = True,
+) -> "list[str]":
+    """Absolute out-link URLs of a page in document order, deduplicated
+    (first occurrence wins) — the crawl loop's frontier source:
+    fetch → extract text AND links → canonicalize → robots-filter →
+    new frontier.
+
+      - relative hrefs resolve against `base_url` (RFC 3986 urljoin);
+        without one, relative links are dropped;
+      - fragment-only links, and javascript:/mailto:/tel:/data:
+        pseudo-schemes, are dropped (not fetchable documents);
+        fragments on surviving links are stripped (client-side only —
+        '/p' and '/p#sec' are one fetch);
+      - `follow_only` honors rel="nofollow" (the crawl-politeness
+        default; pass False for link-graph analyses that want every
+        edge).
+
+    Never raises on malformed markup (html.parser recovery + a belt
+    around urljoin)."""
+    from urllib.parse import urldefrag, urljoin, urlsplit
+
+    p = _LinkParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    out: "list[str]" = []
+    seen: "set[str]" = set()
+    for href, nofollow in p.links:
+        if follow_only and nofollow:
+            continue
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue
+        try:
+            scheme = urlsplit(href).scheme.lower()
+        except ValueError:
+            continue
+        if scheme and scheme not in ("http", "https"):
+            continue
+        if base_url:
+            try:
+                absu = urljoin(base_url, href)
+            except ValueError:
+                continue
+        else:
+            if not scheme:
+                continue  # relative link with no base to resolve against
+            absu = href
+        absu = urldefrag(absu)[0]
+        if not absu:
+            continue
+        if absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("link", T.StringType(), False),
+    ]
+)
+
+
+def html_links(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    url_col: "str | None" = "url",
+    follow_only: bool = True,
+) -> DataFrame:
+    """Out-link edges (doc_id, link) of an HTML column — one
+    Arrow-batched mapInPandas, one output row per extracted absolute
+    link, per-row degrade (a pathological document contributes no
+    edges, the task survives).  `url_col` (when present) is each row's
+    base URL for resolving relative hrefs.
+
+    The frontier composition this feeds:
+        links = html_links(pages)
+        fresh = links.select(canonical_url("link")).distinct()
+                  [anti-join the seen set; filter_robots_disallowed]
+    — every downstream step is an existing operator, so the whole
+    crawl loop (fetch → extract → frontier) closes in-engine.  HTML
+    bytes never shuffle; only the (doc_id, link) edges do."""
+
+    base_cols = [id_col, html_col] + (
+        [url_col] if url_col and url_col in docs.columns else []
+    )
+    has_base = len(base_cols) == 3
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: "list" = []
+            links: "list[str]" = []
+            bases = pdf[url_col] if has_base else [None] * len(pdf)
+            for doc_id, html, base in zip(pdf[id_col], pdf[html_col], bases):
+                try:
+                    found = extract_links(
+                        html, base_url=base, follow_only=follow_only
+                    )
+                except Exception:
+                    continue
+                for u in found:
+                    ids.append(doc_id)
+                    links.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="object"),
+                    "link": pd.Series(links, dtype="object"),
+                }
+            )
+
+    return docs.select(*base_cols).mapInPandas(kernel, LINKS_SCHEMA)

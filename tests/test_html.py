@@ -3,6 +3,8 @@ jusText-style content heuristic, and the Spark mapInPandas surface."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from noaa_oracle_spark.pipeline.html import (
     extract_main_text,
     html_to_text,
@@ -137,3 +139,91 @@ def test_html_to_text_keep_cols_passthrough(spark):
 
     with pytest.raises(ValueError, match="collide"):
         html_to_text(docs, keep_cols=["text"])
+
+
+def test_extract_links_rules():
+    from noaa_oracle_spark.pipeline.html import extract_links
+
+    html = (
+        '<a href="/rel">r</a>'
+        '<a href="https://abs.test/p?b=2">a</a>'
+        '<a href="#frag">f</a>'
+        '<a href="mailto:x@y">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a rel="noopener NOFOLLOW" href="/no">n</a>'
+        '<script><a href="/in-script">s</a></script>'
+        '<svg><a href="/in-svg">v</a></svg>'
+        '<a href="/rel">dup</a>'
+        "<a href='broken.html'>unclosed"
+    )
+    base = "https://h.test/dir/page.html"
+    links = extract_links(html, base_url=base)
+    assert links == [
+        "https://h.test/rel",
+        "https://abs.test/p?b=2",
+        "https://h.test/dir/broken.html",
+    ]
+    # nofollow edges come back for link-graph mode
+    assert "https://h.test/no" in extract_links(
+        html, base_url=base, follow_only=False
+    )
+    # no base: relative links drop, absolute survive
+    assert extract_links(html) == ["https://abs.test/p?b=2"]
+    # junk never raises
+    assert extract_links(None) == []
+    assert extract_links("<<<>>>&&& <a href") == []
+
+
+def test_html_links_frontier_composition(spark):
+    """The crawl loop closes in-engine: crawled pages → out-link edges
+    → canonicalize → drop already-seen → robots-filter = the next
+    frontier, every stage an existing operator."""
+    from noaa_oracle_spark.pipeline.html import html_links
+    from noaa_oracle_spark.pipeline.web import (
+        canonical_url,
+        filter_robots_disallowed,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://a.test/start",
+                '<a href="/next1">x</a><a href="https://b.test/private/p">y</a>'
+                '<a href="/seen?utm_source=t">z</a>',
+            ),
+            (2, "https://b.test/other", '<a href="/next2#frag">w</a>'),
+            (3, "https://c.test/bad", None),
+        ],
+        "doc_id long, url string, html string",
+    )
+    edges = html_links(pages)
+    got = {(r.doc_id, r.link) for r in edges.collect()}
+    assert got == {
+        (1, "https://a.test/next1"),
+        (1, "https://b.test/private/p"),
+        (1, "https://a.test/seen?utm_source=t"),
+        (2, "https://b.test/next2"),
+    }
+    seen = spark.createDataFrame(
+        [("https://a.test/seen",)], "url string"
+    )
+    robots = spark.createDataFrame(
+        [("b.test", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    )
+    frontier = (
+        edges.select(canonical_url(F.col("link")).alias("url"))
+        .where(F.col("url").isNotNull())
+        .distinct()
+        .join(seen.select(canonical_url(F.col("url")).alias("url")),
+              "url", "left_anti")
+    )
+    frontier = filter_robots_disallowed(frontier, robots, plan="inline")
+    urls = sorted(r.url for r in frontier.collect())
+    # /seen removed by the seen anti-join (tracking param stripped by
+    # canonicalization first), b.test/private dropped by robots
+    assert urls == [
+        "https://a.test/next1",
+        "https://b.test/next2",
+    ]

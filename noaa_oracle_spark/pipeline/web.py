@@ -35,6 +35,11 @@ runs once per document over the WHOLE corpus before anything else:
     shuffle-hash beyond it); evaluation is Arrow-batched because
     longest-match over per-host rule lists is not expressible as a
     fixed-depth column expression.
+  - `robots_sitemap_urls` / `sitemap_locs` / `parse_crawl_delay`:
+    frontier discovery + politeness metadata — sitemap declarations
+    and <loc> entries as pure codegen expressions
+    (regexp_extract_all / xpath), crawl-delay with parse_robots'
+    group-selection semantics.
 
 Reference scope: none (brief-added LLM-pipeline surface, like the dedup
 and sketch tiers).
@@ -640,3 +645,68 @@ def filter_robots_disallowed(
         joined.filter(_allowed(F.col(url_col), F.col("_robots_rules")))
         .drop("_doc_host", "_robots_host", "_robots_rules")
     )
+
+
+def robots_sitemap_urls(robots_txt: Column) -> Column:
+    """Sitemap URLs declared in a robots.txt body (RFC 9309 §2.3:
+    'Sitemap:' lines live OUTSIDE groups, apply regardless of
+    user-agent, case-insensitive, absolute URLs) — a pure codegen
+    expression (regexp_extract_all), no Python: the other half of
+    frontier discovery next to `html.extract_links`."""
+    return F.regexp_extract_all(
+        robots_txt, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), 1
+    )
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """<loc> URLs of a sitemap or sitemap-index XML document — the
+    xpath is namespace-agnostic (local-name()) because real sitemaps
+    carry the sitemaps.org default namespace and copies in the wild
+    often drop it.  Pure JVM expression (xpath), no Python; returns
+    array<string>."""
+    return F.xpath(xml, F.lit('//*[local-name()="loc"]/text()'))
+
+
+def parse_crawl_delay(
+    robots_txt: str, user_agent: str = "*"
+) -> "float | None":
+    """Crawl-delay (seconds) of the group that applies to `user_agent`
+    — the de-facto extension most crawlers honor (not part of RFC 9309
+    proper; group selection follows `parse_robots` exactly: exact
+    product token beats '*').  None when the applicable group declares
+    none or the value does not parse."""
+    target = user_agent.lower()
+    groups: "list[tuple[list[str], float | None]]" = []
+    agents: "list[str]" = []
+    delay: "float | None" = None
+    in_body = False
+    for raw in (robots_txt or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        name, sep, value = line.partition(":")
+        if not sep:
+            continue
+        name = name.strip().lower()
+        value = value.strip()
+        if name == "user-agent":
+            if in_body:
+                groups.append((agents, delay))
+                agents, delay = [], None
+                in_body = False
+            agents.append(value.lower())
+        elif name in ("allow", "disallow", "crawl-delay"):
+            in_body = True
+            if name == "crawl-delay":
+                try:
+                    d = float(value)
+                    delay = d if d >= 0 else None
+                except ValueError:
+                    pass
+    if agents:
+        groups.append((agents, delay))
+    exact = [d for a, d in groups if target in a]
+    if exact:
+        return exact[0]
+    starred = [d for a, d in groups if "*" in a]
+    return starred[0] if starred else None

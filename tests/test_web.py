@@ -602,3 +602,49 @@ def test_filter_robots_inline_no_restrictions_short_circuits(spark):
     out = filter_robots_disallowed(docs, robots, plan="inline")
     assert out is docs
     assert out.count() == 2
+
+
+def test_robots_sitemaps_and_crawl_delay(spark):
+    from noaa_oracle_spark.pipeline.web import (
+        parse_crawl_delay,
+        robots_sitemap_urls,
+        sitemap_locs,
+    )
+
+    body = (
+        "Sitemap: https://a.test/sitemap.xml\n"
+        "User-agent: fastbot\nCrawl-delay: 0.5\nDisallow: /x\n\n"
+        "User-agent: *\ncrawl-DELAY: 10\nDisallow: /y\n"
+        "  sitemap:https://a.test/extra.xml\n"
+        "Crawl-delay: nonsense\n"
+    )
+    df = spark.createDataFrame([(body,)], "robots_txt string")
+    maps = df.select(
+        robots_sitemap_urls(F.col("robots_txt")).alias("m")
+    ).collect()[0]["m"]
+    assert maps == [
+        "https://a.test/sitemap.xml",
+        "https://a.test/extra.xml",
+    ]
+    # group selection mirrors parse_robots; junk values parse to None
+    assert parse_crawl_delay(body, "fastbot") == 0.5
+    assert parse_crawl_delay(body, "otherbot") == 10.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x", "*") is None
+    assert parse_crawl_delay("", "*") is None
+
+    sm = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a.test/p1</loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.test/p2</loc></url></urlset>"
+    )
+    sm_nons = "<urlset><url><loc>https://b.test/q</loc></url></urlset>"
+    sdf = spark.createDataFrame([(sm,), (sm_nons,)], "xml string")
+    locs = [
+        r["l"]
+        for r in sdf.select(sitemap_locs(F.col("xml")).alias("l")).collect()
+    ]
+    assert locs == [
+        ["https://a.test/p1", "https://a.test/p2"],
+        ["https://b.test/q"],
+    ]

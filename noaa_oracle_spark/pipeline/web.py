@@ -40,6 +40,10 @@ runs once per document over the WHOLE corpus before anything else:
     and <loc> entries as pure codegen expressions
     (regexp_extract_all / xpath), crawl-delay with parse_robots'
     group-selection semantics.
+  - `politeness_waves`: schedule a frontier at ≤1 request per
+    crawl-delay window per host — deterministic per-host wave numbers
+    (rank-1-per-group window, one host-keyed shuffle) with the delay
+    dimension broadcast.
 
 Reference scope: none (brief-added LLM-pipeline surface, like the dedup
 and sketch tiers).
@@ -710,3 +714,50 @@ def parse_crawl_delay(
         return exact[0]
     starred = [d for a, d in groups if "*" in a]
     return starred[0] if starred else None
+
+
+def politeness_waves(
+    frontier: DataFrame,
+    url_col: str = "url",
+    delays: "DataFrame | None" = None,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Schedule a fetch frontier politely: per host, URLs are ordered
+    by deterministic id-hash (md5 of the url — re-runs schedule
+    identically) and assigned 0-based `wave` numbers plus a
+    `not_before_s` offset (wave × the host's crawl-delay), so a fetcher
+    that processes wave w at time w·delay never exceeds one request
+    per delay window per host.
+
+    `delays` is an optional (host, delay_s) dimension (e.g. from
+    `parse_crawl_delay` over fetched robots bodies), broadcast-joined
+    on the shared normalized host key; hosts without a row use
+    `default_delay`.  Scale shape: ONE shuffle on host (the window
+    partition key), the delay dimension broadcast — the per-host wave
+    counter is exactly the rank-1-per-group pattern the dedup tier
+    uses, never a global window."""
+    from pyspark.sql.window import Window
+
+    host = url_host(F.col(url_col))
+    with_host = frontier.withColumn("_p_host", host)
+    if delays is not None:
+        dcol = delays.columns[1]
+        dim = delays.select(
+            normalize_host(F.col(delays.columns[0])).alias("_p_host"),
+            F.col(dcol).cast("double").alias("_p_delay"),
+        )
+        with_host = with_host.join(F.broadcast(dim), "_p_host", "left")
+    else:
+        with_host = with_host.withColumn(
+            "_p_delay", F.lit(None).cast("double")
+        )
+    w = Window.partitionBy("_p_host").orderBy(
+        F.md5(F.col(url_col)), F.col(url_col)
+    )
+    delay = F.coalesce(F.col("_p_delay"), F.lit(float(default_delay)))
+    wave = (F.row_number().over(w) - 1).cast("long")
+    return (
+        with_host.withColumn("wave", wave)
+        .withColumn("not_before_s", F.round(wave * delay, 6))
+        .drop("_p_host", "_p_delay")
+    )

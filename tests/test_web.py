@@ -648,3 +648,39 @@ def test_robots_sitemaps_and_crawl_delay(spark):
         ["https://a.test/p1", "https://a.test/p2"],
         ["https://b.test/q"],
     ]
+
+
+def test_politeness_waves(spark):
+    from noaa_oracle_spark.pipeline.web import politeness_waves
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i % 2}.test/p{i}",) for i in range(10)],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 2.5)], "host string, delay_s double"
+    )
+    out = politeness_waves(frontier, delays=delays, default_delay=1.0)
+    rows = out.collect()
+    assert out.columns == ["url", "wave", "not_before_s"]
+    by_host = {}
+    for r in rows:
+        h = r.url.split("/")[2]
+        by_host.setdefault(h, []).append(r)
+    # each host's waves are 0..n-1 exactly once
+    for h, rs in by_host.items():
+        assert sorted(r.wave for r in rs) == list(range(len(rs)))
+    # per-host delay honored; default applies to the missing host
+    assert {r.not_before_s for r in by_host["h0.test"]} == {
+        0.0, 2.5, 5.0, 7.5, 10.0
+    }
+    assert {r.not_before_s for r in by_host["h1.test"]} == {
+        0.0, 1.0, 2.0, 3.0, 4.0
+    }
+    # deterministic across partitionings
+    again = politeness_waves(
+        frontier.repartition(7), delays=delays, default_delay=1.0
+    ).collect()
+    assert {(r.url, r.wave) for r in again} == {
+        (r.url, r.wave) for r in rows
+    }

@@ -560,3 +560,137 @@ def crawl_to_media(
         kind_expr.alias("kind"),
         F.col("payload").alias("content"),
     )
+
+
+WARC_SHARD_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("shard_path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_warc_shards(
+    docs: DataFrame,
+    path: str,
+    records_per_shard: int = 1000,
+    salt: str = "",
+    id_col: str = "doc_id",
+    uri_col: str = "url",
+    payload_col: str = "text",
+    content_type: str = "text/plain",
+) -> DataFrame:
+    """Distributed WARC writer — the write side of the crawl tier (the
+    `write_webdataset_shards` sibling): re-shard a filtered/extracted
+    corpus back into `shard-%05d.warc.gz` member-gzip shards under
+    `path`, one `resource` record per row, returning (and persisting as
+    manifest.json) the shard manifest (shard_id, shard_path, n_records,
+    n_bytes).
+
+    Record order inside and across shards is the md5(salt|id) hash
+    order via the two-pass global-rank discipline (hash-prefix buckets,
+    per-bucket windows, broadcast offsets — never a single-partition
+    window), and shard bytes are deterministic (`build_warc`: mtime=0,
+    index-derived record ids), so OUTPUT BYTES are reproducible across
+    runs and partitionings — the webdataset reproducibility rule.  One
+    task writes one shard; payload bytes never cross more than the one
+    shard-routing exchange."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = docs.count()
+    if n == 0:
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            json.dump([], fh)
+        return docs.sparkSession.createDataFrame(
+            [], WARC_SHARD_MANIFEST_SCHEMA
+        )
+
+    payload_is_binary = isinstance(
+        docs.schema[payload_col].dataType, T.BinaryType
+    )
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col("_id").cast("string")))
+    b = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(uri_col).alias("_uri"),
+        F.col(payload_col).alias("_payload"),
+    ).withColumn("_h", h).withColumn("_b", b)
+    w = Window.partitionBy("_b").orderBy("_h", "_id")
+    local = base.withColumn("_rn", F.row_number().over(w))
+    totals = local.groupBy("_b").agg(F.max("_rn").alias("_c")).collect()
+    offsets, running = [], 0
+    for row in sorted(totals, key=lambda r: r["_b"]):
+        offsets.append((row["_b"], running))
+        running += row["_c"]
+    off_df = docs.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    ranked = local.join(F.broadcast(off_df), "_b").withColumn(
+        "_rank", (F.col("_off") + F.col("_rn") - 1).cast("long")
+    )
+    routed = ranked.withColumn(
+        "_shard", (F.col("_rank") / records_per_shard).cast("long")
+    )
+    n_shards = -(-n // records_per_shard)
+    dest = path
+    ctype = content_type
+
+    def write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["shard_id", "shard_path", "n_records", "n_bytes"]
+            )
+        sid = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("_rank")
+        recs = []
+        for _, row in pdf.iterrows():
+            p = row["_payload"]
+            if p is None:
+                blob = b""
+            elif payload_is_binary:
+                blob = bytes(p)
+            else:
+                blob = str(p).encode("utf-8")
+            recs.append(
+                {
+                    "type": "resource",
+                    "uri": "" if row["_uri"] is None else str(row["_uri"]),
+                    "content_type": ctype,
+                    "payload": blob,
+                }
+            )
+        shard_path = os.path.join(dest, f"shard-{sid:05d}.warc.gz")
+        tmp = shard_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(recs, member_gzip=True))
+        os.replace(tmp, shard_path)
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "shard_path": [shard_path],
+                "n_records": [len(pdf)],
+                "n_bytes": [os.path.getsize(shard_path)],
+            }
+        )
+
+    import json as _json
+    import os as _os
+
+    manifest_df = (
+        routed.repartition(max(n_shards, 1), "_shard")
+        .groupBy("_shard")
+        .applyInPandas(write_shard, WARC_SHARD_MANIFEST_SCHEMA)
+    )
+    manifest = sorted(
+        (r.asDict() for r in manifest_df.collect()),
+        key=lambda d: d["shard_id"],
+    )
+    with open(_os.path.join(path, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, sort_keys=True)
+    return docs.sparkSession.createDataFrame(
+        manifest, WARC_SHARD_MANIFEST_SCHEMA
+    )

@@ -632,6 +632,25 @@ def main() -> None:
 
     run("crawl_media_phash", _crawl_media_rung)
 
+    # --- distributed WARC write: re-shard the whole documents fixture
+    # as member-gzip WARC (the write side of the crawl tier) — one task
+    # per shard, deterministic bytes.
+    def _warc_write_rung():
+        import shutil as _shutil
+
+        from noaa_oracle_spark.pipeline.warc import write_warc_shards
+
+        wdest = FIXTURE + "_warc_out"
+        _shutil.rmtree(wdest, ignore_errors=True)
+        docs_url = docs.withColumn(
+            "url",
+            F.concat(F.lit("https://d.test/"), F.col("doc_id").cast("string")),
+        )
+        m = write_warc_shards(docs_url, wdest, records_per_shard=5000)
+        return int(m.agg(F.sum("n_records")).collect()[0][0])
+
+    run("warc_write", _warc_write_rung)
+
     # --- exact embedding near-dup pairs: broadcast GEMM kernel vs the
     # blocked (no-driver-materialization) block-pair join on the same
     # vectors. At bench scale both are compute-bound on the identical

@@ -2908,12 +2908,11 @@ FROM lagged GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# STAGED for round 9 (r7 verdict ask #4): pre-written gate queries + oracles,
-# mirror-tested locally (tests/test_staged_r9.py) but NOT yet registered in
-# PIPELINE_QUERIES/PIPELINE_ORACLE_SQL — round 8 has zero new-gate window
-# capacity (the 28 r5-stale re-grades + 22 r6 fill exhaust all 50 slots).
-# Round-9 rotation: move these two entries into the main dicts, put their
-# names at the window FRONT, refresh GRADE_HASHES.
+# Round-9 debuts (r7 verdict ask #4): written and mirror-tested during
+# round 8 as a staging registry, promoted into the main dicts when the r9
+# grading window rotated.  Gate-checks the crawl tier end to end: BM25
+# retrieval, crawl→documents URL provenance, robots filtering, WARC/CDX
+# byte-layout arithmetic.
 # ---------------------------------------------------------------------------
 
 #: BM25 query terms for q129 — deterministic, present in the synthetic
@@ -3243,24 +3242,6 @@ FROM reclen
 """
 
 
-#: r9 staging registry — merged into the main dicts when the r9 window
-#: rotates (NOT before: the staleness/ledger tests treat every key of
-#: PIPELINE_QUERIES as a gate).
-PIPELINE_QUERIES_STAGED_R9: dict = {
-    "q129_bm25_retrieval": q129_bm25_retrieval,
-    "q130_crawl_urls": q130_crawl_urls,
-    "q131_robots_filter": q131_robots_filter,
-    "q132_warc_cdx_manifest": q132_warc_cdx_manifest,
-}
-
-PIPELINE_ORACLE_SQL_STAGED_R9: dict = {
-    "q129_bm25_retrieval": SQL_Q129,
-    "q130_crawl_urls": SQL_Q130,
-    "q131_robots_filter": SQL_Q131,
-    "q132_warc_cdx_manifest": SQL_Q132,
-}
-
-
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_dedup_exact": q16_dedup_exact,
     "q17_ngram_jaccard": q17_ngram_jaccard,
@@ -3326,6 +3307,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_epoch_upsample": q126_epoch_upsample,
     "q127_training_mix": q127_training_mix,
     "q128_wav_features": q128_wav_features,
+    # r9 debuts — staged through round 8 (PIPELINE_QUERIES_STAGED_R9),
+    # promoted here when the r9 window rotated.
+    "q129_bm25_retrieval": q129_bm25_retrieval,
+    "q130_crawl_urls": q130_crawl_urls,
+    "q131_robots_filter": q131_robots_filter,
+    "q132_warc_cdx_manifest": q132_warc_cdx_manifest,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -3393,4 +3380,8 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q126_epoch_upsample": SQL_Q126,
     "q127_training_mix": SQL_Q127,
     "q128_wav_features": SQL_Q128,
+    "q129_bm25_retrieval": SQL_Q129,
+    "q130_crawl_urls": SQL_Q130,
+    "q131_robots_filter": SQL_Q131,
+    "q132_warc_cdx_manifest": SQL_Q132,
 }

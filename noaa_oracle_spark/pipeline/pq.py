@@ -201,6 +201,46 @@ def _books_dict(codebooks: DataFrame) -> "dict":
     }
 
 
+def _probe_map(probes: DataFrame, q_index: "dict") -> "dict":
+    """cluster_id → (probing q_ids int64[], their LUT rows int64[]) from
+    the collected probe pairs — |Q|·nprobe rows, driver-bounded because
+    the query set itself is already collected to build ADC LUTs."""
+    import numpy as np
+
+    cell_to_q: dict = {}
+    for r in probes.collect():
+        cell_to_q.setdefault(int(r["cluster_id"]), []).append(
+            int(r["q_id"])
+        )
+    return {
+        cid: (
+            np.asarray(qids, dtype=np.int64),
+            np.asarray([q_index[q] for q in qids], dtype=np.int64),
+        )
+        for cid, qids in cell_to_q.items()
+    }
+
+
+def _encode_block(sv, books: "dict", sub_len: int):
+    """PQ-encode an (n × dim) float64 block: per subspace, 6-dp-rounded
+    squared distances then first-minimum code — the `_assign_codes` math
+    verbatim, applied to whole rows instead of exploded (id, sub) rows
+    (per-(row, code) summation is independent of batch composition, so
+    the two forms are bit-identical; asserted in tests)."""
+    import numpy as np
+
+    m = len(books)
+    codes = np.empty((sv.shape[0], m), np.int64)
+    for s in range(m):
+        cb = books[s]
+        sub = sv[:, s * sub_len : (s + 1) * sub_len]
+        d = round_half_up(
+            ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), 6
+        )
+        codes[:, s] = d.argmin(axis=1)  # first (lowest) code on ties
+    return codes
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -230,6 +270,7 @@ def ivfpq_knn(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plan: str = "inline",
 ) -> DataFrame:
     """IVF-PQ (the FAISS composition): coarse k-means cells bound WHICH
     codes are scored, PQ codes bound their MEMORY — the standard
@@ -248,7 +289,21 @@ def ivfpq_knn(
     residuals) — one shared codebook set, encode once, reuse across cell
     layouts; residual encoding squeezes more accuracy but couples codes
     to a specific coarse quantizer. Returns (q_id, rank, n_id,
-    adc_dist)."""
+    adc_dist).
+
+    ``plan`` picks how probed cells meet the encoded corpus (r8 verdict
+    weak-fix; the probe list is |Q|·nprobe rows — driver-bounded because
+    the query set is already collected to build the ADC LUTs):
+      * ``'inline'`` (default): collect the probe pairs and ship a
+        cluster→queries map inside the existing LUT broadcast; the ADC
+        kernel runs ON THE SCAN STAGE and fans each code row out to its
+        probing queries — the corpus crosses ZERO exchanges and no
+        ArrowEval sits downstream of a join (the measured ~2×
+        BHJ→ArrowEvalPython structural penalty, SCALE.md §12).
+      * ``'shuffle'``: shuffle-hash join on cluster_id (local-mode
+        measured winner over broadcast for join plans).
+      * ``'broadcast'``: the r6–r8 broadcast-join shape, kept
+        measurable."""
     from noaa_oracle_spark.pipeline.similarity import kmeans_assign
 
     assigned = kmeans_assign(
@@ -257,9 +312,7 @@ def ivfpq_knn(
         id_col=id_col,
         vec_col=vec_col,
         backend="numpy",
-    ).select(id_col, "cluster_id")
-    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
-    celled = encoded.join(assigned, id_col)
+    )
 
     # query-side probes: nprobe nearest cells by the same cosine rule
     # ivf_knn uses (kmeans_assign ranks by cosine; reuse its scorer via a
@@ -294,10 +347,6 @@ def ivfpq_knn(
         .filter(F.col("r") <= nprobe)
         .select("q_id", F.col("c_id").alias("cluster_id"))
     )
-    # candidates: codes in probed cells only, then plain ADC ranking
-    cand_codes = celled.join(
-        F.broadcast(probes), "cluster_id"
-    ).select(F.col("q_id").alias("probe_q"), id_col, "codes")
 
     books = _books_dict(codebooks)
     m = len(books)
@@ -318,7 +367,6 @@ def ivfpq_knn(
         for s in range(m):
             qsub = v[s * sub_len : (s + 1) * sub_len]
             lut[qi, s] = ((books[s] - qsub[None, :]) ** 2).sum(axis=1)
-    bc = queries.sparkSession.sparkContext.broadcast((q_index, lut))
 
     import pandas as pd
 
@@ -330,30 +378,103 @@ def ivfpq_knn(
         ]
     )
 
-    def kernel(batches):
-        qidx, lut_ = bc.value
-        subs_idx = np.arange(lut_.shape[1])
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qs = pdf["probe_q"].to_numpy(dtype=np.int64)
-            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
-            )
-            rowsq = np.asarray([qidx[int(q)] for q in qs])
-            # 6-dp rounding BEFORE ranking: the suite's float convention
-            dists = round_half_up(
-                lut_[rowsq[:, None], subs_idx[None, :], codes].sum(axis=1),
-                6,
-            )
-            yield pd.DataFrame(
-                {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
-            )
+    if plan == "inline":
+        # cluster → (probing q_ids, their LUT rows): |Q|·nprobe pairs,
+        # bounded because the query set is collected above anyway.  The
+        # probe ranking itself still runs in Spark (same expressions as
+        # the join plans — bit-identical tie behavior).
+        cell_map = _probe_map(probes, q_index)
+        bc = queries.sparkSession.sparkContext.broadcast(
+            (cell_map, lut, books)
+        )
 
-    cand = cand_codes.mapInPandas(kernel, schema).filter(
-        F.col("q_id") != F.col("n_id")
-    )
+        def kernel_inline(batches):
+            cmap, lut_, books_ = bc.value
+            subs_idx = np.arange(lut_.shape[1])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                hits = [cmap.get(int(c)) for c in cids]
+                counts = np.asarray(
+                    [0 if h is None else len(h[0]) for h in hits]
+                )
+                keep = counts > 0
+                if not keep.any():
+                    continue
+                ids_n = pdf[id_col].to_numpy(dtype=np.int64)[keep]
+                # map-side PQ encode of the SURVIVING rows — the exact
+                # _assign_codes math (slice, 6-dp round, first-min code)
+                sv = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col].to_numpy()[keep]
+                    ]
+                )
+                codes = _encode_block(sv, books_, sub_len)
+                rep = counts[keep]
+                ids_rep = np.repeat(ids_n, rep)
+                codes_rep = np.repeat(codes, rep, axis=0)
+                qs = np.concatenate([h[0] for h in hits if h is not None])
+                rowsq = np.concatenate(
+                    [h[1] for h in hits if h is not None]
+                )
+                # 6-dp rounding BEFORE ranking: the suite's float rule
+                dists = round_half_up(
+                    lut_[
+                        rowsq[:, None], subs_idx[None, :], codes_rep
+                    ].sum(axis=1),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {"q_id": qs, "n_id": ids_rep, "adc_dist": dists}
+                )
+
+        cand_src = assigned.select(
+            id_col, vec_col, "cluster_id"
+        ).mapInPandas(kernel_inline, schema)
+    elif plan in ("shuffle", "broadcast"):
+        encoded = pq_encode(
+            corpus, codebooks, id_col=id_col, vec_col=vec_col
+        )
+        celled = encoded.join(assigned.select(id_col, "cluster_id"), id_col)
+        probe_side = (
+            F.broadcast(probes)
+            if plan == "broadcast"
+            else probes.hint("shuffle_hash")
+        )
+        cand_codes = celled.join(probe_side, "cluster_id").select(
+            F.col("q_id").alias("probe_q"), id_col, "codes"
+        )
+        bc = queries.sparkSession.sparkContext.broadcast((q_index, lut))
+
+        def kernel_join(batches):
+            qidx, lut_ = bc.value
+            subs_idx = np.arange(lut_.shape[1])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qs = pdf["probe_q"].to_numpy(dtype=np.int64)
+                ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                rowsq = np.asarray([qidx[int(q)] for q in qs])
+                dists = round_half_up(
+                    lut_[rowsq[:, None], subs_idx[None, :], codes].sum(
+                        axis=1
+                    ),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
+                )
+
+        cand_src = cand_codes.mapInPandas(kernel_join, schema)
+    else:
+        raise ValueError(f"ivfpq_knn: unknown plan {plan!r}")
+
+    cand = cand_src.filter(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.asc("adc_dist"), F.asc("n_id")
     )
@@ -378,6 +499,7 @@ def ivfpq_knn_residual(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     geometry_guard: bool = False,
+    plan: str = "inline",
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the accuracy-coupled FAISS form:
     each vector is assigned to its nearest coarse cell and its RESIDUAL
@@ -392,10 +514,13 @@ def ivfpq_knn_residual(
     nprobe bounds that to nprobe tables per query, built driver-side from
     the broadcast-sized centroid and codebook sets.
 
-    Plan shape mirrors ivfpq_knn: zero-shuffle cell assignment, map-side
-    residual encode, broadcast probes, per-batch ADC. Codebooks train on
-    residuals with the same deterministic lowest-id seeding; `iters`
-    Lloyd rounds (0 = seed codebooks, the SQL-oracle-able form).
+    Plan shape mirrors ivfpq_knn, including its ``plan`` ladder:
+    ``'inline'`` (default) runs the residual-encode + ADC fan-out in ONE
+    kernel on the assignment stage — the corpus crosses zero exchanges
+    between scan and candidate generation; ``'shuffle'``/``'broadcast'``
+    keep the r6–r8 encode→join→probes-join shapes measurable. Codebooks
+    train on residuals with the same deterministic lowest-id seeding;
+    `iters` Lloyd rounds (0 = seed codebooks, the SQL-oracle-able form).
 
     Returns (q_id, rank, n_id, adc_dist) with the suite's 6-dp
     rounded-before-ranking float convention.
@@ -487,15 +612,6 @@ def ivfpq_knn_residual(
         vec_col=vec_col,
     )
     bdict = _books_dict(books)
-    encoded = pq_encode(
-        residuals.select(F.col(id_col), F.col("_resid").alias(vec_col)),
-        books,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    celled = encoded.join(
-        residuals.select(id_col, "cluster_id"), id_col
-    )
 
     # query probes: nprobe nearest cells by cosine (the ivfpq_knn rule)
     cent = cell_centroids.select(
@@ -525,10 +641,6 @@ def ivfpq_knn_residual(
         .filter(F.col("r") <= nprobe)
         .select("q_id", F.col("c_id").alias("cluster_id"))
     )
-    cand_codes = celled.join(F.broadcast(probes), "cluster_id").select(
-        F.col("q_id").alias("probe_q"), F.col(id_col), "codes", "cluster_id"
-    )
-
     # per-(query, probed-cell) residual LUTs, driver-built: |Q|·nprobe·m·k
     # exact partial distances — broadcast-sized by construction
     q_rows = sorted(
@@ -549,8 +661,6 @@ def ivfpq_knn_residual(
                 lut[qi, ci_, s] = ((bdict[s] - qsub[None, :]) ** 2).sum(
                     axis=1
                 )
-    bc = spark.sparkContext.broadcast((q_index, c_index, lut))
-
     schema = T.StructType(
         [
             T.StructField("q_id", T.LongType()),
@@ -559,32 +669,108 @@ def ivfpq_knn_residual(
         ]
     )
 
-    def kernel(batches):
-        qidx, cidx, lut_ = bc.value
-        subs_idx = np.arange(lut_.shape[2])
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qs = pdf["probe_q"].to_numpy(dtype=np.int64)
-            ids_n = pdf[id_col].to_numpy(dtype=np.int64)
-            cells_n = pdf["cluster_id"].to_numpy(dtype=np.int64)
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
-            )
-            rq = np.asarray([qidx[int(x)] for x in qs])
-            rc = np.asarray([cidx[int(x)] for x in cells_n])
-            dists = round_half_up(
-                lut_[rq[:, None], rc[:, None], subs_idx[None, :], codes]
-                .sum(axis=1),
-                6,
-            )
-            yield pd.DataFrame(
-                {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
-            )
+    if plan == "inline":
+        cell_map = _probe_map(probes, q_index)
+        bc = spark.sparkContext.broadcast((cell_map, c_index, lut, bdict))
 
-    cand = cand_codes.mapInPandas(kernel, schema).filter(
-        F.col("q_id") != F.col("n_id")
-    )
+        def kernel_inline(batches):
+            cmap, cidx, lut_, books_ = bc.value
+            subs_idx = np.arange(lut_.shape[2])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                hits = [cmap.get(int(c)) for c in cids]
+                counts = np.asarray(
+                    [0 if h is None else len(h[0]) for h in hits]
+                )
+                keep = counts > 0
+                if not keep.any():
+                    continue
+                ids_n = pdf[id_col].to_numpy(dtype=np.int64)[keep]
+                sv = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf["_resid"].to_numpy()[keep]
+                    ]
+                )
+                codes = _encode_block(sv, books_, sub_len)
+                rep = counts[keep]
+                ids_rep = np.repeat(ids_n, rep)
+                codes_rep = np.repeat(codes, rep, axis=0)
+                rc_rep = np.repeat(
+                    np.asarray([cidx[int(c)] for c in cids[keep]]), rep
+                )
+                qs = np.concatenate([h[0] for h in hits if h is not None])
+                rq = np.concatenate([h[1] for h in hits if h is not None])
+                dists = round_half_up(
+                    lut_[
+                        rq[:, None],
+                        rc_rep[:, None],
+                        subs_idx[None, :],
+                        codes_rep,
+                    ].sum(axis=1),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {"q_id": qs, "n_id": ids_rep, "adc_dist": dists}
+                )
+
+        cand_src = residuals.select(
+            id_col, "cluster_id", "_resid"
+        ).mapInPandas(kernel_inline, schema)
+    elif plan in ("shuffle", "broadcast"):
+        encoded = pq_encode(
+            residuals.select(F.col(id_col), F.col("_resid").alias(vec_col)),
+            books,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        celled = encoded.join(
+            residuals.select(id_col, "cluster_id"), id_col
+        )
+        probe_side = (
+            F.broadcast(probes)
+            if plan == "broadcast"
+            else probes.hint("shuffle_hash")
+        )
+        cand_codes = celled.join(probe_side, "cluster_id").select(
+            F.col("q_id").alias("probe_q"),
+            F.col(id_col),
+            "codes",
+            "cluster_id",
+        )
+        bc = spark.sparkContext.broadcast((q_index, c_index, lut))
+
+        def kernel_join(batches):
+            qidx, cidx, lut_ = bc.value
+            subs_idx = np.arange(lut_.shape[2])
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qs = pdf["probe_q"].to_numpy(dtype=np.int64)
+                ids_n = pdf[id_col].to_numpy(dtype=np.int64)
+                cells_n = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                )
+                rq = np.asarray([qidx[int(x)] for x in qs])
+                rc = np.asarray([cidx[int(x)] for x in cells_n])
+                dists = round_half_up(
+                    lut_[
+                        rq[:, None], rc[:, None], subs_idx[None, :], codes
+                    ].sum(axis=1),
+                    6,
+                )
+                yield pd.DataFrame(
+                    {"q_id": qs, "n_id": ids_n, "adc_dist": dists}
+                )
+
+        cand_src = cand_codes.mapInPandas(kernel_join, schema)
+    else:
+        raise ValueError(f"ivfpq_knn_residual: unknown plan {plan!r}")
+
+    cand = cand_src.filter(F.col("q_id") != F.col("n_id"))
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -704,6 +890,7 @@ def ivfpq_rerank(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plan: str = "inline",
 ) -> DataFrame:
     """IVF-PQ candidate generation + EXACT re-ranking — the two-stage
     shape every deployed ANN service actually runs (FAISS's
@@ -734,6 +921,7 @@ def ivfpq_rerank(
         nprobe=nprobe,
         id_col=id_col,
         vec_col=vec_col,
+        plan=plan,
     ).select("q_id", "n_id")
     refined = corpus.select(
         F.col(id_col).alias("n_id"),

@@ -409,3 +409,47 @@ def test_householder_is_orthogonal_involution(spark, correlated):
     }
     for i in range(0, len(x), 50):
         assert abs(n_once[i] - np.linalg.norm(x[i])) < 1e-9
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivfpq_plan_ladder_equality(spark, clustered):
+    """The three probe plans (inline scan-stage kernel / shuffle-hash join /
+    broadcast join) are alternative PHYSICAL shapes of the same operator:
+    exact row-for-row equality, incl. 6-dp distances and tie order."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_knn, ivfpq_knn_residual
+
+    df, books, _ = clustered
+    cells = df.filter(F.col("vec_id") < 16)
+    q = df.filter(F.col("vec_id") < 6)
+    plans = {
+        p: _rowset(ivfpq_knn(q, df, books, cells, k=5, nprobe=4, plan=p))
+        for p in ("inline", "shuffle", "broadcast")
+    }
+    assert plans["inline"] == plans["broadcast"] == plans["shuffle"]
+    rplans = {
+        p: _rowset(
+            ivfpq_knn_residual(
+                q, df, cells, m=8, k_codes=8, k=5, nprobe=4, plan=p
+            )
+        )
+        for p in ("inline", "shuffle", "broadcast")
+    }
+    assert rplans["inline"] == rplans["broadcast"] == rplans["shuffle"]
+    with pytest.raises(ValueError, match="unknown plan"):
+        ivfpq_knn(q, df, books, cells, plan="nope")
+
+
+def test_ivfpq_inline_plan_has_no_join(spark, clustered):
+    """plan='inline' (the default) must keep the corpus out of every join:
+    candidate generation is scan→assign→fused encode+ADC — the r8-measured
+    BHJ→ArrowEvalPython penalty shape cannot reappear."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_knn
+
+    df, books, _ = clustered
+    cells = df.filter(F.col("vec_id") < 16)
+    q = df.filter(F.col("vec_id") < 6)
+    plan_str = ivfpq_knn(q, df, books, cells, k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_str, plan_str

@@ -373,6 +373,10 @@ def extract_links(
     return out
 
 
+#: Output shape of html_links for long-keyed frames; the actual schema is
+#: built per-call from the id column's real type (string-keyed crawl
+#: frames are common — a hardcoded LongType failed at Arrow conversion
+#: inside the kernel instead of plan time).
 LINKS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
@@ -429,4 +433,10 @@ def html_links(
                 }
             )
 
-    return docs.select(*base_cols).mapInPandas(kernel, LINKS_SCHEMA)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", docs.schema[id_col].dataType, True),
+            T.StructField("link", T.StringType(), False),
+        ]
+    )
+    return docs.select(*base_cols).mapInPandas(kernel, schema)

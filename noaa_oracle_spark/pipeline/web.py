@@ -699,14 +699,20 @@ def parse_crawl_delay(
                 agents, delay = [], None
                 in_body = False
             agents.append(value.lower())
-        elif name in ("allow", "disallow", "crawl-delay"):
+        elif name in ("allow", "disallow"):
+            # ONLY rule lines open a group body — crawl-delay records its
+            # value without opening one, so a user-agent line after a bare
+            # crawl-delay EXTENDS the group exactly as parse_robots (which
+            # ignores crawl-delay lines entirely) would group it
             in_body = True
-            if name == "crawl-delay":
-                try:
-                    d = float(value)
-                    delay = d if d >= 0 else None
-                except ValueError:
-                    pass
+        elif name == "crawl-delay":
+            if not agents and not in_body:
+                continue  # header line before any group: applies to none
+            try:
+                d = float(value)
+                delay = d if d >= 0 else None
+            except ValueError:
+                pass
     if agents:
         groups.append((agents, delay))
     exact = [d for a, d in groups if target in a]
@@ -742,9 +748,18 @@ def politeness_waves(
     with_host = frontier.withColumn("_p_host", host)
     if delays is not None:
         dcol = delays.columns[1]
-        dim = delays.select(
-            normalize_host(F.col(delays.columns[0])).alias("_p_host"),
-            F.col(dcol).cast("double").alias("_p_delay"),
+        dim = (
+            delays.select(
+                normalize_host(F.col(delays.columns[0])).alias("_p_host"),
+                F.col(dcol).cast("double").alias("_p_delay"),
+            )
+            # hosts folding under normalize_host (www./apex, case) must
+            # collapse to ONE dim row BEFORE the join — duplicate keys
+            # would fan every frontier row out into conflicting copies
+            # (the same fold filter_robots' rule-union guards against);
+            # max() keeps the most conservative declared delay
+            .groupBy("_p_host")
+            .agg(F.max("_p_delay").alias("_p_delay"))
         )
         with_host = with_host.join(F.broadcast(dim), "_p_host", "left")
     else:

@@ -227,3 +227,19 @@ def test_html_links_frontier_composition(spark):
         "https://a.test/next1",
         "https://b.test/next2",
     ]
+
+
+def test_html_links_string_keyed_frame(spark):
+    """html_links must take the doc-id output type from the input frame
+    (string-keyed crawl frames are common); a hardcoded LongType failed
+    at Arrow conversion inside the kernel instead of at plan time."""
+    from noaa_oracle_spark.pipeline.html import html_links
+
+    docs = spark.createDataFrame(
+        [("d-1", '<a href="https://x.test/a">a</a>', "https://x.test/")],
+        "doc_id string, html string, url string",
+    )
+    out = html_links(docs)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = out.collect()
+    assert [(r.doc_id, r.link) for r in rows] == [("d-1", "https://x.test/a")]

@@ -684,3 +684,46 @@ def test_politeness_waves(spark):
     assert {(r.url, r.wave) for r in again} == {
         (r.url, r.wave) for r in rows
     }
+
+
+def test_politeness_waves_duplicate_host_variants_no_fanout(spark):
+    """Dim rows folding to one normalized host (www/apex, case) must
+    collapse to ONE delay row before the broadcast join — duplicates
+    would fan each frontier row out into copies with conflicting
+    not_before_s.  max() keeps the conservative delay."""
+    from noaa_oracle_spark.pipeline.web import politeness_waves
+
+    frontier = spark.createDataFrame(
+        [(f"https://a.com/p{i}",) for i in range(4)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("www.a.com", 1.0), ("a.com", 2.0), ("A.COM", 0.5)],
+        "host string, delay_s double",
+    )
+    out = politeness_waves(frontier, delays=delays).collect()
+    assert len(out) == 4  # no fanout
+    assert sorted(r.wave for r in out) == [0, 1, 2, 3]
+    # conservative (max) delay wins the fold
+    assert sorted(r.not_before_s for r in out) == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_parse_crawl_delay_group_boundaries_follow_parse_robots(spark):
+    """A crawl-delay line must NOT open a group body: parse_robots
+    ignores crawl-delay entirely, so 'UA a / Crawl-delay / UA b / rule'
+    is ONE group covering both agents — the two parsers must select the
+    same group."""
+    from noaa_oracle_spark.pipeline.web import parse_crawl_delay
+
+    body = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x"
+    # both agents are in the same group, so both see delay 5
+    assert parse_crawl_delay(body, "a") == 5.0
+    assert parse_crawl_delay(body, "b") == 5.0
+    # a crawl-delay after the body closed belongs to the NEXT group
+    body2 = (
+        "User-agent: a\nDisallow: /x\n"
+        "User-agent: b\nCrawl-delay: 3\nDisallow: /y"
+    )
+    assert parse_crawl_delay(body2, "a") is None
+    assert parse_crawl_delay(body2, "b") == 3.0
+    # header crawl-delay before any user-agent applies to no group
+    assert parse_crawl_delay("Crawl-delay: 9\nUser-agent: *\nDisallow: /", "*") is None

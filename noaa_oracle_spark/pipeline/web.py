@@ -776,3 +776,119 @@ def politeness_waves(
         .withColumn("not_before_s", F.round(wave * delay, 6))
         .drop("_p_host", "_p_delay")
     )
+
+
+def table_fetcher(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html"):
+    """A `crawl_rounds` fetcher backed by a static page table: the
+    frontier inner-joins the table on canonical URL (URLs the table
+    lacks simply return no page — a 404).  This is the test/simulation
+    fetcher; a production deployment plugs an HTTP mapInPandas fetcher
+    with the same (frontier) -> (url, html) contract."""
+    canon = pages.select(
+        canonical_url(F.col(url_col)).alias("url"),
+        F.col(html_col).alias("html"),
+    ).where(F.col("url").isNotNull())
+
+    def fetch(frontier: DataFrame) -> DataFrame:
+        return frontier.select("url").join(canon, "url")
+
+    return fetch
+
+
+def crawl_rounds(
+    seeds: DataFrame,
+    fetcher,
+    rounds: int = 2,
+    url_col: str = "url",
+    robots: "DataFrame | None" = None,
+    robots_plan: str = "auto",
+    delays: "DataFrame | None" = None,
+    default_delay: float = 1.0,
+    max_frontier: "int | None" = None,
+) -> DataFrame:
+    """Iterative multi-round crawl frontier driver — the loop that turns
+    the one-round composition (fetch → extract_links → canonicalize →
+    seen-anti-join → robots → politeness) into an actual crawl.  Round 0
+    is the canonicalized, robots-filtered seed set; each later round
+    fetches the previous frontier via `fetcher` (a
+    ``frontier(url) -> (url, html)`` callable — `table_fetcher` for
+    tests/simulation, an HTTP mapInPandas kernel in production),
+    extracts out-links, canonicalizes, drops every URL already SEEN in
+    any earlier round (global dedup, not just parent-round), applies the
+    robots filter, and optionally truncates to a deterministic
+    `max_frontier` budget (md5-ordered — re-runs truncate identically).
+
+    Returns (url, round, wave, not_before_s): one row per scheduled
+    fetch, with `politeness_waves` applied WITHIN each round (waves
+    restart per round — a fetcher processes round r wave w at time
+    w·delay, so per-host rate limits hold round by round).
+
+    Scale shape per round: the fetch is whatever the fetcher does; link
+    extraction is one Arrow stage over the fetched pages (HTML bytes
+    never shuffle — only (page, link) edges do); the frontier dedup is
+    one `distinct` exchange plus one left-anti hash join against the
+    accumulated seen set (url-keyed — at the billions-of-URLs tier this
+    is the shape you bucket by url hash, and a bloom pre-filter on the
+    seen set cuts the anti-join's probe volume; the join stays the
+    correctness backstop).  Each round's frontier is persisted and
+    materialized — the driver loop truncates lineage so round N's plan
+    does not re-derive rounds 0..N−1, the standard iterative-algorithm
+    discipline (same as the connected-components loop).  The seen set
+    peaks at the total crawled URL count; rounds are a small driver
+    constant, so the loop adds no per-row driver work.
+
+    Frontier invariants (tested): rounds are DISJOINT (a URL appears in
+    exactly one round — the seen anti-join), and the union over rounds
+    is exactly the reachable, robots-allowed closure within `rounds`
+    hops of the seeds."""
+    from noaa_oracle_spark.pipeline.html import html_links
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(canonical_url(F.col("url")).alias("url"))
+            .where(F.col("url").isNotNull())
+            .distinct()
+        )
+
+    def _guard(df: DataFrame) -> DataFrame:
+        if robots is not None:
+            df = filter_robots_disallowed(df, robots, plan=robots_plan)
+        if max_frontier is not None:
+            df = (
+                df.orderBy(F.md5(F.col("url")), F.col("url"))
+                .limit(int(max_frontier))
+            )
+        return df
+
+    cur = _guard(_canon(seeds.select(F.col(url_col).alias("url"))))
+    cur = cur.persist()
+    if cur.count() == 0:
+        cur.unpersist()
+        raise ValueError("crawl_rounds: empty seed frontier")
+    seen = cur
+    out = [cur.withColumn("round", F.lit(0).cast("int"))]
+    for rnd in range(1, int(rounds) + 1):
+        pages = fetcher(cur).select(
+            F.col("url"), F.col("html"), F.col("url").alias("_page_url")
+        )
+        edges = html_links(
+            pages, html_col="html", id_col="_page_url", url_col="url"
+        )
+        nxt = _canon(edges.select(F.col("link").alias("url")))
+        nxt = _guard(nxt.join(seen, "url", "left_anti")).persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        out.append(nxt.withColumn("round", F.lit(rnd).cast("int")))
+        seen = seen.union(nxt).persist()
+        cur = nxt
+
+    waved = [
+        politeness_waves(df, delays=delays, default_delay=default_delay)
+        for df in out
+    ]
+    result = waved[0]
+    for w in waved[1:]:
+        result = result.unionByName(w)
+    return result.select("url", "round", "wave", "not_before_s")

@@ -727,3 +727,96 @@ def test_parse_crawl_delay_group_boundaries_follow_parse_robots(spark):
     assert parse_crawl_delay(body2, "b") == 3.0
     # header crawl-delay before any user-agent applies to no group
     assert parse_crawl_delay("Crawl-delay: 9\nUser-agent: *\nDisallow: /", "*") is None
+
+
+def test_crawl_rounds_multi_round_frontier(spark):
+    """2+-round crawl loop: rounds are disjoint (global seen dedup —
+    cycles and converging links never re-enter the frontier), robots
+    filtering applies inside the loop, the loop stops early when the
+    frontier dries up, and the schedule is deterministic."""
+    from noaa_oracle_spark.pipeline.web import crawl_rounds, table_fetcher
+
+    pages = spark.createDataFrame(
+        [
+            # start → p1, p2, a robots-blocked url, and BACK to start
+            (
+                "https://a.test/start",
+                '<a href="/p1">1</a><a href="/p2">2</a>'
+                '<a href="https://b.test/blocked/x">b</a>'
+                '<a href="/start">cycle</a>',
+            ),
+            # p1 → p3 and itself; p2 → p3 (converging) and start (cycle)
+            ("https://a.test/p1", '<a href="/p3">3</a><a href="/p1">me</a>'),
+            ("https://a.test/p2", '<a href="/p3">3</a><a href="/start">s</a>'),
+            # p3 → p4: reachable only at round 3
+            ("https://a.test/p3", '<a href="/p4">4</a>'),
+        ],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("b.test", "User-agent: *\nDisallow: /blocked/")],
+        "host string, robots_txt string",
+    )
+    seeds = spark.createDataFrame([("https://a.test/start",)], "url string")
+
+    out = crawl_rounds(
+        seeds, table_fetcher(pages), rounds=2, robots=robots
+    )
+    assert out.columns == ["url", "round", "wave", "not_before_s"]
+    rows = out.collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], set()).add(r.url)
+    assert by_round == {
+        0: {"https://a.test/start"},
+        1: {"https://a.test/p1", "https://a.test/p2"},
+        2: {"https://a.test/p3"},
+    }
+    # disjoint rounds == global dedup: no url appears twice
+    assert len(rows) == len({r.url for r in rows})
+    # waves restart per round and respect the default 1.0s delay
+    r1 = sorted(
+        (r.wave, r.not_before_s) for r in rows if r["round"] == 1
+    )
+    assert r1 == [(0, 0.0), (1, 1.0)]
+
+    # early stop: p4 has no page, so round 4+ frontiers dry up
+    deep = crawl_rounds(seeds, table_fetcher(pages), rounds=10)
+    assert deep.agg(F.max("round")).collect()[0][0] == 3  # p4 at round 3
+    # determinism across input partitionings
+    again = crawl_rounds(
+        seeds.repartition(5), table_fetcher(pages.repartition(3)),
+        rounds=2, robots=robots,
+    ).collect()
+    assert {(r.url, r["round"], r.wave) for r in again} == {
+        (r.url, r["round"], r.wave) for r in rows
+    }
+
+
+def test_crawl_rounds_budget_and_empty_seeds(spark):
+    from noaa_oracle_spark.pipeline.web import crawl_rounds, table_fetcher
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.test/start",
+                "".join(f'<a href="/p{i}">x</a>' for i in range(8)),
+            ),
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://a.test/start",)], "url string")
+    out = crawl_rounds(
+        seeds, table_fetcher(pages), rounds=1, max_frontier=3
+    )
+    r1 = [r.url for r in out.collect() if r["round"] == 1]
+    assert len(r1) == 3
+    # deterministic truncation: same 3 urls every run
+    again = crawl_rounds(
+        seeds, table_fetcher(pages), rounds=1, max_frontier=3
+    )
+    assert sorted(r.url for r in again.collect() if r["round"] == 1) == sorted(r1)
+
+    empty = spark.createDataFrame([], "url string")
+    with pytest.raises(ValueError, match="empty seed frontier"):
+        crawl_rounds(empty, table_fetcher(pages), rounds=1)

@@ -24,6 +24,7 @@ is the thin request/response shell the reference serves with axum
 | POST /oracle/update               | oracle_routes.rs:185-207 (update_data) |
 | GET /oracle/update/{process_id}   | (status poll — twin extension)         |
 | POST /search/knn                  | (PQ-index vector serve — extension)    |
+| POST /search/bm25                 | (BM25-index lexical serve — extension) |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
@@ -251,6 +252,30 @@ def make_handler(
     pq_indexes: dict[str, dict] = {}
     pq_lock = threading.Lock()
 
+    # POST /search/bm25 index registry — same contract as the PQ one:
+    # load (manifest validation + one footer count) on a path's first
+    # query, cached frames after; {"reload": true} re-validates.
+    bm25_indexes: dict[str, dict] = {}
+    bm25_lock = threading.Lock()
+
+    def get_bm25_index(path: str, reload: bool = False) -> dict:
+        from noaa_oracle_spark.pipeline.text import load_bm25_index
+
+        with bm25_lock:
+            if not reload and path in bm25_indexes:
+                return bm25_indexes[path]
+        try:
+            idx = load_bm25_index(spark, path)
+        except ValueError:
+            raise  # consistency violations surface as 400s
+        except Exception as exc:  # unreadable/missing directory
+            raise BadRequest(
+                f"cannot load BM25 index at {path!r}: {exc}"
+            ) from exc
+        with bm25_lock:
+            bm25_indexes[path] = idx
+        return idx
+
     def get_pq_index(path: str, reload: bool = False) -> dict:
         from noaa_oracle_spark.pipeline.pq import load_pq_index
 
@@ -414,6 +439,8 @@ def make_handler(
                     self._kick_update()
                 elif path == "/search/knn":
                     self._search_knn()
+                elif path == "/search/bm25":
+                    self._search_bm25()
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
@@ -710,6 +737,65 @@ def make_handler(
                                 "rank": r.rank,
                                 "vec_id": r.n_id,
                                 "adc_dist": r.adc_dist,
+                            }
+                            for r in rows
+                        ],
+                    }
+                ).encode()
+            )
+
+        def _search_bm25(self) -> None:
+            """POST /search/bm25 — lexical retrieval against a SAVED
+            inverted index (`save_bm25_index`): body {"index_path": ...,
+            "terms": [...], "k": 10, "k1": 1.2, "b": 0.75,
+            "reload": false}.  The load is cached per path; each request
+            touches only the query terms' postings (term-sorted parquet
+            row groups) — the /search/knn contract's lexical sibling, so
+            a retrieval stack can serve and fuse both."""
+            from noaa_oracle_spark.pipeline.text import bm25_query
+
+            body = self._read_json_body()
+            index_path = body.get("index_path")
+            if not isinstance(index_path, str) or not index_path:
+                raise BadRequest("index_path (string) is required")
+            terms = body.get("terms")
+            if (
+                not isinstance(terms, list)
+                or not terms
+                or not all(isinstance(t, str) and t for t in terms)
+            ):
+                raise BadRequest(
+                    "terms (non-empty string array) is required"
+                )
+            k = body.get("k", 10)
+            if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+                raise BadRequest("k must be a positive integer")
+            params = {}
+            for name, dflt in (("k1", 1.2), ("b", 0.75)):
+                v = body.get(name, dflt)
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise BadRequest(f"{name} must be a number")
+                params[name] = float(v)
+            idx = get_bm25_index(
+                index_path, reload=bool(body.get("reload"))
+            )
+            id_col = idx["manifest"].id_col
+            rows = sorted(
+                bm25_query(
+                    idx, terms, k=k, k1=params["k1"], b=params["b"]
+                ).collect(),
+                key=lambda r: r.rnk,
+            )
+            self._send_json(
+                json.dumps(
+                    {
+                        "k": k,
+                        "n_docs": int(idx["manifest"].n_docs),
+                        "results": [
+                            {
+                                "rank": r.rnk,
+                                "doc_id": r[id_col],
+                                "bm25": r.bm25,
                             }
                             for r in rows
                         ],

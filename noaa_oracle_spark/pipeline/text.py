@@ -1481,11 +1481,31 @@ def bm25_scores(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     corpus = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    return _bm25_rank(tf, dlen, corpus, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dlen: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail — (doc, term, tf) + (doc, dl) + a 1-row
+    (n_docs, avgdl) frame → ranked top-k.  One function so the batch
+    path (`bm25_scores`) and the serve path (`bm25_query`) are
+    expression-identical: same idf/saturation arithmetic, same 6-dp
+    round, same id tiebreak (the post-limit rank window is the q08
+    idiom — never an unpartitioned window over the corpus)."""
+    from pyspark.sql.window import Window
+
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -1509,4 +1529,129 @@ def bm25_scores(
         .limit(k)
         .withColumn("rnk", F.row_number().over(w))
         .select(id_col, "bm25", "rnk")
+    )
+
+
+#: manifest schema for the persisted BM25 index (1 row, written LAST —
+#: the save_pq_index crash-consistency discipline)
+_BM25_MANIFEST_SCHEMA = (
+    "format_version int, n_docs long, avgdl double, "
+    "n_postings long, id_col string"
+)
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the BM25 inverted index — postings (term, doc, tf),
+    document lengths, and the 1-row corpus stats — as parquet under
+    `path`: the index-once/serve-many contract of the retrieval tier
+    (save_pq_index's lexical sibling).  At 100 TB the tokenize +
+    tf-aggregation pass over the raw corpus is the expensive step;
+    queries against the SAVED index touch only the query terms'
+    postings.
+
+    Postings are hash-clustered and sorted by term, so each parquet
+    row group covers a narrow term range and a query's `isin` filter
+    prunes by footer min/max stats instead of scanning the corpus
+    vocabulary (at cluster scale: partition the postings table by a
+    term-hash bucket column and this becomes partition pruning).
+
+    Crash consistency: the manifest is written LAST and records the
+    postings row count, so an interrupted save or torn re-save fails
+    loudly at `load_bm25_index` instead of serving scores computed
+    against mismatched components.
+
+    Layout: path/postings (term, <id_col>, tf), path/doclens
+    (<id_col>, dl), path/manifest."""
+    spark = docs.sparkSession
+    words = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.repartition(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dlen.write.mode("overwrite").parquet(f"{path}/doclens")
+    stats = (
+        spark.read.parquet(f"{path}/doclens")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_postings = spark.read.parquet(f"{path}/postings").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                int(stats["n_docs"]),
+                float(stats["avgdl"]),
+                int(n_postings),
+                id_col,
+            )
+        ],
+        _BM25_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def load_bm25_index(spark, path: str) -> "dict":
+    """Reload a persisted BM25 index: {"postings", "doclens" (lazy
+    DataFrames), "manifest" (Row)} — plugs directly into `bm25_query`.
+    Validates the manifest's postings row count against the loaded
+    component (one parquet-footer count, no data scan), so a torn
+    re-save fails loudly."""
+    manifest = spark.read.parquet(f"{path}/manifest").collect()
+    if len(manifest) != 1:
+        raise ValueError(f"load_bm25_index: bad manifest at {path}")
+    meta = manifest[0]
+    if meta.format_version != 1:
+        raise ValueError(
+            "load_bm25_index: unsupported format_version "
+            f"{meta.format_version}"
+        )
+    postings = spark.read.parquet(f"{path}/postings")
+    n_postings = postings.count()
+    if n_postings != meta.n_postings:
+        raise ValueError(
+            f"load_bm25_index: postings count {n_postings} != manifest "
+            f"{meta.n_postings} — torn or partial (re-)save at {path}"
+        )
+    doclens = spark.read.parquet(f"{path}/doclens")
+    return {"postings": postings, "doclens": doclens, "manifest": meta}
+
+
+def bm25_query(
+    index: "dict",
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query against a LOADED BM25
+    index (`load_bm25_index`) — no tokenization pass, no corpus scan:
+    the postings filter touches only the query terms' rows (parquet
+    row-group pruning via the term-sorted layout), df re-derives from
+    those same rows, and the corpus stats ride in from the manifest.
+    Result-identical to `bm25_scores` over the indexed corpus (shared
+    `_bm25_rank` tail; equality-tested)."""
+    meta = index["manifest"]
+    id_col = meta.id_col
+    terms = sorted({t for t in query_terms if t})
+    if not terms:
+        raise ValueError("bm25_query: need at least one non-empty query term")
+    tf = index["postings"].filter(F.col("term").isin(*terms))
+    spark = index["postings"].sparkSession
+    corpus = spark.createDataFrame(
+        [(int(meta.n_docs), float(meta.avgdl))], "n_docs long, avgdl double"
+    )
+    return _bm25_rank(
+        tf, index["doclens"], corpus, k=k, k1=k1, b=b, id_col=id_col
     )

@@ -601,3 +601,75 @@ def test_warc_record_fetch_over_sockets(spark, tmp_path_factory):
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+# ---------------------------------------------------------------------------
+# POST /search/bm25 — serve a saved inverted index (index-once/serve-many)
+# ---------------------------------------------------------------------------
+
+
+def test_search_bm25_serves_saved_index(server, spark, tmp_path_factory):
+    """Lexical sibling of /search/knn: build + save a BM25 index, answer
+    term queries over HTTP matching a direct bm25_query run, cache the
+    load across requests, and 400 on bad input / torn index."""
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    base, _ = server
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window hash join"),
+            (2, "hash hash hash"),
+            (3, "window functions rank"),
+            (4, "totally unrelated prose"),
+            (5, "spark hash"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path_factory.mktemp("bm25_http") / "idx")
+    save_bm25_index(docs, path)
+
+    idx = load_bm25_index(spark, path)
+    want = [
+        (r.rnk, r.doc_id, r.bm25)
+        for r in sorted(
+            bm25_query(idx, ["spark", "hash"], k=3).collect(),
+            key=lambda r: r.rnk,
+        )
+    ]
+    status, out = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["spark", "hash"], "k": 3},
+    )
+    assert status == 200
+    assert out["n_docs"] == 5 and out["k"] == 3
+    got = [(r["rank"], r["doc_id"], r["bm25"]) for r in out["results"]]
+    assert got == want
+    # second request hits the cache and agrees
+    status2, out2 = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["spark", "hash"], "k": 3},
+    )
+    assert status2 == 200 and out2 == out
+
+    # non-default k1/b change scores but stay well-formed
+    status3, out3 = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["hash"], "k": 2, "k1": 0.9, "b": 0.3},
+    )
+    assert status3 == 200 and len(out3["results"]) == 2
+
+    for bad in (
+        {"terms": ["x"]},  # missing path
+        {"index_path": path},  # missing terms
+        {"index_path": path, "terms": []},
+        {"index_path": path, "terms": ["ok", 7]},
+        {"index_path": path, "terms": ["ok"], "k": 0},
+        {"index_path": path, "terms": ["ok"], "k1": "fast"},
+        {"index_path": "/nonexistent/idx", "terms": ["ok"]},
+    ):
+        code, msg = _post_error(f"{base}/search/bm25", bad)
+        assert code == 400, (bad, code, msg)

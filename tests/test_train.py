@@ -247,3 +247,67 @@ def test_standardize_noop_on_constant_feature(spark):
     )
     assert all(np.isfinite(fit["weights"])) and np.isfinite(fit["bias"])
     assert fit["losses"][-1] < fit["losses"][0]
+
+
+def test_bm25_index_save_load_query_equality(spark, tmp_path):
+    """The persisted inverted index serves the EXACT bm25_scores result
+    (shared scoring tail): save → load → bm25_query == bm25_scores on
+    the same corpus, for multiple queries and k1/b settings; a torn
+    re-save (postings replaced, manifest stale) fails loudly."""
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        bm25_scores,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    corpus = {
+        1: "apple banana apple cherry",
+        2: "apple apple apple apple apple apple",
+        3: "banana cherry date egg fig grape",
+        4: "unrelated words only here",
+        5: "apple banana",
+        6: "",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    path = str(tmp_path / "bm25_idx")
+    save_bm25_index(docs, path)
+    idx = load_bm25_index(spark, path)
+    assert idx["manifest"].n_docs == 5  # the empty doc tokenizes to none
+
+    for terms, k1, b in (
+        (["apple", "banana"], 1.2, 0.75),
+        (["cherry"], 0.9, 0.4),
+        (["apple", "nosuchterm"], 1.2, 0.75),
+    ):
+        want = [
+            tuple(r)
+            for r in bm25_scores(docs, terms, k=10, k1=k1, b=b).collect()
+        ]
+        got = [
+            tuple(r)
+            for r in bm25_query(idx, terms, k=10, k1=k1, b=b).collect()
+        ]
+        assert got == want, terms
+
+    with pytest.raises(ValueError, match="non-empty query term"):
+        bm25_query(idx, ["", None] if False else [""])
+
+    # torn re-save: postings rewritten for a BIGGER corpus, manifest
+    # still the old one → load must refuse
+    docs2 = docs.union(
+        spark.createDataFrame([(7, "apple date")], "doc_id long, text string")
+    )
+    from noaa_oracle_spark.pipeline.dedup import spread
+    from pyspark.sql import functions as FX
+
+    words2 = spread(docs2).select(
+        "doc_id", FX.explode(FX.split("text", " ")).alias("term")
+    ).filter(FX.col("term") != "")
+    words2.groupBy("doc_id", "term").agg(
+        FX.count(FX.lit(1)).alias("tf")
+    ).write.mode("overwrite").parquet(f"{path}/postings")
+    with pytest.raises(ValueError, match="torn or partial"):
+        load_bm25_index(spark, path)

@@ -1655,3 +1655,55 @@ def bm25_query(
     return _bm25_rank(
         tf, index["doclens"], corpus, k=k, k1=k1, b=b, id_col=id_col
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
+    N ranked result lists — the standard hybrid-retrieval combiner for
+    this tier's lexical (`bm25_scores`/`bm25_query`) and vector
+    (`pq_knn`/`ivfpq_rerank`) outputs: score(d) = Σ_lists 1/(k + rank_d),
+    summing only over lists where d appears.  Rank-based (not
+    score-based), so the incommensurable BM25 and ADC/cosine scales
+    never need calibration — the reason RRF is the default fuser in
+    production search stacks.
+
+    Scale shape: inputs are top-k lists — bounded by construction, a few
+    rows per query source — so the union + groupBy is broadcast-sized
+    expression work; nothing here ever touches the corpus.  Scores round
+    6 dp with doc-id tiebreak and the final rank uses the post-limit
+    window idiom (the suite float/plan rules).
+
+    Returns (id_col, rrf_score, rnk) for the fused top-`topk`."""
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k <= 0:
+        raise ValueError("rrf_fuse: k must be positive")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+             ).alias("_rr"),
+        )
+        for df in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(id_col).agg(
+        F.round(F.sum("_rr"), 6).alias("rrf_score")
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+        .withColumn("rnk", F.row_number().over(w))
+        .select(id_col, "rrf_score", "rnk")
+    )

@@ -311,3 +311,78 @@ def test_bm25_index_save_load_query_equality(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/postings")
     with pytest.raises(ValueError, match="torn or partial"):
         load_bm25_index(spark, path)
+
+
+def test_rrf_fuse_hand_computed_and_hybrid(spark):
+    """RRF against a hand computation, plus the real hybrid composition:
+    fuse a BM25 ranking with a vector ranking and check the doc present
+    in BOTH lists outranks single-list docs."""
+    from noaa_oracle_spark.pipeline.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rnk int"
+    )
+    got = {
+        r.doc_id: (r.rrf_score, r.rnk)
+        for r in rrf_fuse([a, b], k=60, topk=10).collect()
+    }
+    import pytest as _pytest
+
+    def rr(*ranks):
+        return round(sum(1.0 / (60 + r) for r in ranks), 6)
+
+    assert got[20] == (rr(2, 1), 1)   # in both lists → top
+    assert got[10] == (rr(1), 2)
+    assert got[40] == (rr(2), 3)
+    assert got[30] == (rr(3), 4)
+
+    # ties break by ascending doc id: two docs with identical rank sets
+    c = spark.createDataFrame([(7, 1), (3, 2)], "doc_id long, rnk int")
+    d = spark.createDataFrame([(3, 1), (7, 2)], "doc_id long, rnk int")
+    tied = [r.doc_id for r in rrf_fuse([c, d], topk=2).collect()]
+    assert tied == [3, 7]
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="positive"):
+        rrf_fuse([a], k=0)
+
+
+def test_rrf_hybrid_bm25_plus_vector(spark, tmp_path):
+    """End-to-end hybrid retrieval: BM25 over text + ADC over embeddings,
+    fused — the serve stack's two endpoints meeting in one ranking."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import pq_encode, pq_knn, pq_train
+    from noaa_oracle_spark.pipeline.text import bm25_scores, rrf_fuse
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query terms appear here exactly"),
+            (1, "query terms appear here too"),
+            (2, "nothing relevant lexically"),
+            (3, "noise words padding text"),
+        ]
+        + [(i, f"filler document {i}") for i in range(4, 20)],
+        "doc_id long, text string",
+    )
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(20, 8)
+    vecs[2] = vecs[0] + 0.01 * rng.randn(8)  # doc 2: vector-close to query
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    lex = bm25_scores(docs, ["query", "terms"], k=5)
+    books = pq_train(emb, m=4, k=8, iters=1)
+    q = emb.filter(F.col("vec_id") == 0)
+    vec = pq_knn(q, pq_encode(emb, books), books, k=5).select(
+        F.col("n_id").alias("doc_id"), F.col("rank").alias("rnk")
+    )
+    fused = rrf_fuse([lex, vec], topk=5).collect()
+    ids = [r.doc_id for r in fused]
+    assert 1 in ids  # lexical hit survives fusion
+    assert 2 in ids  # vector hit survives fusion

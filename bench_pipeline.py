@@ -521,6 +521,55 @@ def main() -> None:
     run("robots_filter_broadcast", lambda: _robots_rung("broadcast"))
     run("robots_filter_shuffle", lambda: _robots_rung("shuffle"))
 
+    # --- frontier discovery (r8 verdict ask #4): out-link extraction
+    # over the same synthetic page bodies as html_extract (5 anchors
+    # per page, one relative to the page url), and politeness
+    # scheduling over the robots rung's url frame (N_DOCS urls,
+    # n_hosts-host dimension with declared crawl-delays).
+    def _links_rung():
+        from noaa_oracle_spark.pipeline.html import html_links
+
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit(".test/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit(
+                    "<html><body><nav><a href='/'>Home</a>"
+                    " <a href='/about'>About</a>"
+                    " <a rel='nofollow' href='/login'>Login</a></nav><p>"
+                ),
+                F.col("text"),
+                F.lit("</p><a href='next/"),
+                F.col("doc_id").cast("string"),
+                F.lit("'>n</a><a href='https://other.test/x'>x</a>"
+                      "</body></html>"),
+            ).alias("html"),
+        )
+        return html_links(pages).count()
+
+    run("html_links", _links_rung)
+
+    def _politeness_rung():
+        from noaa_oracle_spark.pipeline.web import politeness_waves
+
+        doc_urls, _ = _robots_frames()
+        delays = spark.range(n_hosts).select(
+            F.concat(
+                F.lit("h"), F.col("id").cast("string"), F.lit(".test")
+            ).alias("host"),
+            ((F.col("id") % 10) / 2.0 + 0.5).alias("delay_s"),
+        )
+        return politeness_waves(
+            doc_urls, delays=delays, default_delay=1.0
+        ).count()
+
+    run("politeness_waves", _politeness_rung)
+
     # --- perceptual image dedup (r7 verdict ask #9): pHash banded
     # Hamming join over PIPELINE_BENCH_IMAGES P6 PPM blobs (default
     # 100k, 32x32) with a planted 1% near-dup cluster of one base image

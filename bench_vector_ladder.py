@@ -191,12 +191,25 @@ def main() -> None:
         enc = pq_encode(corpus, books)
         return top5(pq_knn(queries, enc, books, k=K), "adc_dist", True)
 
+    # PIPELINE_BENCH_IVFPQ_PLAN picks the probe plan for the ivfpq tiers
+    # (inline = scan-stage fused kernel, the r9 default; shuffle /
+    # broadcast = the join shapes) — the r9 plan-ladder evidence knob.
+    ivfpq_plan = os.environ.get("PIPELINE_BENCH_IVFPQ_PLAN", "inline")
+
     def tier_ivfpq():
         # books reused from the pq tier: the FAISS composition shares the
         # flat codebooks (q101's form); timing therefore EXCLUDES codebook
         # training and measures routing + encode + probed ADC
         return top5(
-            ivfpq_knn(queries, corpus, books, cells, k=K, nprobe=NPROBE),
+            ivfpq_knn(
+                queries,
+                corpus,
+                books,
+                cells,
+                k=K,
+                nprobe=NPROBE,
+                plan=ivfpq_plan,
+            ),
             "adc_dist",
             True,
         )
@@ -212,6 +225,7 @@ def main() -> None:
                 iters=2,  # same Lloyd budget as the pq tier's codebooks
                 k=K,
                 nprobe=NPROBE,
+                plan=ivfpq_plan,
             ),
             "adc_dist",
             True,
@@ -298,6 +312,7 @@ def main() -> None:
                 "pq_k": PQ_K,
                 "cells": N_CELLS,
                 "nprobe": NPROBE,
+                "ivfpq_plan": ivfpq_plan,
                 "tiers": out,
             }
         )

@@ -1707,3 +1707,74 @@ def rrf_fuse(
         .withColumn("rnk", F.row_number().over(w))
         .select(id_col, "rrf_score", "rnk")
     )
+
+
+def merge_bm25_indexes(
+    spark,
+    paths: "list[str]",
+    out_path: str,
+    check_disjoint: bool = True,
+) -> None:
+    """Merge N persisted BM25 indexes over DISJOINT document sets into
+    one index at `out_path` — incremental corpus growth without
+    re-tokenizing old shards: index each arriving batch with
+    `save_bm25_index`, merge.  Because (doc, term) keys are disjoint
+    across shards, postings merge by plain union (no tf arithmetic) and
+    doclens likewise; n_docs/avgdl recompute from the merged doclens in
+    one bounded aggregate.  The result is EXACTLY the index
+    `save_bm25_index` would build over the concatenated corpus
+    (equality-tested), so `bm25_query` scores are identical.
+
+    `check_disjoint` (default on) fails loudly on doc-id overlap — a
+    doc present in two shards would double-count document length and
+    df; pass False only when disjointness is guaranteed upstream (one
+    extra self-join-shaped count otherwise)."""
+    if len(paths) < 2:
+        raise ValueError("merge_bm25_indexes: need at least two indexes")
+    idxs = [load_bm25_index(spark, p) for p in paths]
+    id_cols = {i["manifest"].id_col for i in idxs}
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"merge_bm25_indexes: mixed id columns {sorted(id_cols)}"
+        )
+    id_col = id_cols.pop()
+    doclens = idxs[0]["doclens"]
+    postings = idxs[0]["postings"]
+    for i in idxs[1:]:
+        doclens = doclens.unionByName(i["doclens"])
+        postings = postings.unionByName(i["postings"])
+    if check_disjoint:
+        n_total = sum(int(i["manifest"].n_docs) for i in idxs)
+        n_distinct = doclens.select(id_col).distinct().count()
+        if n_distinct != n_total:
+            raise ValueError(
+                "merge_bm25_indexes: document sets overlap "
+                f"({n_total - n_distinct} shared ids) — shards must be "
+                "disjoint"
+            )
+    (
+        postings.repartition(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/postings")
+    )
+    doclens.write.mode("overwrite").parquet(f"{out_path}/doclens")
+    stats = (
+        spark.read.parquet(f"{out_path}/doclens")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_postings = spark.read.parquet(f"{out_path}/postings").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                int(stats["n_docs"]),
+                float(stats["avgdl"]),
+                int(n_postings),
+                id_col,
+            )
+        ],
+        _BM25_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{out_path}/manifest")

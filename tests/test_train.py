@@ -386,3 +386,46 @@ def test_rrf_hybrid_bm25_plus_vector(spark, tmp_path):
     ids = [r.doc_id for r in fused]
     assert 1 in ids  # lexical hit survives fusion
     assert 2 in ids  # vector hit survives fusion
+
+
+def test_merge_bm25_indexes_equals_full_rebuild(spark, tmp_path):
+    """Index two disjoint corpus shards separately, merge — queries must
+    equal the index built over the concatenated corpus exactly;
+    overlapping shards fail loudly."""
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        merge_bm25_indexes,
+        save_bm25_index,
+    )
+
+    shard_a = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    shard_b = spark.createDataFrame(
+        [(3, "apple date egg"), (4, "cherry cherry apple banana")],
+        "doc_id long, text string",
+    )
+    pa_, pb, pm, pfull = (
+        str(tmp_path / n) for n in ("a", "b", "merged", "full")
+    )
+    save_bm25_index(shard_a, pa_)
+    save_bm25_index(shard_b, pb)
+    merge_bm25_indexes(spark, [pa_, pb], pm)
+    save_bm25_index(shard_a.union(shard_b), pfull)
+
+    m, f = load_bm25_index(spark, pm), load_bm25_index(spark, pfull)
+    assert (m["manifest"].n_docs, m["manifest"].avgdl, m["manifest"].n_postings) == (
+        f["manifest"].n_docs, f["manifest"].avgdl, f["manifest"].n_postings
+    )
+    for terms in (["apple"], ["banana", "cherry"], ["apple", "egg"]):
+        got = [tuple(r) for r in bm25_query(m, terms, k=10).collect()]
+        want = [tuple(r) for r in bm25_query(f, terms, k=10).collect()]
+        assert got == want, terms
+
+    # overlap: shard_a merged with itself must raise
+    with pytest.raises(ValueError, match="overlap"):
+        merge_bm25_indexes(spark, [pa_, pa_], str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="at least two"):
+        merge_bm25_indexes(spark, [pa_], str(tmp_path / "bad2"))

@@ -570,6 +570,47 @@ def main() -> None:
 
     run("politeness_waves", _politeness_rung)
 
+    # --- multi-round crawl driver (r9): 3 rounds from N_DOCS/100 seeds
+    # over an N_DOCS-page synthetic link graph (each page links to 2
+    # others, deterministic wiring) — measures the loop machinery
+    # (per-round fetch join against the full page table, link
+    # extraction, accumulated-seen anti-join, per-round persist) at
+    # corpus scale.
+    def _crawl_rounds_rung():
+        from noaa_oracle_spark.pipeline.web import (
+            crawl_rounds,
+            table_fetcher,
+        )
+
+        def page_url(col):
+            return F.concat(
+                F.lit("https://site"),
+                (col % 997).cast("string"),
+                F.lit(".test/p/"),
+                col.cast("string"),
+            )
+
+        pages = docs.select(
+            page_url(F.col("doc_id")).alias("url"),
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.col("text"),
+                F.lit("</p><a href='"),
+                page_url((F.col("doc_id") * 2) % N_DOCS),
+                F.lit("'>a</a><a href='"),
+                page_url((F.col("doc_id") + 1) % N_DOCS),
+                F.lit("'>b</a></body></html>"),
+            ).alias("html"),
+        )
+        seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+            page_url(F.col("doc_id")).alias("url")
+        )
+        return crawl_rounds(
+            seeds, table_fetcher(pages), rounds=3
+        ).count()
+
+    run("crawl_rounds", _crawl_rounds_rung)
+
     # --- perceptual image dedup (r7 verdict ask #9): pHash banded
     # Hamming join over PIPELINE_BENCH_IMAGES P6 PPM blobs (default
     # 100k, 32x32) with a planted 1% near-dup cluster of one base image

@@ -459,3 +459,29 @@ def test_q122_kmv_gate_reuses_the_shingle_exchange(spark):
     df = q122_kmv_distinct(spark, "/root/testdata/sf0.001")
     df.collect()
     assert "ReusedExchange" in _plan(df)
+
+
+def test_ivfpq_gates_have_no_corpus_joins(spark):
+    """r9 plan pin (the r8 weak-flag fix): the IVF-PQ gate queries run
+    the inline plan — between scan and candidate generation the corpus
+    crosses ZERO joins (no BHJ→ArrowEvalPython shape, no encode⋈assign
+    id join).  The only Join allowed anywhere in q116's plan is the
+    rerank stage's broadcast refinement over bounded candidate lists."""
+    from noaa_oracle_spark.suite_pipeline import (
+        q101_ivfpq_knn,
+        q104_ivfpq_residual,
+        q116_ivfpq_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in (
+        ("q101", q101_ivfpq_knn),
+        ("q104", q104_ivfpq_residual),
+    ):
+        p = _plan(fn(spark, sf))
+        assert "Join" not in p, f"{name}: corpus join reappeared\n{p}"
+    p116 = _plan(q116_ivfpq_rerank(spark, sf))
+    # nomination stage inline (no join feeding an ArrowEval); the exact
+    # re-rank joins ONLY broadcast-sized candidate/query lists
+    assert "BroadcastHashJoin" in p116
+    assert "SortMergeJoin" not in p116 and "ShuffledHashJoin" not in p116

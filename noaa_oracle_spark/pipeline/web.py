@@ -881,7 +881,11 @@ def crawl_rounds(
             nxt.unpersist()
             break
         out.append(nxt.withColumn("round", F.lit(rnd).cast("int")))
-        seen = seen.union(nxt).persist()
+        # the union is NOT persisted: its legs (the per-round frontiers)
+        # already are, so the next anti-join scans cached blocks — a
+        # persist here would store every earlier round AGAIN (O(rounds)
+        # duplicate storage for the same rows)
+        seen = seen.union(nxt)
         cur = nxt
 
     waved = [

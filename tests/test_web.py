@@ -820,3 +820,29 @@ def test_crawl_rounds_budget_and_empty_seeds(spark):
     empty = spark.createDataFrame([], "url string")
     with pytest.raises(ValueError, match="empty seed frontier"):
         crawl_rounds(empty, table_fetcher(pages), rounds=1)
+
+
+def test_crawl_rounds_persist_budget(spark):
+    """The loop persists exactly one frame per materialized frontier
+    round; the accumulated seen-set union must NOT be re-persisted
+    (its legs already are — a persist there stores every earlier
+    round again, O(rounds) duplicate storage for the same rows)."""
+    from noaa_oracle_spark.pipeline.web import crawl_rounds, table_fetcher
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/start", '<a href="/p1">1</a>'),
+            ("https://a.test/p1", '<a href="/p2">2</a>'),
+            ("https://a.test/p2", '<a href="/p3">3</a>'),
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://a.test/start",)], "url string")
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = crawl_rounds(seeds, table_fetcher(pages), rounds=3)
+    assert out.count() == 4  # start + p1 + p2 + p3
+    added = jsc.getPersistentRDDs().size() - before
+    # 4 frontier rounds materialized (0..3) + at most 1 for the final
+    # empty-probe round; a persisted seen-union chain would add ~3 more
+    assert added <= 5

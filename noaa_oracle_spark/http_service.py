@@ -25,6 +25,7 @@ is the thin request/response shell the reference serves with axum
 | GET /oracle/update/{process_id}   | (status poll — twin extension)         |
 | POST /search/knn                  | (PQ-index vector serve — extension)    |
 | POST /search/bm25                 | (BM25-index lexical serve — extension) |
+| POST /search/hybrid               | (RRF-fused lexical+vector — extension) |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
@@ -441,6 +442,8 @@ def make_handler(
                     self._search_knn()
                 elif path == "/search/bm25":
                     self._search_bm25()
+                elif path == "/search/hybrid":
+                    self._search_hybrid()
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
@@ -705,25 +708,8 @@ def make_handler(
             if not isinstance(k, int) or isinstance(k, bool) or k < 1:
                 raise BadRequest("k must be a positive integer")
             idx = get_pq_index(index_path, reload=bool(body.get("reload")))
-            dim = int(idx["manifest"].dim)
-            if len(vec) != dim:
-                raise BadRequest(
-                    f"vector has {len(vec)} dims, index expects {dim}"
-                )
-            # the query id must sit OUTSIDE the corpus id domain, or
-            # pq_knn's self-pair filter (q_id != n_id) would silently
-            # drop the matching corpus vector; one below the index's
-            # smallest encoded id is outside by construction
-            lo = idx.get("min_vec_id")
-            sentinel = min(-1, (lo - 1) if lo is not None else -1)
-            queries = spark.createDataFrame(
-                [(sentinel, [float(x) for x in vec])],
-                "vec_id long, embedding array<double>",
-            )
             rows = sorted(
-                pq_knn(
-                    queries, idx["codes"], idx["codebooks"], k=k
-                ).collect(),
+                self._pq_neighbors(idx, vec, k).collect(),
                 key=lambda r: r.rank,
             )
             self._send_json(
@@ -739,6 +725,142 @@ def make_handler(
                                 "adc_dist": r.adc_dist,
                             }
                             for r in rows
+                        ],
+                    }
+                ).encode()
+            )
+
+        def _pq_neighbors(self, idx: dict, vec: list, k: int):
+            """ADC top-k against a loaded PQ index for one query vector —
+            shared by /search/knn and the vector leg of /search/hybrid.
+            Validates dimensionality and keeps the sentinel query id
+            OUTSIDE the corpus id domain (pq_knn's self-pair filter
+            q_id != n_id would otherwise drop the matching corpus
+            vector); one below the index's smallest encoded id is
+            outside by construction."""
+            from noaa_oracle_spark.pipeline.pq import pq_knn
+
+            dim = int(idx["manifest"].dim)
+            if len(vec) != dim:
+                raise BadRequest(
+                    f"vector has {len(vec)} dims, index expects {dim}"
+                )
+            lo = idx.get("min_vec_id")
+            sentinel = min(-1, (lo - 1) if lo is not None else -1)
+            queries = spark.createDataFrame(
+                [(sentinel, [float(x) for x in vec])],
+                "vec_id long, embedding array<double>",
+            )
+            return pq_knn(queries, idx["codes"], idx["codebooks"], k=k)
+
+        def _search_hybrid(self) -> None:
+            """POST /search/hybrid — fused lexical + vector retrieval:
+            body {"bm25": {"index_path": ..., "terms": [...], "k1": 1.2,
+            "b": 0.75}, "knn": {"index_path": ..., "vector": [...]},
+            "k": 10, "topk": 10, "rrf_k": 60, "reload": false}.
+
+            Runs the BM25 leg against its saved inverted index and the
+            vector leg against its saved PQ index (`k` candidates each —
+            both index caches shared with the single-leg endpoints), then
+            combines with reciprocal-rank fusion (`rrf_fuse`, constant
+            `rrf_k`): rank-based, so the incommensurable BM25 and ADC
+            scales never need calibration.  The two indexes must cover
+            the same document id domain (doc_id == vec_id).  Each result
+            carries its contributing per-leg ranks (null where a leg
+            didn't nominate the doc)."""
+            from noaa_oracle_spark.pipeline.text import bm25_query, rrf_fuse
+
+            body = self._read_json_body()
+            reload_ = bool(body.get("reload"))
+            bm_spec = body.get("bm25")
+            kn_spec = body.get("knn")
+            if not isinstance(bm_spec, dict):
+                raise BadRequest("bm25 (object) is required")
+            if not isinstance(kn_spec, dict):
+                raise BadRequest("knn (object) is required")
+            for spec, label in ((bm_spec, "bm25"), (kn_spec, "knn")):
+                p = spec.get("index_path")
+                if not isinstance(p, str) or not p:
+                    raise BadRequest(f"{label}.index_path (string) is required")
+            terms = bm_spec.get("terms")
+            if (
+                not isinstance(terms, list)
+                or not terms
+                or not all(isinstance(t, str) and t for t in terms)
+            ):
+                raise BadRequest(
+                    "bm25.terms (non-empty string array) is required"
+                )
+            vec = kn_spec.get("vector")
+            if (
+                not isinstance(vec, list)
+                or not vec
+                or not all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in vec
+                )
+            ):
+                raise BadRequest(
+                    "knn.vector (non-empty number array) is required"
+                )
+            params = {}
+            for name, dflt, low in (
+                ("k", 10, 1),
+                ("topk", 10, 1),
+                ("rrf_k", 60, 1),
+            ):
+                v = body.get(name, dflt)
+                if not isinstance(v, int) or isinstance(v, bool) or v < low:
+                    raise BadRequest(f"{name} must be a positive integer")
+                params[name] = v
+            bparams = {}
+            for name, dflt in (("k1", 1.2), ("b", 0.75)):
+                v = bm_spec.get(name, dflt)
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise BadRequest(f"bm25.{name} must be a number")
+                bparams[name] = float(v)
+
+            bidx = get_bm25_index(bm_spec["index_path"], reload=reload_)
+            pidx = get_pq_index(kn_spec["index_path"], reload=reload_)
+            id_col = bidx["manifest"].id_col
+            bm = bm25_query(
+                bidx, terms, k=params["k"], k1=bparams["k1"], b=bparams["b"]
+            ).select(id_col, "rnk")
+            kn = self._pq_neighbors(pidx, vec, params["k"]).select(
+                F.col("n_id").alias(id_col), F.col("rank").alias("rnk")
+            )
+            fused = rrf_fuse(
+                [bm, kn],
+                k=params["rrf_k"],
+                id_col=id_col,
+                rank_col="rnk",
+                topk=params["topk"],
+            )
+            # per-leg provenance ranks on the fused topk (bounded rows)
+            out_rows = sorted(
+                fused.join(
+                    bm.withColumnRenamed("rnk", "bm25_rank"), id_col, "left"
+                )
+                .join(
+                    kn.withColumnRenamed("rnk", "knn_rank"), id_col, "left"
+                )
+                .collect(),
+                key=lambda r: r.rnk,
+            )
+            self._send_json(
+                json.dumps(
+                    {
+                        "topk": params["topk"],
+                        "rrf_k": params["rrf_k"],
+                        "results": [
+                            {
+                                "rank": r.rnk,
+                                "doc_id": r[id_col],
+                                "rrf_score": r.rrf_score,
+                                "bm25_rank": r.bm25_rank,
+                                "knn_rank": r.knn_rank,
+                            }
+                            for r in out_rows
                         ],
                     }
                 ).encode()

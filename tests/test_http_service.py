@@ -673,3 +673,141 @@ def test_search_bm25_serves_saved_index(server, spark, tmp_path_factory):
     ):
         code, msg = _post_error(f"{base}/search/bm25", bad)
         assert code == 400, (bad, code, msg)
+
+
+# ---------------------------------------------------------------------------
+# POST /search/hybrid — RRF fusion of the lexical and vector serve legs
+# ---------------------------------------------------------------------------
+
+
+def test_search_hybrid_fuses_bm25_and_knn(server, spark, tmp_path_factory):
+    """Hybrid serve: build BOTH persisted indexes over one corpus
+    (doc_id == vec_id), query over HTTP, and check the fused ranking
+    equals a direct bm25_query + pq_knn + rrf_fuse composition, with
+    per-leg provenance ranks (null where a leg didn't nominate)."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import (
+        pq_encode,
+        pq_knn,
+        pq_train,
+        save_pq_index,
+    )
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        rrf_fuse,
+        save_bm25_index,
+    )
+
+    base, _ = server
+    texts = {
+        1: "spark window hash join",
+        2: "hash hash hash",
+        3: "window functions rank",
+        4: "totally unrelated prose",
+        5: "spark hash",
+        6: "prose about nothing",
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    rng = np.random.RandomState(31)
+    vecs = {i: rng.randn(8) for i in sorted(texts)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    root = tmp_path_factory.mktemp("hybrid_http")
+    bpath, ppath = str(root / "bm25"), str(root / "pq")
+    save_bm25_index(docs, bpath)
+    books = pq_train(emb, m=4, k=4, iters=1)
+    save_pq_index(books, pq_encode(emb, books), ppath)
+
+    qterms = ["spark", "hash"]
+    qvec = [float(x) for x in vecs[3]]  # vector-near doc 3, lexical-miss
+    k, topk, rrf_k = 3, 4, 60
+
+    # direct composition = expected fusion
+    bm = bm25_query(load_bm25_index(spark, bpath), qterms, k=k).select(
+        "doc_id", "rnk"
+    )
+    from pyspark.sql import functions as F
+
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "vec_id long, embedding array<double>"
+    )
+    kn = pq_knn(
+        qdf,
+        spark.read.parquet(f"{ppath}/codes"),
+        spark.read.parquet(f"{ppath}/codebooks"),
+        k=k,
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("rnk"))
+    want = [
+        (r.rnk, r.doc_id, r.rrf_score)
+        for r in sorted(
+            rrf_fuse([bm, kn], k=rrf_k, topk=topk).collect(),
+            key=lambda r: r.rnk,
+        )
+    ]
+    bm_ranks = {r.doc_id: r.rnk for r in bm.collect()}
+    kn_ranks = {r.doc_id: r.rnk for r in kn.collect()}
+
+    status, out = _post_json(
+        f"{base}/search/hybrid",
+        {
+            "bm25": {"index_path": bpath, "terms": qterms},
+            "knn": {"index_path": ppath, "vector": qvec},
+            "k": k,
+            "topk": topk,
+            "rrf_k": rrf_k,
+        },
+    )
+    assert status == 200
+    assert out["topk"] == topk and out["rrf_k"] == rrf_k
+    got = [(r["rank"], r["doc_id"], r["rrf_score"]) for r in out["results"]]
+    assert got == want
+    assert len(got) == topk
+    for r in out["results"]:
+        assert r["bm25_rank"] == bm_ranks.get(r["doc_id"])
+        assert r["knn_rank"] == kn_ranks.get(r["doc_id"])
+    # both legs actually contributed somewhere in the fused list
+    assert any(r["bm25_rank"] is not None for r in out["results"])
+    assert any(r["knn_rank"] is not None for r in out["results"])
+
+    # validation surface
+    for bad, frag in (
+        ({"knn": {"index_path": ppath, "vector": qvec}}, "bm25"),
+        ({"bm25": {"index_path": bpath, "terms": qterms}}, "knn"),
+        (
+            {
+                "bm25": {"index_path": bpath},
+                "knn": {"index_path": ppath, "vector": qvec},
+            },
+            "terms",
+        ),
+        (
+            {
+                "bm25": {"index_path": bpath, "terms": qterms},
+                "knn": {"index_path": ppath},
+            },
+            "vector",
+        ),
+        (
+            {
+                "bm25": {"index_path": bpath, "terms": qterms},
+                "knn": {"index_path": ppath, "vector": qvec},
+                "topk": 0,
+            },
+            "topk",
+        ),
+        (
+            {
+                "bm25": {"index_path": bpath, "terms": qterms},
+                "knn": {"index_path": ppath, "vector": [1.0]},
+            },
+            "dims",
+        ),
+    ):
+        code, msg = _post_error(f"{base}/search/hybrid", bad)
+        assert code == 400 and frag in msg, (bad, code, msg)

@@ -77,9 +77,13 @@ _GRADE_FIRST = [
     # q74_dormant_customers q75_grouping_sets q76_distribution_windows
     # q87_kmeans_clusters q88_kmeans_centroid_update q89_span_dedup
     # q90_weighted_sample q91_unigram_logprob q92_chunk_documents
-    # q93_source_quota q99_pack_sequences  (32 names; 18 slots remain
-    # for new-gate debuts and oldest-r8 fill — the 28 r8-graded names
-    # only reach the 2-round budget at end of r11.)
+    # q93_source_quota q99_pack_sequences  (32 names), then the 4 r10
+    # debuts staged in PIPELINE_QUERIES_STAGED_R10 (built + oracle-green
+    # at sf0.001/sf0.01 this round, tests/test_staged_r10.py):
+    # q133_hybrid_rrf q134_politeness_schedule q135_crawl_frontier
+    # q136_bm25_merge — 36 names; the remaining 14 slots fill with the
+    # oldest-r8 names (the 28 r8-graded names only reach the 2-round
+    # budget at end of r11, so any 14 of them keep the invariant green).
     "q02_latest_event", "q03_distinct_dim", "q04_pricing_summary",
     "q05_entry_counts", "q06_full_outer_precip", "q09_argmax_dedup",
     "q10_carry_forward", "q11_magnus_humidity", "q13_union_by_name",

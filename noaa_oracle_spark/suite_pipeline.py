@@ -3385,3 +3385,349 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "q131_robots_filter": SQL_Q131,
     "q132_warc_cdx_manifest": SQL_Q132,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged gate debuts.
+#
+# The r9 grading window is full (the 28 r6-stale names + 4 debuts + 18
+# oldest-r7 names), so these CANNOT enter queries() this round — a new name
+# outside the window trips the staleness invariant, and editing a graded
+# name trips the GRADE_HASHES ledger.  They are built, oracle-checked
+# (tests/test_staged_r10.py runs them against DuckDB at sf0.001 and sf0.01)
+# and PROMOTED into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL when the r10
+# window rotates (the exact same staging discipline q129–q132 followed
+# through round 8).  Gate-growth budget: r9 added 4; these 4 keep r9+r10
+# at 8 ≤ the ~22 ceiling (r6 standing order).
+# ---------------------------------------------------------------------------
+
+_BM25_HYBRID_TERMS = ["query", "join", "group"]
+_BM25_MERGE_TERMS = ["merge", "batch", "vector"]
+
+
+def q133_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical BM25 top-20 (pipeline/text.
+    bm25_scores) with the vector cosine top-20 for query vec_id=0
+    (similarity.brute_force_knn) by reciprocal-rank fusion
+    (text.rrf_fuse, k=60) — the full lexical+vector serve path of
+    POST /search/hybrid as one declarative gate query.  Both input
+    rankings are bounded top-k lists, so the fuse is broadcast-sized;
+    nothing after the two retrieval legs touches the corpus."""
+    from noaa_oracle_spark.pipeline.similarity import brute_force_knn
+    from noaa_oracle_spark.pipeline.text import bm25_scores, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_scores(docs, _BM25_HYBRID_TERMS, k=20).select("doc_id", "rnk")
+    vec = brute_force_knn(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("rnk"))
+    return rrf_fuse([lex, vec], k=60, topk=10)
+
+
+# Leg 1: BM25 exactly as SQL_Q129 (Lucene idf, k1=1.2 b=0.75, 6-dp,
+# id tiebreak) for the hybrid terms.  Leg 2: brute cosine of vec_id 0
+# against every other vector, ranked on the 6-dp-rounded value (the
+# SQL_Q20 arithmetic).  Fusion: score(d) = Σ 1/(60 + rank_d) over the
+# lists where d appears (≤2 doubles — IEEE-commutative, engine-stable),
+# rounded 6 dp, doc-id tiebreak, top 10.
+SQL_Q133 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM w
+    WHERE term IN ('group', 'join', 'query') GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+    SELECT doc_id, count(*) AS dl FROM w GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen
+), bscored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dlen USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY 1
+), lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+    FROM bscored ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+), qv AS (
+    SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+), cscored AS (
+    SELECT e.vec_id AS doc_id,
+           round(
+             list_sum(list_transform(range(1, len(qv.q_vec) + 1),
+                      i -> qv.q_vec[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(qv.q_vec,
+                                             x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(e.embedding,
+                                               x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cos_sim
+    FROM qv, embeddings e
+    WHERE e.vec_id != 0
+), vec AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rnk
+    FROM cscored ORDER BY cos_sim DESC, doc_id ASC LIMIT 20
+), fused AS (
+    SELECT doc_id, round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score
+    FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+    GROUP BY 1
+)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q134_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite fetch scheduling (pipeline/web.politeness_waves) over a
+    7-host frontier derived from doc_id, with a crawl-delay dimension
+    that exercises the host-fold hazards: a www/uppercase variant
+    ('WWW.H1.TEST.') that must normalize onto h1.test, and DUPLICATE
+    rows for h2.test that must collapse to ONE dim row (max = most
+    conservative) before the broadcast join — the round-8-advice
+    fan-out bug, stated as a gate.  Hosts without a dim row use the
+    1.0 s default.  One host-keyed exchange; the dim is broadcast."""
+    from noaa_oracle_spark.pipeline.web import politeness_waves
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://h"), (d % 7).cast("string"),
+        F.lit(".test/p/"), d.cast("string"),
+    )
+    frontier = load(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    delays = spark.createDataFrame(
+        [
+            ("h0.test", 2.0),
+            ("WWW.H1.TEST.", 0.5),
+            ("h2.test", 1.5),
+            ("h2.test.", 3.0),
+        ],
+        "host string, delay_s double",
+    )
+    return politeness_waves(frontier, delays=delays).select(
+        "doc_id", "url", "wave", "not_before_s"
+    )
+
+
+# The oracle normalizes the dim by hand (www/case/dot fold onto h1/h2,
+# duplicate h2 rows -> max 3.0) and restates the wave window: 0-based
+# row_number per host ordered by (md5(url), url) — md5 hex strings sort
+# identically in both engines — with not_before_s = wave x delay.
+SQL_Q134 = """
+WITH f AS (
+    SELECT doc_id,
+           'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host
+    FROM documents
+), d AS (
+    SELECT * FROM (VALUES ('h0.test', 2.0), ('h1.test', 0.5),
+                          ('h2.test', 3.0)) AS t(host, delay)
+), w AS (
+    SELECT doc_id, url, host,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY md5(url), url) - 1 AS wave
+    FROM f
+)
+SELECT w.doc_id, w.url, CAST(w.wave AS BIGINT) AS wave,
+       round(CAST(w.wave AS DOUBLE)
+             * CAST(COALESCE(d.delay, 1.0) AS DOUBLE), 6) AS not_before_s
+FROM w LEFT JOIN d ON w.host = d.host
+"""
+
+
+def q135_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of the iterative crawl driver (pipeline/web.
+    crawl_rounds) over a synthetic deterministic link graph: page i
+    (url http://s{i%5}.test/{i}) links to targets i+1 and i+17, the
+    fetcher is the static page table (table_fetcher — URLs the table
+    lacks 404), seeds are pages 0 and 1.  The gate states the loop's
+    invariants as data: rounds are disjoint (global seen anti-join),
+    round N+1 is exactly the unseen out-links of round N's FETCHED
+    pages (links to nonexistent pages enter the frontier and die as
+    404s), and politeness waves restart per round at the 1.0 s default
+    delay.  Link extraction runs the real HTML parser (html_links
+    mapInPandas) over real anchor markup; the oracle expands the
+    same graph arithmetically."""
+    from noaa_oracle_spark.pipeline.web import crawl_rounds, table_fetcher
+
+    def u(c):  # canonical-form URL of page id c (identity under canon)
+        return F.concat(
+            F.lit("http://s"), (c % 5).cast("string"),
+            F.lit(".test/"), c.cast("string"),
+        )
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="'), u(d + 1),
+        F.lit('">next</a> <a href="'), u(d + 17),
+        F.lit('">jump</a></body></html>'),
+    )
+    pages = load(spark, sf_dir, "documents").select(
+        u(d).alias("url"), html.alias("html")
+    )
+    seeds = spark.createDataFrame(
+        [("http://s0.test/0",), ("http://s1.test/1",)], "url string"
+    )
+    return crawl_rounds(seeds, table_fetcher(pages), rounds=2)
+
+
+# Bounded-round closure in plain SQL: fetched_r = frontier_r ∩ pages,
+# links_{r+1} = distinct u(i+1) ∪ u(i+17) over fetched_r, frontier_{r+1}
+# = links minus everything seen, waves restart per (round, host) ordered
+# by (md5(url), url), not_before_s = wave x 1.0.
+SQL_Q135 = """
+WITH pages AS (
+    SELECT 'http://s' || CAST(doc_id % 5 AS VARCHAR) || '.test/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           doc_id AS i
+    FROM documents
+), r0 AS (
+    SELECT * FROM (VALUES ('http://s0.test/0'), ('http://s1.test/1'))
+        AS t(url)
+), f0 AS (
+    SELECT p.i FROM r0 JOIN pages p USING (url)
+), l1 AS (
+    SELECT 'http://s' || CAST((i + 1) % 5 AS VARCHAR) || '.test/'
+               || CAST(i + 1 AS VARCHAR) AS url FROM f0
+    UNION
+    SELECT 'http://s' || CAST((i + 17) % 5 AS VARCHAR) || '.test/'
+               || CAST(i + 17 AS VARCHAR) FROM f0
+), r1 AS (
+    SELECT url FROM l1 WHERE url NOT IN (SELECT url FROM r0)
+), f1 AS (
+    SELECT p.i FROM r1 JOIN pages p USING (url)
+), l2 AS (
+    SELECT 'http://s' || CAST((i + 1) % 5 AS VARCHAR) || '.test/'
+               || CAST(i + 1 AS VARCHAR) AS url FROM f1
+    UNION
+    SELECT 'http://s' || CAST((i + 17) % 5 AS VARCHAR) || '.test/'
+               || CAST(i + 17 AS VARCHAR) FROM f1
+), r2 AS (
+    SELECT url FROM l2
+    WHERE url NOT IN (SELECT url FROM r0)
+      AND url NOT IN (SELECT url FROM r1)
+), allr AS (
+    SELECT url, 0 AS rnd FROM r0
+    UNION ALL SELECT url, 1 FROM r1
+    UNION ALL SELECT url, 2 FROM r2
+), hosted AS (
+    SELECT url, rnd,
+           split_part(split_part(url, '://', 2), '/', 1) AS host
+    FROM allr
+), w AS (
+    SELECT url, rnd,
+           row_number() OVER (PARTITION BY rnd, host
+                              ORDER BY md5(url), url) - 1 AS wave
+    FROM hosted
+)
+SELECT url, CAST(rnd AS INTEGER) AS round, CAST(wave AS BIGINT) AS wave,
+       CAST(wave AS DOUBLE) AS not_before_s
+FROM w
+"""
+
+
+def q136_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth: split the corpus by doc_id parity,
+    build a persisted BM25 index per shard (text.save_bm25_index),
+    merge them (merge_bm25_indexes — disjointness-checked union, no
+    re-tokenization of old shards), and serve a top-10 query off the
+    MERGED index (bm25_query).  The oracle scores the same query over
+    the whole corpus directly, so the gate pins the merge contract:
+    merged-index scores are exactly the scores of one index built over
+    the concatenated corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        merge_bm25_indexes,
+        save_bm25_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "noaa_bm25_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    save_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), f"{base}/even")
+    save_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), f"{base}/odd")
+    merge_bm25_indexes(
+        spark, [f"{base}/even", f"{base}/odd"], f"{base}/merged"
+    )
+    return bm25_query(
+        load_bm25_index(spark, f"{base}/merged"), _BM25_MERGE_TERMS, k=10
+    )
+
+
+# Scoring over the FULL corpus with the q129 arithmetic — the merged
+# index must reproduce it exactly (same idf/saturation/6-dp/tiebreak).
+SQL_Q136 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM w
+    WHERE term IN ('batch', 'merge', 'vector') GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+    SELECT doc_id, count(*) AS dl FROM w GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen
+), scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dlen USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY 1
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+#: Staged r10 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
+#: when the r10 window rotates; tests/test_staged_r10.py oracle-checks
+#: them every round until then.
+PIPELINE_QUERIES_STAGED_R10: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {
+    "q133_hybrid_rrf": q133_hybrid_rrf,
+    "q134_politeness_schedule": q134_politeness_schedule,
+    "q135_crawl_frontier": q135_crawl_frontier,
+    "q136_bm25_merge": q136_bm25_merge,
+}
+
+PIPELINE_ORACLE_SQL_STAGED_R10: dict[str, str] = {
+    "q133_hybrid_rrf": SQL_Q133,
+    "q134_politeness_schedule": SQL_Q134,
+    "q135_crawl_frontier": SQL_Q135,
+    "q136_bm25_merge": SQL_Q136,
+}

@@ -1283,3 +1283,83 @@ def load_pq_index(spark, path: str) -> "dict":
         # self-pair-filter correctness); None for an empty index
         "min_vec_id": None if stats["lo"] is None else int(stats["lo"]),
     }
+
+
+def append_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    check_disjoint: bool = True,
+) -> int:
+    """Grow a persisted PQ index incrementally: encode `new_vectors`
+    with the index's FROZEN codebooks and append the codes — the vector
+    sibling of `merge_bm25_indexes` (same contract: growing the corpus
+    must not re-pay work over the old shards).  At 100 TB this is the
+    only affordable index-maintenance path: appending a day's shard
+    costs one encode pass over THAT shard (codebooks broadcast to the
+    kernel, zero joins), never a re-encode of the corpus; the standard
+    IVF-PQ production discipline (retrain codebooks only when the
+    distribution drifts, which is a new index, not an append).
+
+    The append is file-level (`mode("append")` under `path/codes`):
+    existing code files are never rewritten, so concurrent READERS of
+    the index stay consistent, and the manifest — rewritten LAST with
+    the updated row count — keeps the crash-consistency contract:
+    an append that dies between codes and manifest leaves a count
+    mismatch that `load_pq_index` rejects loudly.
+
+    `check_disjoint` (default on) fails loudly when a new id already
+    exists in the index — a duplicate id would return twice from every
+    search.  The check is ONE left-semi hash join on the id key (at
+    cluster scale: bucket the codes table by id hash and this is a
+    co-located probe; a bloom filter on existing ids is the cheap
+    pre-filter, the join stays the correctness backstop).
+
+    Returns the number of rows appended."""
+    idx = load_pq_index(spark, path)  # full validation BEFORE any write
+    meta = idx["manifest"]
+    id_col = [c for c in idx["codes"].columns if c != "codes"][0]
+    if id_col not in new_vectors.columns:
+        raise ValueError(
+            f"append_pq_index: new vectors lack the index id column "
+            f"{id_col!r} (columns: {new_vectors.columns})"
+        )
+    dim = _dim_of(new_vectors, vec_col)
+    if dim != meta.dim:
+        raise ValueError(
+            f"append_pq_index: vector dim {dim} != index dim {meta.dim}"
+        )
+    if check_disjoint:
+        n_overlap = (
+            idx["codes"]
+            .join(new_vectors.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if n_overlap:
+            raise ValueError(
+                f"append_pq_index: {n_overlap} new ids already exist in "
+                f"the index at {path} — ids must be disjoint"
+            )
+    enc = pq_encode(
+        new_vectors, idx["codebooks"], id_col=id_col, vec_col=vec_col
+    )
+    enc.write.mode("append").parquet(f"{path}/codes")
+    n_total = spark.read.parquet(f"{path}/codes").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                int(meta.m),
+                int(meta.n_codes),
+                int(meta.dim),
+                meta.metric,
+                bool(meta.has_cells),
+                meta.codebook_md5,
+                int(n_total),
+            )
+        ],
+        _PQ_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    return int(n_total - meta.n_encoded)

@@ -106,3 +106,66 @@ def test_pq_index_codes_count_validation(spark, emb, tmp_path):
     enc.limit(10).write.mode("overwrite").parquet(f"{path}/codes")
     with pytest.raises(ValueError, match="encoded rows"):
         load_pq_index(spark, path)
+
+
+def test_append_pq_index_equals_full_encode(spark, emb, tmp_path):
+    """Index over the first 200 vectors + append of the last 100 must
+    search identically to an index encoded over all 300 with the same
+    codebooks (encode is deterministic per row — frozen books)."""
+    from noaa_oracle_spark.pipeline.pq import append_pq_index
+
+    books = pq_train(emb.filter(F.col("vec_id") < 200), m=4, k=8, iters=1)
+    base = emb.filter(F.col("vec_id") < 200)
+    extra = emb.filter(F.col("vec_id") >= 200)
+    path = str(tmp_path / "grow")
+    save_pq_index(books, pq_encode(base, books), path)
+
+    n_added = append_pq_index(spark, path, extra)
+    assert n_added == 100
+
+    idx = load_pq_index(spark, path)
+    assert idx["manifest"].n_encoded == 300
+    q = emb.filter(F.col("vec_id") < 5)
+    grown = sorted(
+        map(tuple, pq_knn(q, idx["codes"], idx["codebooks"], k=3).collect())
+    )
+    full = sorted(
+        map(tuple, pq_knn(q, pq_encode(emb, books), books, k=3).collect())
+    )
+    assert grown == full
+
+
+def test_append_pq_index_rejects_overlap_and_dim(spark, emb, tmp_path):
+    from noaa_oracle_spark.pipeline.pq import append_pq_index
+
+    books = pq_train(emb, m=4, k=8, iters=1)
+    path = str(tmp_path / "dup")
+    save_pq_index(books, pq_encode(emb, books), path)
+    with pytest.raises(ValueError, match="disjoint"):
+        append_pq_index(spark, path, emb.filter(F.col("vec_id") < 10))
+    wrong_dim = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.slice(F.col("embedding"), 1, 8).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_pq_index(spark, path, wrong_dim)
+    bad_id = emb.select(
+        (F.col("vec_id") + 1000).alias("other_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="id column"):
+        append_pq_index(spark, path, bad_id)
+
+
+def test_append_pq_index_torn_append_fails_loudly(spark, emb, tmp_path):
+    """Codes appended but manifest not rewritten (the crash window) →
+    load_pq_index must reject the directory, not serve a half-index."""
+    books = pq_train(emb, m=4, k=8, iters=1)
+    base = emb.filter(F.col("vec_id") < 200)
+    path = str(tmp_path / "torn")
+    save_pq_index(books, pq_encode(base, books), path)
+    # simulate the torn append: new codes land, manifest write dies
+    pq_encode(
+        emb.filter(F.col("vec_id") >= 200), books
+    ).write.mode("append").parquet(f"{path}/codes")
+    with pytest.raises(ValueError, match="encoded rows"):
+        load_pq_index(spark, path)

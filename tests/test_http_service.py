@@ -811,3 +811,58 @@ def test_search_hybrid_fuses_bm25_and_knn(server, spark, tmp_path_factory):
     ):
         code, msg = _post_error(f"{base}/search/hybrid", bad)
         assert code == 400 and frag in msg, (bad, code, msg)
+
+
+def test_search_knn_append_then_reload_serves_grown_index(
+    server, spark, tmp_path_factory
+):
+    """The incremental-index serve loop: save -> serve -> append_pq_index
+    -> serve with reload=true.  The cached index keeps answering with the
+    OLD corpus until the caller asks for a reload (stable-snapshot serving
+    — an append never yanks an index out from under in-flight queries),
+    and the reload surfaces both the new n_encoded and a new vector as
+    its own top neighbor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        append_pq_index,
+        pq_encode,
+        pq_train,
+        save_pq_index,
+    )
+
+    base, _ = server
+    rng = np.random.RandomState(37)
+    vecs = rng.randn(120, 8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb.filter(F.col("vec_id") < 100), m=4, k=8, iters=1)
+    path = str(tmp_path_factory.mktemp("pq_http_grow") / "idx")
+    save_pq_index(
+        books, pq_encode(emb.filter(F.col("vec_id") < 100), books), path
+    )
+
+    new_vec = [float(x) for x in vecs[110]]
+    status, out = _post_json(
+        f"{base}/search/knn", {"index_path": path, "vector": new_vec, "k": 1}
+    )
+    assert status == 200 and out["n_encoded"] == 100
+
+    n = append_pq_index(spark, path, emb.filter(F.col("vec_id") >= 100))
+    assert n == 20
+
+    # without reload: the cached snapshot still serves the old corpus
+    status, out = _post_json(
+        f"{base}/search/knn", {"index_path": path, "vector": new_vec, "k": 1}
+    )
+    assert status == 200 and out["n_encoded"] == 100
+
+    status, out = _post_json(
+        f"{base}/search/knn",
+        {"index_path": path, "vector": new_vec, "k": 1, "reload": True},
+    )
+    assert status == 200 and out["n_encoded"] == 120
+    assert out["neighbors"][0]["vec_id"] == 110

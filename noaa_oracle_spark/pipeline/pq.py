@@ -1363,3 +1363,92 @@ def append_pq_index(
     )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
     return int(n_total - meta.n_encoded)
+
+
+def merge_pq_indexes(
+    spark,
+    paths: "list[str]",
+    out_path: str,
+    check_disjoint: bool = True,
+) -> None:
+    """Merge N persisted PQ indexes that were encoded INDEPENDENTLY with
+    the SAME frozen codebooks into one index at `out_path` — the
+    parallel-shard complement of `append_pq_index` (append grows one
+    index serially; merge combines shard indexes produced by concurrent
+    encode jobs, each of which ran `save_pq_index` over its own slice).
+    Because ADC distances depend only on (codes, codebooks), codes from
+    same-codebook indexes union without any arithmetic; the codebook
+    fingerprint in each manifest is the compatibility proof — indexes
+    trained separately (different md5) refuse to merge, since their
+    codes are meaningless against each other's centroids.
+
+    IVF indexes (has_cells) are refused: per-shard coarse cells are
+    shard-local samples, and a union of codes against any one shard's
+    cells silently mis-routes probes — re-run the coarse assignment
+    against shared cells instead (or grow with `append_pq_index`,
+    which keeps the original index's cells).
+
+    `check_disjoint` mirrors merge_bm25_indexes: a duplicate id would
+    surface twice from every search; the check is one distinct-count
+    over the unioned id column."""
+    if len(paths) < 2:
+        raise ValueError("merge_pq_indexes: need at least two indexes")
+    idxs = [load_pq_index(spark, p) for p in paths]
+    metas = [i["manifest"] for i in idxs]
+    geom = {
+        (m.m, m.n_codes, m.dim, m.metric, m.codebook_md5) for m in metas
+    }
+    if len(geom) != 1:
+        raise ValueError(
+            "merge_pq_indexes: indexes differ in geometry/metric/"
+            f"codebooks — {sorted(geom)}; only same-codebook shard "
+            "indexes can merge"
+        )
+    if any(m.has_cells for m in metas):
+        raise ValueError(
+            "merge_pq_indexes: IVF indexes (has_cells) cannot merge — "
+            "per-shard coarse cells are incompatible; re-assign against "
+            "shared cells or grow with append_pq_index"
+        )
+    id_cols = {
+        c for i in idxs for c in i["codes"].columns if c != "codes"
+    }
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"merge_pq_indexes: mixed id columns {sorted(id_cols)}"
+        )
+    id_col = id_cols.pop()
+    codes = idxs[0]["codes"]
+    for i in idxs[1:]:
+        codes = codes.unionByName(i["codes"])
+    if check_disjoint:
+        n_total = sum(int(m.n_encoded) for m in metas)
+        n_distinct = codes.select(id_col).distinct().count()
+        if n_distinct != n_total:
+            raise ValueError(
+                "merge_pq_indexes: document sets overlap "
+                f"({n_total - n_distinct} shared ids) — shards must be "
+                "disjoint"
+            )
+    meta = metas[0]
+    idxs[0]["codebooks"].write.mode("overwrite").parquet(
+        f"{out_path}/codebooks"
+    )
+    codes.write.mode("overwrite").parquet(f"{out_path}/codes")
+    n_encoded = spark.read.parquet(f"{out_path}/codes").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                int(meta.m),
+                int(meta.n_codes),
+                int(meta.dim),
+                meta.metric,
+                False,
+                meta.codebook_md5,
+                int(n_encoded),
+            )
+        ],
+        _PQ_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{out_path}/manifest")

@@ -169,3 +169,71 @@ def test_append_pq_index_torn_append_fails_loudly(spark, emb, tmp_path):
     ).write.mode("append").parquet(f"{path}/codes")
     with pytest.raises(ValueError, match="encoded rows"):
         load_pq_index(spark, path)
+
+
+def test_merge_pq_indexes_equals_single_index(spark, emb, tmp_path):
+    """Three shard indexes encoded independently with the SAME codebooks
+    merge into an index that searches identically to one built over the
+    whole corpus; different-codebook or IVF shards refuse."""
+    from noaa_oracle_spark.pipeline.pq import merge_pq_indexes
+
+    books = pq_train(emb, m=4, k=8, iters=1)
+    shards = [
+        emb.filter(F.col("vec_id") % 3 == r) for r in range(3)
+    ]
+    paths = [str(tmp_path / f"shard{r}") for r in range(3)]
+    for df, p in zip(shards, paths):
+        save_pq_index(books, pq_encode(df, books), p)
+
+    merged = str(tmp_path / "merged")
+    merge_pq_indexes(spark, paths, merged)
+    idx = load_pq_index(spark, merged)
+    assert idx["manifest"].n_encoded == 300 and idx["cells"] is None
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        map(tuple, pq_knn(q, idx["codes"], idx["codebooks"], k=3).collect())
+    )
+    want = sorted(
+        map(tuple, pq_knn(q, pq_encode(emb, books), books, k=3).collect())
+    )
+    assert got == want
+
+
+def test_merge_pq_indexes_validation(spark, emb, tmp_path):
+    from noaa_oracle_spark.pipeline.pq import merge_pq_indexes
+
+    books = pq_train(emb, m=4, k=8, iters=1)
+    a = str(tmp_path / "a")
+    save_pq_index(books, pq_encode(emb.filter(F.col("vec_id") < 100), books), a)
+
+    with pytest.raises(ValueError, match="at least two"):
+        merge_pq_indexes(spark, [a], str(tmp_path / "out0"))
+
+    # overlapping ids refuse
+    b = str(tmp_path / "b")
+    save_pq_index(
+        books, pq_encode(emb.filter(F.col("vec_id") < 50), books), b
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        merge_pq_indexes(spark, [a, b], str(tmp_path / "out1"))
+
+    # different codebooks refuse
+    books2 = pq_train(emb, m=4, k=8, iters=2)
+    c = str(tmp_path / "c")
+    save_pq_index(
+        books2, pq_encode(emb.filter(F.col("vec_id") >= 100), books2), c
+    )
+    with pytest.raises(ValueError, match="same-codebook"):
+        merge_pq_indexes(spark, [a, c], str(tmp_path / "out2"))
+
+    # IVF shards refuse
+    d = str(tmp_path / "d")
+    save_pq_index(
+        books,
+        pq_encode(emb.filter(F.col("vec_id") >= 100), books),
+        d,
+        cells=emb.filter(F.col("vec_id") < 8),
+    )
+    with pytest.raises(ValueError, match="IVF"):
+        merge_pq_indexes(spark, [a, d], str(tmp_path / "out3"))

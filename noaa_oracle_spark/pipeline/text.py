@@ -1540,6 +1540,51 @@ _BM25_MANIFEST_SCHEMA = (
 )
 
 
+def _bm25_tf_dlen(
+    docs: DataFrame, text_col: str, id_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """The index-build tokenize pass shared by `save_bm25_index` and
+    `append_bm25_index` — ONE definition so a grown index is
+    expression-identical to a fresh one: (doc, term, tf) postings and
+    (doc, dl) document lengths."""
+    words = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return tf, dlen
+
+
+def _bm25_finalize_manifest(spark, path: str, id_col: str) -> "tuple[int, int]":
+    """Recompute the corpus stats from the on-disk components and write
+    the 1-row manifest LAST — the shared crash-consistency tail of
+    save / merge / append: any writer that dies before this point
+    leaves a manifest whose postings count no longer matches, and
+    `load_bm25_index` rejects the directory loudly.  Returns
+    (n_docs, n_postings)."""
+    stats = (
+        spark.read.parquet(f"{path}/doclens")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_postings = spark.read.parquet(f"{path}/postings").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                int(stats["n_docs"]),
+                float(stats["avgdl"]),
+                int(n_postings),
+                id_col,
+            )
+        ],
+        _BM25_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    return int(stats["n_docs"]), int(n_postings)
+
+
 def save_bm25_index(
     docs: DataFrame,
     path: str,
@@ -1568,38 +1613,82 @@ def save_bm25_index(
     Layout: path/postings (term, <id_col>, tf), path/doclens
     (<id_col>, dl), path/manifest."""
     spark = docs.sparkSession
-    words = spread(docs).select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf, dlen = _bm25_tf_dlen(docs, text_col, id_col)
     (
         tf.repartition(F.col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
-    dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     dlen.write.mode("overwrite").parquet(f"{path}/doclens")
-    stats = (
-        spark.read.parquet(f"{path}/doclens")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
-    )
-    n_postings = spark.read.parquet(f"{path}/postings").count()
-    manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                int(stats["n_docs"]),
-                float(stats["avgdl"]),
-                int(n_postings),
-                id_col,
+    _bm25_finalize_manifest(spark, path, id_col)
+
+
+def append_bm25_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    check_disjoint: bool = True,
+) -> int:
+    """Grow a persisted BM25 index incrementally: tokenize only the NEW
+    documents (the shared `_bm25_tf_dlen` pass, so grown == fresh by
+    expression identity) and file-level-append their postings and
+    doclens — `append_pq_index`'s lexical twin, and the cheap inner
+    loop `merge_bm25_indexes` is the compactor for.  Old shards are
+    never re-tokenized or rewritten; concurrent readers keep a stable
+    snapshot; the manifest — corpus stats recomputed over the merged
+    doclens, postings recounted — is rewritten LAST, so an append that
+    dies mid-way leaves a count mismatch `load_bm25_index` rejects.
+
+    BM25 scores off a grown index are exactly the scores of an index
+    built over the concatenated corpus: tf/dl are per-document (append
+    never changes old rows), df re-derives from the postings at query
+    time, and N/avgdl come from the recomputed manifest.
+
+    Appended postings files are term-sorted within themselves, so
+    per-file row-group pruning still holds; after MANY small appends
+    each term's postings spread across files — compact by merging the
+    index into a fresh directory (`merge_bm25_indexes`, or re-save).
+
+    `check_disjoint` (default on): a doc id present twice would double-
+    count its length in avgdl and its tf rows in scoring; one left-semi
+    join on the id key against the existing doclens.  Returns the
+    number of documents appended."""
+    idx = load_bm25_index(spark, path)  # full validation BEFORE any write
+    meta = idx["manifest"]
+    if meta.id_col != id_col:
+        raise ValueError(
+            f"append_bm25_index: index id column {meta.id_col!r} != "
+            f"{id_col!r}"
+        )
+    if id_col not in new_docs.columns or text_col not in new_docs.columns:
+        raise ValueError(
+            f"append_bm25_index: new docs need columns ({id_col!r}, "
+            f"{text_col!r}); got {new_docs.columns}"
+        )
+    if check_disjoint:
+        n_overlap = (
+            idx["doclens"]
+            .join(new_docs.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if n_overlap:
+            raise ValueError(
+                f"append_bm25_index: {n_overlap} new ids already exist "
+                f"in the index at {path} — ids must be disjoint"
             )
-        ],
-        _BM25_MANIFEST_SCHEMA,
+    tf, dlen = _bm25_tf_dlen(new_docs, text_col, id_col)
+    (
+        tf.repartition(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .parquet(f"{path}/postings")
     )
-    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+    dlen.write.mode("append").parquet(f"{path}/doclens")
+    n_docs, _ = _bm25_finalize_manifest(spark, path, id_col)
+    return n_docs - int(meta.n_docs)
 
 
 def load_bm25_index(spark, path: str) -> "dict":
@@ -1759,22 +1848,4 @@ def merge_bm25_indexes(
         .parquet(f"{out_path}/postings")
     )
     doclens.write.mode("overwrite").parquet(f"{out_path}/doclens")
-    stats = (
-        spark.read.parquet(f"{out_path}/doclens")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
-    )
-    n_postings = spark.read.parquet(f"{out_path}/postings").count()
-    manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                int(stats["n_docs"]),
-                float(stats["avgdl"]),
-                int(n_postings),
-                id_col,
-            )
-        ],
-        _BM25_MANIFEST_SCHEMA,
-    )
-    manifest.write.mode("overwrite").parquet(f"{out_path}/manifest")
+    _bm25_finalize_manifest(spark, out_path, id_col)

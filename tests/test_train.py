@@ -429,3 +429,64 @@ def test_merge_bm25_indexes_equals_full_rebuild(spark, tmp_path):
         merge_bm25_indexes(spark, [pa_, pa_], str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="at least two"):
         merge_bm25_indexes(spark, [pa_], str(tmp_path / "bad2"))
+
+
+def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
+    """Two sequential appends onto a saved shard must serve exactly the
+    index built over the concatenated corpus (the streaming-ingest
+    inner loop: one append per arriving batch); duplicate ids, wrong
+    id column, and a torn append all fail loudly."""
+    from noaa_oracle_spark.pipeline.text import (
+        append_bm25_index,
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    batches = [
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        [(3, "apple date egg"), (4, "cherry cherry apple banana")],
+        [(5, "egg fig apple"), (6, "")],
+    ]
+    frames = [
+        spark.createDataFrame(b, "doc_id long, text string")
+        for b in batches
+    ]
+    grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+    save_bm25_index(frames[0], grown)
+    assert append_bm25_index(spark, grown, frames[1]) == 2
+    # doc 6 is empty: it tokenizes to zero terms, so n_docs grows by 1
+    assert append_bm25_index(spark, grown, frames[2]) == 1
+
+    save_bm25_index(frames[0].union(frames[1]).union(frames[2]), full)
+    g, f = load_bm25_index(spark, grown), load_bm25_index(spark, full)
+    assert (
+        g["manifest"].n_docs, g["manifest"].avgdl, g["manifest"].n_postings
+    ) == (
+        f["manifest"].n_docs, f["manifest"].avgdl, f["manifest"].n_postings
+    )
+    for terms in (["apple"], ["banana", "cherry"], ["egg", "fig"]):
+        got = [tuple(r) for r in bm25_query(g, terms, k=10).collect()]
+        want = [tuple(r) for r in bm25_query(f, terms, k=10).collect()]
+        assert got == want, terms
+
+    # at-least-once replay of an already-appended batch must refuse
+    with pytest.raises(ValueError, match="disjoint"):
+        append_bm25_index(spark, grown, frames[1])
+    with pytest.raises(ValueError, match="id column"):
+        append_bm25_index(
+            spark, grown,
+            frames[1].withColumnRenamed("doc_id", "other"),
+            id_col="other",
+        )
+
+    # torn append: postings land, manifest write dies → load refuses
+    from noaa_oracle_spark.pipeline.text import _bm25_tf_dlen
+
+    tf, _ = _bm25_tf_dlen(
+        spark.createDataFrame([(9, "zzz yyy")], "doc_id long, text string"),
+        "text", "doc_id",
+    )
+    tf.write.mode("append").parquet(f"{grown}/postings")
+    with pytest.raises(ValueError, match="torn or partial"):
+        load_bm25_index(spark, grown)

@@ -1,6 +1,8 @@
 from noaa_oracle_spark.streaming.corpus import (
     band_verdicts,
+    bm25_index_sink,
     stream_documents,
+    streaming_bm25_index,
     streaming_exact_dedup,
     streaming_minhash_dedup,
 )
@@ -14,7 +16,9 @@ from noaa_oracle_spark.streaming.snapshots import (
 
 __all__ = [
     "band_verdicts",
+    "bm25_index_sink",
     "stream_documents",
+    "streaming_bm25_index",
     "streaming_minhash_dedup",
     "stream_snapshots",
     "streaming_daily_observations",

@@ -270,3 +270,88 @@ def streaming_exact_dedup(
             ["text_hash"]
         )
     return keyed.dropDuplicates(["text_hash"])
+
+
+def bm25_index_sink(
+    path: str, text_col: str = "text", id_col: str = "doc_id"
+):
+    """foreachBatch sink maintaining a persisted BM25 index from a
+    document stream: first batch saves the index, every later batch
+    file-level-appends (`text.append_bm25_index` — old shards never
+    re-tokenized).  Returned as a standalone closure so replay
+    semantics are unit-testable without a streaming harness.
+
+    At-least-once discipline (foreachBatch's contract): a REPLAYED
+    batch whose indexable ids are all already present is skipped
+    silently (the crash-after-commit case); a PARTIAL overlap raises —
+    it means the previous attempt died between the postings append and
+    the manifest rewrite, and the index directory needs the torn-append
+    recovery (re-save or merge-compact), not a blind retry that would
+    double-count the survivors.  Ids that tokenize to zero terms never
+    enter the index, so containment is checked against the batch's
+    INDEXABLE ids, not its row count."""
+    from noaa_oracle_spark.pipeline.text import (
+        _bm25_tf_dlen,
+        append_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.select(id_col, text_col)
+        try:
+            idx = load_bm25_index(spark, path)
+        except Exception:
+            # no index yet (or unreadable dir → save_bm25_index's
+            # overwrite repairs a half-written FIRST save)
+            save_bm25_index(new, path, text_col=text_col, id_col=id_col)
+            return
+        _, dlen = _bm25_tf_dlen(new, text_col, id_col)
+        n_indexable = dlen.count()
+        if n_indexable == 0:
+            return
+        n_seen = (
+            idx["doclens"]
+            .join(dlen.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if n_seen == n_indexable:
+            return  # completed batch replayed after a post-commit crash
+        if n_seen:
+            raise ValueError(
+                f"bm25_index_sink: batch {batch_id} partially present "
+                f"({n_seen}/{n_indexable} ids) — torn append at {path}; "
+                "recover by re-saving or merge-compacting the index"
+            )
+        append_bm25_index(
+            spark, path, new,
+            text_col=text_col, id_col=id_col, check_disjoint=False,
+        )
+
+    return _sink
+
+
+def streaming_bm25_index(
+    docs: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Maintain a persisted BM25 index from a document STREAM — the
+    retrieval tier's ingest loop: `stream_documents` (or any streaming
+    frame) → one `append_bm25_index` per microbatch via foreachBatch.
+    Serving composes: POST /search/bm25 with reload=true picks up the
+    grown index between queries (the stable-snapshot contract — an
+    in-flight query never sees a half-appended index because the
+    manifest is rewritten last and loads are validated).
+
+    Returns the started StreamingQuery."""
+    return (
+        docs.writeStream.foreachBatch(
+            bm25_index_sink(path, text_col=text_col, id_col=id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -234,3 +234,111 @@ def test_streaming_quality_gated_dedup_pipeline(spark, tmp_path):
     # 2/4 fail the gate; 3 is an exact dup of the surviving 1; 5 differs
     assert set(got) == {1, 5}
     assert all(s >= 60 for s in got.values())
+
+
+def test_streaming_bm25_index_equals_batch_build(spark, tmp_path):
+    """Two microbatches of arriving documents maintain a persisted BM25
+    index (save on first, file-level append after) that serves exactly
+    the index built over the union in one batch pass — the retrieval
+    tier's streaming-ingest twin."""
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from noaa_oracle_spark.streaming import (
+        stream_documents,
+        streaming_bm25_index,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(
+        spark, src, "b1",
+        [(1, "apple banana apple", 0), (2, "banana cherry", 1)],
+    )
+    idx_path = str(tmp_path / "sidx")
+    q = streaming_bm25_index(
+        stream_documents(spark, src), idx_path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            spark, src, "b2",
+            [(3, "apple date egg", 5), (4, "cherry cherry apple", 6)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full_docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"), (2, "banana cherry"),
+            (3, "apple date egg"), (4, "cherry cherry apple"),
+        ],
+        "doc_id long, text string",
+    )
+    full_path = str(tmp_path / "fidx")
+    save_bm25_index(full_docs, full_path)
+    g = load_bm25_index(spark, idx_path)
+    f = load_bm25_index(spark, full_path)
+    assert (
+        g["manifest"].n_docs, g["manifest"].avgdl, g["manifest"].n_postings
+    ) == (
+        f["manifest"].n_docs, f["manifest"].avgdl, f["manifest"].n_postings
+    )
+    for terms in (["apple"], ["cherry", "date"]):
+        got = [tuple(r) for r in bm25_query(g, terms, k=10).collect()]
+        want = [tuple(r) for r in bm25_query(f, terms, k=10).collect()]
+        assert got == want, terms
+
+
+def test_bm25_index_sink_replay_semantics(spark, tmp_path):
+    """At-least-once discipline, unit-tested on the bare sink closure:
+    a fully-applied batch replayed after a crash is skipped (scores
+    unchanged), an empty batch no-ops, and a PARTIALLY-present batch
+    raises instead of double-counting the survivors."""
+    import pytest as _pytest
+
+    from noaa_oracle_spark.pipeline.text import (
+        append_bm25_index,
+        bm25_query,
+        load_bm25_index,
+    )
+    from noaa_oracle_spark.streaming import bm25_index_sink
+
+    path = str(tmp_path / "ridx")
+    sink = bm25_index_sink(path)
+    b1 = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "apple date"), (4, "")], "doc_id long, text string"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    before = [
+        tuple(r)
+        for r in bm25_query(
+            load_bm25_index(spark, path), ["apple"], k=10
+        ).collect()
+    ]
+
+    sink(b2, 1)  # full replay: skipped
+    sink(b2.limit(0), 2)  # empty batch: no-op
+    after = [
+        tuple(r)
+        for r in bm25_query(
+            load_bm25_index(spark, path), ["apple"], k=10
+        ).collect()
+    ]
+    assert after == before
+    assert load_bm25_index(spark, path)["manifest"].n_docs == 3
+
+    # partial overlap (doc 3 present, doc 9 new) must refuse loudly
+    partial = spark.createDataFrame(
+        [(3, "apple date"), (9, "fig grape")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="partially present"):
+        sink(partial, 3)

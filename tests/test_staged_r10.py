@@ -55,3 +55,25 @@ def test_staged_matches_oracle(spark, name, sf_dir):
         (i, a, b) for i, (a, b) in enumerate(zip(ns, nd)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(PIPELINE_QUERIES_STAGED_R10))
+def test_staged_plan_audit(spark, name):
+    """The whole-suite physical-plan invariants (test_plan_audit) applied
+    to the staged debuts BEFORE promotion — a staged gate must never
+    rotate in carrying a plan shape the audit would flag."""
+    from test_plan_audit import (
+        FORBIDDEN,
+        _unbounded_global_windows,
+    )
+
+    df = PIPELINE_QUERIES_STAGED_R10[name](spark, "/root/testdata/sf0.001")
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    hits = [op for op in FORBIDDEN if op in plan]
+    assert not hits, f"{name}: forbidden physical operators {hits}"
+    windows = _unbounded_global_windows(qe.executedPlan())
+    assert not windows, (
+        f"{name}: empty-partition WindowExec over unbounded input: "
+        f"{windows}"
+    )

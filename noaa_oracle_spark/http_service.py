@@ -707,15 +707,23 @@ def make_handler(
             k = body.get("k", 5)
             if not isinstance(k, int) or isinstance(k, bool) or k < 1:
                 raise BadRequest("k must be a positive integer")
+            nprobe = body.get("nprobe")
+            if nprobe is not None and (
+                not isinstance(nprobe, int)
+                or isinstance(nprobe, bool)
+                or nprobe < 1
+            ):
+                raise BadRequest("nprobe must be a positive integer")
             idx = get_pq_index(index_path, reload=bool(body.get("reload")))
             rows = sorted(
-                self._pq_neighbors(idx, vec, k).collect(),
+                self._pq_neighbors(idx, vec, k, nprobe=nprobe).collect(),
                 key=lambda r: r.rank,
             )
             self._send_json(
                 json.dumps(
                     {
                         "k": k,
+                        "nprobe": nprobe,
                         "metric": idx["manifest"].metric,
                         "n_encoded": int(idx["manifest"].n_encoded),
                         "neighbors": [
@@ -730,21 +738,33 @@ def make_handler(
                 ).encode()
             )
 
-        def _pq_neighbors(self, idx: dict, vec: list, k: int):
+        def _pq_neighbors(self, idx: dict, vec: list, k: int, nprobe=None):
             """ADC top-k against a loaded PQ index for one query vector —
             shared by /search/knn and the vector leg of /search/hybrid.
-            Validates dimensionality and keeps the sentinel query id
-            OUTSIDE the corpus id domain (pq_knn's self-pair filter
-            q_id != n_id would otherwise drop the matching corpus
-            vector); one below the index's smallest encoded id is
-            outside by construction."""
-            from noaa_oracle_spark.pipeline.pq import pq_knn
+            With `nprobe` set and a cell-partitioned index
+            (save_ivfpq_index), serves via `ivfpq_query`: only the
+            probed cells' code PARTITIONS are listed and scanned —
+            per-query cost nprobe/n_cells of the index.  Otherwise flat
+            ADC over every code row.  Validates dimensionality and keeps
+            the sentinel query id OUTSIDE the corpus id domain (pq_knn's
+            self-pair filter q_id != n_id would otherwise drop the
+            matching corpus vector); one below the index's smallest
+            encoded id is outside by construction."""
+            from noaa_oracle_spark.pipeline.pq import ivfpq_query, pq_knn
 
             dim = int(idx["manifest"].dim)
             if len(vec) != dim:
                 raise BadRequest(
                     f"vector has {len(vec)} dims, index expects {dim}"
                 )
+            if nprobe is not None:
+                try:
+                    pruned = ivfpq_query(
+                        idx, [float(x) for x in vec], k=k, nprobe=nprobe
+                    )
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                return pruned
             lo = idx.get("min_vec_id")
             sentinel = min(-1, (lo - 1) if lo is not None else -1)
             queries = spark.createDataFrame(

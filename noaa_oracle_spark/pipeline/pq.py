@@ -1319,7 +1319,11 @@ def append_pq_index(
     Returns the number of rows appended."""
     idx = load_pq_index(spark, path)  # full validation BEFORE any write
     meta = idx["manifest"]
-    id_col = [c for c in idx["codes"].columns if c != "codes"][0]
+    celled = "cluster_id" in idx["codes"].columns
+    id_col = [
+        c for c in idx["codes"].columns
+        if c not in ("codes", "cluster_id")
+    ][0]
     if id_col not in new_vectors.columns:
         raise ValueError(
             f"append_pq_index: new vectors lack the index id column "
@@ -1344,7 +1348,34 @@ def append_pq_index(
     enc = pq_encode(
         new_vectors, idx["codebooks"], id_col=id_col, vec_col=vec_col
     )
-    enc.write.mode("append").parquet(f"{path}/codes")
+    if celled:
+        # cell-partitioned layout (save_ivfpq_index): route the new
+        # vectors through the SAME frozen coarse cells and keep the
+        # partitioned write — appended files land inside their
+        # cluster_id= directories, so serve-side partition pruning
+        # (ivfpq_query) keeps holding over the grown index
+        if idx["cells"] is None:
+            raise ValueError(
+                "append_pq_index: codes are cell-partitioned but the "
+                f"index at {path} has no cells directory"
+            )
+        from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+        assigned = kmeans_assign(
+            new_vectors.select(id_col, vec_col),
+            idx["cells"],
+            id_col=id_col,
+            vec_col=vec_col,
+            backend="numpy",
+        ).select(id_col, "cluster_id")
+        (
+            enc.join(assigned, id_col)
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        enc.write.mode("append").parquet(f"{path}/codes")
     n_total = spark.read.parquet(f"{path}/codes").count()
     manifest = spark.createDataFrame(
         [
@@ -1452,3 +1483,164 @@ def merge_pq_indexes(
         _PQ_MANIFEST_SCHEMA,
     )
     manifest.write.mode("overwrite").parquet(f"{out_path}/manifest")
+
+
+def save_ivfpq_index(
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    cells: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index with the codes PARTITIONED BY COARSE CELL
+    — the serve-side layout `ivfpq_knn`'s docstring promises ("at scale
+    the encoded corpus is written partitioned by cell id"): corpus
+    vectors are routed to their nearest cell (`kmeans_assign`, numpy
+    backend), PQ-encoded, and written as
+    path/codes/cluster_id=C/part-*.parquet.  A query served from this
+    layout (`ivfpq_query`) touches nprobe partition DIRECTORIES of
+    8-byte-per-vector codes — partition pruning happens at file-listing
+    time, before a single row is read, which is what bounds per-query
+    scan volume at the billion-vector tier.
+
+    Layout and manifest are `save_pq_index`-compatible (`load_pq_index`
+    reads it back unchanged — the extra cluster_id column rides along
+    and flat `pq_knn` serving still works), with the same
+    manifest-written-LAST crash-consistency contract."""
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    spark = codebooks.sparkSession
+    books = _books_dict(codebooks)
+    m = len(books)
+    n_codes, sub_len = books[0].shape
+    assigned = kmeans_assign(
+        corpus.select(id_col, vec_col),
+        cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        backend="numpy",
+    ).select(id_col, "cluster_id")
+    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    celled = encoded.join(assigned, id_col)
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        celled.write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{path}/codes")
+    )
+    cells.write.mode("overwrite").parquet(f"{path}/cells")
+    n_encoded = spark.read.parquet(f"{path}/codes").count()
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                m,
+                int(n_codes),
+                int(m * sub_len),
+                "l2_adc",
+                True,
+                _codebook_md5(books),
+                n_encoded,
+            )
+        ],
+        _PQ_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def probe_cells(
+    cells: DataFrame,
+    vector: "list[float]",
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[int]":
+    """The query-side coarse routing of `ivfpq_knn`, for ONE external
+    vector: nprobe nearest cells by 6-dp-rounded cosine with the
+    cell-id-ascending tiebreak — numerically IDENTICAL to the Spark
+    expression form (dimension-ordered left-fold accumulation +
+    `round_half_up`, the kmeans_assign numpy-backend discipline), so a
+    served query probes exactly the cells the batch operator would."""
+    import numpy as np
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in cells.select(id_col, vec_col).collect()
+    )
+    if not rows:
+        raise ValueError("probe_cells: empty cell set")
+    c_ids = np.array([cid for cid, _ in rows], dtype=np.int64)
+    c_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    q = np.asarray(vector, dtype=np.float64)
+    if q.shape[0] != c_mat.shape[1]:
+        raise ValueError(
+            f"probe_cells: vector has {q.shape[0]} dims, cells have "
+            f"{c_mat.shape[1]}"
+        )
+
+    def fold_norm(mat):
+        acc = mat[:, 0] * mat[:, 0]
+        for i in range(1, mat.shape[1]):
+            acc = acc + mat[:, i] * mat[:, i]
+        return np.sqrt(acc)
+
+    dot = c_mat[:, 0] * q[0]
+    for i in range(1, c_mat.shape[1]):
+        dot = dot + c_mat[:, i] * q[i]
+    qn = 0.0
+    for x in q:
+        qn = qn + x * x
+    sims = round_half_up(dot / (fold_norm(c_mat) * float(qn) ** 0.5), 6)
+    order = sorted(range(len(rows)), key=lambda i: (-sims[i], c_ids[i]))
+    return [int(c_ids[i]) for i in order[: int(nprobe)]]
+
+
+def ivfpq_query(
+    index: "dict",
+    vector: "list[float]",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve one query from a LOADED cell-partitioned IVF-PQ index
+    (`save_ivfpq_index` → `load_pq_index`): probe the nprobe nearest
+    cells (bounded — the cell table is broadcast-sized by construction),
+    then run flat ADC over ONLY those cells' code partitions.  The
+    cluster_id filter is a PARTITION filter, pruned at file-listing
+    time (asserted on the executed plan in tests), so per-query scan
+    volume is nprobe/n_cells of the index regardless of corpus size —
+    the serve-side twin of `ivfpq_knn`'s batch semantics, and
+    result-identical to it (equality-tested).
+
+    Returns (rank, n_id, adc_dist)."""
+    meta = index["manifest"]
+    if index["cells"] is None:
+        raise ValueError("ivfpq_query: index has no coarse cells")
+    codes = index["codes"]
+    if "cluster_id" not in codes.columns:
+        raise ValueError(
+            "ivfpq_query: codes are not cell-partitioned — re-save with "
+            "save_ivfpq_index"
+        )
+    if len(vector) != int(meta.dim):
+        raise ValueError(
+            f"ivfpq_query: vector has {len(vector)} dims, index expects "
+            f"{meta.dim}"
+        )
+    id_col = [
+        c for c in codes.columns if c not in ("codes", "cluster_id")
+    ][0]
+    probed = probe_cells(index["cells"], vector, nprobe, id_col=id_col)
+    pruned = codes.filter(
+        F.col("cluster_id").isin(*[int(c) for c in probed])
+    ).select(id_col, "codes")
+    spark = codes.sparkSession
+    lo = index.get("min_vec_id")
+    sentinel = min(-1, (lo - 1) if lo is not None else -1)
+    qdf = spark.createDataFrame(
+        [(sentinel, [float(x) for x in vector])],
+        f"{id_col} long, embedding array<double>",
+    )
+    return pq_knn(
+        qdf, pruned, index["codebooks"], k=k, id_col=id_col
+    ).select("rank", "n_id", "adc_dist")

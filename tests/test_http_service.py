@@ -866,3 +866,68 @@ def test_search_knn_append_then_reload_serves_grown_index(
     )
     assert status == 200 and out["n_encoded"] == 120
     assert out["neighbors"][0]["vec_id"] == 110
+
+
+def test_search_knn_nprobe_serves_cell_pruned_index(
+    server, spark, tmp_path_factory
+):
+    """POST /search/knn with nprobe over a cell-partitioned index
+    (save_ivfpq_index): the served neighbors equal a direct ivfpq_query
+    run; nprobe on a flat index and bad nprobe values are 400s."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_query,
+        load_pq_index,
+        pq_encode,
+        pq_train,
+        save_ivfpq_index,
+        save_pq_index,
+    )
+
+    base, _ = server
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(150, 8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 6)
+    path = str(tmp_path_factory.mktemp("pq_http_ivf") / "idx")
+    save_ivfpq_index(books, emb, cells, path)
+
+    qvec = [float(x) for x in vecs[77]]
+    status, out = _post_json(
+        f"{base}/search/knn",
+        {"index_path": path, "vector": qvec, "k": 3, "nprobe": 2},
+    )
+    assert status == 200 and out["nprobe"] == 2
+    want = [
+        (r.rank, r.n_id, r.adc_dist)
+        for r in sorted(
+            ivfpq_query(
+                load_pq_index(spark, path), qvec, k=3, nprobe=2
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    got = [
+        (n["rank"], n["vec_id"], n["adc_dist"]) for n in out["neighbors"]
+    ]
+    assert got == want
+    assert got[0][1] == 77  # own vector at ~0 ADC distance
+
+    flat = str(tmp_path_factory.mktemp("pq_http_flat2") / "idx")
+    save_pq_index(books, pq_encode(emb, books), flat)
+    code, msg = _post_error(
+        f"{base}/search/knn",
+        {"index_path": flat, "vector": qvec, "k": 3, "nprobe": 2},
+    )
+    assert code == 400 and "no coarse cells" in msg
+    code, msg = _post_error(
+        f"{base}/search/knn",
+        {"index_path": path, "vector": qvec, "k": 3, "nprobe": 0},
+    )
+    assert code == 400 and "nprobe" in msg

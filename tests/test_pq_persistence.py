@@ -237,3 +237,114 @@ def test_merge_pq_indexes_validation(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="IVF"):
         merge_pq_indexes(spark, [a, d], str(tmp_path / "out3"))
+
+
+def test_ivfpq_query_serves_partition_pruned_and_matches_batch(
+    spark, emb, tmp_path
+):
+    """save_ivfpq_index → load → ivfpq_query must (a) answer exactly
+    like the batch ivfpq_knn for the same vector/cells/nprobe, and
+    (b) carry the cluster_id partition filter INTO the scan — pruning
+    happens at file-listing time, the serve-side 100 TB contract."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_query, save_ivfpq_index
+
+    books = pq_train(emb, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivserve")
+    save_ivfpq_index(books, emb, cells, path)
+    idx = load_pq_index(spark, path)
+    assert idx["manifest"].n_encoded == 300 and idx["manifest"].has_cells
+
+    qvec = [float(x) + 0.01 for x in emb.filter(
+        F.col("vec_id") == 42
+    ).collect()[0]["embedding"]]
+    got = [
+        tuple(r)
+        for r in ivfpq_query(idx, qvec, k=3, nprobe=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "vec_id long, embedding array<double>"
+    )
+    want = [
+        (r.rank, r.n_id, r.adc_dist)
+        for r in ivfpq_knn(qdf, emb, books, cells, k=3, nprobe=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+    # partition pruning is in the executed plan, not post-scan
+    probed_df = idx["codes"].filter(F.col("cluster_id").isin(0, 1))
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # and the flat serve path still works over the celled layout
+    flat = pq_knn(qdf, idx["codes"], idx["codebooks"], k=3)
+    assert flat.count() == 3
+
+
+def test_ivfpq_query_validation(spark, emb, tmp_path):
+    from noaa_oracle_spark.pipeline.pq import ivfpq_query, save_ivfpq_index
+
+    books = pq_train(emb, m=4, k=8, iters=1)
+    flat_path = str(tmp_path / "flat")
+    save_pq_index(books, pq_encode(emb, books), flat_path)
+    flat_idx = load_pq_index(spark, flat_path)
+    with pytest.raises(ValueError, match="no coarse cells"):
+        ivfpq_query(flat_idx, [0.0] * 16, k=3)
+
+    path = str(tmp_path / "ivv")
+    save_ivfpq_index(books, emb, emb.filter(F.col("vec_id") < 8), path)
+    idx = load_pq_index(spark, path)
+    with pytest.raises(ValueError, match="dims"):
+        ivfpq_query(idx, [0.0] * 8, k=3)
+
+
+def test_append_into_celled_index_keeps_partitioned_layout(
+    spark, emb, tmp_path
+):
+    """Appending into a cell-partitioned index routes new vectors
+    through the SAME frozen cells and lands them inside cluster_id=
+    directories: ivfpq_query over the grown index equals the batch
+    operator over the grown corpus."""
+    from noaa_oracle_spark.pipeline.pq import (
+        append_pq_index,
+        ivfpq_query,
+        save_ivfpq_index,
+    )
+
+    books = pq_train(emb.filter(F.col("vec_id") < 200), m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivgrow")
+    save_ivfpq_index(
+        books, emb.filter(F.col("vec_id") < 200), cells, path
+    )
+    assert (
+        append_pq_index(spark, path, emb.filter(F.col("vec_id") >= 200))
+        == 100
+    )
+    idx = load_pq_index(spark, path)
+    assert idx["manifest"].n_encoded == 300
+
+    qvec = [float(x) for x in emb.filter(
+        F.col("vec_id") == 250
+    ).collect()[0]["embedding"]]
+    got = [
+        tuple(r)
+        for r in ivfpq_query(idx, qvec, k=3, nprobe=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "vec_id long, embedding array<double>"
+    )
+    want = [
+        (r.rank, r.n_id, r.adc_dist)
+        for r in ivfpq_knn(qdf, emb, books, cells, k=3, nprobe=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    # vec 250's own id must surface at ~zero ADC distance
+    assert got[0][1] == 250

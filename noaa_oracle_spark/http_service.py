@@ -840,13 +840,23 @@ def make_handler(
                     raise BadRequest(f"bm25.{name} must be a number")
                 bparams[name] = float(v)
 
+            nprobe = kn_spec.get("nprobe")
+            if nprobe is not None and (
+                not isinstance(nprobe, int)
+                or isinstance(nprobe, bool)
+                or nprobe < 1
+            ):
+                raise BadRequest("knn.nprobe must be a positive integer")
+
             bidx = get_bm25_index(bm_spec["index_path"], reload=reload_)
             pidx = get_pq_index(kn_spec["index_path"], reload=reload_)
             id_col = bidx["manifest"].id_col
             bm = bm25_query(
                 bidx, terms, k=params["k"], k1=bparams["k1"], b=bparams["b"]
             ).select(id_col, "rnk")
-            kn = self._pq_neighbors(pidx, vec, params["k"]).select(
+            kn = self._pq_neighbors(
+                pidx, vec, params["k"], nprobe=nprobe
+            ).select(
                 F.col("n_id").alias(id_col), F.col("rank").alias("rnk")
             )
             fused = rrf_fuse(

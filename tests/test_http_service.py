@@ -931,3 +931,85 @@ def test_search_knn_nprobe_serves_cell_pruned_index(
         {"index_path": path, "vector": qvec, "k": 3, "nprobe": 0},
     )
     assert code == 400 and "nprobe" in msg
+
+
+def test_search_hybrid_nprobe_vector_leg(server, spark, tmp_path_factory):
+    """Hybrid serve with a cell-partitioned vector leg: knn.nprobe routes
+    the vector nomination through ivfpq_query (partition-pruned) and the
+    fused ranking equals the direct bm25_query + ivfpq_query + rrf_fuse
+    composition; a bad nprobe is a 400."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_query,
+        load_pq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        rrf_fuse,
+        save_bm25_index,
+    )
+
+    base, _ = server
+    texts = {i: t for i, t in enumerate(
+        ["spark hash join", "hash hash", "window rank", "plain prose",
+         "spark hash", "nothing here", "spark spark", "rank window hash"]
+    )}
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    rng = np.random.RandomState(43)
+    vecs = {i: rng.randn(8) for i in sorted(texts)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    root = tmp_path_factory.mktemp("hybrid_ivf")
+    bpath, ppath = str(root / "bm25"), str(root / "ivf")
+    save_bm25_index(docs, bpath)
+    books = pq_train(emb, m=4, k=4, iters=1)
+    save_ivfpq_index(books, emb, emb.filter(F.col("vec_id") < 3), ppath)
+
+    qterms = ["spark", "hash"]
+    qvec = [float(x) for x in vecs[2]]
+    k, topk, rrf_k, nprobe = 3, 4, 60, 2
+
+    bm = bm25_query(load_bm25_index(spark, bpath), qterms, k=k).select(
+        "doc_id", "rnk"
+    )
+    kn = ivfpq_query(
+        load_pq_index(spark, ppath), qvec, k=k, nprobe=nprobe
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("rnk"))
+    want = [
+        (r.doc_id, r.rrf_score, r.rnk)
+        for r in rrf_fuse([bm, kn], k=rrf_k, topk=topk)
+        .orderBy("rnk")
+        .collect()
+    ]
+
+    status, out = _post_json(
+        f"{base}/search/hybrid",
+        {
+            "bm25": {"index_path": bpath, "terms": qterms},
+            "knn": {"index_path": ppath, "vector": qvec, "nprobe": nprobe},
+            "k": k, "topk": topk, "rrf_k": rrf_k,
+        },
+    )
+    assert status == 200
+    got = [
+        (r["doc_id"], r["rrf_score"], r["rank"]) for r in out["results"]
+    ]
+    assert got == want
+
+    code, msg = _post_error(
+        f"{base}/search/hybrid",
+        {
+            "bm25": {"index_path": bpath, "terms": qterms},
+            "knn": {"index_path": ppath, "vector": qvec, "nprobe": -1},
+        },
+    )
+    assert code == 400 and "nprobe" in msg

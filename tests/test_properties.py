@@ -162,3 +162,80 @@ def test_span_dedup_invariants(spark, texts, span):
         assert pos == len(kept), (spans, kept)
         if r.n_kept == r.n_spans:
             assert r.clean_text == text
+
+
+_vec8 = st.lists(
+    st.floats(-4, 4, allow_nan=False, allow_infinity=False, width=32)
+    .filter(lambda x: abs(x) > 1e-3 or x == 0.0),
+    min_size=8,
+    max_size=8,
+)
+
+
+@SLOW
+@given(
+    qvec=_vec8.filter(lambda v: any(x != 0.0 for x in v)),
+    cents=st.lists(
+        _vec8.filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=2,
+        max_size=6,
+    ),
+    nprobe=st.integers(1, 4),
+)
+def test_probe_cells_matches_spark_expression_ranking(
+    spark, qvec, cents, nprobe
+):
+    """`pq.probe_cells` (the serve path's numpy coarse routing) must rank
+    cells EXACTLY like the Spark expression form `ivfpq_knn` uses
+    (round(dot/(|q||c|), 6) with row_number over (sim DESC, cid ASC)) —
+    same `_dot`/`_norm` primitives, left-fold accumulation, half-up
+    rounding.  Ties are forced, not hoped for: every centroid gets a
+    2×-scaled DUPLICATE appended (cosine is scale-invariant, so each
+    pair collides exactly and only the cid tiebreak separates them)."""
+    from pyspark.sql import Window
+
+    from noaa_oracle_spark.pipeline.pq import probe_cells
+    from noaa_oracle_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    # scaled duplicates -> guaranteed rounded-cosine ties across cids
+    cent_rows = [(i, v) for i, v in enumerate(cents)] + [
+        (100 + i, [2.0 * x for x in v]) for i, v in enumerate(cents)
+    ]
+    cells = spark.createDataFrame(
+        cent_rows, "vec_id long, embedding array<double>"
+    )
+
+    got = probe_cells(cells, qvec, nprobe)
+
+    qdf = spark.createDataFrame(
+        [(0, qvec)], "vec_id long, embedding array<double>"
+    )
+    cent = cells.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        _norm(_as_double(F.col("embedding"))).alias("c_nrm"),
+    )
+    scored = (
+        qdf.select(
+            F.col("embedding").alias("q_vec"),
+            _norm(_as_double(F.col("embedding"))).alias("q_nrm"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "c_id",
+            F.round(
+                _dot(_as_double(F.col("q_vec")), _as_double(F.col("c_vec")))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("a_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("a_sim"), F.asc("c_id"))
+    want = [
+        r.c_id
+        for r in scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= nprobe)
+        .orderBy("r")
+        .collect()
+    ]
+    assert got == want

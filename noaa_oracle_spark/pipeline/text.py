@@ -1540,20 +1540,23 @@ _BM25_MANIFEST_SCHEMA = (
 )
 
 
-def _bm25_tf_dlen(
-    docs: DataFrame, text_col: str, id_col: str
-) -> "tuple[DataFrame, DataFrame]":
+def _bm25_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The index-build tokenize pass shared by `save_bm25_index` and
     `append_bm25_index` — ONE definition so a grown index is
-    expression-identical to a fresh one: (doc, term, tf) postings and
-    (doc, dl) document lengths."""
+    expression-identical to a fresh one: (doc, term, tf) postings."""
     words = spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    return tf, dlen
+    return words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _dlen_of(tf: DataFrame, id_col: str) -> DataFrame:
+    """Document lengths DERIVED from the tf rows (dl = Σ_terms tf —
+    exactly the token count the tokenize pass would produce), so the
+    index build tokenizes the corpus ONCE: doclens aggregate the
+    already-written postings instead of re-exploding every document."""
+    return tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
 
 
 def _bm25_finalize_manifest(spark, path: str, id_col: str) -> "tuple[int, int]":
@@ -1613,14 +1616,18 @@ def save_bm25_index(
     Layout: path/postings (term, <id_col>, tf), path/doclens
     (<id_col>, dl), path/manifest."""
     spark = docs.sparkSession
-    tf, dlen = _bm25_tf_dlen(docs, text_col, id_col)
+    tf = _bm25_tf(docs, text_col, id_col)
     (
         tf.repartition(F.col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{path}/postings")
     )
-    dlen.write.mode("overwrite").parquet(f"{path}/doclens")
+    # doclens from the WRITTEN postings (dl = Σ tf): the corpus is
+    # tokenized once; the second pass aggregates small (id, tf) rows
+    _dlen_of(
+        spark.read.parquet(f"{path}/postings"), id_col
+    ).write.mode("overwrite").parquet(f"{path}/doclens")
     _bm25_finalize_manifest(spark, path, id_col)
 
 
@@ -1633,7 +1640,7 @@ def append_bm25_index(
     check_disjoint: bool = True,
 ) -> int:
     """Grow a persisted BM25 index incrementally: tokenize only the NEW
-    documents (the shared `_bm25_tf_dlen` pass, so grown == fresh by
+    documents (the shared `_bm25_tf` pass, so grown == fresh by
     expression identity) and file-level-append their postings and
     doclens — `append_pq_index`'s lexical twin, and the cheap inner
     loop `merge_bm25_indexes` is the compactor for.  Old shards are
@@ -1679,14 +1686,23 @@ def append_bm25_index(
                 f"append_bm25_index: {n_overlap} new ids already exist "
                 f"in the index at {path} — ids must be disjoint"
             )
-    tf, dlen = _bm25_tf_dlen(new_docs, text_col, id_col)
-    (
-        tf.repartition(F.col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("append")
-        .parquet(f"{path}/postings")
-    )
-    dlen.write.mode("append").parquet(f"{path}/doclens")
+    # the new batch is bounded: persist its tf so the postings write and
+    # the derived doclens share one tokenize pass (the save path gets
+    # the same economy by re-reading its own written postings, which an
+    # append cannot do — the directory already holds the old shards)
+    tf = _bm25_tf(new_docs, text_col, id_col).persist()
+    try:
+        (
+            tf.repartition(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .parquet(f"{path}/postings")
+        )
+        _dlen_of(tf, id_col).write.mode("append").parquet(
+            f"{path}/doclens"
+        )
+    finally:
+        tf.unpersist()
     n_docs, _ = _bm25_finalize_manifest(spark, path, id_col)
     return n_docs - int(meta.n_docs)
 

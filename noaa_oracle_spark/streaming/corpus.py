@@ -291,7 +291,8 @@ def bm25_index_sink(
     enter the index, so containment is checked against the batch's
     INDEXABLE ids, not its row count."""
     from noaa_oracle_spark.pipeline.text import (
-        _bm25_tf_dlen,
+        _bm25_tf,
+        _dlen_of,
         append_bm25_index,
         load_bm25_index,
         save_bm25_index,
@@ -307,7 +308,7 @@ def bm25_index_sink(
             # overwrite repairs a half-written FIRST save)
             save_bm25_index(new, path, text_col=text_col, id_col=id_col)
             return
-        _, dlen = _bm25_tf_dlen(new, text_col, id_col)
+        dlen = _dlen_of(_bm25_tf(new, text_col, id_col), id_col)
         n_indexable = dlen.count()
         if n_indexable == 0:
             return

@@ -481,9 +481,9 @@ def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
         )
 
     # torn append: postings land, manifest write dies → load refuses
-    from noaa_oracle_spark.pipeline.text import _bm25_tf_dlen
+    from noaa_oracle_spark.pipeline.text import _bm25_tf
 
-    tf, _ = _bm25_tf_dlen(
+    tf = _bm25_tf(
         spark.createDataFrame([(9, "zzz yyy")], "doc_id long, text string"),
         "text", "doc_id",
     )

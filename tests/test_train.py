@@ -490,3 +490,43 @@ def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
     tf.write.mode("append").parquet(f"{grown}/postings")
     with pytest.raises(ValueError, match="torn or partial"):
         load_bm25_index(spark, grown)
+
+
+def test_bm25_index_build_is_partitioning_invariant(spark, tmp_path):
+    """The persisted index must not depend on how the input corpus was
+    partitioned or ordered: indexes built from a 1-partition, an
+    8-partition, and a reverse-sorted layout of the same documents
+    serve byte-identical manifests and identical scores."""
+    from noaa_oracle_spark.pipeline.text import (
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} w{i % 11} common") for i in range(200)],
+        "doc_id long, text string",
+    )
+    layouts = {
+        "one": docs.coalesce(1),
+        "many": docs.repartition(8),
+        "rev": docs.orderBy(F.desc("doc_id")),
+    }
+    idxs = {}
+    for name, df in layouts.items():
+        p = str(tmp_path / name)
+        save_bm25_index(df, p)
+        idxs[name] = load_bm25_index(spark, p)
+    manifests = {
+        (i["manifest"].n_docs, i["manifest"].avgdl, i["manifest"].n_postings)
+        for i in idxs.values()
+    }
+    assert len(manifests) == 1
+    results = {
+        name: tuple(
+            tuple(r)
+            for r in bm25_query(idx, ["w1", "common"], k=10).collect()
+        )
+        for name, idx in idxs.items()
+    }
+    assert len(set(results.values())) == 1

@@ -3397,8 +3397,13 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 # (tests/test_staged_r10.py runs them against DuckDB at sf0.001 and sf0.01)
 # and PROMOTED into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL when the r10
 # window rotates (the exact same staging discipline q129–q132 followed
-# through round 8).  Gate-growth budget: r9 added 4; these 4 keep r9+r10
-# at 8 ≤ the ~22 ceiling (r6 standing order).
+# through round 8; refresh GRADE_HASHES in the same commit).  Gate-growth
+# budget: r9 added 4; these 4 keep r9+r10 at 8 ≤ the ~22 ceiling (r6
+# standing order).  Measured sf0.1 warm-min2 bench cost at staging time
+# (what promotion adds to the suite): q133 1.7 s, q134 0.8 s, q135
+# 3.8 s, q136 6.3 s (a persistence gate — 2 index saves + merge +
+# serve, ~8 write/count jobs; the cost is job scheduling at this sf,
+# not data).
 # ---------------------------------------------------------------------------
 
 _BM25_HYBRID_TERMS = ["query", "join", "group"]

@@ -1013,3 +1013,51 @@ def test_search_hybrid_nprobe_vector_leg(server, spark, tmp_path_factory):
         },
     )
     assert code == 400 and "nprobe" in msg
+
+
+def test_search_bm25_append_then_reload_serves_grown_index(
+    server, spark, tmp_path_factory
+):
+    """Lexical twin of the pq append/reload loop: save -> serve ->
+    append_bm25_index -> serve with reload=true.  The cached snapshot
+    keeps answering with the old corpus until the caller reloads, then
+    n_docs reflects the growth and a term only the new batch contains
+    becomes findable."""
+    from noaa_oracle_spark.pipeline.text import (
+        append_bm25_index,
+        save_bm25_index,
+    )
+
+    base, _ = server
+    docs = spark.createDataFrame(
+        [(1, "spark hash join"), (2, "hash hash")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path_factory.mktemp("bm25_http_grow") / "idx")
+    save_bm25_index(docs, path)
+
+    status, out = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["zebra"], "k": 3},
+    )
+    assert status == 200 and out["n_docs"] == 2 and out["results"] == []
+
+    extra = spark.createDataFrame(
+        [(3, "zebra crossing"), (4, "plain prose")],
+        "doc_id long, text string",
+    )
+    assert append_bm25_index(spark, path, extra) == 2
+
+    # stale snapshot until reload
+    status, out = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["zebra"], "k": 3},
+    )
+    assert status == 200 and out["n_docs"] == 2 and out["results"] == []
+
+    status, out = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["zebra"], "k": 3, "reload": True},
+    )
+    assert status == 200 and out["n_docs"] == 4
+    assert [r["doc_id"] for r in out["results"]] == [3]

@@ -30,6 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("PIPELINE_BENCH_DOCS", "1000000"))
 FRACTION = float(os.environ.get("BENCH_APPEND_FRACTION", "0.1"))
+# bench_pipeline's own default is 100k — pin the shared knob BEFORE the
+# import so the fixture module generates at THIS harness's scale (the
+# first 1M run silently got the 100k fixture, an empty append shard,
+# and a failed row-count assert — the assert is why it was caught)
+os.environ["PIPELINE_BENCH_DOCS"] = str(N_DOCS)
 
 
 def main() -> None:

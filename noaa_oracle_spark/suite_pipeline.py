@@ -3388,22 +3388,15 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
-# Round-10 staged gate debuts.
-#
-# The r9 grading window is full (the 28 r6-stale names + 4 debuts + 18
-# oldest-r7 names), so these CANNOT enter queries() this round — a new name
-# outside the window trips the staleness invariant, and editing a graded
-# name trips the GRADE_HASHES ledger.  They are built, oracle-checked
-# (tests/test_staged_r10.py runs them against DuckDB at sf0.001 and sf0.01)
-# and PROMOTED into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL when the r10
-# window rotates (the exact same staging discipline q129–q132 followed
-# through round 8; refresh GRADE_HASHES in the same commit).  Gate-growth
-# budget: r9 added 4; these 4 keep r9+r10 at 8 ≤ the ~22 ceiling (r6
-# standing order).  Measured sf0.1 warm-min2 bench cost at staging time
-# (what promotion adds to the suite): q133 1.7 s, q134 0.8 s, q135
-# 3.8 s, q136 6.3 s (a persistence gate — 2 index saves + merge +
-# serve, ~8 write/count jobs; the cost is job scheduling at this sf,
-# not data).
+# Round-10 debuts (r9 verdict ask #1): written and oracle-checked during
+# round 9 as a staging registry (PIPELINE_QUERIES_STAGED_R10), promoted
+# into the main dicts when the r10 grading window rotated.  Gate-checks
+# the retrieval-serving tier end to end: hybrid lexical+vector RRF
+# fusion, polite fetch scheduling with host-normalization hazards, the
+# iterative crawl-frontier driver, and BM25 shard-merge score parity.
+# Measured sf0.1 warm-min2 bench cost at staging time: q133 1.7 s,
+# q134 0.8 s, q135 3.8 s, q136 6.3 s (a persistence gate — 2 index
+# saves + merge + serve; job scheduling dominates at this sf, not data).
 # ---------------------------------------------------------------------------
 
 _BM25_HYBRID_TERMS = ["query", "join", "group"]
@@ -3655,9 +3648,14 @@ def q136_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGED index (bm25_query).  The oracle scores the same query over
     the whole corpus directly, so the gate pins the merge contract:
     merged-index scores are exactly the scores of one index built over
-    the concatenated corpus."""
-    import hashlib
-    import os
+    the concatenated corpus.
+
+    The work dir is a fresh mkdtemp per invocation (round-9 advice: a
+    fixed sf-keyed /tmp path races under pytest-xdist / bench-alongside-
+    tests and can flakily fail load's count validation); the bounded
+    top-k result is materialized before cleanup so the returned frame
+    does not lazily reference deleted index files."""
+    import shutil
     import tempfile
 
     from noaa_oracle_spark.pipeline.text import (
@@ -3668,18 +3666,20 @@ def q136_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "noaa_bm25_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    save_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), f"{base}/even")
-    save_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), f"{base}/odd")
-    merge_bm25_indexes(
-        spark, [f"{base}/even", f"{base}/odd"], f"{base}/merged"
-    )
-    return bm25_query(
-        load_bm25_index(spark, f"{base}/merged"), _BM25_MERGE_TERMS, k=10
-    )
+    base = tempfile.mkdtemp(prefix="noaa_bm25_gate_")
+    try:
+        save_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), f"{base}/even")
+        save_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), f"{base}/odd")
+        merge_bm25_indexes(
+            spark, [f"{base}/even", f"{base}/odd"], f"{base}/merged"
+        )
+        out = bm25_query(
+            load_bm25_index(spark, f"{base}/merged"), _BM25_MERGE_TERMS, k=10
+        )
+        # k=10 rows by contract — bounded, not corpus-sized.
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # Scoring over the FULL corpus with the q129 arithmetic — the merged
@@ -3718,21 +3718,19 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
-#: Staged r10 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
-#: when the r10 window rotates; tests/test_staged_r10.py oracle-checks
-#: them every round until then.
-PIPELINE_QUERIES_STAGED_R10: dict[
-    str, Callable[[SparkSession, str], DataFrame]
-] = {
+# r10 debuts — staged through round 9 (PIPELINE_QUERIES_STAGED_R10),
+# promoted here when the r10 window rotated (defined below the main dict
+# literals, hence .update()).
+PIPELINE_QUERIES.update({
     "q133_hybrid_rrf": q133_hybrid_rrf,
     "q134_politeness_schedule": q134_politeness_schedule,
     "q135_crawl_frontier": q135_crawl_frontier,
     "q136_bm25_merge": q136_bm25_merge,
-}
+})
 
-PIPELINE_ORACLE_SQL_STAGED_R10: dict[str, str] = {
+PIPELINE_ORACLE_SQL.update({
     "q133_hybrid_rrf": SQL_Q133,
     "q134_politeness_schedule": SQL_Q134,
     "q135_crawl_frontier": SQL_Q135,
     "q136_bm25_merge": SQL_Q136,
-}
+})

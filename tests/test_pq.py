@@ -453,3 +453,49 @@ def test_ivfpq_inline_plan_has_no_join(spark, clustered):
     q = df.filter(F.col("vec_id") < 6)
     plan_str = ivfpq_knn(q, df, books, cells, k=5, nprobe=4)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan_str, plan_str
+
+
+def test_pq_encode_is_map_side(spark, clustered):
+    """r9 verdict ask #2: pq_encode must carry NO corpus-wide shuffle —
+    no m× subvector explosion, no hash aggregate to reassemble rows.
+    The only exchange allowed is the round-robin `spread` rebalance
+    (parallelism for single-file corpora, a near-no-op at real split
+    counts)."""
+    df, books, _ = clustered
+    # fresh frame: an already-executed fixture plan is AQE-finalized and
+    # its exchange prints as a ShuffleQueryStage, not an Exchange node
+    plan = (
+        pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan, plan
+    assert "Generate" not in plan, plan  # no posexplode row explosion
+    assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower(), plan
+
+
+def test_pq_encode_fused_matches_legacy_exploded_form(spark, clustered):
+    """The fused whole-row kernel is bit-identical to the original
+    explode → per-(id, sub) assignment → groupBy collect_list shape
+    (per-(row, code) summation is independent of batch composition)."""
+    from noaa_oracle_spark.pipeline.pq import (
+        _assign_codes,
+        _books_dict,
+        _subvectors,
+    )
+
+    df, books, enc = clustered
+    bdict = _books_dict(books)
+    m, sub_len = len(bdict), bdict[0].shape[1]
+    legacy = (
+        _assign_codes(_subvectors(df, "vec_id", "embedding", m, sub_len),
+                      bdict, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    got = {r.vec_id: list(r.codes) for r in enc.collect()}
+    want = {r.vec_id: list(r.codes) for r in legacy.collect()}
+    assert got == want

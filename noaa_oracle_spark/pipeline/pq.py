@@ -1295,8 +1295,18 @@ def load_pq_index(spark, path: str) -> "dict":
             f"inconsistent (interrupted re-save?)"
         )
     codes = spark.read.parquet(f"{path}/codes")
+    # the id column is whatever the index was saved with (save/
+    # save_ivfpq_index accept id_col) — derive it from the codes schema
+    # exactly as append_pq_index does, instead of hardcoding vec_id
+    # (r9 advice: an index saved with a custom id_col could never load)
+    id_cols = [c for c in codes.columns if c not in ("codes", "cluster_id")]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"load_pq_index: cannot identify the id column in codes "
+            f"schema {codes.columns} at {path}"
+        )
     stats = codes.agg(
-        F.count("*").alias("n"), F.min("vec_id").alias("lo")
+        F.count("*").alias("n"), F.min(id_cols[0]).alias("lo")
     ).collect()[0]
     if stats["n"] != meta.n_encoded:
         raise ValueError(

@@ -1572,12 +1572,17 @@ def _bm25_finalize_manifest(spark, path: str, id_col: str) -> "tuple[int, int]":
         .collect()[0]
     )
     n_postings = spark.read.parquet(f"{path}/postings").count()
+    # avg() over zero rows is NULL — an empty corpus (e.g. an all-empty-
+    # text first streaming microbatch) must still produce a loadable
+    # manifest, not a TypeError (r9 advice); avgdl never divides a
+    # score because an empty index has no postings to score.
+    avgdl = 0.0 if stats["avgdl"] is None else float(stats["avgdl"])
     manifest = spark.createDataFrame(
         [
             (
                 1,
                 int(stats["n_docs"]),
-                float(stats["avgdl"]),
+                avgdl,
                 int(n_postings),
                 id_col,
             )
@@ -1705,6 +1710,19 @@ def append_bm25_index(
         tf.unpersist()
     n_docs, _ = _bm25_finalize_manifest(spark, path, id_col)
     return n_docs - int(meta.n_docs)
+
+
+def bm25_index_exists(spark, path: str) -> bool:
+    """True iff a manifest exists under `path` — the committed-index
+    marker (every writer writes it LAST).  Hadoop-FS based, so it holds
+    on object stores too; used by writers that must distinguish "no
+    index yet" (first save is safe) from "index present but unloadable"
+    (torn append — demands explicit recovery, never a silent
+    overwrite)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/manifest")
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def load_bm25_index(spark, path: str) -> "dict":

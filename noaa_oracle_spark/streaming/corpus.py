@@ -294,6 +294,7 @@ def bm25_index_sink(
         _bm25_tf,
         _dlen_of,
         append_bm25_index,
+        bm25_index_exists,
         load_bm25_index,
         save_bm25_index,
     )
@@ -301,13 +302,18 @@ def bm25_index_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.select(id_col, text_col)
-        try:
-            idx = load_bm25_index(spark, path)
-        except Exception:
-            # no index yet (or unreadable dir → save_bm25_index's
-            # overwrite repairs a half-written FIRST save)
+        if not bm25_index_exists(spark, path):
+            # no committed index yet (the manifest is written LAST):
+            # first save — mode("overwrite") also repairs a FIRST save
+            # that died before its manifest.
             save_bm25_index(new, path, text_col=text_col, id_col=id_col)
             return
+        # Manifest present: load, and let ANY failure propagate (r9
+        # advice, high): a torn-append count mismatch or a transient FS
+        # error must stop the stream and demand explicit recovery — the
+        # old bare-except fallback silently overwrote the accumulated
+        # index with one microbatch.
+        idx = load_bm25_index(spark, path)
         dlen = _dlen_of(_bm25_tf(new, text_col, id_col), id_col)
         n_indexable = dlen.count()
         if n_indexable == 0:

@@ -71,6 +71,25 @@ def test_ivfpq_index_roundtrip_search(spark, emb, tmp_path):
     assert loaded == fresh
 
 
+def test_pq_index_custom_id_col_round_trip(spark, emb, tmp_path):
+    """r9 advice: an index saved with id_col != 'vec_id' must load and
+    serve — load_pq_index derives the id column from the codes schema
+    instead of hardcoding vec_id."""
+    from noaa_oracle_spark.pipeline.pq import ivfpq_query, save_ivfpq_index
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    books = pq_train(renamed, m=4, k=8, iters=1, id_col="doc_id")
+    cells = renamed.filter(F.col("doc_id") < 8)
+    path = str(tmp_path / "named_idx")
+    save_ivfpq_index(books, renamed, cells, path, id_col="doc_id")
+
+    idx = load_pq_index(spark, path)  # raised on F.min('vec_id') before
+    assert idx["min_vec_id"] == 0
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[1]]
+    got = ivfpq_query(idx, qvec, k=3, nprobe=8).collect()
+    assert len(got) == 3 and got[0].n_id == 0  # self is its own 1-NN
+
+
 def test_pq_index_geometry_validation(spark, emb, tmp_path):
     books = pq_train(emb, m=4, k=8, iters=1)
     enc = pq_encode(emb, books)

@@ -8,6 +8,7 @@ import datetime as dt
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from noaa_oracle_spark.streaming import stream_documents, streaming_exact_dedup
 
@@ -342,3 +343,73 @@ def test_bm25_index_sink_replay_semantics(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="partially present"):
         sink(partial, 3)
+
+
+def test_bm25_index_sink_torn_index_raises_not_overwrites(spark, tmp_path):
+    """r9 advice (high): a manifest-present index that fails to LOAD —
+    the torn-append count mismatch, or any transient error — must stop
+    the stream, not be silently replaced by the current microbatch (the
+    old bare-except fallback lost every previously ingested document
+    on replay-after-crash)."""
+    import pytest as _pytest
+
+    from noaa_oracle_spark.pipeline.text import (
+        _BM25_MANIFEST_SCHEMA,
+        load_bm25_index,
+    )
+    from noaa_oracle_spark.streaming import bm25_index_sink
+
+    path = str(tmp_path / "tidx")
+    sink = bm25_index_sink(path)
+    b1 = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    sink(b1, 0)
+    meta = load_bm25_index(spark, path)["manifest"]
+
+    # simulate the torn append: postings grew but the manifest rewrite
+    # never happened → count mismatch on load
+    torn = spark.createDataFrame(
+        [(1, int(meta.n_docs), float(meta.avgdl),
+          int(meta.n_postings) + 2, str(meta.id_col))],
+        _BM25_MANIFEST_SCHEMA,
+    )
+    torn.write.mode("overwrite").parquet(f"{path}/manifest")
+
+    b2 = spark.createDataFrame(
+        [(9, "fig grape")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="torn or partial"):
+        sink(b2, 1)
+    # the accumulated postings were NOT overwritten by the microbatch
+    postings = spark.read.parquet(f"{path}/postings")
+    assert postings.count() == int(meta.n_postings)
+    assert postings.filter(F.col("term") == "banana").count() == 2
+
+
+def test_bm25_index_sink_empty_first_batch(spark, tmp_path):
+    """r9 advice (medium): an empty or all-empty-text first microbatch
+    (common at stream start) must produce a loadable empty index
+    (avgdl 0.0), and real batches must then append normally."""
+    from noaa_oracle_spark.pipeline.text import bm25_query, load_bm25_index
+    from noaa_oracle_spark.streaming import bm25_index_sink
+
+    path = str(tmp_path / "eidx")
+    sink = bm25_index_sink(path)
+    empty_text = spark.createDataFrame(
+        [(1, ""), (2, "")], "doc_id long, text string"
+    )
+    sink(empty_text, 0)  # was a TypeError: float(None) on avgdl
+    idx = load_bm25_index(spark, path)
+    assert idx["manifest"].n_docs == 0
+    assert idx["manifest"].avgdl == 0.0
+
+    b1 = spark.createDataFrame(
+        [(3, "apple banana"), (4, "apple")], "doc_id long, text string"
+    )
+    sink(b1, 1)
+    idx = load_bm25_index(spark, path)
+    assert idx["manifest"].n_docs == 2
+    top = bm25_query(idx, ["apple"], k=5).collect()
+    assert {r.doc_id for r in top} == {3, 4}

@@ -727,6 +727,7 @@ def politeness_waves(
     url_col: str = "url",
     delays: "DataFrame | None" = None,
     default_delay: float = 1.0,
+    keep_delay: bool = False,
 ) -> DataFrame:
     """Schedule a fetch frontier politely: per host, URLs are ordered
     by deterministic id-hash (md5 of the url — re-runs schedule
@@ -771,11 +772,15 @@ def politeness_waves(
     )
     delay = F.coalesce(F.col("_p_delay"), F.lit(float(default_delay)))
     wave = (F.row_number().over(w) - 1).cast("long")
-    return (
+    out = (
         with_host.withColumn("wave", wave)
         .withColumn("not_before_s", F.round(wave * delay, 6))
-        .drop("_p_host", "_p_delay")
     )
+    if keep_delay:
+        # consumers that enforce the schedule (http_fetcher's pacing
+        # kernel) need the resolved per-host delay alongside it
+        out = out.withColumn("delay_s", delay)
+    return out.drop("_p_host", "_p_delay")
 
 
 def table_fetcher(pages: DataFrame, url_col: str = "url",
@@ -792,6 +797,126 @@ def table_fetcher(pages: DataFrame, url_col: str = "url",
 
     def fetch(frontier: DataFrame) -> DataFrame:
         return frontier.select("url").join(canon, "url")
+
+    return fetch
+
+
+def http_fetcher(
+    user_agent: str = "noaa-oracle-spark-crawler/1.0",
+    timeout: float = 20.0,
+    max_retries: int = 3,
+    backoff_base: float = 1.0,
+    delays: "DataFrame | None" = None,
+    default_delay: float = 1.0,
+    transport=None,
+    clock=None,
+    sleep=None,
+    npartitions: "int | None" = None,
+):
+    """Production `crawl_rounds` fetcher: a rate-limited HTTP
+    mapInPandas kernel honoring the `politeness_waves` schedule — the
+    `table_fetcher` contract (``frontier(url) -> (url, html, …)``)
+    backed by real requests instead of a static page table.
+
+    Scale shape: the frontier is scheduled by `politeness_waves`
+    (per-host 0-based waves × crawl-delay, `delays` broadcast), then
+    HASH-PARTITIONED BY HOST, so every URL of a host lands in one
+    partition and that host's requests are serialized on one executor
+    core — per-host rate limits need no cross-executor coordination.
+    Inside the kernel each row waits until the LATER of its scheduled
+    ``t0 + not_before_s`` and ``last_start(host) + delay`` (fetch
+    latency must not compress the gap below the crawl-delay), then
+    runs the daemon's transport/retry discipline (`daemon.XmlFetcher`:
+    injectable ``transport(url, timeout, headers) -> str``, exponential
+    backoff through the injectable ``sleep``).  A URL that exhausts its
+    retries yields NO row — the `table_fetcher` 404 semantics, so
+    `crawl_rounds` treats dead links identically under both fetchers.
+
+    ``clock``/``sleep`` default to ``time.monotonic``/``time.sleep``
+    and are injectable so tests advance virtual time (the
+    `test_daemon` discipline); both are closure-shipped to the workers,
+    where their state is per-partition — exactly the scope the pacing
+    needs.  Output: (url, html, fetched_at_s) — fetch start offset
+    from the partition's first-row clock, the politeness audit column
+    (`crawl_rounds` selects url/html and ignores it)."""
+    import time as _time
+
+    _clock = clock or _time.monotonic
+    _sleep = sleep or _time.sleep
+
+    if transport is None:
+        from noaa_oracle_spark.daemon import _default_transport
+
+        transport = _default_transport
+
+    def fetch(frontier: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        sched = politeness_waves(
+            frontier.select("url"),
+            delays=delays,
+            default_delay=default_delay,
+            keep_delay=True,
+        ).select("url", "not_before_s", "delay_s")
+        spark = frontier.sparkSession
+        n = npartitions or spark.sparkContext.defaultParallelism
+        # named "host" (no leading underscore): pandas itertuples renames
+        # underscore-led columns positionally inside the kernel
+        part = sched.withColumn("host", url_host(F.col("url"))).repartition(
+            int(n), "host"
+        )
+        headers = {"User-Agent": user_agent}
+
+        def kernel(batches):
+            t0 = None
+            last_start: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(["not_before_s", "url"])
+                if t0 is None:
+                    t0 = _clock()
+                urls, htmls, starts = [], [], []
+                for row in pdf.itertuples(index=False):
+                    host = row.host
+                    target = t0 + float(row.not_before_s)
+                    if host in last_start:
+                        target = max(
+                            target, last_start[host] + float(row.delay_s)
+                        )
+                    now = _clock()
+                    if target > now:
+                        _sleep(target - now)
+                    start = _clock()
+                    last_start[host] = start
+                    attempt = 0
+                    while True:
+                        try:
+                            body = transport(row.url, timeout, headers)
+                            break
+                        except Exception:
+                            if attempt >= max_retries:
+                                body = None  # dead link: emit no row
+                                break
+                            _sleep(backoff_base * (2**attempt))
+                            attempt += 1
+                    if body is None:
+                        continue
+                    urls.append(row.url)
+                    htmls.append(body)
+                    starts.append(start - t0)
+                if urls:
+                    yield pd.DataFrame(
+                        {
+                            "url": urls,
+                            "html": htmls,
+                            "fetched_at_s": starts,
+                        }
+                    )
+
+        return part.mapInPandas(
+            kernel, "url string, html string, fetched_at_s double"
+        )
 
     return fetch
 
@@ -813,7 +938,9 @@ def crawl_rounds(
     is the canonicalized, robots-filtered seed set; each later round
     fetches the previous frontier via `fetcher` (a
     ``frontier(url) -> (url, html)`` callable — `table_fetcher` for
-    tests/simulation, an HTTP mapInPandas kernel in production),
+    tests/simulation, `http_fetcher` in production: the rate-limited
+    HTTP mapInPandas kernel that re-applies `politeness_waves` and
+    enforces its schedule per host),
     extracts out-links, canonicalizes, drops every URL already SEEN in
     any earlier round (global dedup, not just parent-round), applies the
     robots filter, and optionally truncates to a deterministic

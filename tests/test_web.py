@@ -846,3 +846,107 @@ def test_crawl_rounds_persist_budget(spark):
     # 4 frontier rounds materialized (0..3) + at most 1 for the final
     # empty-probe round; a persisted seen-union chain would add ~3 more
     assert added <= 5
+
+
+def test_http_fetcher_politeness_and_retry(spark):
+    """The production fetcher kernel under a virtual clock (the
+    test_daemon discipline): per-host fetch starts honor the
+    politeness_waves schedule AND the crawl-delay spacing, transient
+    transport failures retry with backoff, and a URL that exhausts its
+    retries yields no row (table_fetcher's 404 semantics)."""
+    from noaa_oracle_spark.pipeline.web import http_fetcher
+    from tests.test_daemon import VirtualTime
+
+    vt = VirtualTime()
+    attempts: dict = {}
+
+    def transport(url, timeout, headers):
+        assert headers["User-Agent"].startswith("noaa-oracle-spark")
+        attempts[url] = attempts.get(url, 0) + 1
+        if url.endswith("/flaky") and attempts[url] < 3:
+            raise OSError("transient")
+        if url.endswith("/dead"):
+            raise OSError("always down")
+        return f"<html>{url}</html>"
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://h0.test/a",), ("http://h0.test/b",),
+            ("http://h0.test/c",), ("http://h1.test/flaky",),
+            ("http://h1.test/x",), ("http://h1.test/dead",),
+        ],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 2.0)], "host string, delay_s double"
+    )
+    fetched = http_fetcher(
+        delays=delays,
+        default_delay=1.0,
+        transport=transport,
+        clock=vt.clock,
+        sleep=vt.sleep,
+        npartitions=1,
+        backoff_base=0.25,
+    )(frontier)
+    assert fetched.columns == ["url", "html", "fetched_at_s"]
+    rows = fetched.collect()
+
+    live = {
+        "http://h0.test/a", "http://h0.test/b", "http://h0.test/c",
+        "http://h1.test/flaky", "http://h1.test/x",
+    }
+    assert {r.url for r in rows} == live  # dead link dropped
+    assert all(r.html == f"<html>{r.url}</html>" for r in rows)
+
+    # per-host start spacing >= that host's crawl delay
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.url.split("/")[2], []).append(r.fetched_at_s)
+    for host, ts in by_host.items():
+        d = 2.0 if host == "h0.test" else 1.0
+        ts = sorted(ts)
+        assert all(b - a >= d - 1e-9 for a, b in zip(ts, ts[1:])), (
+            host, ts
+        )
+
+
+def test_crawl_rounds_with_http_fetcher_matches_table_fetcher(spark):
+    """crawl_rounds is fetcher-agnostic: the HTTP kernel over a canned
+    transport reproduces exactly the frontier/wave schedule the static
+    page table produces for the same site."""
+    from noaa_oracle_spark.pipeline.web import (
+        crawl_rounds,
+        http_fetcher,
+        table_fetcher,
+    )
+    from tests.test_daemon import VirtualTime
+
+    site = {
+        "http://s.test/start": '<a href="/p1">1</a><a href="/p2">2</a>',
+        "http://s.test/p1": '<a href="/p3">3</a>',
+        "http://s.test/p2": '<a href="/start">s</a>',
+        "http://s.test/p3": "",
+    }
+
+    def transport(url, timeout, headers):
+        if url not in site:
+            raise OSError("404")
+        return site[url]
+
+    vt = VirtualTime()
+    seeds = spark.createDataFrame([("http://s.test/start",)], "url string")
+    out_http = crawl_rounds(
+        seeds,
+        http_fetcher(
+            transport=transport, clock=vt.clock, sleep=vt.sleep,
+            npartitions=2, max_retries=0,
+        ),
+        rounds=3,
+    ).collect()
+    pages = spark.createDataFrame(
+        list(site.items()), "url string, html string"
+    )
+    out_tab = crawl_rounds(seeds, table_fetcher(pages), rounds=3).collect()
+    key = lambda r: (r.url, r["round"], r.wave, r.not_before_s)  # noqa: E731
+    assert sorted(map(key, out_http)) == sorted(map(key, out_tab))

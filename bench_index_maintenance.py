@@ -1,18 +1,26 @@
 #!/usr/bin/env python3
 """Index-maintenance rung harness: the warm-protocol measurements behind
-SCALE.md's append/rebuild numbers for the retrieval tier — BM25
-(`append_bm25_index` vs full `save_bm25_index`) and PQ
-(`append_pq_index` vs full re-encode), at PIPELINE_BENCH_DOCS scale.
+SCALE.md's append/rebuild/compaction/serving numbers for the retrieval
+tier, at PIPELINE_BENCH_DOCS scale.
 
 Protocol (the lesson §13 records): a COLD first build reads ~3.6× its
 warm self (JVM JIT + page cache), so each tier runs one throwaway warm
-build before anything is timed, and all reported stages are warm.
-Equality is asserted in-run: the grown index must serve scores
-identical to the rebuild.
+pass before anything is timed, and all reported stages are warm.
+Equality is asserted in-run: a grown or compacted index must serve
+scores identical to its rebuilt/fragmented twin.
+
+Tiers (BENCH_TIERS, comma list, default "bm25,pq,compaction,hybrid"):
+  bm25 / pq    — append vs rebuild cost (r9 rungs)
+  compaction   — BM25 read amplification after ~20 small appends vs
+                 after `compact_bm25_index` (r9 verdict ask #3)
+  hybrid       — one /search/hybrid-shaped request at scale: BM25 leg,
+                 nprobe-pruned vector leg, and their RRF fusion, each
+                 warm min-of-2 (r9 verdict ask #5)
 
 Knobs: PIPELINE_BENCH_DOCS (default 1000000; the bench_pipeline fixture
 is generated on demand), BENCH_APPEND_FRACTION (default 0.1 — the shard
-appended, the rest is the base index).
+appended, the rest is the base index), BENCH_N_APPENDS (default 20,
+compaction tier).
 
 Prints one JSON line per tier.  Evidence harness for SCALE.md, not a
 driver contract (bench.py is that).
@@ -30,11 +38,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_DOCS = int(os.environ.get("PIPELINE_BENCH_DOCS", "1000000"))
 FRACTION = float(os.environ.get("BENCH_APPEND_FRACTION", "0.1"))
+N_APPENDS = int(os.environ.get("BENCH_N_APPENDS", "20"))
+TIERS = set(
+    os.environ.get("BENCH_TIERS", "bm25,pq,compaction,hybrid").split(",")
+)
 # bench_pipeline's own default is 100k — pin the shared knob BEFORE the
 # import so the fixture module generates at THIS harness's scale (the
 # first 1M run silently got the 100k fixture, an empty append shard,
 # and a failed row-count assert — the assert is why it was caught)
 os.environ["PIPELINE_BENCH_DOCS"] = str(N_DOCS)
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def warm_min2(fn) -> float:
+    """One throwaway warm pass, then min of two timed runs."""
+    fn()
+    return min(_timed(fn), _timed(fn))
 
 
 def main() -> None:
@@ -47,15 +71,20 @@ def main() -> None:
 
     from noaa_oracle_spark.pipeline.pq import (
         append_pq_index,
+        ivfpq_query,
         load_pq_index,
         pq_encode,
         pq_train,
+        save_ivfpq_index,
         save_pq_index,
     )
     from noaa_oracle_spark.pipeline.text import (
+        _parquet_file_count,
         append_bm25_index,
         bm25_query,
+        compact_bm25_index,
         load_bm25_index,
+        rrf_fuse,
         save_bm25_index,
     )
     from noaa_oracle_spark.session import get_spark
@@ -71,76 +100,204 @@ def main() -> None:
     def p(name: str) -> str:
         return os.path.join(work, name)
 
-    # ---- BM25 tier -------------------------------------------------
     docs = spark.read.parquet(src_docs).select("doc_id", "text")
     base = docs.filter(F.col("doc_id") < cut)
     extra = docs.filter(F.col("doc_id") >= cut)
-    save_bm25_index(base, p("bm_warm"))  # throwaway warm pass
-    t = time.time()
-    save_bm25_index(base, p("bm_base"))
-    t_base = time.time() - t
-    t = time.time()
-    n = append_bm25_index(spark, p("bm_base"), extra)
-    t_append = time.time() - t
-    assert n == N_DOCS - cut, n
-    t = time.time()
-    save_bm25_index(docs, p("bm_full"))
-    t_rebuild = time.time() - t
-    g = load_bm25_index(spark, p("bm_base"))
-    f = load_bm25_index(spark, p("bm_full"))
-    assert (g["manifest"].n_docs, g["manifest"].n_postings) == (
-        f["manifest"].n_docs,
-        f["manifest"].n_postings,
-    )
     terms = ["w3", "w17", "w101"]
-    assert [tuple(r) for r in bm25_query(g, terms, k=10).collect()] == [
-        tuple(r) for r in bm25_query(f, terms, k=10).collect()
-    ]
-    print(
-        json.dumps(
-            {
-                "tier": "bm25",
-                "n_docs": N_DOCS,
-                "warm_base_build_s": round(t_base, 1),
-                "append_s": round(t_append, 1),
-                "rebuild_s": round(t_rebuild, 1),
-                "append_vs_rebuild": round(t_rebuild / t_append, 2),
-                "grown_equals_full": True,
-            }
-        ),
-        flush=True,
-    )
 
-    # ---- PQ tier ---------------------------------------------------
-    emb = spark.read.parquet(src_emb)
-    ebase = emb.filter(F.col("vec_id") < cut)
-    eextra = emb.filter(F.col("vec_id") >= cut)
-    books = pq_train(ebase, m=8, k=256, iters=2)  # excluded from timings
-    save_pq_index(books, pq_encode(ebase, books), p("pq_warm"))
-    t = time.time()
-    save_pq_index(books, pq_encode(ebase, books), p("pq_base"))
-    t_base = time.time() - t
-    t = time.time()
-    n = append_pq_index(spark, p("pq_base"), eextra)
-    t_append = time.time() - t
-    assert n == N_DOCS - cut, n
-    t = time.time()
-    save_pq_index(books, pq_encode(emb, books), p("pq_full"))
-    t_rebuild = time.time() - t
-    assert load_pq_index(spark, p("pq_base"))["manifest"].n_encoded == N_DOCS
-    print(
-        json.dumps(
-            {
-                "tier": "pq",
-                "n_vecs": N_DOCS,
-                "warm_base_build_s": round(t_base, 1),
-                "append_s": round(t_append, 1),
-                "rebuild_s": round(t_rebuild, 1),
-                "append_vs_rebuild": round(t_rebuild / t_append, 2),
-            }
-        ),
-        flush=True,
-    )
+    # ---- BM25 append-vs-rebuild tier -------------------------------
+    if "bm25" in TIERS:
+        save_bm25_index(base, p("bm_warm"))  # throwaway warm pass
+        t = time.time()
+        save_bm25_index(base, p("bm_base"))
+        t_base = time.time() - t
+        t = time.time()
+        n = append_bm25_index(spark, p("bm_base"), extra)
+        t_append = time.time() - t
+        assert n == N_DOCS - cut, n
+        t = time.time()
+        save_bm25_index(docs, p("bm_full"))
+        t_rebuild = time.time() - t
+        g = load_bm25_index(spark, p("bm_base"))
+        f = load_bm25_index(spark, p("bm_full"))
+        assert (g["manifest"].n_docs, g["manifest"].n_postings) == (
+            f["manifest"].n_docs,
+            f["manifest"].n_postings,
+        )
+        assert [tuple(r) for r in bm25_query(g, terms, k=10).collect()] == [
+            tuple(r) for r in bm25_query(f, terms, k=10).collect()
+        ]
+        print(
+            json.dumps(
+                {
+                    "tier": "bm25",
+                    "n_docs": N_DOCS,
+                    "warm_base_build_s": round(t_base, 1),
+                    "append_s": round(t_append, 1),
+                    "rebuild_s": round(t_rebuild, 1),
+                    "append_vs_rebuild": round(t_rebuild / t_append, 2),
+                    "grown_equals_full": True,
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- PQ append-vs-rebuild tier ---------------------------------
+    if "pq" in TIERS:
+        emb = spark.read.parquet(src_emb)
+        ebase = emb.filter(F.col("vec_id") < cut)
+        eextra = emb.filter(F.col("vec_id") >= cut)
+        books = pq_train(ebase, m=8, k=256, iters=2)  # excluded from timings
+        save_pq_index(books, pq_encode(ebase, books), p("pq_warm"))
+        t = time.time()
+        save_pq_index(books, pq_encode(ebase, books), p("pq_base"))
+        t_base = time.time() - t
+        t = time.time()
+        n = append_pq_index(spark, p("pq_base"), eextra)
+        t_append = time.time() - t
+        assert n == N_DOCS - cut, n
+        t = time.time()
+        save_pq_index(books, pq_encode(emb, books), p("pq_full"))
+        t_rebuild = time.time() - t
+        assert (
+            load_pq_index(spark, p("pq_base"))["manifest"].n_encoded == N_DOCS
+        )
+        print(
+            json.dumps(
+                {
+                    "tier": "pq",
+                    "n_vecs": N_DOCS,
+                    "warm_base_build_s": round(t_base, 1),
+                    "append_s": round(t_append, 1),
+                    "rebuild_s": round(t_rebuild, 1),
+                    "append_vs_rebuild": round(t_rebuild / t_append, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- BM25 compaction tier --------------------------------------
+    # Degradation this measures: append_bm25_index is file-level, so
+    # after N small appends each term's postings spread across ~N file
+    # sets and the query-term filter opens every one (footer pruning
+    # degrades — each appended file spans its batch's whole vocabulary).
+    if "compaction" in TIERS:
+        frag = p("bm_frag")
+        shard_n = max(1, (N_DOCS - cut) // N_APPENDS)
+        save_bm25_index(base, frag)
+        files_fresh = _parquet_file_count(spark, f"{frag}/postings")
+        t = time.time()
+        appended = 0
+        for i in range(N_APPENDS):
+            lo = cut + i * shard_n
+            hi = N_DOCS if i == N_APPENDS - 1 else lo + shard_n
+            appended += append_bm25_index(
+                spark,
+                frag,
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            )
+        t_appends = time.time() - t
+        assert appended == N_DOCS - cut, appended
+        files_frag = _parquet_file_count(spark, f"{frag}/postings")
+
+        fidx = load_bm25_index(spark, frag)
+        t_q_frag = warm_min2(
+            lambda: bm25_query(fidx, terms, k=10).collect()
+        )
+        t = time.time()
+        stats = compact_bm25_index(spark, frag, p("bm_compacted"))
+        t_compact = time.time() - t
+        cidx = load_bm25_index(spark, p("bm_compacted"))
+        t_q_comp = warm_min2(
+            lambda: bm25_query(cidx, terms, k=10).collect()
+        )
+        assert [tuple(r) for r in bm25_query(cidx, terms, k=10).collect()] == [
+            tuple(r) for r in bm25_query(fidx, terms, k=10).collect()
+        ]
+        print(
+            json.dumps(
+                {
+                    "tier": "bm25_compaction",
+                    "n_docs": N_DOCS,
+                    "n_appends": N_APPENDS,
+                    "appends_total_s": round(t_appends, 1),
+                    "postings_files_fresh": files_fresh,
+                    "postings_files_fragmented": files_frag,
+                    "postings_files_compacted": stats[
+                        "postings_files_after"
+                    ],
+                    "read_amplification": round(
+                        files_frag / max(1, files_fresh), 2
+                    ),
+                    "query_fragmented_s": round(t_q_frag, 2),
+                    "query_compacted_s": round(t_q_comp, 2),
+                    "query_speedup": round(t_q_frag / t_q_comp, 2),
+                    "compact_s": round(t_compact, 1),
+                    "compacted_equals_fragmented": True,
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- hybrid-serve tier -----------------------------------------
+    # One /search/hybrid request at scale: both legs warm min-of-2,
+    # then the fused request.  Expectation: hybrid ≈ legs' sum (the
+    # fusion is bounded top-k work); a corpus-shaped extra term here
+    # would be a serving regression.
+    if "hybrid" in TIERS:
+        emb = spark.read.parquet(src_emb)
+        n_cells = 1024
+        cells = emb.filter(F.col("vec_id") < n_cells)
+        # iters=0 (seeded codebooks): quantization QUALITY is not under
+        # test here — serve latency depends on index geometry only
+        hbooks = pq_train(emb, m=8, k=256, iters=0)
+        t = time.time()
+        save_ivfpq_index(hbooks, emb, cells, p("hy_ivfpq"))
+        t_build_vec = time.time() - t
+        if "bm25" in TIERS:
+            bm_path = p("bm_full")
+        else:
+            bm_path = p("hy_bm25")
+            save_bm25_index(docs, bm_path)
+        bidx = load_bm25_index(spark, bm_path)
+        vidx = load_pq_index(spark, p("hy_ivfpq"))
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+
+        t_lex = warm_min2(lambda: bm25_query(bidx, terms, k=20).collect())
+        t_vec = warm_min2(
+            lambda: ivfpq_query(vidx, qvec, k=20, nprobe=32).collect()
+        )
+
+        def hybrid():
+            lex = bm25_query(bidx, terms, k=20).select("doc_id", "rnk")
+            vec = ivfpq_query(vidx, qvec, k=20, nprobe=32).select(
+                F.col("n_id").alias("doc_id"), F.col("rank").alias("rnk")
+            )
+            return rrf_fuse([lex, vec], k=60, topk=10).collect()
+
+        t_hybrid = warm_min2(hybrid)
+        fused = hybrid()
+        assert len(fused) == 10, len(fused)
+        print(
+            json.dumps(
+                {
+                    "tier": "hybrid_serve",
+                    "n_docs": N_DOCS,
+                    "nprobe": 32,
+                    "vec_index_build_s": round(t_build_vec, 1),
+                    "bm25_leg_s": round(t_lex, 2),
+                    "vector_leg_s": round(t_vec, 2),
+                    "hybrid_s": round(t_hybrid, 2),
+                    "hybrid_vs_legs_sum": round(
+                        t_hybrid / (t_lex + t_vec), 2
+                    ),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -4,6 +4,8 @@ document fingerprinting. All JVM-side built-ins (split/regexp/md5) — no UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1883,3 +1885,62 @@ def merge_bm25_indexes(
     )
     doclens.write.mode("overwrite").parquet(f"{out_path}/doclens")
     _bm25_finalize_manifest(spark, out_path, id_col)
+
+
+def _parquet_file_count(spark, path: str) -> int:
+    """Number of parquet data files under `path` (Hadoop-FS listing, so
+    it holds on object stores) — the read-amplification metric of a
+    many-times-appended index component."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
+    """Rewrite a many-times-appended index into the fresh-save layout.
+
+    `append_bm25_index` is file-level (old shards never rewritten), so
+    after N small appends each term's postings spread across ~N file
+    sets and a query's term filter must open every one of them —
+    footer min/max pruning degrades because every appended file spans
+    the whole vocabulary of its batch.  Compaction is ONE term-hash
+    repartition + term sort of the postings (exactly the
+    `save_bm25_index` layout) plus a doclens rewrite; scores are
+    bit-identical (equality-tested) because the row SET is unchanged.
+
+    Writes to `out_path` (must differ from `path`): the live index
+    stays consistent for concurrent readers until the serving layer
+    repoints — the same snapshot-then-switch discipline the serve loop
+    tests pin for appends.  Returns
+    {"postings_files_before", "postings_files_after", "n_docs",
+    "n_postings"}."""
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_bm25_index: out_path must differ from path "
+            "(in-place rewrite would race concurrent readers)"
+        )
+    idx = load_bm25_index(spark, path)  # full validation before any write
+    id_col = idx["manifest"].id_col
+    files_before = _parquet_file_count(spark, f"{path}/postings")
+    (
+        idx["postings"].repartition(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/postings")
+    )
+    idx["doclens"].write.mode("overwrite").parquet(f"{out_path}/doclens")
+    n_docs, n_postings = _bm25_finalize_manifest(spark, out_path, id_col)
+    return {
+        "postings_files_before": files_before,
+        "postings_files_after": _parquet_file_count(
+            spark, f"{out_path}/postings"
+        ),
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+    }

@@ -492,6 +492,54 @@ def test_append_bm25_index_equals_full_rebuild(spark, tmp_path):
         load_bm25_index(spark, grown)
 
 
+def test_compact_bm25_index_restores_layout_and_scores(spark, tmp_path):
+    """Compaction after many small appends: the compacted index serves
+    scores identical to the fragmented one, its postings collapse back
+    to the fresh-save file layout, and in-place compaction refuses
+    (concurrent readers would race the rewrite)."""
+    from noaa_oracle_spark.pipeline.text import (
+        _parquet_file_count,
+        append_bm25_index,
+        bm25_query,
+        compact_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = [(i, f"w{i % 7} w{i % 3} apple") for i in range(40)]
+    frames = [
+        spark.createDataFrame(docs[lo : lo + 5], "doc_id long, text string")
+        for lo in range(0, 40, 5)
+    ]
+    frag = str(tmp_path / "frag")
+    save_bm25_index(frames[0], frag)
+    for f in frames[1:]:
+        assert append_bm25_index(spark, frag, f) == 5
+
+    out = str(tmp_path / "compacted")
+    stats = compact_bm25_index(spark, frag, out)
+    # 7 appends each added >=1 postings file; compaction collapses them
+    assert stats["postings_files_before"] > stats["postings_files_after"]
+    assert stats["n_docs"] == 40
+
+    g = load_bm25_index(spark, frag)
+    c = load_bm25_index(spark, out)
+    assert (g["manifest"].n_docs, g["manifest"].avgdl,
+            g["manifest"].n_postings) == (
+        c["manifest"].n_docs, c["manifest"].avgdl, c["manifest"].n_postings
+    )
+    for terms in (["apple"], ["w1", "w2"], ["w0", "w5"]):
+        got = [tuple(r) for r in bm25_query(c, terms, k=10).collect()]
+        want = [tuple(r) for r in bm25_query(g, terms, k=10).collect()]
+        assert got == want, terms
+    assert _parquet_file_count(spark, f"{out}/postings") == stats[
+        "postings_files_after"
+    ]
+
+    with pytest.raises(ValueError, match="must differ"):
+        compact_bm25_index(spark, frag, frag)
+
+
 def test_bm25_index_build_is_partitioning_invariant(spark, tmp_path):
     """The persisted index must not depend on how the input corpus was
     partitioned or ordered: indexes built from a 1-partition, an

@@ -3718,6 +3718,170 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-11 staged gate debuts.
+#
+# The r10 grading window is full (4 debuts + q100/q109 rewrites + 32
+# one-round-stale r7 names + 12 oldest-r8 fills), so these CANNOT enter
+# queries() this round.  They are built, oracle-checked
+# (tests/test_staged_r11.py runs them against DuckDB at sf0.001 and
+# sf0.01) and PROMOTED into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL when
+# the r11 window rotates — the staging discipline q129–q136 followed.
+# Gate-growth budget: 136 + 2 keeps the trajectory well under the ~150
+# ceiling (r6 standing order; r9 verdict ask #7 says prefer non-gate
+# work, so only the two new index-maintenance/serving paths get gates).
+# ---------------------------------------------------------------------------
+
+_BM25_COMPACT_TERMS = ["filter", "scan", "sort"]
+
+
+def q137_bm25_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-compact index lifecycle: build a base BM25 index over
+    the first 60% of the corpus (text.save_bm25_index), grow it with
+    two file-level appends (append_bm25_index — old shards never
+    re-tokenized), compact the fragmented index into the fresh-save
+    layout (compact_bm25_index — one term-hash repartition + term sort,
+    row set unchanged), and serve a top-10 query off the COMPACTED
+    index.  The oracle scores the same query over the whole corpus
+    directly, so the gate pins the whole maintenance chain: grown ==
+    rebuilt == compacted, score-exactly.
+
+    Work dir is a fresh mkdtemp; the bounded top-k result is
+    materialized before cleanup (the q136 discipline)."""
+    import shutil
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.text import (
+        append_bm25_index,
+        bm25_query,
+        compact_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()  # one bounded scalar — split points, not data
+    c1, c2 = (3 * n) // 5, (4 * n) // 5
+    d = F.col("doc_id")
+    base = tempfile.mkdtemp(prefix="noaa_bm25_compact_gate_")
+    try:
+        save_bm25_index(docs.filter(d < c1), f"{base}/idx")
+        append_bm25_index(
+            spark, f"{base}/idx", docs.filter((d >= c1) & (d < c2))
+        )
+        append_bm25_index(spark, f"{base}/idx", docs.filter(d >= c2))
+        compact_bm25_index(spark, f"{base}/idx", f"{base}/compacted")
+        out = bm25_query(
+            load_bm25_index(spark, f"{base}/compacted"),
+            _BM25_COMPACT_TERMS,
+            k=10,
+        )
+        # k=10 rows by contract — bounded, not corpus-sized.
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Full-corpus scoring with the q129/q136 arithmetic — the compacted
+# grown index must reproduce it exactly.
+SQL_Q137 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM w
+    WHERE term IN ('filter', 'scan', 'sort') GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+    SELECT doc_id, count(*) AS dl FROM w GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen
+), scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dlen USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY 1
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q138_crawl_http_fetcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q135 crawl closure driven by the PRODUCTION fetcher path:
+    `crawl_rounds` over `http_fetcher` with a deterministic closure
+    transport (page i at http://s{i%5}.test/{i} links to i+1 and i+17;
+    ids outside the corpus 404 — the transport raises and the kernel
+    drops the row, table_fetcher's 404 semantics) under a virtual
+    clock, so the politeness pacing runs without wall-clock sleeps.
+    Same seeds/rounds/graph as q135, so the same arithmetic oracle
+    pins that the HTTP kernel path — schedule, host partitioning,
+    retry-drop — changes NOTHING about the frontier semantics."""
+    from noaa_oracle_spark.pipeline.web import crawl_rounds, http_fetcher
+
+    n = load(spark, sf_dir, "documents").count()  # corpus id bound
+
+    def transport(url, timeout, headers):
+        try:
+            i = int(url.rsplit("/", 1)[1])
+        except ValueError:
+            raise OSError("404") from None
+        if not (0 <= i < n) or url != f"http://s{i % 5}.test/{i}":
+            raise OSError("404")
+        return (
+            f'<html><body><a href="http://s{(i + 1) % 5}.test/{i + 1}">n'
+            f'</a> <a href="http://s{(i + 17) % 5}.test/{i + 17}">j</a>'
+            "</body></html>"
+        )
+
+    clock_state = [0.0]
+
+    def clock() -> float:
+        return clock_state[0]
+
+    def sleep(secs: float) -> None:
+        clock_state[0] += secs
+
+    seeds = spark.createDataFrame(
+        [("http://s0.test/0",), ("http://s1.test/1",)], "url string"
+    )
+    fetcher = http_fetcher(
+        transport=transport, clock=clock, sleep=sleep, max_retries=0
+    )
+    return crawl_rounds(seeds, fetcher, rounds=2)
+
+
+#: Same graph, seeds, and rounds as q135 — the oracle is shared.
+SQL_Q138 = SQL_Q135
+
+
+#: Staged r11 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
+#: when the r11 window rotates; tests/test_staged_r11.py oracle-checks
+#: them every round until then.
+PIPELINE_QUERIES_STAGED_R11: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {
+    "q137_bm25_compaction": q137_bm25_compaction,
+    "q138_crawl_http_fetcher": q138_crawl_http_fetcher,
+}
+
+PIPELINE_ORACLE_SQL_STAGED_R11: dict[str, str] = {
+    "q137_bm25_compaction": SQL_Q137,
+    "q138_crawl_http_fetcher": SQL_Q138,
+}
+
+
 # r10 debuts — staged through round 9 (PIPELINE_QUERIES_STAGED_R10),
 # promoted here when the r10 window rotated (defined below the main dict
 # literals, hence .update()).

@@ -442,6 +442,8 @@ def make_handler(
                     self._search_knn()
                 elif path == "/search/bm25":
                     self._search_bm25()
+                elif path == "/index/bm25/compact":
+                    self._compact_bm25()
                 elif path == "/search/hybrid":
                     self._search_hybrid()
                 else:
@@ -895,6 +897,39 @@ def make_handler(
                     }
                 ).encode()
             )
+
+        def _compact_bm25(self) -> None:
+            """POST /index/bm25/compact — rewrite a many-times-appended
+            BM25 index into the fresh-save layout (`compact_bm25_index`;
+            body {"index_path": ..., "out_path": ..., "serve": false}).
+            The live index at index_path keeps serving unchanged until
+            the caller repoints /search/bm25 at out_path — the
+            snapshot-then-switch discipline the append serve-loop tests
+            pin.  With serve=true the compacted index is loaded into the
+            serving cache immediately (warm first query).  Returns the
+            compaction stats; the file counts are the read-amplification
+            evidence that triggered the compaction."""
+            from noaa_oracle_spark.pipeline.text import compact_bm25_index
+
+            body = self._read_json_body()
+            for fld in ("index_path", "out_path"):
+                v = body.get(fld)
+                if not isinstance(v, str) or not v:
+                    raise BadRequest(f"{fld} (string) is required")
+            try:
+                stats = compact_bm25_index(
+                    spark, body["index_path"], body["out_path"]
+                )
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            except Exception as exc:  # unreadable/missing directory
+                raise BadRequest(
+                    f"cannot compact index at "
+                    f"{body['index_path']!r}: {exc}"
+                ) from exc
+            if body.get("serve"):
+                get_bm25_index(body["out_path"], reload=True)
+            self._send_json(json.dumps(stats).encode())
 
         def _search_bm25(self) -> None:
             """POST /search/bm25 — lexical retrieval against a SAVED

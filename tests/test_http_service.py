@@ -1061,3 +1061,71 @@ def test_search_bm25_append_then_reload_serves_grown_index(
     )
     assert status == 200 and out["n_docs"] == 4
     assert [r["doc_id"] for r in out["results"]] == [3]
+
+
+def test_index_bm25_compact_endpoint(server, spark, tmp_path_factory):
+    """POST /index/bm25/compact: an append-fragmented index compacts to
+    out_path (fewer postings files, score-identical service), serve=true
+    pre-warms the cache, and bad input / in-place rewrites 400."""
+    from noaa_oracle_spark.pipeline.text import (
+        append_bm25_index,
+        save_bm25_index,
+    )
+
+    base, _ = server
+    d = tmp_path_factory.mktemp("bm25_http_compact")
+    path, out = str(d / "idx"), str(d / "compacted")
+    save_bm25_index(
+        spark.createDataFrame(
+            [(1, "spark hash join"), (2, "hash window")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    append_bm25_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "hash rank"), (4, "plain prose")],
+            "doc_id long, text string",
+        ),
+    )
+    append_bm25_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, "spark spark hash"), (6, "join join")],
+            "doc_id long, text string",
+        ),
+    )
+
+    status, before = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "terms": ["spark", "hash"], "k": 5},
+    )
+    assert status == 200 and before["n_docs"] == 6
+
+    status, stats = _post_json(
+        f"{base}/index/bm25/compact",
+        {"index_path": path, "out_path": out, "serve": True},
+    )
+    assert status == 200
+    assert stats["n_docs"] == 6
+    assert stats["postings_files_after"] < stats["postings_files_before"]
+
+    # the compacted index serves identical results (cache pre-warmed)
+    status, after = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": out, "terms": ["spark", "hash"], "k": 5},
+    )
+    assert status == 200
+    assert after["results"] == before["results"]
+
+    for bad in (
+        {"out_path": out},  # missing index_path
+        {"index_path": path},  # missing out_path
+        {"index_path": path, "out_path": path},  # in-place refuse
+        {"index_path": "/nonexistent/idx", "out_path": out + "2"},
+    ):
+        code, msg = _post_error(f"{base}/index/bm25/compact", bad)
+        assert code == 400, (bad, code, msg)

@@ -117,6 +117,73 @@ def _assign_codes(subs: DataFrame, books: "dict", id_col: str):
     return subs.mapInPandas(kernel, schema)
 
 
+def _code_partials(
+    corpus: DataFrame,
+    books: "dict",
+    sub_len: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Lloyd-round pass: per partition, assign every vector's codes
+    (`_encode_block` — the exact `_assign_codes` math) and scatter-add
+    per-(sub, code, dim) component sums and counts.  Output is bounded
+    at m·k·sub_len rows PER PARTITION (kilobytes) — the corpus never
+    shuffles; only these partials cross to the mean aggregation."""
+    import numpy as np
+    import pandas as pd
+
+    from noaa_oracle_spark.pipeline.dedup import spread
+
+    m = len(books)
+    n_codes = books[0].shape[0]
+    schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        sums = np.zeros((m, n_codes, sub_len), np.float64)
+        counts = np.zeros((m, n_codes), np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            sv = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = _encode_block(sv, books, sub_len)
+            for s in range(m):
+                sub = sv[:, s * sub_len : (s + 1) * sub_len]
+                np.add.at(sums[s], codes[:, s], sub)
+                np.add.at(counts[s], codes[:, s], 1)
+        if not seen:
+            return
+        subs_i, codes_i = np.nonzero(counts)
+        if len(subs_i) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "sub": np.repeat(subs_i, sub_len).astype(np.int32),
+                "code": np.repeat(codes_i, sub_len).astype(np.int32),
+                "d": np.tile(
+                    np.arange(sub_len, dtype=np.int32), len(subs_i)
+                ),
+                "s": sums[subs_i, codes_i].reshape(-1),
+                "n": np.repeat(counts[subs_i, codes_i], sub_len),
+            }
+        )
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        kernel, schema
+    )
+
+
 CODEBOOK_SCHEMA = "sub int, code int, centroid array<double>"
 
 
@@ -128,7 +195,12 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Train per-subspace codebooks; returns (sub, code, centroid)."""
+    """Train per-subspace codebooks; returns (sub, code, centroid).
+
+    Each Lloyd round is one fused map-side kernel (`_code_partials`) +
+    one bounded k·dim-key aggregate — zero corpus joins, zero row
+    explosion (r10; the module docstring's stated shape, now the
+    implemented one)."""
     import numpy as np
 
     dim = _dim_of(corpus, vec_col)
@@ -136,43 +208,46 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_len = dim // m
     spark = corpus.sparkSession
-    subs = _subvectors(corpus, id_col, vec_col, m, sub_len)
 
     # deterministic seeds: the k lowest-id vectors' subvectors
     seed_rows = (
-        subs.join(
-            corpus.select(F.col(id_col)).orderBy(id_col).limit(k),
-            id_col,
-        )
-        .orderBy(id_col, "sub")
-        .collect()
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
-    books: dict[int, "np.ndarray"] = {}
-    for s in range(m):
-        vecs = [
-            [float(x) for x in r["svec"]]
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors to seed PQ")
+    seed = np.stack(
+        [
+            np.asarray([float(x) for x in r[1]], dtype=np.float64)
             for r in seed_rows
-            if r["sub"] == s
         ]
-        if len(vecs) < k:
-            raise ValueError(f"need at least k={k} vectors to seed PQ")
-        books[s] = np.asarray(vecs[:k], dtype=np.float64)
+    )
+    books: dict[int, "np.ndarray"] = {
+        s: seed[:, s * sub_len : (s + 1) * sub_len].copy()
+        for s in range(m)
+    }
 
+    # Each Lloyd round is ONE fused scan-stage kernel (assign via
+    # `_encode_block` + scatter-add partial sums over whole vectors)
+    # followed by ONE bounded hash-agg whose key space is m·k·sub_len =
+    # k·dim regardless of corpus size or skew — the kmeans_update
+    # discipline.  (The previous shape re-joined per-(id, sub)
+    # assignments back to the exploded subvectors and dim-exploded the
+    # result: a corpus-wide join plus a dim× row explosion per round.)
     for _ in range(iters):
-        assigned = _assign_codes(subs, books, id_col)
+        partials = _code_partials(
+            corpus, books, sub_len, id_col, vec_col
+        )
         means = (
-            assigned.join(subs, [id_col, "sub"])
-            .select(
-                "sub", "code", F.posexplode(F.col("svec")).alias("d", "v")
-            )
-            .groupBy("sub", "code", "d")
-            .agg(F.avg("v").alias("mean"))
+            partials.groupBy("sub", "code", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = {s: books[s].copy() for s in books}
         for r in means:
             new[int(r["sub"])][int(r["code"]), int(r["d"])] = float(
-                r["mean"]
+                r["s"]
+            ) / float(
+                r["n"]
             )  # empty codes keep their previous centroid
         books = new
 

@@ -499,3 +499,61 @@ def test_pq_encode_fused_matches_legacy_exploded_form(spark, clustered):
     got = {r.vec_id: list(r.codes) for r in enc.collect()}
     want = {r.vec_id: list(r.codes) for r in legacy.collect()}
     assert got == want
+
+
+def test_pq_train_lloyd_round_matches_numpy(spark):
+    """The fused one-pass Lloyd round (assign + scatter-add partials,
+    r10): centroids after one refine equal an independent numpy
+    reference — seed with the k lowest-id vectors, assign every vector
+    to its nearest seed subcentroid (6-dp-rounded squared distance,
+    first-min tie), then take plain per-(sub, code) component means;
+    empty codes keep their seed centroid."""
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, k, sub_len = 4, 6, 4
+    got = {
+        (r.sub, r.code): np.asarray(r.centroid)
+        for r in pq_train(df, m=m, k=k, iters=1).collect()
+    }
+
+    from noaa_oracle_spark.pipeline.rounding import round_half_up
+
+    vecs = np.asarray([v for _, v in rows])
+    seeds = vecs[:k]
+    for s in range(m):
+        lo, hi = s * sub_len, (s + 1) * sub_len
+        sub, cb = vecs[:, lo:hi], seeds[:, lo:hi]
+        d = round_half_up(
+            ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), 6
+        )
+        codes = d.argmin(axis=1)
+        for c in range(k):
+            want = (
+                sub[codes == c].mean(axis=0) if (codes == c).any()
+                else cb[c]
+            )
+            assert np.allclose(got[(s, c)], want, atol=1e-12), (s, c)
+
+
+def test_pq_train_plan_is_map_side(spark):
+    """The Lloyd-round frame must carry no corpus join and no row
+    explosion: one round-robin spread, one MapInPandas, one bounded
+    hash-agg on (sub, code, d)."""
+    from noaa_oracle_spark.pipeline.pq import _books_dict, _code_partials
+
+    rnd = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    books = _books_dict(pq_train(df, m=4, k=4, iters=0))
+    partials = _code_partials(df, books, 4, "vec_id", "embedding")
+    agg = partials.groupBy("sub", "code", "d").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan

@@ -1663,8 +1663,14 @@ def append_bm25_index(
 
     Appended postings files are term-sorted within themselves, so
     per-file row-group pruning still holds; after MANY small appends
-    each term's postings spread across files — compact by merging the
-    index into a fresh directory (`merge_bm25_indexes`, or re-save).
+    each term's postings spread across files and the query-term filter
+    must open every appended file set.  Compact with
+    `compact_bm25_index` (POST /index/bm25/compact over HTTP) when the
+    postings file count exceeds ~3× the fresh layout's — the measured
+    1M rung (SCALE.md §13): 20 small appends grew 32 → 132 files
+    (4.1× read amplification) and slowed the serve query 1.5×; one
+    compaction (≈ half a rebuild's cost) restored both, and pays for
+    itself within ~40 queries at that delta.
 
     `check_disjoint` (default on): a doc id present twice would double-
     count its length in avgdl and its tf rows in scoring; one left-semi

@@ -879,18 +879,23 @@ def http_fetcher(
                 urls, htmls, starts = [], [], []
                 for row in pdf.itertuples(index=False):
                     host = row.host
-                    target = t0 + float(row.not_before_s)
-                    if host in last_start:
-                        target = max(
-                            target, last_start[host] + float(row.delay_s)
-                        )
-                    now = _clock()
-                    if target > now:
-                        _sleep(target - now)
-                    start = _clock()
-                    last_start[host] = start
                     attempt = 0
                     while True:
+                        # every ATTEMPT is a request to the host, so the
+                        # politeness gap applies to retries too (the
+                        # exponential backoff can be shorter than the
+                        # crawl delay; the wait below takes the max)
+                        target = t0 + float(row.not_before_s)
+                        if host in last_start:
+                            target = max(
+                                target,
+                                last_start[host] + float(row.delay_s),
+                            )
+                        now = _clock()
+                        if target > now:
+                            _sleep(target - now)
+                        start = _clock()
+                        last_start[host] = start
                         try:
                             body = transport(row.url, timeout, headers)
                             break

@@ -950,3 +950,41 @@ def test_crawl_rounds_with_http_fetcher_matches_table_fetcher(spark):
     out_tab = crawl_rounds(seeds, table_fetcher(pages), rounds=3).collect()
     key = lambda r: (r.url, r["round"], r.wave, r.not_before_s)  # noqa: E731
     assert sorted(map(key, out_http)) == sorted(map(key, out_tab))
+
+
+def test_http_fetcher_retries_respect_crawl_delay(spark):
+    """Every ATTEMPT is a request to the host, so retries space by the
+    crawl delay, not just the (possibly shorter) backoff: two URLs on
+    one 2.0s-delay host, one needing 3 attempts, means 4 requests —
+    the last must start at >= 3 delay windows after the first."""
+    from noaa_oracle_spark.pipeline.web import http_fetcher
+    from tests.test_daemon import VirtualTime
+
+    vt = VirtualTime()
+    attempts: dict = {}
+
+    def transport(url, timeout, headers):
+        attempts[url] = attempts.get(url, 0) + 1
+        if url.endswith("/flaky") and attempts[url] < 3:
+            raise OSError("transient")
+        return "<html>ok</html>"
+
+    frontier = spark.createDataFrame(
+        [("http://h0.test/a",), ("http://h0.test/flaky",)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 2.0)], "host string, delay_s double"
+    )
+    rows = http_fetcher(
+        delays=delays,
+        transport=transport,
+        clock=vt.clock,
+        sleep=vt.sleep,
+        npartitions=1,
+        backoff_base=0.25,  # deliberately << the crawl delay
+    )(frontier).collect()
+    assert len(rows) == 2
+    ts = sorted(r.fetched_at_s for r in rows)
+    assert ts[0] == 0.0
+    # 4 requests total, each >= 2.0s after the previous on this host
+    assert ts[1] >= 3 * 2.0 - 1e-9, ts

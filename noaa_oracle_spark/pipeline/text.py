@@ -703,35 +703,32 @@ def decontamination_bloom(
     )
 
 
-def bloom_gram_filter(
-    grams: DataFrame,
-    bench_grams: DataFrame,
-    m_bits: int = 1 << 20,
-    k_hashes: int = 3,
-    gram_col: str = "shingle",
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    # k independent hash positions: xxhash64 with a distinct literal
+    # prefix per hash function
+    return [
+        F.pmod(
+            F.xxhash64(F.concat(F.lit(f"bloom{i}|"), key)),
+            F.lit(m_bits),
+        )
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int, k_hashes: int
 ) -> DataFrame:
-    """Map-side bloom prefilter: rows of `grams` whose `gram_col` MIGHT be
-    in `bench_grams` (false positives pass; negatives are exact). The
-    shuffle-volume lever of `decontamination_bloom`, exposed so callers
-    (and bench_pipeline) can measure the surviving candidate stream
-    directly. Returns the input rows minus a temporary `_bloom` column."""
-
-    def positions(gram: Column) -> list[Column]:
-        # k independent hash positions: xxhash64 with a distinct literal
-        # prefix per hash function
-        return [
-            F.pmod(
-                F.xxhash64(F.concat(F.lit(f"bloom{i}|"), gram)),
-                F.lit(m_bits),
-            )
-            for i in range(k_hashes)
-        ]
-
-    # 1-row bitmap: (word index -> 64-bit word) map. The (word, bits)
-    # grouping has at most m_bits/64 keys — tiny, uniform.
-    bitmap = (
-        bench_grams.select(
-            F.explode(F.array(*positions(F.col(gram_col)))).alias("pos")
+    """1-row bloom bitmap over `keys[key_col]`: a (word index -> 64-bit
+    word) map built with `bit_or(1 << pos%64)` grouped by word index —
+    at most m_bits/64 keys, tiny and uniform regardless of input size.
+    Broadcast-crossJoin it to ride the filter to every task with no
+    driver collect (the decontamination_bloom trick, shared with the
+    crawl seen-set prefilter)."""
+    return (
+        keys.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+            ).alias("pos")
         )
         .select(
             (F.col("pos") / 64).cast("long").alias("word"),
@@ -750,31 +747,49 @@ def bloom_gram_filter(
         )
     )
 
-    def might_contain(gram: Column) -> Column:
-        tests = [
-            (
-                F.coalesce(
-                    F.element_at(F.col("_bloom"), (p / 64).cast("long")),
-                    F.lit(0).cast("long"),
-                ).bitwiseAND(
-                    F.call_function(
-                        "shiftleft",
-                        F.lit(1).cast("long"),
-                        F.pmod(p, 64).cast("int"),
-                    )
-                )
-                != 0
-            )
-            for p in positions(gram)
-        ]
-        out = tests[0]
-        for t in tests[1:]:
-            out = out & t
-        return out
 
+def bloom_might_contain(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """Membership test against the crossJoined `_bloom` map column —
+    true for every inserted key plus the false-positive fraction;
+    false is EXACT (the property every caller's correctness rests on)."""
+    tests = [
+        (
+            F.coalesce(
+                F.element_at(F.col("_bloom"), (p / 64).cast("long")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.pmod(p, 64).cast("int"),
+                )
+            )
+            != 0
+        )
+        for p in _bloom_positions(key, m_bits, k_hashes)
+    ]
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
+def bloom_gram_filter(
+    grams: DataFrame,
+    bench_grams: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    gram_col: str = "shingle",
+) -> DataFrame:
+    """Map-side bloom prefilter: rows of `grams` whose `gram_col` MIGHT be
+    in `bench_grams` (false positives pass; negatives are exact). The
+    shuffle-volume lever of `decontamination_bloom`, exposed so callers
+    (and bench_pipeline) can measure the surviving candidate stream
+    directly. Returns the input rows minus a temporary `_bloom` column."""
+    bitmap = bloom_bitmap(bench_grams, gram_col, m_bits, k_hashes)
     return (
         grams.crossJoin(F.broadcast(bitmap))
-        .filter(might_contain(F.col(gram_col)))
+        .filter(bloom_might_contain(F.col(gram_col), m_bits, k_hashes))
         .drop("_bloom")
     )
 

@@ -926,6 +926,46 @@ def http_fetcher(
     return fetch
 
 
+def bloom_seen_filter(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """`candidates` minus `seen` on `key_col` — exactly a left-anti
+    join, with a broadcast bloom bitmap over the SEEN keys splitting the
+    probe stream first: bloom-NEGATIVE rows are provably unseen and
+    bypass the join entirely (a bloom never false-negatives), so only
+    the maybe-fraction — true re-visits plus the bitmap's false
+    positives — enters the anti-join exchange.  Exactness never depends
+    on the filter, only the shuffle volume does (the
+    decontamination_bloom discipline applied to the crawl frontier).
+
+    At the billions-of-URLs tier this is the seen-set relief valve: in
+    steady state most extracted links are NEW, so the anti-join's probe
+    side shrinks to ~FPR of the stream while the join stays the
+    correctness backstop.  Size m_bits ~10× the seen-set cardinality
+    for a ~1% FPR (128 KB per 2^20 bits — broadcastable far beyond
+    billion-URL crawls)."""
+    from noaa_oracle_spark.pipeline.text import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    bitmap = bloom_bitmap(seen, key_col, m_bits, k_hashes)
+    tested = candidates.crossJoin(F.broadcast(bitmap)).withColumn(
+        "_maybe", bloom_might_contain(F.col(key_col), m_bits, k_hashes)
+    )
+    fresh = tested.filter(~F.col("_maybe")).drop("_maybe", "_bloom")
+    maybe = (
+        tested.filter(F.col("_maybe"))
+        .drop("_maybe", "_bloom")
+        .join(seen.select(key_col), key_col, "left_anti")
+    )
+    return fresh.unionByName(maybe)
+
+
 def crawl_rounds(
     seeds: DataFrame,
     fetcher,
@@ -936,6 +976,7 @@ def crawl_rounds(
     delays: "DataFrame | None" = None,
     default_delay: float = 1.0,
     max_frontier: "int | None" = None,
+    seen_bloom_bits: "int | None" = None,
 ) -> DataFrame:
     """Iterative multi-round crawl frontier driver — the loop that turns
     the one-round composition (fetch → extract_links → canonicalize →
@@ -961,9 +1002,10 @@ def crawl_rounds(
     never shuffle — only (page, link) edges do); the frontier dedup is
     one `distinct` exchange plus one left-anti hash join against the
     accumulated seen set (url-keyed — at the billions-of-URLs tier this
-    is the shape you bucket by url hash, and a bloom pre-filter on the
-    seen set cuts the anti-join's probe volume; the join stays the
-    correctness backstop).  Each round's frontier is persisted and
+    is the shape you bucket by url hash, and `seen_bloom_bits` turns on
+    the `bloom_seen_filter` relief valve: provably-unseen links bypass
+    the anti-join, only the maybe-fraction probes it; the join stays
+    the correctness backstop).  Each round's frontier is persisted and
     materialized — the driver loop truncates lineage so round N's plan
     does not re-derive rounds 0..N−1, the standard iterative-algorithm
     discipline (same as the connected-components loop).  The seen set
@@ -1008,7 +1050,16 @@ def crawl_rounds(
             pages, html_col="html", id_col="_page_url", url_col="url"
         )
         nxt = _canon(edges.select(F.col("link").alias("url")))
-        nxt = _guard(nxt.join(seen, "url", "left_anti")).persist()
+        if seen_bloom_bits is not None:
+            # bloom relief valve (`seen_bloom_bits` = m_bits): provably-
+            # unseen links bypass the anti-join; only the maybe-fraction
+            # probes the accumulated seen set.  Same rows either way.
+            nxt = bloom_seen_filter(
+                nxt, seen, key_col="url", m_bits=int(seen_bloom_bits)
+            )
+        else:
+            nxt = nxt.join(seen, "url", "left_anti")
+        nxt = _guard(nxt).persist()
         if nxt.count() == 0:
             nxt.unpersist()
             break

@@ -988,3 +988,59 @@ def test_http_fetcher_retries_respect_crawl_delay(spark):
     assert ts[0] == 0.0
     # 4 requests total, each >= 2.0s after the previous on this host
     assert ts[1] >= 3 * 2.0 - 1e-9, ts
+
+
+def test_bloom_seen_filter_is_exact(spark):
+    """bloom_seen_filter == plain left-anti join, at BOTH extremes:
+    a roomy bitmap (most candidates provably fresh, bypassing the
+    join) and a deliberately saturated 64-bit one (everything 'maybe',
+    the exact join doing all the work — false positives never leak)."""
+    from noaa_oracle_spark.pipeline.web import bloom_seen_filter
+
+    cand = spark.createDataFrame(
+        [(f"http://x.test/{i}",) for i in range(200)], "url string"
+    )
+    seen = spark.createDataFrame(
+        [(f"http://x.test/{i}",) for i in range(0, 200, 3)], "url string"
+    )
+    want = sorted(
+        r.url for r in cand.join(seen, "url", "left_anti").collect()
+    )
+    for m_bits in (1 << 16, 64):
+        got = sorted(
+            r.url
+            for r in bloom_seen_filter(
+                cand, seen, m_bits=m_bits
+            ).collect()
+        )
+        assert got == want, m_bits
+
+
+def test_crawl_rounds_bloom_equals_exact(spark):
+    """crawl_rounds with the seen-set bloom relief valve returns exactly
+    the exact-anti-join frontier (rows, rounds, waves)."""
+    from noaa_oracle_spark.pipeline.web import crawl_rounds, table_fetcher
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/start", '<a href="/p1">1</a><a href="/p2">2</a>'),
+            ("https://a.test/p1", '<a href="/p3">3</a><a href="/start">c</a>'),
+            ("https://a.test/p2", '<a href="/p3">3</a>'),
+            ("https://a.test/p3", '<a href="/p4">4</a>'),
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://a.test/start",)], "url string")
+    key = lambda r: (r.url, r["round"], r.wave, r.not_before_s)  # noqa: E731
+    exact = sorted(
+        map(key, crawl_rounds(seeds, table_fetcher(pages), rounds=3).collect())
+    )
+    bloomed = sorted(
+        map(
+            key,
+            crawl_rounds(
+                seeds, table_fetcher(pages), rounds=3, seen_bloom_bits=1 << 16
+            ).collect(),
+        )
+    )
+    assert bloomed == exact

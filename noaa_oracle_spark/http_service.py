@@ -696,15 +696,37 @@ def make_handler(
             index_path = body.get("index_path")
             if not isinstance(index_path, str) or not index_path:
                 raise BadRequest("index_path (string) is required")
-            vec = body.get("vector")
-            if (
-                not isinstance(vec, list)
-                or not vec
-                or not all(
-                    isinstance(x, (int, float)) and not isinstance(x, bool)
-                    for x in vec
+
+            def _valid_vec(v) -> bool:
+                return (
+                    isinstance(v, list)
+                    and bool(v)
+                    and all(
+                        isinstance(x, (int, float))
+                        and not isinstance(x, bool)
+                        for x in v
+                    )
                 )
-            ):
+
+            vec = body.get("vector")
+            vecs = body.get("vectors")
+            if vecs is not None:
+                # batch mode: one partition-pruned job for N vectors
+                # (ivfpq_query_batch) — nprobe + a celled index required
+                if vec is not None:
+                    raise BadRequest(
+                        "pass either vector or vectors, not both"
+                    )
+                if (
+                    not isinstance(vecs, list)
+                    or not vecs
+                    or not all(_valid_vec(v) for v in vecs)
+                ):
+                    raise BadRequest(
+                        "vectors (non-empty array of number arrays) is "
+                        "required"
+                    )
+            elif not _valid_vec(vec):
                 raise BadRequest("vector (non-empty number array) is required")
             k = body.get("k", 5)
             if not isinstance(k, int) or isinstance(k, bool) or k < 1:
@@ -717,6 +739,50 @@ def make_handler(
             ):
                 raise BadRequest("nprobe must be a positive integer")
             idx = get_pq_index(index_path, reload=bool(body.get("reload")))
+            if vecs is not None:
+                from noaa_oracle_spark.pipeline.pq import ivfpq_query_batch
+
+                if nprobe is None:
+                    raise BadRequest(
+                        "batch mode requires nprobe (cell-partitioned "
+                        "serving)"
+                    )
+                try:
+                    batch_rows = ivfpq_query_batch(
+                        idx,
+                        [[float(x) for x in v] for v in vecs],
+                        k=k,
+                        nprobe=nprobe,
+                    ).collect()
+                except ValueError as exc:
+                    raise BadRequest(str(exc)) from exc
+                per_q: list[list] = [[] for _ in vecs]
+                for r in batch_rows:
+                    per_q[r.q_idx].append(r)
+                self._send_json(
+                    json.dumps(
+                        {
+                            "k": k,
+                            "nprobe": nprobe,
+                            "metric": idx["manifest"].metric,
+                            "n_encoded": int(idx["manifest"].n_encoded),
+                            "results": [
+                                [
+                                    {
+                                        "rank": r.rank,
+                                        "vec_id": r.n_id,
+                                        "adc_dist": r.adc_dist,
+                                    }
+                                    for r in sorted(
+                                        rows_q, key=lambda r: r.rank
+                                    )
+                                ]
+                                for rows_q in per_q
+                            ],
+                        }
+                    ).encode()
+                )
+                return
             rows = sorted(
                 self._pq_neighbors(idx, vec, k, nprobe=nprobe).collect(),
                 key=lambda r: r.rank,

@@ -1667,19 +1667,9 @@ def save_ivfpq_index(
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
-def probe_cells(
-    cells: DataFrame,
-    vector: "list[float]",
-    nprobe: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> "list[int]":
-    """The query-side coarse routing of `ivfpq_knn`, for ONE external
-    vector: nprobe nearest cells by 6-dp-rounded cosine with the
-    cell-id-ascending tiebreak — numerically IDENTICAL to the Spark
-    expression form (dimension-ordered left-fold accumulation +
-    `round_half_up`, the kmeans_assign numpy-backend discipline), so a
-    served query probes exactly the cells the batch operator would."""
+def _collect_cells(cells: DataFrame, id_col: str, vec_col: str):
+    """(c_ids int64[], c_mat (n×dim) float64) from the cell table —
+    collected once; the cell set is broadcast-sized by construction."""
     import numpy as np
 
     rows = sorted(
@@ -1690,6 +1680,16 @@ def probe_cells(
         raise ValueError("probe_cells: empty cell set")
     c_ids = np.array([cid for cid, _ in rows], dtype=np.int64)
     c_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    return c_ids, c_mat
+
+
+def _rank_cells(c_ids, c_mat, vector, nprobe: int) -> "list[int]":
+    """nprobe nearest cells for one vector — the shared numpy scorer of
+    `probe_cells` / `ivfpq_query_batch`: 6-dp-rounded cosine via the
+    dimension-ordered left-fold (numerically IDENTICAL to the Spark
+    expression form), cell-id-ascending tiebreak."""
+    import numpy as np
+
     q = np.asarray(vector, dtype=np.float64)
     if q.shape[0] != c_mat.shape[1]:
         raise ValueError(
@@ -1710,8 +1710,25 @@ def probe_cells(
     for x in q:
         qn = qn + x * x
     sims = round_half_up(dot / (fold_norm(c_mat) * float(qn) ** 0.5), 6)
-    order = sorted(range(len(rows)), key=lambda i: (-sims[i], c_ids[i]))
+    order = sorted(range(len(c_ids)), key=lambda i: (-sims[i], c_ids[i]))
     return [int(c_ids[i]) for i in order[: int(nprobe)]]
+
+
+def probe_cells(
+    cells: DataFrame,
+    vector: "list[float]",
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[int]":
+    """The query-side coarse routing of `ivfpq_knn`, for ONE external
+    vector: nprobe nearest cells by 6-dp-rounded cosine with the
+    cell-id-ascending tiebreak — numerically IDENTICAL to the Spark
+    expression form (dimension-ordered left-fold accumulation +
+    `round_half_up`, the kmeans_assign numpy-backend discipline), so a
+    served query probes exactly the cells the batch operator would."""
+    c_ids, c_mat = _collect_cells(cells, id_col, vec_col)
+    return _rank_cells(c_ids, c_mat, vector, nprobe)
 
 
 def ivfpq_query(
@@ -1762,3 +1779,146 @@ def ivfpq_query(
     return pq_knn(
         qdf, pruned, index["codebooks"], k=k, id_col=id_col
     ).select("rank", "n_id", "adc_dist")
+
+
+def ivfpq_query_batch(
+    index: "dict",
+    vectors: "list[list[float]]",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve a BATCH of query vectors from a loaded cell-partitioned
+    IVF-PQ index in ONE Spark job — the shape an LLM-data pipeline
+    actually queries an index in (dedup probes and similarity sweeps
+    arrive thousands of vectors at a time, not one request per job).
+
+    Per-query semantics are EXACTLY `ivfpq_query`'s (equality-tested):
+    each vector probes its own nprobe nearest cells (`_rank_cells`, the
+    shared numpy scorer — cells collected ONCE for the whole batch),
+    and is scored against ONLY those cells' codes.  Execution is one
+    partition-pruned scan of the UNION of all probed cells
+    (cluster_id PartitionFilter at file-listing time) with a
+    cell→probing-queries map + per-query ADC LUTs riding in one
+    broadcast; the kernel fans each code row out to exactly the
+    queries that probed its cell — the inline-ivfpq discipline minus
+    the encode (codes are already persisted).  The corpus crosses zero
+    joins; candidates are |Q|·(rows in probed cells), bounded by
+    nprobe/n_cells of the index per query.
+
+    Returns (q_idx, rank, n_id, adc_dist) where q_idx indexes into
+    `vectors`."""
+    import numpy as np
+    import pandas as pd
+
+    meta = index["manifest"]
+    if index["cells"] is None:
+        raise ValueError("ivfpq_query_batch: index has no coarse cells")
+    codes = index["codes"]
+    if "cluster_id" not in codes.columns:
+        raise ValueError(
+            "ivfpq_query_batch: codes are not cell-partitioned — re-save "
+            "with save_ivfpq_index"
+        )
+    if not vectors:
+        raise ValueError("ivfpq_query_batch: empty query batch")
+    dim = int(meta.dim)
+    for v in vectors:
+        if len(v) != dim:
+            raise ValueError(
+                f"ivfpq_query_batch: vector has {len(v)} dims, index "
+                f"expects {dim}"
+            )
+    id_col = [
+        c for c in codes.columns if c not in ("codes", "cluster_id")
+    ][0]
+
+    c_ids, c_mat = _collect_cells(index["cells"], id_col, "embedding")
+    probes = [
+        _rank_cells(c_ids, c_mat, [float(x) for x in v], nprobe)
+        for v in vectors
+    ]
+    union_cells = sorted({c for p in probes for c in p})
+
+    books = _books_dict(index["codebooks"])
+    m = len(books)
+    sub_len = books[0].shape[1]
+    n_codes = books[0].shape[0]
+    lut = np.empty((len(vectors), m, n_codes), np.float64)
+    for qi, vec in enumerate(vectors):
+        v = np.asarray([float(x) for x in vec], dtype=np.float64)
+        for s in range(m):
+            qsub = v[s * sub_len : (s + 1) * sub_len]
+            lut[qi, s] = ((books[s] - qsub[None, :]) ** 2).sum(axis=1)
+    # cell -> int64[] of probing query indexes (|Q|·nprobe pairs)
+    cell_map: dict = {}
+    for qi, p in enumerate(probes):
+        for c in p:
+            cell_map.setdefault(int(c), []).append(qi)
+    cell_map = {
+        c: np.asarray(qs, dtype=np.int64) for c, qs in cell_map.items()
+    }
+
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((cell_map, lut))
+    pruned = codes.filter(
+        F.col("cluster_id").isin(*[int(c) for c in union_cells])
+    ).select(id_col, "codes", "cluster_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("q_idx", T.IntegerType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        cmap, lut_ = bc.value
+        subs_idx = np.arange(lut_.shape[1])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            hits = [cmap.get(int(c)) for c in cids]
+            counts = np.asarray(
+                [0 if h is None else len(h) for h in hits]
+            )
+            keep = counts > 0
+            if not keep.any():
+                continue
+            ids_n = pdf[id_col].to_numpy(dtype=np.int64)[keep]
+            cmat = np.stack(
+                [
+                    np.asarray(c, dtype=np.int64)
+                    for c in pdf["codes"].to_numpy()[keep]
+                ]
+            )
+            rep = counts[keep]
+            ids_rep = np.repeat(ids_n, rep)
+            codes_rep = np.repeat(cmat, rep, axis=0)
+            qs = np.concatenate([h for h in hits if h is not None])
+            dists = round_half_up(
+                lut_[qs[:, None], subs_idx[None, :], codes_rep].sum(
+                    axis=1
+                ),
+                6,
+            )
+            yield pd.DataFrame(
+                {
+                    "q_idx": qs.astype(np.int32),
+                    "n_id": ids_rep,
+                    "adc_dist": dists,
+                }
+            )
+
+    cand = pruned.mapInPandas(kernel, schema)
+    w = Window.partitionBy("q_idx").orderBy(
+        F.asc("adc_dist"), F.asc("n_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_idx", "rank", "n_id", F.round("adc_dist", 6).alias("adc_dist")
+        )
+    )

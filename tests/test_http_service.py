@@ -1129,3 +1129,61 @@ def test_index_bm25_compact_endpoint(server, spark, tmp_path_factory):
     ):
         code, msg = _post_error(f"{base}/index/bm25/compact", bad)
         assert code == 400, (bad, code, msg)
+
+
+def test_search_knn_batch_serves_vectors(server, spark, tmp_path_factory):
+    """POST /search/knn with "vectors": N queries served from the
+    cell-partitioned index in ONE job (ivfpq_query_batch) — per-vector
+    results equal direct single-vector ivfpq_query calls; malformed
+    batch bodies 400."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_query,
+        load_pq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+
+    base, _ = server
+    rng = np.random.RandomState(47)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path_factory.mktemp("pq_http_batch") / "idx")
+    books = pq_train(emb, m=4, k=4, iters=1)
+    save_ivfpq_index(books, emb, emb.filter(F.col("vec_id") < 4), path)
+
+    rows = emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    vecs = [[float(x) for x in r.embedding] for r in rows]
+    status, out = _post_json(
+        f"{base}/search/knn",
+        {"index_path": path, "vectors": vecs, "k": 3, "nprobe": 2},
+    )
+    assert status == 200 and len(out["results"]) == 2
+    idx = load_pq_index(spark, path)
+    for i, v in enumerate(vecs):
+        want = [
+            (r.rank, r.n_id, r.adc_dist)
+            for r in ivfpq_query(idx, v, k=3, nprobe=2).collect()
+        ]
+        got = [
+            (r["rank"], r["vec_id"], r["adc_dist"])
+            for r in out["results"][i]
+        ]
+        assert sorted(got) == sorted(want), i
+
+    for bad in (
+        {"index_path": path, "vectors": vecs, "vector": vecs[0], "k": 3,
+         "nprobe": 2},                                  # both forms
+        {"index_path": path, "vectors": vecs, "k": 3},  # no nprobe
+        {"index_path": path, "vectors": [], "k": 3, "nprobe": 2},
+        {"index_path": path, "vectors": [vecs[0], ["x"]], "k": 3,
+         "nprobe": 2},                                  # ragged/non-numeric
+        {"index_path": path, "vectors": [[1.0, 2.0]], "k": 3,
+         "nprobe": 2},                                  # wrong dim
+    ):
+        code, msg = _post_error(f"{base}/search/knn", bad)
+        assert code == 400, (bad, code, msg)

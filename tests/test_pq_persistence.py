@@ -367,3 +367,52 @@ def test_append_into_celled_index_keeps_partitioned_layout(
     assert got == want
     # vec 250's own id must surface at ~zero ADC distance
     assert got[0][1] == 250
+
+
+def test_ivfpq_query_batch_equals_single_queries(spark, emb, tmp_path):
+    """One partition-pruned job serving N vectors == N ivfpq_query
+    calls, per-query exact (each vector scored against ONLY its own
+    nprobe cells), with no corpus join in the plan."""
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_query,
+        ivfpq_query_batch,
+        save_ivfpq_index,
+    )
+
+    books = pq_train(emb, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "batch_idx")
+    save_ivfpq_index(books, emb, cells, path)
+    idx = load_pq_index(spark, path)
+
+    vecs = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    batch = ivfpq_query_batch(idx, vecs, k=4, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.q_idx, []).append((r.rank, r.n_id, r.adc_dist))
+    assert set(got) == {0, 1, 2}
+    for i, v in enumerate(vecs):
+        want = [
+            (r.rank, r.n_id, r.adc_dist)
+            for r in ivfpq_query(idx, v, k=4, nprobe=3).collect()
+        ]
+        assert sorted(got[i]) == sorted(want), i
+
+    plan = (
+        ivfpq_query_batch(idx, vecs, k=4, nprobe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "PartitionFilters: [cluster_id" in plan or (
+        "PartitionFilters: [isnotnull(cluster_id" in plan
+    ) or "cluster_id" in plan.split("PartitionFilters")[1][:200], plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty query batch"):
+        ivfpq_query_batch(idx, [], k=2)
+    with _pytest.raises(ValueError, match="dims"):
+        ivfpq_query_batch(idx, [[0.0, 1.0]], k=2)

@@ -835,11 +835,19 @@ def make_handler(
                 return pruned
             lo = idx.get("min_vec_id")
             sentinel = min(-1, (lo - 1) if lo is not None else -1)
+            # the index's own id column, never a hardcoded vec_id — a
+            # custom-id_col index must serve on the flat path too
+            id_col = [
+                c for c in idx["codes"].columns
+                if c not in ("codes", "cluster_id")
+            ][0]
             queries = spark.createDataFrame(
                 [(sentinel, [float(x) for x in vec])],
-                "vec_id long, embedding array<double>",
+                f"{id_col} long, embedding array<double>",
             )
-            return pq_knn(queries, idx["codes"], idx["codebooks"], k=k)
+            return pq_knn(
+                queries, idx["codes"], idx["codebooks"], k=k, id_col=id_col
+            )
 
         def _search_hybrid(self) -> None:
             """POST /search/hybrid — fused lexical + vector retrieval:

@@ -1667,6 +1667,24 @@ def save_ivfpq_index(
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
+def _cells_schema_cols(cells: DataFrame) -> "tuple[str, str]":
+    """(id_col, vec_col) of a cell-centroid table, derived from its
+    SCHEMA — the array-typed column is the centroid, the other the
+    cell id.  Serve paths must not hardcode names the index was not
+    saved with (the load_pq_index id_col lesson, applied to cells)."""
+    vec_cols = [
+        f.name for f in cells.schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+    ]
+    other = [f.name for f in cells.schema.fields if f.name not in vec_cols]
+    if len(vec_cols) != 1 or len(other) != 1:
+        raise ValueError(
+            f"cannot identify (id, centroid) columns in cells schema "
+            f"{cells.columns}"
+        )
+    return other[0], vec_cols[0]
+
+
 def _collect_cells(cells: DataFrame, id_col: str, vec_col: str):
     """(c_ids int64[], c_mat (n×dim) float64) from the cell table —
     collected once; the cell set is broadcast-sized by construction."""
@@ -1765,7 +1783,10 @@ def ivfpq_query(
     id_col = [
         c for c in codes.columns if c not in ("codes", "cluster_id")
     ][0]
-    probed = probe_cells(index["cells"], vector, nprobe, id_col=id_col)
+    c_id_col, c_vec_col = _cells_schema_cols(index["cells"])
+    probed = probe_cells(
+        index["cells"], vector, nprobe, id_col=c_id_col, vec_col=c_vec_col
+    )
     pruned = codes.filter(
         F.col("cluster_id").isin(*[int(c) for c in probed])
     ).select(id_col, "codes")
@@ -1832,7 +1853,8 @@ def ivfpq_query_batch(
         c for c in codes.columns if c not in ("codes", "cluster_id")
     ][0]
 
-    c_ids, c_mat = _collect_cells(index["cells"], id_col, "embedding")
+    c_id_col, c_vec_col = _cells_schema_cols(index["cells"])
+    c_ids, c_mat = _collect_cells(index["cells"], c_id_col, c_vec_col)
     probes = [
         _rank_cells(c_ids, c_mat, [float(x) for x in v], nprobe)
         for v in vectors

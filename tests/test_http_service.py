@@ -1187,3 +1187,32 @@ def test_search_knn_batch_serves_vectors(server, spark, tmp_path_factory):
     ):
         code, msg = _post_error(f"{base}/search/knn", bad)
         assert code == 400, (bad, code, msg)
+
+
+def test_search_knn_flat_serves_custom_id_index(server, spark, tmp_path_factory):
+    """The flat (no-nprobe) serve path must use the index's OWN id
+    column — an index saved with id_col='doc_id' serves over HTTP."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import (
+        pq_encode,
+        pq_train,
+        save_pq_index,
+    )
+
+    base, _ = server
+    rng = np.random.RandomState(53)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(40)],
+        "doc_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=4, k=4, iters=1, id_col="doc_id")
+    path = str(tmp_path_factory.mktemp("pq_http_custom") / "idx")
+    save_pq_index(books, pq_encode(emb, books, id_col="doc_id"), path)
+
+    qvec = [float(x) for x in emb.first().embedding]
+    status, out = _post_json(
+        f"{base}/search/knn", {"index_path": path, "vector": qvec, "k": 3}
+    )
+    assert status == 200
+    assert [r["vec_id"] for r in out["neighbors"]][0] == 0  # self 1-NN

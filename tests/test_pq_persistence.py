@@ -77,17 +77,31 @@ def test_pq_index_custom_id_col_round_trip(spark, emb, tmp_path):
     instead of hardcoding vec_id."""
     from noaa_oracle_spark.pipeline.pq import ivfpq_query, save_ivfpq_index
 
-    renamed = emb.withColumnRenamed("vec_id", "doc_id")
-    books = pq_train(renamed, m=4, k=8, iters=1, id_col="doc_id")
+    from noaa_oracle_spark.pipeline.pq import ivfpq_query_batch
+
+    renamed = (
+        emb.withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("embedding", "vec")
+    )
+    books = pq_train(renamed, m=4, k=8, iters=1, id_col="doc_id",
+                     vec_col="vec")
     cells = renamed.filter(F.col("doc_id") < 8)
     path = str(tmp_path / "named_idx")
-    save_ivfpq_index(books, renamed, cells, path, id_col="doc_id")
+    save_ivfpq_index(
+        books, renamed, cells, path, id_col="doc_id", vec_col="vec"
+    )
 
     idx = load_pq_index(spark, path)  # raised on F.min('vec_id') before
     assert idx["min_vec_id"] == 0
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[1]]
+    # single and batch serve both derive (id, centroid) columns from the
+    # schemas instead of hardcoding vec_id/embedding
     got = ivfpq_query(idx, qvec, k=3, nprobe=8).collect()
     assert len(got) == 3 and got[0].n_id == 0  # self is its own 1-NN
+    batch = ivfpq_query_batch(idx, [qvec], k=3, nprobe=8).collect()
+    assert sorted((r.rank, r.n_id, r.adc_dist) for r in batch) == sorted(
+        (r.rank, r.n_id, r.adc_dist) for r in got
+    )
 
 
 def test_pq_index_geometry_validation(spark, emb, tmp_path):

@@ -86,8 +86,11 @@ _GRADE_FIRST = [
     # q84_returned_items q85_priority_class_counts q86_promo_revenue
     # q94_embedding_dedup_blocked q95_decontamination_bloom
     # q96_semantic_dedup q97_exact_substring_spans q98_source_mix_weights
-    # (37 names) — leaving 13 slots for r11 debuts (stage at most a
-    # handful per the gate-growth budget) + oldest-r9 fills.
+    # (37 names) — then the 2 r11 debuts staged in
+    # PIPELINE_QUERIES_STAGED_R11 (built + oracle-green at
+    # sf0.001/sf0.01 this round, tests/test_staged_r11.py):
+    # q137_bm25_compaction q138_crawl_http_fetcher — 39 names; the
+    # remaining 11 slots fill with the oldest-r9 names.
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",

@@ -3719,17 +3719,15 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# Round-11 staged gate debuts.
-#
-# The r10 grading window is full (4 debuts + q100/q109 rewrites + 32
-# one-round-stale r7 names + 12 oldest-r8 fills), so these CANNOT enter
-# queries() this round.  They are built, oracle-checked
-# (tests/test_staged_r11.py runs them against DuckDB at sf0.001 and
-# sf0.01) and PROMOTED into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL when
-# the r11 window rotates — the staging discipline q129–q136 followed.
-# Gate-growth budget: 136 + 2 keeps the trajectory well under the ~150
-# ceiling (r6 standing order; r9 verdict ask #7 says prefer non-gate
-# work, so only the two new index-maintenance/serving paths get gates).
+# Round-11 debuts — staged through round 10 (PIPELINE_QUERIES_STAGED_R11,
+# oracle-checked at sf0.001+sf0.01 by tests/test_staged_r11.py the whole
+# round), promoted into the main dicts when the r11 window rotated.
+# Gate-checks the index-maintenance tier end to end: the append →
+# fragment → compact lifecycle with score parity across the switch, and
+# the production HTTP crawl fetcher driving the same frontier the pure
+# table fetcher does.  Measured sf0.1 warm-min2 bench cost at staging
+# time: q137 ~7 s (persistence gate — save + 2 appends + compact + serve;
+# job scheduling dominates at this sf), q138 ~2.9 s (3 crawl rounds).
 # ---------------------------------------------------------------------------
 
 _BM25_COMPACT_TERMS = ["filter", "scan", "sort"]
@@ -3866,30 +3864,16 @@ def q138_crawl_http_fetcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q138 = SQL_Q135
 
 
-#: Staged r11 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
-#: when the r11 window rotates; tests/test_staged_r11.py oracle-checks
-#: them every round until then.
-PIPELINE_QUERIES_STAGED_R11: dict[
-    str, Callable[[SparkSession, str], DataFrame]
-] = {
-    "q137_bm25_compaction": q137_bm25_compaction,
-    "q138_crawl_http_fetcher": q138_crawl_http_fetcher,
-}
-
-PIPELINE_ORACLE_SQL_STAGED_R11: dict[str, str] = {
-    "q137_bm25_compaction": SQL_Q137,
-    "q138_crawl_http_fetcher": SQL_Q138,
-}
-
-
-# r10 debuts — staged through round 9 (PIPELINE_QUERIES_STAGED_R10),
-# promoted here when the r10 window rotated (defined below the main dict
-# literals, hence .update()).
+# r10/r11 debuts — each staged one round ahead (PIPELINE_QUERIES_STAGED_R10
+# / _R11), promoted here when their window rotated (defined below the main
+# dict literals, hence .update()).
 PIPELINE_QUERIES.update({
     "q133_hybrid_rrf": q133_hybrid_rrf,
     "q134_politeness_schedule": q134_politeness_schedule,
     "q135_crawl_frontier": q135_crawl_frontier,
     "q136_bm25_merge": q136_bm25_merge,
+    "q137_bm25_compaction": q137_bm25_compaction,
+    "q138_crawl_http_fetcher": q138_crawl_http_fetcher,
 })
 
 PIPELINE_ORACLE_SQL.update({
@@ -3897,4 +3881,6 @@ PIPELINE_ORACLE_SQL.update({
     "q134_politeness_schedule": SQL_Q134,
     "q135_crawl_frontier": SQL_Q135,
     "q136_bm25_merge": SQL_Q136,
+    "q137_bm25_compaction": SQL_Q137,
+    "q138_crawl_http_fetcher": SQL_Q138,
 })

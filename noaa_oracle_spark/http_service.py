@@ -25,7 +25,10 @@ is the thin request/response shell the reference serves with axum
 | GET /oracle/update/{process_id}   | (status poll — twin extension)         |
 | POST /search/knn                  | (PQ-index vector serve — extension)    |
 | POST /search/bm25                 | (BM25-index lexical serve — extension) |
-| POST /search/hybrid               | (RRF-fused lexical+vector — extension) |
+| POST /search/hybrid               | (RRF-fused lexical+vector — extension; |
+|   single query or `queries` batch   |  batch = 2 Spark jobs for N queries) |
+| POST /index/bm25/compact          | (append-fragmentation rewrite — ext.)  |
+| POST /index/pq/compact            | (the vector twin — ext.)               |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
@@ -444,6 +447,8 @@ def make_handler(
                     self._search_bm25()
                 elif path == "/index/bm25/compact":
                     self._compact_bm25()
+                elif path == "/index/pq/compact":
+                    self._compact_pq()
                 elif path == "/search/hybrid":
                     self._search_hybrid()
                 else:
@@ -878,6 +883,9 @@ def make_handler(
                 p = spec.get("index_path")
                 if not isinstance(p, str) or not p:
                     raise BadRequest(f"{label}.index_path (string) is required")
+            if body.get("queries") is not None:
+                self._search_hybrid_batch(body, bm_spec, kn_spec)
+                return
             terms = bm_spec.get("terms")
             if (
                 not isinstance(terms, list)
@@ -972,6 +980,160 @@ def make_handler(
                 ).encode()
             )
 
+        def _search_hybrid_batch(self, body, bm_spec, kn_spec) -> None:
+            """Batch mode of POST /search/hybrid (r10 verdict ask #4):
+            body carries `queries: [{"terms": [...], "vector": [...]},
+            ...]` instead of bm25.terms/knn.vector — N hybrid queries
+            served as TWO Spark jobs (one multi-query BM25 pass over the
+            union of all queries' terms, one partition-pruned
+            ivfpq_query_batch over the union of probed cells) plus a
+            bounded per-query RRF, instead of N sequential
+            request-shaped jobs.  Per-query results are EXACTLY the
+            single-request endpoint's (equality-tested over sockets).
+            Requires knn.nprobe (the batch vector leg serves from the
+            cell-partitioned layout, same as /search/knn batch mode)."""
+            from noaa_oracle_spark.pipeline.pq import ivfpq_query_batch
+            from noaa_oracle_spark.pipeline.text import (
+                bm25_query_batch,
+                rrf_fuse_batch,
+            )
+
+            reload_ = bool(body.get("reload"))
+            queries = body.get("queries")
+            if not isinstance(queries, list) or not queries:
+                raise BadRequest("queries (non-empty array) is required")
+            if bm_spec.get("terms") is not None or (
+                kn_spec.get("vector") is not None
+            ):
+                raise BadRequest(
+                    "pass either queries (batch) or bm25.terms + "
+                    "knn.vector (single), not both"
+                )
+            terms_list: list = []
+            vectors: list = []
+            for i, q in enumerate(queries):
+                if not isinstance(q, dict):
+                    raise BadRequest(f"queries[{i}] must be an object")
+                terms = q.get("terms")
+                if (
+                    not isinstance(terms, list)
+                    or not terms
+                    or not all(isinstance(t, str) and t for t in terms)
+                ):
+                    raise BadRequest(
+                        f"queries[{i}].terms (non-empty string array) is "
+                        "required"
+                    )
+                vec = q.get("vector")
+                if (
+                    not isinstance(vec, list)
+                    or not vec
+                    or not all(
+                        isinstance(x, (int, float))
+                        and not isinstance(x, bool)
+                        for x in vec
+                    )
+                ):
+                    raise BadRequest(
+                        f"queries[{i}].vector (non-empty number array) is "
+                        "required"
+                    )
+                terms_list.append(terms)
+                vectors.append([float(x) for x in vec])
+            params = {}
+            for name, dflt, low in (
+                ("k", 10, 1),
+                ("topk", 10, 1),
+                ("rrf_k", 60, 1),
+            ):
+                v = body.get(name, dflt)
+                if not isinstance(v, int) or isinstance(v, bool) or v < low:
+                    raise BadRequest(f"{name} must be a positive integer")
+                params[name] = v
+            bparams = {}
+            for name, dflt in (("k1", 1.2), ("b", 0.75)):
+                v = bm_spec.get(name, dflt)
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise BadRequest(f"bm25.{name} must be a number")
+                bparams[name] = float(v)
+            nprobe = kn_spec.get("nprobe")
+            if (
+                not isinstance(nprobe, int)
+                or isinstance(nprobe, bool)
+                or nprobe < 1
+            ):
+                raise BadRequest(
+                    "batch mode requires knn.nprobe (positive integer — "
+                    "cell-partitioned serving)"
+                )
+
+            bidx = get_bm25_index(bm_spec["index_path"], reload=reload_)
+            pidx = get_pq_index(kn_spec["index_path"], reload=reload_)
+            id_col = bidx["manifest"].id_col
+            try:
+                bm = bm25_query_batch(
+                    bidx,
+                    terms_list,
+                    k=params["k"],
+                    k1=bparams["k1"],
+                    b=bparams["b"],
+                ).select("q_idx", id_col, "rnk")
+                kn = ivfpq_query_batch(
+                    pidx, vectors, k=params["k"], nprobe=nprobe
+                ).select(
+                    "q_idx",
+                    F.col("n_id").alias(id_col),
+                    F.col("rank").alias("rnk"),
+                )
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            fused = rrf_fuse_batch(
+                [bm, kn],
+                k=params["rrf_k"],
+                id_col=id_col,
+                rank_col="rnk",
+                topk=params["topk"],
+            )
+            out_rows = (
+                fused.join(
+                    bm.withColumnRenamed("rnk", "bm25_rank"),
+                    ["q_idx", id_col],
+                    "left",
+                )
+                .join(
+                    kn.withColumnRenamed("rnk", "knn_rank"),
+                    ["q_idx", id_col],
+                    "left",
+                )
+                .collect()
+            )
+            per_q: list[list] = [[] for _ in queries]
+            for r in out_rows:
+                per_q[r.q_idx].append(r)
+            self._send_json(
+                json.dumps(
+                    {
+                        "topk": params["topk"],
+                        "rrf_k": params["rrf_k"],
+                        "results": [
+                            [
+                                {
+                                    "rank": r.rnk,
+                                    "doc_id": r[id_col],
+                                    "rrf_score": r.rrf_score,
+                                    "bm25_rank": r.bm25_rank,
+                                    "knn_rank": r.knn_rank,
+                                }
+                                for r in sorted(
+                                    rows_q, key=lambda r: r.rnk
+                                )
+                            ]
+                            for rows_q in per_q
+                        ],
+                    }
+                ).encode()
+            )
+
         def _compact_bm25(self) -> None:
             """POST /index/bm25/compact — rewrite a many-times-appended
             BM25 index into the fresh-save layout (`compact_bm25_index`;
@@ -1003,6 +1165,40 @@ def make_handler(
                 ) from exc
             if body.get("serve"):
                 get_bm25_index(body["out_path"], reload=True)
+            self._send_json(json.dumps(stats).encode())
+
+        def _compact_pq(self) -> None:
+            """POST /index/pq/compact — rewrite a many-times-appended
+            PQ/IVF-PQ index into the fresh-save layout
+            (`compact_pq_index`; body {"index_path": ..., "out_path":
+            ..., "serve": false}) — /index/bm25/compact's vector twin.
+            Every neighbor result is bit-identical across the switch
+            (the codes row set is unchanged); the live index at
+            index_path keeps serving until the caller repoints
+            /search/knn at out_path.  With serve=true the compacted
+            index loads into the serving cache immediately.  Returns
+            the compaction stats; the codes file counts are the
+            read-amplification evidence that triggered it."""
+            from noaa_oracle_spark.pipeline.pq import compact_pq_index
+
+            body = self._read_json_body()
+            for fld in ("index_path", "out_path"):
+                v = body.get(fld)
+                if not isinstance(v, str) or not v:
+                    raise BadRequest(f"{fld} (string) is required")
+            try:
+                stats = compact_pq_index(
+                    spark, body["index_path"], body["out_path"]
+                )
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            except Exception as exc:  # unreadable/missing directory
+                raise BadRequest(
+                    f"cannot compact index at "
+                    f"{body['index_path']!r}: {exc}"
+                ) from exc
+            if body.get("serve"):
+                get_pq_index(body["out_path"], reload=True)
             self._send_json(json.dumps(stats).encode())
 
         def _search_bm25(self) -> None:

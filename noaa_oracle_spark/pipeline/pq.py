@@ -1264,8 +1264,93 @@ def householder_rotate(
 
 _PQ_MANIFEST_SCHEMA = (
     "format_version int, m int, n_codes int, dim int, metric string, "
-    "has_cells boolean, codebook_md5 string, n_encoded long"
+    "has_cells boolean, codebook_md5 string, n_encoded long, "
+    "rotation array<double>"
 )
+
+
+def _write_pq_manifest(
+    spark,
+    path: str,
+    m: int,
+    n_codes: int,
+    dim: int,
+    metric: str,
+    has_cells: bool,
+    codebook_md5: str,
+    n_encoded: int,
+    rotation=None,
+) -> None:
+    """Write the 1-row index manifest — ALWAYS last (crash-consistency
+    contract: every save/append/merge/compact fingerprints its other
+    components first, so a write that dies mid-way leaves a manifest
+    mismatch `load_pq_index` rejects loudly).  `rotation` is the OPQ
+    rotation R as a row-major flattened dim×dim list, or None for
+    unrotated indexes — persisted so an OPQ-trained index round-trips
+    to the serving tier (r10 verdict: without it, queries against a
+    saved index skip the rotate and return wrong neighbors)."""
+    flat = None
+    if rotation is not None:
+        import numpy as np
+
+        r_mat = np.asarray(rotation, dtype=np.float64)
+        if r_mat.shape != (dim, dim):
+            raise ValueError(
+                f"pq manifest: rotation shape {r_mat.shape} != "
+                f"({dim}, {dim})"
+            )
+        flat = [float(x) for x in r_mat.reshape(-1)]
+    manifest = spark.createDataFrame(
+        [
+            (
+                1,
+                int(m),
+                int(n_codes),
+                int(dim),
+                metric,
+                bool(has_cells),
+                codebook_md5,
+                int(n_encoded),
+                flat,
+            )
+        ],
+        _PQ_MANIFEST_SCHEMA,
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def _manifest_rotation(meta) -> "object | None":
+    """The dim×dim numpy rotation stored in a manifest Row, or None.
+    Reads via getattr so pre-rotation manifests (saved before the
+    `rotation` field existed) keep loading."""
+    flat = getattr(meta, "rotation", None)
+    if flat is None:
+        return None
+    import numpy as np
+
+    dim = int(meta.dim)
+    r_mat = np.asarray(flat, dtype=np.float64)
+    if r_mat.size != dim * dim:
+        raise ValueError(
+            f"pq manifest: rotation has {r_mat.size} values, expected "
+            f"{dim * dim}"
+        )
+    return r_mat.reshape(dim, dim)
+
+
+def _rotation_md5(rotation) -> str:
+    """Fingerprint of a rotation (or 'identity' for None) — merge
+    compatibility: codes from indexes rotated differently are
+    meaningless against each other."""
+    if rotation is None:
+        return "identity"
+    import hashlib
+    import numpy as np
+
+    r_mat = np.asarray(rotation, dtype=np.float64)
+    h = hashlib.md5()
+    h.update(",".join(f"{x:.9g}" for x in r_mat.reshape(-1)).encode())
+    return h.hexdigest()
 
 
 def _codebook_md5(books: "dict") -> str:
@@ -1289,6 +1374,7 @@ def save_pq_index(
     path: str,
     cells: DataFrame | None = None,
     metric: str = "l2_adc",
+    rotation=None,
 ) -> None:
     """Persist a trained PQ index — codebooks + encoded corpus (+ coarse
     cells for IVF) — as parquet under `path`, with a 1-row manifest
@@ -1307,6 +1393,12 @@ def save_pq_index(
     matches the (new) components, and `load_pq_index` fails loudly
     instead of decoding codes against the wrong codebooks.
 
+    `rotation` (OPQ): the dense dim×dim R the corpus was rotated with
+    BEFORE encoding (`opq_train_rotation` → `rotate_embeddings`).  It
+    rides in the manifest so the serving tier rotates query vectors the
+    same way — an OPQ index saved without it would score unrotated
+    queries against rotated codes and return wrong neighbors.
+
     Layout: path/codebooks (sub, code, centroid), path/codes
     (vec_id, codes), path/cells (vec_id, embedding; IVF only),
     path/manifest."""
@@ -1319,22 +1411,18 @@ def save_pq_index(
     if cells is not None:
         cells.write.mode("overwrite").parquet(f"{path}/cells")
     n_encoded = spark.read.parquet(f"{path}/codes").count()
-    manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                m,
-                int(n_codes),
-                int(m * sub_len),
-                metric,
-                cells is not None,
-                _codebook_md5(books),
-                n_encoded,
-            )
-        ],
-        _PQ_MANIFEST_SCHEMA,
+    _write_pq_manifest(
+        spark,
+        path,
+        m=m,
+        n_codes=int(n_codes),
+        dim=int(m * sub_len),
+        metric=metric,
+        has_cells=cells is not None,
+        codebook_md5=_codebook_md5(books),
+        n_encoded=n_encoded,
+        rotation=rotation,
     )
-    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def load_pq_index(spark, path: str) -> "dict":
@@ -1396,6 +1484,10 @@ def load_pq_index(spark, path: str) -> "dict":
         "codes": codes,
         "cells": cells,
         "manifest": meta,
+        # OPQ rotation (dim×dim numpy) the corpus was encoded under, or
+        # None — serve paths apply it to query vectors before probing
+        # and LUT construction so a saved OPQ index round-trips
+        "rotation": _manifest_rotation(meta),
         # smallest encoded id, for callers that need a query-id sentinel
         # guaranteed outside the corpus id domain (the serve endpoint's
         # self-pair-filter correctness); None for an empty index
@@ -1452,6 +1544,14 @@ def append_pq_index(
         raise ValueError(
             f"append_pq_index: vector dim {dim} != index dim {meta.dim}"
         )
+    if idx["rotation"] is not None:
+        # OPQ index: the stored codes live in rotated space, so route the
+        # RAW new vectors through the same persisted R before encoding /
+        # cell assignment — callers append unrotated vectors and the
+        # index applies its own geometry (map-side GEMM, no shuffle)
+        new_vectors = rotate_embeddings(
+            new_vectors, idx["rotation"], id_col=id_col, vec_col=vec_col
+        )
     if check_disjoint:
         n_overlap = (
             idx["codes"]
@@ -1495,22 +1595,18 @@ def append_pq_index(
     else:
         enc.write.mode("append").parquet(f"{path}/codes")
     n_total = spark.read.parquet(f"{path}/codes").count()
-    manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                int(meta.m),
-                int(meta.n_codes),
-                int(meta.dim),
-                meta.metric,
-                bool(meta.has_cells),
-                meta.codebook_md5,
-                int(n_total),
-            )
-        ],
-        _PQ_MANIFEST_SCHEMA,
+    _write_pq_manifest(
+        spark,
+        path,
+        m=int(meta.m),
+        n_codes=int(meta.n_codes),
+        dim=int(meta.dim),
+        metric=meta.metric,
+        has_cells=bool(meta.has_cells),
+        codebook_md5=meta.codebook_md5,
+        n_encoded=int(n_total),
+        rotation=idx["rotation"],
     )
-    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
     return int(n_total - meta.n_encoded)
 
 
@@ -1545,13 +1641,21 @@ def merge_pq_indexes(
     idxs = [load_pq_index(spark, p) for p in paths]
     metas = [i["manifest"] for i in idxs]
     geom = {
-        (m.m, m.n_codes, m.dim, m.metric, m.codebook_md5) for m in metas
+        (
+            m.m,
+            m.n_codes,
+            m.dim,
+            m.metric,
+            m.codebook_md5,
+            _rotation_md5(getattr(m, "rotation", None)),
+        )
+        for m in metas
     }
     if len(geom) != 1:
         raise ValueError(
             "merge_pq_indexes: indexes differ in geometry/metric/"
-            f"codebooks — {sorted(geom)}; only same-codebook shard "
-            "indexes can merge"
+            f"codebooks/rotation — {sorted(geom)}; only same-codebook "
+            "same-rotation shard indexes can merge"
         )
     if any(m.has_cells for m in metas):
         raise ValueError(
@@ -1585,22 +1689,18 @@ def merge_pq_indexes(
     )
     codes.write.mode("overwrite").parquet(f"{out_path}/codes")
     n_encoded = spark.read.parquet(f"{out_path}/codes").count()
-    manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                int(meta.m),
-                int(meta.n_codes),
-                int(meta.dim),
-                meta.metric,
-                False,
-                meta.codebook_md5,
-                int(n_encoded),
-            )
-        ],
-        _PQ_MANIFEST_SCHEMA,
+    _write_pq_manifest(
+        spark,
+        out_path,
+        m=int(meta.m),
+        n_codes=int(meta.n_codes),
+        dim=int(meta.dim),
+        metric=meta.metric,
+        has_cells=False,
+        codebook_md5=meta.codebook_md5,
+        n_encoded=int(n_encoded),
+        rotation=idxs[0]["rotation"],
     )
-    manifest.write.mode("overwrite").parquet(f"{out_path}/manifest")
 
 
 def save_ivfpq_index(
@@ -1610,6 +1710,7 @@ def save_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
 ) -> None:
     """Persist an IVF-PQ index with the codes PARTITIONED BY COARSE CELL
     — the serve-side layout `ivfpq_knn`'s docstring promises ("at scale
@@ -1625,7 +1726,14 @@ def save_ivfpq_index(
     Layout and manifest are `save_pq_index`-compatible (`load_pq_index`
     reads it back unchanged — the extra cluster_id column rides along
     and flat `pq_knn` serving still works), with the same
-    manifest-written-LAST crash-consistency contract."""
+    manifest-written-LAST crash-consistency contract.
+
+    `rotation` (OPQ): pass the dense R when `corpus`, `cells`, and the
+    codebooks were all trained in ROTATED space (`opq_train_rotation` →
+    `rotate_embeddings`); the components are stored as given and R rides
+    in the manifest so `ivfpq_query`/`_batch` rotate query vectors to
+    match.  (`append_pq_index` takes RAW vectors and applies the stored
+    R itself — the index owns its geometry.)"""
     from noaa_oracle_spark.pipeline.similarity import kmeans_assign
 
     spark = codebooks.sparkSession
@@ -1649,22 +1757,18 @@ def save_ivfpq_index(
     )
     cells.write.mode("overwrite").parquet(f"{path}/cells")
     n_encoded = spark.read.parquet(f"{path}/codes").count()
-    manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                m,
-                int(n_codes),
-                int(m * sub_len),
-                "l2_adc",
-                True,
-                _codebook_md5(books),
-                n_encoded,
-            )
-        ],
-        _PQ_MANIFEST_SCHEMA,
+    _write_pq_manifest(
+        spark,
+        path,
+        m=m,
+        n_codes=int(n_codes),
+        dim=int(m * sub_len),
+        metric="l2_adc",
+        has_cells=True,
+        codebook_md5=_codebook_md5(books),
+        n_encoded=n_encoded,
+        rotation=rotation,
     )
-    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def _cells_schema_cols(cells: DataFrame) -> "tuple[str, str]":
@@ -1780,6 +1884,17 @@ def ivfpq_query(
             f"ivfpq_query: vector has {len(vector)} dims, index expects "
             f"{meta.dim}"
         )
+    if index.get("rotation") is not None:
+        # OPQ index: cells + codes live in rotated space — rotate the
+        # raw query into it (same float64 GEMM `rotate_embeddings`
+        # applied to the corpus, so query/corpus geometry agrees)
+        import numpy as np
+
+        vector = [
+            float(x)
+            for x in index["rotation"]
+            @ np.asarray([float(v) for v in vector], dtype=np.float64)
+        ]
     id_col = [
         c for c in codes.columns if c not in ("codes", "cluster_id")
     ][0]
@@ -1849,6 +1964,16 @@ def ivfpq_query_batch(
                 f"ivfpq_query_batch: vector has {len(v)} dims, index "
                 f"expects {dim}"
             )
+    if index.get("rotation") is not None:
+        # OPQ index: rotate the whole batch into the index's space (one
+        # |Q|×dim GEMM — same float64 math as the per-query path)
+        rx = (
+            np.asarray(
+                [[float(x) for x in v] for v in vectors], np.float64
+            )
+            @ index["rotation"].T
+        )
+        vectors = [list(row) for row in rx]
     id_col = [
         c for c in codes.columns if c not in ("codes", "cluster_id")
     ][0]
@@ -1944,3 +2069,94 @@ def ivfpq_query_batch(
             "q_idx", "rank", "n_id", F.round("adc_dist", 6).alias("adc_dist")
         )
     )
+
+
+def compact_pq_index(spark, path: str, out_path: str) -> "dict":
+    """Rewrite a many-times-appended PQ/IVF-PQ index into the fresh-save
+    layout — the vector twin of `text.compact_bm25_index` (same
+    read-amplification problem, same snapshot-then-switch fix).
+
+    `append_pq_index` is file-level (old code files never rewritten), so
+    after N small appends every cell directory of an IVF-PQ index holds
+    ~N file sets and a query probing that cell opens all of them —
+    per-probe open/footer cost grows linearly with append count even
+    though the probed ROW volume is unchanged.  Compaction rewrites the
+    codes row set (unchanged, so every neighbor result is bit-identical
+    — equality-tested) into consolidated files:
+
+    - celled (IVF-PQ): ONE hash repartition on cluster_id, then the
+      partitionBy("cluster_id") write — each cell lands entirely in one
+      task, so each cluster_id= directory holds exactly one file set
+      and serve-side PartitionFilter pruning opens the minimum possible
+      file count per probe;
+    - flat: a plain rewrite — the scan coalesces the small appended
+      files into maxPartitionBytes-sized splits, so the output file
+      count is the task count, not the append count.  Zero shuffles.
+
+    Writes to `out_path` (must differ from `path`): the live index
+    stays consistent for concurrent readers until the serving layer
+    repoints — compaction is a maintenance job, not an in-place
+    mutation.  Codebooks, cells, and the OPQ rotation carry over
+    verbatim (the quantizer is untouched; only file layout changes),
+    and the manifest is written LAST, keeping the crash-consistency
+    contract.
+
+    Trigger discipline (mirrors BM25): compact when the codes file
+    count exceeds ~3× the fresh-save file count for the same row
+    volume — bench_index_maintenance measures the fragmented-vs-
+    compacted serve delta that justifies it.
+
+    Returns {"codes_files_before", "codes_files_after", "n_encoded"}."""
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_pq_index: out_path must differ from path "
+            "(in-place rewrite would race concurrent readers)"
+        )
+    idx = load_pq_index(spark, path)  # full validation before any write
+    meta = idx["manifest"]
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
+    files_before = _parquet_file_count(spark, f"{path}/codes")
+    idx["codebooks"].write.mode("overwrite").parquet(
+        f"{out_path}/codebooks"
+    )
+    if "cluster_id" in idx["codes"].columns:
+        (
+            idx["codes"]
+            .repartition(F.col("cluster_id"))
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(f"{out_path}/codes")
+        )
+    else:
+        idx["codes"].write.mode("overwrite").parquet(f"{out_path}/codes")
+    if idx["cells"] is not None:
+        idx["cells"].write.mode("overwrite").parquet(f"{out_path}/cells")
+    n_encoded = spark.read.parquet(f"{out_path}/codes").count()
+    if n_encoded != int(meta.n_encoded):
+        raise ValueError(
+            f"compact_pq_index: rewrote {n_encoded} rows vs "
+            f"{meta.n_encoded} in the source manifest — aborting before "
+            f"the manifest write (out_path is not serveable)"
+        )
+    _write_pq_manifest(
+        spark,
+        out_path,
+        m=int(meta.m),
+        n_codes=int(meta.n_codes),
+        dim=int(meta.dim),
+        metric=meta.metric,
+        has_cells=bool(meta.has_cells),
+        codebook_md5=meta.codebook_md5,
+        n_encoded=n_encoded,
+        rotation=idx["rotation"],
+    )
+    return {
+        "codes_files_before": files_before,
+        "codes_files_after": _parquet_file_count(
+            spark, f"{out_path}/codes"
+        ),
+        "n_encoded": int(n_encoded),
+    }

@@ -1965,3 +1965,131 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
         "n_docs": n_docs,
         "n_postings": n_postings,
     }
+
+
+def bm25_query_batch(
+    index: "dict",
+    queries: "list[list[str]]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a BATCH of bag-of-words queries against a loaded BM25 index
+    in ONE Spark job — the lexical twin of `ivfpq_query_batch`, and the
+    BM25 leg of batch /search/hybrid (r10 verdict ask #4: the knn leg
+    gained batch serving; a hybrid batch must not serialize N separate
+    postings scans).
+
+    Execution: ONE postings scan filtered to the UNION of all queries'
+    terms (the same term-sorted row-group pruning a single query gets),
+    df derived once per term from those rows (df is a corpus property —
+    identical whichever query asked), then a broadcast (term → q_idx)
+    fan-out so each posting row scores for exactly the queries that
+    contain its term.  Per-query semantics are EXACTLY `bm25_query`'s
+    (equality-tested): same idf/saturation arithmetic, same manifest
+    corpus stats, same 6-dp round and doc-id tiebreak.  The final
+    top-k window partitions by q_idx — never an unpartitioned window.
+
+    Returns (q_idx, <id_col>, bm25, rnk) with rnk ≤ k per query."""
+    from pyspark.sql.window import Window
+
+    meta = index["manifest"]
+    id_col = meta.id_col
+    if not queries:
+        raise ValueError("bm25_query_batch: empty query batch")
+    per_q = []
+    for qi, q in enumerate(queries):
+        terms = sorted({t for t in q if t})
+        if not terms:
+            raise ValueError(
+                f"bm25_query_batch: query {qi} has no non-empty terms"
+            )
+        per_q.append(terms)
+    union_terms = sorted({t for terms in per_q for t in terms})
+    spark = index["postings"].sparkSession
+
+    tf = index["postings"].filter(F.col("term").isin(*union_terms))
+    # df once per term, over the union scan — a corpus property, shared
+    # across queries (identical to what each single query would derive)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # (q_idx, term) membership — |Q|·avg-terms rows, broadcast-sized
+    membership = spark.createDataFrame(
+        [(qi, t) for qi, terms in enumerate(per_q) for t in terms],
+        "q_idx int, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(meta.n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") / F.lit(float(meta.avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(membership), "term")
+        .join(F.broadcast(df_), "term")
+        .join(index["doclens"], id_col)
+        .groupBy("q_idx", id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("q_idx").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_idx", id_col, "bm25", "rnk")
+    )
+
+
+def rrf_fuse_batch(
+    rankings: "list[DataFrame]",
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    topk: int = 10,
+    q_col: str = "q_idx",
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of N BATCH ranking frames, each
+    keyed (q_col, id_col, rank_col) — `rrf_fuse` generalized to the
+    batch-serving tier: score(q, d) = Σ_lists 1/(k + rank_{q,d}),
+    summing only over lists where (q, d) appears.  Inputs are per-query
+    top-k lists (bounded by construction), so the union + groupBy is
+    |Q|·k-sized; the final rank window partitions by query.
+
+    Returns (q_col, id_col, rrf_score, rnk) with rnk ≤ topk per
+    query."""
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse_batch: need at least one ranking")
+    if k <= 0:
+        raise ValueError("rrf_fuse_batch: k must be positive")
+    parts = [
+        df.select(
+            F.col(q_col),
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_rr"),
+        )
+        for df in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(q_col, id_col).agg(
+        F.round(F.sum("_rr"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy(q_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(q_col, id_col, "rrf_score", "rnk")
+    )

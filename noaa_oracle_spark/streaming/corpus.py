@@ -272,8 +272,81 @@ def streaming_exact_dedup(
     return keyed.dropDuplicates(["text_hash"])
 
 
+def _hadoop_fs(spark, path: str):
+    """(fs, Path-class) for `path` — Hadoop FS so the pointer-file
+    discipline below holds on object stores, not just local disk."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
+
+
+def read_current_bm25_version(spark, root: str) -> "str | None":
+    """The live version name recorded in `root/CURRENT`, or None if no
+    version has been committed yet.  CURRENT is one small file rewritten
+    whole (a single PUT — atomic on object stores and local FS alike):
+    the repoint primitive of the versioned index layout."""
+    fs, jpath = _hadoop_fs(spark, f"{root}/CURRENT")
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return bytes(data).decode("utf-8").strip() or None
+    finally:
+        stream.close()
+
+
+def _write_current(spark, root: str, version: str) -> None:
+    fs, jpath = _hadoop_fs(spark, f"{root}/CURRENT")
+    out = fs.create(jpath, True)  # overwrite — one whole-file PUT
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def current_bm25_index_path(spark, root: str) -> str:
+    """Resolve the versioned layout's live index directory — what a
+    serve layer loads (`load_bm25_index(spark,
+    current_bm25_index_path(...))`) to always see the latest committed
+    save/append/compact, across compaction switches."""
+    cur = read_current_bm25_version(spark, root)
+    if cur is None:
+        raise ValueError(
+            f"current_bm25_index_path: no committed version at {root}"
+        )
+    return f"{root}/versions/{cur}"
+
+
+#: baseline-file-count record inside a version dir — the denominator of
+#: the fragmentation trigger (files_now / files_at_creation)
+_BASELINE_SCHEMA = "postings_files int"
+
+
+def _write_baseline(spark, ver_path: str, n_files: int) -> None:
+    spark.createDataFrame(
+        [(int(n_files),)], _BASELINE_SCHEMA
+    ).write.mode("overwrite").parquet(f"{ver_path}/compaction_baseline")
+
+
+def _read_baseline(spark, ver_path: str) -> "int | None":
+    fs, jpath = _hadoop_fs(spark, f"{ver_path}/compaction_baseline")
+    if not fs.exists(jpath):
+        return None
+    rows = spark.read.parquet(f"{ver_path}/compaction_baseline").collect()
+    return int(rows[0][0]) if len(rows) == 1 else None
+
+
 def bm25_index_sink(
-    path: str, text_col: str = "text", id_col: str = "doc_id"
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    auto_compact_ratio: "float | None" = None,
 ):
     """foreachBatch sink maintaining a persisted BM25 index from a
     document stream: first batch saves the index, every later batch
@@ -289,31 +362,99 @@ def bm25_index_sink(
     recovery (re-save or merge-compact), not a blind retry that would
     double-count the survivors.  Ids that tokenize to zero terms never
     enter the index, so containment is checked against the batch's
-    INDEXABLE ids, not its row count."""
+    INDEXABLE ids, not its row count.
+
+    `auto_compact_ratio` (r10 verdict ask #5 — without it a long-running
+    sink fragments unboundedly): when set, `path` becomes a VERSIONED
+    index root — `path/versions/v<batch>/` full index directories plus
+    a `path/CURRENT` pointer file (rewritten whole: one atomic PUT).
+    Appends land in the current version; after each append the sink
+    compares the postings file count against the count recorded when
+    that version was created, and once it exceeds the ratio (the ~3×
+    trigger `append_bm25_index` documents) compacts into a NEW version
+    directory and repoints CURRENT.  Scores are identical across the
+    switch (compaction never changes the row set); in-flight readers of
+    the old version keep a stable snapshot — the serve layer resolves
+    `current_bm25_index_path(spark, path)` to follow the pointer.
+    Crash windows are replay-safe: dying before the CURRENT repoint
+    leaves appends flowing to the old (still-valid) version with an
+    orphaned compacted copy; dying after it resumes against the
+    compacted version, where the containment check skips the replayed
+    batch."""
     from noaa_oracle_spark.pipeline.text import (
         _bm25_tf,
         _dlen_of,
+        _parquet_file_count,
         append_bm25_index,
         bm25_index_exists,
+        compact_bm25_index,
         load_bm25_index,
         save_bm25_index,
     )
 
+    versioned = auto_compact_ratio is not None
+    if versioned and auto_compact_ratio <= 1.0:
+        raise ValueError(
+            "bm25_index_sink: auto_compact_ratio must exceed 1.0 "
+            "(it multiplies the fresh-layout file count)"
+        )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.select(id_col, text_col)
+        if versioned:
+            cur = read_current_bm25_version(spark, path)
+            if cur is None:
+                # deterministic version name from the batch id, so a
+                # replayed first batch rewrites the SAME directory
+                ver = f"v{batch_id:08d}"
+                ver_path = f"{path}/versions/{ver}"
+                save_bm25_index(
+                    new, ver_path, text_col=text_col, id_col=id_col
+                )
+                _write_baseline(
+                    spark,
+                    ver_path,
+                    _parquet_file_count(spark, f"{ver_path}/postings"),
+                )
+                _write_current(spark, path, ver)
+                return
+            ver_path = f"{path}/versions/{cur}"
+            _append_batch(spark, ver_path, new, batch_id)
+            files_now = _parquet_file_count(spark, f"{ver_path}/postings")
+            baseline = _read_baseline(spark, ver_path)
+            if baseline is None:
+                # version predates the trigger (or its baseline write
+                # died): adopt the current count — compaction resumes
+                # relative to it rather than never firing
+                _write_baseline(spark, ver_path, files_now)
+                return
+            if files_now >= auto_compact_ratio * baseline:
+                nxt = f"v{batch_id:08d}c"
+                nxt_path = f"{path}/versions/{nxt}"
+                compact_bm25_index(spark, ver_path, nxt_path)
+                _write_baseline(
+                    spark,
+                    nxt_path,
+                    _parquet_file_count(spark, f"{nxt_path}/postings"),
+                )
+                _write_current(spark, path, nxt)  # the atomic repoint
+            return
         if not bm25_index_exists(spark, path):
             # no committed index yet (the manifest is written LAST):
             # first save — mode("overwrite") also repairs a FIRST save
             # that died before its manifest.
             save_bm25_index(new, path, text_col=text_col, id_col=id_col)
             return
+        _append_batch(spark, path, new, batch_id)
+
+    def _append_batch(spark, idx_path: str, new, batch_id: int) -> None:
         # Manifest present: load, and let ANY failure propagate (r9
         # advice, high): a torn-append count mismatch or a transient FS
         # error must stop the stream and demand explicit recovery — the
         # old bare-except fallback silently overwrote the accumulated
         # index with one microbatch.
-        idx = load_bm25_index(spark, path)
+        idx = load_bm25_index(spark, idx_path)
         dlen = _dlen_of(_bm25_tf(new, text_col, id_col), id_col)
         n_indexable = dlen.count()
         if n_indexable == 0:
@@ -328,11 +469,12 @@ def bm25_index_sink(
         if n_seen:
             raise ValueError(
                 f"bm25_index_sink: batch {batch_id} partially present "
-                f"({n_seen}/{n_indexable} ids) — torn append at {path}; "
-                "recover by re-saving or merge-compacting the index"
+                f"({n_seen}/{n_indexable} ids) — torn append at "
+                f"{idx_path}; recover by re-saving or merge-compacting "
+                "the index"
             )
         append_bm25_index(
-            spark, path, new,
+            spark, idx_path, new,
             text_col=text_col, id_col=id_col, check_disjoint=False,
         )
 

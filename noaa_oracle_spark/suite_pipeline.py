@@ -3864,6 +3864,94 @@ def q138_crawl_http_fetcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q138 = SQL_Q135
 
 
+# ---------------------------------------------------------------------------
+# Round-12 staged gate debuts.
+#
+# The r11 grading window is full (37 two-round-stale r8 names + the
+# q137/q138 debuts + 11 oldest-r9 fills), so these CANNOT enter
+# queries() this round.  Built, oracle-checked
+# (tests/test_staged_r12.py runs them against DuckDB at sf0.001 and
+# sf0.01) and PROMOTED into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL when
+# the r12 window rotates — the staging discipline q129–q138 followed.
+# Gate-growth budget: 138 + 1 keeps the trajectory under the ~150
+# ceiling (r10 verdict ask #8: stage at most 1–2, prefer non-gate work).
+# ---------------------------------------------------------------------------
+
+
+def q139_pq_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-then-compact VECTOR index lifecycle — q137's PQ twin (r10
+    verdict ask #2): train the q100 seed codebooks (iters=0, the 8
+    lowest-id vectors — all inside the base split, so training on the
+    base equals training on the corpus and the oracle stays q100's
+    full-corpus SQL), save a flat PQ index over the first 60% of the
+    embeddings (pq.save_pq_index), grow it with two file-level appends
+    (append_pq_index — frozen codebooks, old code files never
+    rewritten), compact the fragmented index into the fresh-save layout
+    (compact_pq_index — row set unchanged), and answer 5 queries' ADC
+    top-3 off the COMPACTED index.  Codes are append-path-invariant
+    (encode is deterministic given frozen codebooks), so grown ==
+    compacted == rebuilt score-exactly, and the oracle recomputes the
+    whole quantizer over the corpus in SQL (the q100 arithmetic).
+
+    Work dir is a fresh mkdtemp; the bounded top-k result is
+    materialized before cleanup (the q136/q137 discipline)."""
+    import shutil
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.pq import (
+        append_pq_index,
+        compact_pq_index,
+        load_pq_index,
+        pq_encode,
+        pq_knn,
+        pq_train,
+        save_pq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()  # one bounded scalar — split points, not data
+    c1, c2 = (3 * n) // 5, (4 * n) // 5
+    v = F.col("vec_id")
+    books = pq_train(emb.filter(v < c1), m=8, k=8, iters=0)
+    base = tempfile.mkdtemp(prefix="noaa_pq_compact_gate_")
+    try:
+        save_pq_index(
+            books, pq_encode(emb.filter(v < c1), books), f"{base}/idx"
+        )
+        append_pq_index(
+            spark, f"{base}/idx", emb.filter((v >= c1) & (v < c2))
+        )
+        append_pq_index(spark, f"{base}/idx", emb.filter(v >= c2))
+        compact_pq_index(spark, f"{base}/idx", f"{base}/compacted")
+        idx = load_pq_index(spark, f"{base}/compacted")
+        q = emb.filter(v < 5)
+        out = pq_knn(q, idx["codes"], idx["codebooks"], k=3)
+        # 5 queries × 3 rows by contract — bounded, not corpus-sized.
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+#: The compacted grown index must reproduce the full-corpus quantizer
+#: exactly — q100's oracle IS the spec (codes are append-path-invariant
+#: under frozen codebooks, and the seeds live in the base split).
+SQL_Q139 = SQL_Q100
+
+
+#: Staged r12 debut — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
+#: when the r12 window rotates; tests/test_staged_r12.py oracle-checks
+#: it every round until then.
+PIPELINE_QUERIES_STAGED_R12: dict[
+    str, Callable[[SparkSession, str], DataFrame]
+] = {
+    "q139_pq_compaction": q139_pq_compaction,
+}
+
+PIPELINE_ORACLE_SQL_STAGED_R12: dict[str, str] = {
+    "q139_pq_compaction": SQL_Q139,
+}
+
+
 # r10/r11 debuts — each staged one round ahead (PIPELINE_QUERIES_STAGED_R10
 # / _R11), promoted here when their window rotated (defined below the main
 # dict literals, hence .update()).

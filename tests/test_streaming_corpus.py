@@ -413,3 +413,121 @@ def test_bm25_index_sink_empty_first_batch(spark, tmp_path):
     assert idx["manifest"].n_docs == 2
     top = bm25_query(idx, ["apple"], k=5).collect()
     assert {r.doc_id for r in top} == {3, 4}
+
+
+def test_bm25_index_sink_auto_compacts_versioned_layout(spark, tmp_path):
+    """r10 verdict ask #5: with auto_compact_ratio set, the sink keeps a
+    versioned index root (path/versions/v* + an atomically-rewritten
+    CURRENT pointer) and compacts once appends fragment the postings
+    past ratio× the version's creation file count.  A 20-append stream
+    must end compacted — CURRENT repointed at least once — with scores
+    IDENTICAL across every switch (compaction never changes the row
+    set), and every batch's docs present exactly once at the end."""
+    from noaa_oracle_spark.pipeline.text import (
+        _parquet_file_count,
+        bm25_query,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from noaa_oracle_spark.streaming.corpus import (
+        bm25_index_sink,
+        current_bm25_index_path,
+        read_current_bm25_version,
+    )
+
+    root = str(tmp_path / "vroot")
+    sink = bm25_index_sink(root, auto_compact_ratio=3.0)
+    words = ["apple", "banana", "cherry", "date", "fig"]
+    n_batches, per_batch = 20, 3
+    all_docs = []
+    versions_seen = []
+    for b in range(n_batches):
+        rows = [
+            (
+                b * per_batch + i,
+                f"{words[(b + i) % 5]} {words[(b + 2 * i + 1) % 5]}",
+            )
+            for i in range(per_batch)
+        ]
+        all_docs.extend(rows)
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        # scores must be identical across a switch: snapshot before/after
+        if b > 0:
+            pre_path = current_bm25_index_path(spark, root)
+            pre = [
+                tuple(r)
+                for r in bm25_query(
+                    load_bm25_index(spark, pre_path), ["apple"], k=100
+                ).collect()
+            ]
+        sink(batch, b)
+        cur = read_current_bm25_version(spark, root)
+        if cur not in versions_seen:
+            versions_seen.append(cur)
+            if b > 0:
+                # a switch happened THIS batch: the new version must
+                # serve exactly the pre-switch scores + this batch
+                # (checked cumulatively below); at minimum the old
+                # version's docs survived
+                post_idx = load_bm25_index(
+                    spark, current_bm25_index_path(spark, root)
+                )
+                assert int(post_idx["manifest"].n_docs) == (b + 1) * per_batch
+
+    assert len(versions_seen) > 1, "20 appends never triggered compaction"
+
+    final_path = current_bm25_index_path(spark, root)
+    final = load_bm25_index(spark, final_path)
+    assert int(final["manifest"].n_docs) == n_batches * per_batch
+
+    # scores == a fresh batch build over the concatenated corpus
+    fresh_path = str(tmp_path / "fresh")
+    save_bm25_index(
+        spark.createDataFrame(all_docs, "doc_id long, text string"),
+        fresh_path,
+    )
+    fresh = load_bm25_index(spark, fresh_path)
+    for term in words:
+        got = sorted(
+            tuple(r)
+            for r in bm25_query(final, [term], k=100).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in bm25_query(fresh, [term], k=100).collect()
+        )
+        assert got == want, term
+
+    # the live version is compact relative to the fragmented one it
+    # replaced: its file count must be far below 20 appends' worth
+    assert _parquet_file_count(
+        spark, f"{final_path}/postings"
+    ) <= 3 * _parquet_file_count(spark, f"{fresh_path}/postings")
+
+    # replaying the last batch against the versioned layout is a no-op
+    last = spark.createDataFrame(
+        all_docs[-per_batch:], "doc_id long, text string"
+    )
+    sink(last, n_batches - 1)
+    assert (
+        int(
+            load_bm25_index(
+                spark, current_bm25_index_path(spark, root)
+            )["manifest"].n_docs
+        )
+        == n_batches * per_batch
+    )
+
+
+def test_bm25_index_sink_auto_compact_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from noaa_oracle_spark.streaming.corpus import (
+        bm25_index_sink,
+        current_bm25_index_path,
+    )
+
+    with _pytest.raises(ValueError, match="exceed 1.0"):
+        bm25_index_sink(str(tmp_path / "x"), auto_compact_ratio=1.0)
+    with _pytest.raises(ValueError, match="no committed version"):
+        current_bm25_index_path(spark, str(tmp_path / "empty"))

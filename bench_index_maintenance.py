@@ -9,13 +9,20 @@ pass before anything is timed, and all reported stages are warm.
 Equality is asserted in-run: a grown or compacted index must serve
 scores identical to its rebuilt/fragmented twin.
 
-Tiers (BENCH_TIERS, comma list, default "bm25,pq,compaction,hybrid"):
-  bm25 / pq    — append vs rebuild cost (r9 rungs)
-  compaction   — BM25 read amplification after ~20 small appends vs
-                 after `compact_bm25_index` (r9 verdict ask #3)
-  hybrid       — one /search/hybrid-shaped request at scale: BM25 leg,
-                 nprobe-pruned vector leg, and their RRF fusion, each
-                 warm min-of-2 (r9 verdict ask #5)
+Tiers (BENCH_TIERS, comma list, default
+"bm25,pq,compaction,pq_compaction,hybrid,hybrid_batch"):
+  bm25 / pq     — append vs rebuild cost (r9 rungs)
+  compaction    — BM25 read amplification after ~20 small appends vs
+                  after `compact_bm25_index` (r9 verdict ask #3)
+  pq_compaction — the vector twin (r10 verdict ask #2): IVF-PQ cell-dir
+                  file growth after ~20 appends, fragmented vs
+                  compacted nprobe-pruned serve latency
+  hybrid        — one /search/hybrid-shaped request at scale: BM25 leg,
+                  nprobe-pruned vector leg, and their RRF fusion, each
+                  warm min-of-2 (r9 verdict ask #5)
+  hybrid_batch  — 32 hybrid queries as ONE batch (bm25_query_batch +
+                  ivfpq_query_batch + rrf_fuse_batch) vs 32 sequential
+                  single hybrids (r10 verdict ask #4)
 
 Knobs: PIPELINE_BENCH_DOCS (default 1000000; the bench_pipeline fixture
 is generated on demand), BENCH_APPEND_FRACTION (default 0.1 — the shard
@@ -40,7 +47,10 @@ N_DOCS = int(os.environ.get("PIPELINE_BENCH_DOCS", "1000000"))
 FRACTION = float(os.environ.get("BENCH_APPEND_FRACTION", "0.1"))
 N_APPENDS = int(os.environ.get("BENCH_N_APPENDS", "20"))
 TIERS = set(
-    os.environ.get("BENCH_TIERS", "bm25,pq,compaction,hybrid").split(",")
+    os.environ.get(
+        "BENCH_TIERS",
+        "bm25,pq,compaction,pq_compaction,hybrid,hybrid_batch",
+    ).split(",")
 )
 # bench_pipeline's own default is 100k — pin the shared knob BEFORE the
 # import so the fixture module generates at THIS harness's scale (the
@@ -239,6 +249,90 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- PQ/IVF-PQ compaction tier ---------------------------------
+    # The BM25 tier's vector twin (r10 verdict ask #2): append_pq_index
+    # lands each append's files INSIDE the cluster_id= directories, so
+    # after N small appends every probed cell opens ~N file sets.
+    # compact_pq_index rewrites to one file set per cell; neighbors are
+    # bit-identical (the codes row set is unchanged).
+    if "pq_compaction" in TIERS:
+        from noaa_oracle_spark.pipeline.pq import compact_pq_index
+
+        emb = spark.read.parquet(src_emb)
+        ebase = emb.filter(F.col("vec_id") < cut)
+        n_cells = 1024
+        cells = emb.filter(F.col("vec_id") < n_cells)
+        cbooks = pq_train(ebase, m=8, k=256, iters=0)
+        pfrag = p("pq_frag")
+        save_ivfpq_index(cbooks, ebase, cells, pfrag)
+        files_fresh = _parquet_file_count(spark, f"{pfrag}/codes")
+        shard_n = max(1, (N_DOCS - cut) // N_APPENDS)
+        t = time.time()
+        appended = 0
+        for i in range(N_APPENDS):
+            lo = cut + i * shard_n
+            hi = N_DOCS if i == N_APPENDS - 1 else lo + shard_n
+            appended += append_pq_index(
+                spark,
+                pfrag,
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+            )
+        t_appends = time.time() - t
+        assert appended == N_DOCS - cut, appended
+        files_frag = _parquet_file_count(spark, f"{pfrag}/codes")
+
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        fidx = load_pq_index(spark, pfrag)
+        t_q_frag = warm_min2(
+            lambda: ivfpq_query(fidx, qvec, k=10, nprobe=32).collect()
+        )
+        t = time.time()
+        stats = compact_pq_index(spark, pfrag, p("pq_compacted"))
+        t_compact = time.time() - t
+        cidx = load_pq_index(spark, p("pq_compacted"))
+        t_q_comp = warm_min2(
+            lambda: ivfpq_query(cidx, qvec, k=10, nprobe=32).collect()
+        )
+        assert [
+            tuple(r)
+            for r in ivfpq_query(cidx, qvec, k=10, nprobe=32)
+            .orderBy("rank")
+            .collect()
+        ] == [
+            tuple(r)
+            for r in ivfpq_query(fidx, qvec, k=10, nprobe=32)
+            .orderBy("rank")
+            .collect()
+        ]
+        print(
+            json.dumps(
+                {
+                    "tier": "pq_compaction",
+                    "n_vecs": N_DOCS,
+                    "n_appends": N_APPENDS,
+                    "nprobe": 32,
+                    "appends_total_s": round(t_appends, 1),
+                    "codes_files_fresh": files_fresh,
+                    "codes_files_fragmented": files_frag,
+                    "codes_files_compacted": stats["codes_files_after"],
+                    "read_amplification": round(
+                        files_frag / max(1, files_fresh), 2
+                    ),
+                    "query_fragmented_s": round(t_q_frag, 2),
+                    "query_compacted_s": round(t_q_comp, 2),
+                    "query_speedup": round(t_q_frag / t_q_comp, 2),
+                    "compact_s": round(t_compact, 1),
+                    "compacted_equals_fragmented": True,
+                }
+            ),
+            flush=True,
+        )
+
     # ---- hybrid-serve tier -----------------------------------------
     # One /search/hybrid request at scale: both legs warm min-of-2,
     # then the fused request.  Expectation: hybrid ≈ legs' sum (the
@@ -294,6 +388,97 @@ def main() -> None:
                     "hybrid_vs_legs_sum": round(
                         t_hybrid / (t_lex + t_vec), 2
                     ),
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- batch-hybrid tier -----------------------------------------
+    # 32 hybrid queries as ONE batch (the r10 ask #4 shape: one
+    # multi-query BM25 pass + one partition-pruned ivfpq_query_batch +
+    # per-query RRF) vs 32 sequential single hybrids.  Expectation: the
+    # knn leg's measured 3.2× batch gain carries over; flag if the BM25
+    # leg serializes.
+    if "hybrid_batch" in TIERS:
+        from noaa_oracle_spark.pipeline.pq import ivfpq_query_batch
+        from noaa_oracle_spark.pipeline.text import (
+            bm25_query_batch,
+            rrf_fuse_batch,
+        )
+
+        emb = spark.read.parquet(src_emb)
+        if "hybrid" not in TIERS:
+            n_cells = 1024
+            cells = emb.filter(F.col("vec_id") < n_cells)
+            hbooks = pq_train(emb, m=8, k=256, iters=0)
+            save_ivfpq_index(hbooks, emb, cells, p("hy_ivfpq"))
+        bm_path = p("bm_full") if "bm25" in TIERS else p("hy_bm25")
+        if not os.path.exists(os.path.join(bm_path, "manifest")):
+            save_bm25_index(docs, bm_path)
+        bidx = load_bm25_index(spark, bm_path)
+        vidx = load_pq_index(spark, p("hy_ivfpq"))
+        n_batch = 32
+        qvecs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < n_batch)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        term_pool = [f"w{i}" for i in range(1, 200, 3)]
+        qterms = [
+            [term_pool[(3 * i) % len(term_pool)],
+             term_pool[(3 * i + 1) % len(term_pool)],
+             term_pool[(3 * i + 2) % len(term_pool)]]
+            for i in range(n_batch)
+        ]
+
+        def one_hybrid(i: int):
+            lex = bm25_query(bidx, qterms[i], k=20).select(
+                "doc_id", "rnk"
+            )
+            vec = ivfpq_query(vidx, qvecs[i], k=20, nprobe=32).select(
+                F.col("n_id").alias("doc_id"), F.col("rank").alias("rnk")
+            )
+            return rrf_fuse([lex, vec], k=60, topk=10).collect()
+
+        def sequential():
+            return [one_hybrid(i) for i in range(n_batch)]
+
+        def batched():
+            lex = bm25_query_batch(bidx, qterms, k=20).select(
+                "q_idx", "doc_id", "rnk"
+            )
+            vec = ivfpq_query_batch(
+                vidx, qvecs, k=20, nprobe=32
+            ).select(
+                "q_idx",
+                F.col("n_id").alias("doc_id"),
+                F.col("rank").alias("rnk"),
+            )
+            return rrf_fuse_batch([lex, vec], k=60, topk=10).collect()
+
+        t_seq = warm_min2(sequential)
+        t_batch = warm_min2(batched)
+        # per-query equality: the batch IS the N singles
+        got: dict = {}
+        for r in batched():
+            got.setdefault(r.q_idx, []).append(
+                (r.rnk, r.doc_id, r.rrf_score)
+            )
+        for i, single in enumerate(sequential()):
+            want = [(r.rnk, r.doc_id, r.rrf_score) for r in single]
+            assert sorted(got[i]) == sorted(want), i
+        print(
+            json.dumps(
+                {
+                    "tier": "hybrid_batch",
+                    "n_docs": N_DOCS,
+                    "n_queries": n_batch,
+                    "nprobe": 32,
+                    "sequential_s": round(t_seq, 2),
+                    "batch_s": round(t_batch, 2),
+                    "batch_speedup": round(t_seq / t_batch, 2),
+                    "batch_equals_singles": True,
                 }
             ),
             flush=True,

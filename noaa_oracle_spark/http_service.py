@@ -262,6 +262,23 @@ def make_handler(
     bm25_indexes: dict[str, dict] = {}
     bm25_lock = threading.Lock()
 
+    def _resolve_versioned(path: str) -> str:
+        """Follow a versioned index root (the streaming sinks'
+        auto-compaction layout): when `path/CURRENT` exists, resolve to
+        the live `path/versions/<cur>` directory.  The cache keys stay
+        the CALLER's path, so {"reload": true} against a root
+        re-resolves the pointer — one request picks up a compaction
+        repoint without the client ever learning version names."""
+        from noaa_oracle_spark.streaming.corpus import (
+            read_current_bm25_version,
+        )
+
+        try:
+            cur = read_current_bm25_version(spark, path)
+        except Exception:
+            return path  # not a filesystem path Hadoop can probe
+        return f"{path}/versions/{cur}" if cur is not None else path
+
     def get_bm25_index(path: str, reload: bool = False) -> dict:
         from noaa_oracle_spark.pipeline.text import load_bm25_index
 
@@ -269,7 +286,7 @@ def make_handler(
             if not reload and path in bm25_indexes:
                 return bm25_indexes[path]
         try:
-            idx = load_bm25_index(spark, path)
+            idx = load_bm25_index(spark, _resolve_versioned(path))
         except ValueError:
             raise  # consistency violations surface as 400s
         except Exception as exc:  # unreadable/missing directory
@@ -291,7 +308,7 @@ def make_handler(
             if not reload and path in pq_indexes:
                 return pq_indexes[path]
         try:
-            idx = load_pq_index(spark, path)
+            idx = load_pq_index(spark, _resolve_versioned(path))
         except ValueError:
             raise  # consistency violations surface as 400s
         except Exception as exc:  # unreadable/missing directory

@@ -1586,8 +1586,14 @@ def append_pq_index(
             vec_col=vec_col,
             backend="numpy",
         ).select(id_col, "cluster_id")
+        # cell-keyed repartition (the save_ivfpq_index layout rule): the
+        # append adds ONE file set per touched cell, so fragmentation
+        # grows linearly with append count — the predictable growth the
+        # compact_pq_index trigger reasons about — instead of up to
+        # rows-many files per append
         (
             enc.join(assigned, id_col)
+            .repartition(F.col("cluster_id"))
             .write.mode("append")
             .partitionBy("cluster_id")
             .parquet(f"{path}/codes")
@@ -1750,8 +1756,17 @@ def save_ivfpq_index(
     encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     celled = encoded.join(assigned, id_col)
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    # ONE cell-keyed repartition before the partitioned write: each cell
+    # lands entirely in one task, so every cluster_id= directory holds
+    # exactly one file set — without it each of the N input partitions
+    # writes its own file per cell it touches (up to N files/cell on day
+    # one), and a probe pays that open count forever.  The shuffle moves
+    # 8-byte codes, not vectors — cheap relative to the encode; it is
+    # also the layout compact_pq_index restores, so "fresh" and
+    # "compacted" mean the same thing.
     (
-        celled.write.mode("overwrite")
+        celled.repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")
     )

@@ -504,3 +504,186 @@ def streaming_bm25_index(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def init_versioned_pq_index(
+    spark,
+    root: str,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    cells: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation=None,
+) -> str:
+    """Bootstrap the versioned PQ index root `pq_index_sink` appends
+    into: save the base index (IVF-PQ when `cells` given, flat PQ
+    otherwise) as version v00000000, record its codes file count as the
+    compaction baseline, and commit the CURRENT pointer.  Codebooks (and
+    cells, and the OPQ rotation) are corpus-distribution artifacts — they
+    are trained ONCE here, offline, and every streamed microbatch is
+    encoded under them (the production IVF-PQ discipline; retraining on
+    drift is a NEW index, not an append).  Returns the version path."""
+    from noaa_oracle_spark.pipeline.pq import (
+        pq_encode,
+        save_ivfpq_index,
+        save_pq_index,
+    )
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
+    ver = "v00000000"
+    ver_path = f"{root}/versions/{ver}"
+    if cells is not None:
+        save_ivfpq_index(
+            codebooks, corpus, cells, ver_path,
+            id_col=id_col, vec_col=vec_col, rotation=rotation,
+        )
+    else:
+        save_pq_index(
+            codebooks,
+            pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col),
+            ver_path,
+            rotation=rotation,
+        )
+    _write_baseline(
+        spark, ver_path, _parquet_file_count(spark, f"{ver_path}/codes")
+    )
+    _write_current(spark, root, ver)
+    return ver_path
+
+
+def current_pq_index_path(spark, root: str) -> str:
+    """Resolve the versioned PQ layout's live index directory — the
+    vector twin of `current_bm25_index_path` (same CURRENT pointer
+    file), what the serve layer loads to follow compaction switches."""
+    cur = read_current_bm25_version(spark, root)  # same pointer format
+    if cur is None:
+        raise ValueError(
+            f"current_pq_index_path: no committed version at {root} — "
+            "bootstrap with init_versioned_pq_index"
+        )
+    return f"{root}/versions/{cur}"
+
+
+def pq_index_sink(
+    root: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    auto_compact_ratio: "float | None" = None,
+):
+    """foreachBatch sink growing a persisted PQ/IVF-PQ index from an
+    embedding stream — `bm25_index_sink`'s vector twin: every microbatch
+    is encoded under the index's FROZEN codebooks (+ stored OPQ rotation)
+    and file-level-appended (`pq.append_pq_index` — old code files never
+    rewritten; celled indexes keep their cluster_id= partitioned layout,
+    so serve-side pruning holds over the grown index).
+
+    Unlike the BM25 sink there is NO first-batch save path: codebooks
+    are a corpus-distribution artifact that cannot be trained from one
+    microbatch, so the root must be bootstrapped with
+    `init_versioned_pq_index` (the sink raises otherwise).  `root` is
+    always the VERSIONED layout (root/CURRENT + root/versions/*);
+    `auto_compact_ratio`, when set, compacts into a new version and
+    repoints CURRENT once appends push the codes file count past ratio×
+    the version's creation count — for a celled index every append adds
+    a file set inside each touched cell directory, so a long-running
+    sink otherwise grows per-probe open cost without bound.
+
+    At-least-once discipline (the BM25 sink's, on vector ids): a
+    replayed batch whose ids are all present is skipped; a partial
+    overlap raises (torn append — explicit recovery, never a
+    double-count); load failures propagate and stop the stream."""
+    from noaa_oracle_spark.pipeline.pq import (
+        append_pq_index,
+        compact_pq_index,
+        load_pq_index,
+    )
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
+    if auto_compact_ratio is not None and auto_compact_ratio <= 1.0:
+        raise ValueError(
+            "pq_index_sink: auto_compact_ratio must exceed 1.0 "
+            "(it multiplies the fresh-layout file count)"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.select(id_col, vec_col)
+        if new.limit(1).count() == 0:
+            return
+        cur = read_current_bm25_version(spark, root)
+        if cur is None:
+            raise ValueError(
+                f"pq_index_sink: no committed index at {root} — "
+                "bootstrap with init_versioned_pq_index (codebooks "
+                "cannot be trained from one microbatch)"
+            )
+        ver_path = f"{root}/versions/{cur}"
+        # load failures (torn append, FS errors) propagate: stop the
+        # stream and demand recovery, never a silent overwrite
+        idx = load_pq_index(spark, ver_path)
+        n_new = new.count()
+        n_seen = (
+            idx["codes"]
+            .join(new.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if n_seen == n_new:
+            return  # completed batch replayed after a post-commit crash
+        if n_seen:
+            raise ValueError(
+                f"pq_index_sink: batch {batch_id} partially present "
+                f"({n_seen}/{n_new} ids) — torn append at {ver_path}; "
+                "recover by compacting or re-saving the index"
+            )
+        append_pq_index(
+            spark, ver_path, new, vec_col=vec_col, check_disjoint=False
+        )
+        if auto_compact_ratio is None:
+            return
+        files_now = _parquet_file_count(spark, f"{ver_path}/codes")
+        baseline = _read_baseline(spark, ver_path)
+        if baseline is None:
+            _write_baseline(spark, ver_path, files_now)
+            return
+        if files_now >= auto_compact_ratio * baseline:
+            nxt = f"v{batch_id:08d}c"
+            nxt_path = f"{root}/versions/{nxt}"
+            compact_pq_index(spark, ver_path, nxt_path)
+            _write_baseline(
+                spark,
+                nxt_path,
+                _parquet_file_count(spark, f"{nxt_path}/codes"),
+            )
+            _write_current(spark, root, nxt)  # the atomic repoint
+
+    return _sink
+
+
+def streaming_pq_index(
+    vectors: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    auto_compact_ratio: "float | None" = None,
+):
+    """Maintain a persisted PQ/IVF-PQ index from an embedding STREAM —
+    the vector tier's ingest loop (`streaming_bm25_index`'s twin):
+    bootstrap once with `init_versioned_pq_index`, then one
+    `append_pq_index` per microbatch via foreachBatch, with optional
+    auto-compaction.  Serving follows `current_pq_index_path` (or
+    POST /search/knn with reload=true against it) for the
+    stable-snapshot contract.  Returns the started StreamingQuery."""
+    return (
+        vectors.writeStream.foreachBatch(
+            pq_index_sink(
+                root,
+                vec_col=vec_col,
+                id_col=id_col,
+                auto_compact_ratio=auto_compact_ratio,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1441,3 +1441,96 @@ def test_search_hybrid_batch_equals_singles(
     ):
         code, msg = _post_error(f"{base}/search/hybrid", bad)
         assert code == 400 and frag in msg, (bad, code, msg)
+
+
+def test_search_endpoints_follow_versioned_roots(
+    server, spark, tmp_path_factory
+):
+    """The serve side of sink auto-compaction (r10 verdict ask #5): a
+    request whose index_path is a VERSIONED ROOT (CURRENT pointer +
+    versions/*) resolves to the live version, and {"reload": true}
+    re-resolves — one request follows a compaction repoint without the
+    client learning version names.  Checked for both tiers."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import pq_train
+    from noaa_oracle_spark.streaming.corpus import (
+        bm25_index_sink,
+        init_versioned_pq_index,
+        pq_index_sink,
+        read_current_bm25_version,
+    )
+
+    base, _ = server
+    d = tmp_path_factory.mktemp("versioned_serve")
+
+    # --- BM25 root: sink-maintained, compacts during the appends ----
+    broot = str(d / "bm_root")
+    bsink = bm25_index_sink(broot, auto_compact_ratio=2.0)
+    for b in range(8):
+        rows = [
+            (b * 3 + i, f"w{(b + i) % 4} w{(b + 2 * i) % 4}")
+            for i in range(3)
+        ]
+        bsink(
+            spark.createDataFrame(rows, "doc_id long, text string"), b
+        )
+    versions_b = read_current_bm25_version(spark, broot)
+    assert versions_b is not None
+
+    status, out = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": broot, "terms": ["w1"], "k": 5},
+    )
+    assert status == 200 and out["n_docs"] == 24
+
+    # grow + (maybe) repoint, then reload=true must see the new corpus
+    bsink(
+        spark.createDataFrame(
+            [(100, "w1 w1"), (101, "w2 w3"), (102, "w0")],
+            "doc_id long, text string",
+        ),
+        8,
+    )
+    status, out2 = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": broot, "terms": ["w1"], "k": 5, "reload": True},
+    )
+    assert status == 200 and out2["n_docs"] == 27
+    assert any(r["doc_id"] == 100 for r in out2["results"])
+
+    # --- PQ root ------------------------------------------------------
+    proot = str(d / "pq_root")
+    rng = np.random.RandomState(59)
+    vecs = rng.randn(80, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    pbase = emb.filter(F.col("vec_id") < 50)
+    books = pq_train(pbase, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 4)
+    init_versioned_pq_index(spark, proot, books, pbase, cells=cells)
+    psink = pq_index_sink(proot, auto_compact_ratio=2.0)
+    for b in range(3):
+        lo = 50 + b * 10
+        psink(
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)
+            ),
+            b,
+        )
+    qvec = [float(x) for x in vecs[75]]
+    status, out = _post_json(
+        f"{base}/search/knn",
+        {
+            "index_path": proot,
+            "vector": qvec,
+            "k": 3,
+            "nprobe": 3,
+            "reload": True,
+        },
+    )
+    assert status == 200 and out["n_encoded"] == 80
+    assert out["neighbors"][0]["vec_id"] == 75

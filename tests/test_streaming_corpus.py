@@ -531,3 +531,104 @@ def test_bm25_index_sink_auto_compact_validation(spark, tmp_path):
         bm25_index_sink(str(tmp_path / "x"), auto_compact_ratio=1.0)
     with _pytest.raises(ValueError, match="no committed version"):
         current_bm25_index_path(spark, str(tmp_path / "empty"))
+
+
+def test_pq_index_sink_appends_replays_and_auto_compacts(spark, tmp_path):
+    """bm25_index_sink's vector twin: a bootstrapped versioned IVF-PQ
+    root grows by one encode-under-frozen-codebooks append per
+    microbatch, auto-compacts once the codes file count passes ratio×
+    the version baseline, serves neighbors IDENTICAL to a rebuilt index
+    across every switch, and keeps the BM25 sink's replay discipline
+    (full replay skipped, partial overlap raises, uninit root raises)."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_query,
+        load_pq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+    from noaa_oracle_spark.streaming.corpus import (
+        current_pq_index_path,
+        init_versioned_pq_index,
+        pq_index_sink,
+        read_current_bm25_version,
+    )
+
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(260, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(260)],
+        "vec_id long, embedding array<double>",
+    )
+    base = emb.filter(F.col("vec_id") < 140)
+    books = pq_train(base, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 6)
+    root = str(tmp_path / "pqroot")
+
+    sink = pq_index_sink(root, auto_compact_ratio=3.0)
+    # uninitialized root: the sink must refuse (codebooks are corpus
+    # artifacts, not microbatch ones)
+    b0 = emb.filter((F.col("vec_id") >= 140) & (F.col("vec_id") < 150))
+    with _pytest.raises(ValueError, match="bootstrap"):
+        sink(b0, 0)
+
+    init_versioned_pq_index(spark, root, books, base, cells=cells)
+    versions = [read_current_bm25_version(spark, root)]
+    n_batches, per_batch = 12, 10
+    for b in range(n_batches):
+        lo = 140 + b * per_batch
+        batch = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + per_batch)
+        )
+        sink(batch, b)
+        cur = read_current_bm25_version(spark, root)
+        if cur != versions[-1]:
+            versions.append(cur)
+    assert len(versions) > 1, "12 appends never triggered compaction"
+
+    final_path = current_pq_index_path(spark, root)
+    final = load_pq_index(spark, final_path)
+    assert int(final["manifest"].n_encoded) == 260
+
+    # serve == a rebuilt index over the full corpus
+    rebuilt_path = str(tmp_path / "rebuilt")
+    save_ivfpq_index(books, emb, cells, rebuilt_path)
+    rebuilt = load_pq_index(spark, rebuilt_path)
+    for vid in (0, 150, 259):
+        qvec = [float(x) for x in vecs[vid]]
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_query(final, qvec, k=3, nprobe=3).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ivfpq_query(rebuilt, qvec, k=3, nprobe=3).collect()
+        )
+        assert got == want, vid
+
+    # full replay of the last batch: no-op
+    last = emb.filter(F.col("vec_id") >= 140 + (n_batches - 1) * per_batch)
+    sink(last, n_batches - 1)
+    assert (
+        int(
+            load_pq_index(
+                spark, current_pq_index_path(spark, root)
+            )["manifest"].n_encoded
+        )
+        == 260
+    )
+
+    # partial overlap (one present id, one new) must refuse loudly
+    partial = spark.createDataFrame(
+        [(259, [float(x) for x in vecs[259]]),
+         (999, [float(x) for x in vecs[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="partially present"):
+        sink(partial, 99)
+
+    with _pytest.raises(ValueError, match="exceed 1.0"):
+        pq_index_sink(root, auto_compact_ratio=0.5)

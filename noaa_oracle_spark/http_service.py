@@ -29,6 +29,7 @@ is the thin request/response shell the reference serves with axum
 |   single query or `queries` batch   |  batch = 2 Spark jobs for N queries) |
 | POST /index/bm25/compact          | (append-fragmentation rewrite — ext.)  |
 | POST /index/pq/compact            | (the vector twin — ext.)               |
+| POST /index/stats                 | (fragmentation poll signal — ext.)     |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
@@ -466,6 +467,8 @@ def make_handler(
                     self._compact_bm25()
                 elif path == "/index/pq/compact":
                     self._compact_pq()
+                elif path == "/index/stats":
+                    self._index_stats()
                 elif path == "/search/hybrid":
                     self._search_hybrid()
                 else:
@@ -1225,13 +1228,27 @@ def make_handler(
             "reload": false}.  The load is cached per path; each request
             touches only the query terms' postings (term-sorted parquet
             row groups) — the /search/knn contract's lexical sibling, so
-            a retrieval stack can serve and fuse both."""
+            a retrieval stack can serve and fuse both.
+
+            Batch mode: pass "queries" (array of term arrays) instead of
+            "terms" — N queries served by ONE union-term postings scan
+            (`bm25_query_batch`, the /search/knn "vectors" shape),
+            per-query identical to N single requests."""
             from noaa_oracle_spark.pipeline.text import bm25_query
 
             body = self._read_json_body()
             index_path = body.get("index_path")
             if not isinstance(index_path, str) or not index_path:
                 raise BadRequest("index_path (string) is required")
+            queries = body.get("queries")
+            if queries is not None:
+                if body.get("terms") is not None:
+                    raise BadRequest(
+                        "pass either terms (single) or queries (batch), "
+                        "not both"
+                    )
+                self._search_bm25_batch(body, index_path, queries)
+                return
             terms = body.get("terms")
             if (
                 not isinstance(terms, list)
@@ -1276,6 +1293,132 @@ def make_handler(
                     }
                 ).encode()
             )
+
+        def _search_bm25_batch(self, body, index_path, queries) -> None:
+            """Batch mode of POST /search/bm25: one union-term postings
+            scan for N queries (`bm25_query_batch`), per-query identical
+            to N single requests (socket-tested)."""
+            from noaa_oracle_spark.pipeline.text import bm25_query_batch
+
+            if not isinstance(queries, list) or not queries:
+                raise BadRequest("queries (non-empty array) is required")
+            for i, q in enumerate(queries):
+                if (
+                    not isinstance(q, list)
+                    or not q
+                    or not all(isinstance(t, str) and t for t in q)
+                ):
+                    raise BadRequest(
+                        f"queries[{i}] must be a non-empty string array"
+                    )
+            k = body.get("k", 10)
+            if not isinstance(k, int) or isinstance(k, bool) or k < 1:
+                raise BadRequest("k must be a positive integer")
+            params = {}
+            for name, dflt in (("k1", 1.2), ("b", 0.75)):
+                v = body.get(name, dflt)
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise BadRequest(f"{name} must be a number")
+                params[name] = float(v)
+            idx = get_bm25_index(
+                index_path, reload=bool(body.get("reload"))
+            )
+            id_col = idx["manifest"].id_col
+            try:
+                batch_rows = bm25_query_batch(
+                    idx, queries, k=k, k1=params["k1"], b=params["b"]
+                ).collect()
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            per_q: list[list] = [[] for _ in queries]
+            for r in batch_rows:
+                per_q[r.q_idx].append(r)
+            self._send_json(
+                json.dumps(
+                    {
+                        "k": k,
+                        "n_docs": int(idx["manifest"].n_docs),
+                        "results": [
+                            [
+                                {
+                                    "rank": r.rnk,
+                                    "doc_id": r[id_col],
+                                    "bm25": r.bm25,
+                                }
+                                for r in sorted(
+                                    rows_q, key=lambda r: r.rnk
+                                )
+                            ]
+                            for rows_q in per_q
+                        ],
+                    }
+                ).encode()
+            )
+
+        def _index_stats(self) -> None:
+            """POST /index/stats — the "needs compaction" poll signal
+            (r10 verdict ask #5's alternative path, exposed alongside
+            the sinks' auto-compaction): body {"index_path": ...,
+            "kind": "bm25"|"pq"}.  Returns the component file count
+            (the read-amplification metric), the corpus size from the
+            manifest, and — for a versioned sink root — the live
+            version and its recorded creation baseline, so an operator
+            (or a cron) can poll fragmentation and POST the matching
+            /index/*/compact when it passes their threshold without
+            loading or scanning any index data."""
+            from noaa_oracle_spark.pipeline.text import (
+                _parquet_file_count,
+            )
+            from noaa_oracle_spark.streaming.corpus import (
+                _read_baseline,
+                read_current_bm25_version,
+            )
+
+            body = self._read_json_body()
+            index_path = body.get("index_path")
+            if not isinstance(index_path, str) or not index_path:
+                raise BadRequest("index_path (string) is required")
+            kind = body.get("kind")
+            if kind not in ("bm25", "pq"):
+                raise BadRequest('kind must be "bm25" or "pq"')
+            component = "postings" if kind == "bm25" else "codes"
+            out: dict = {"kind": kind, "component": component}
+            try:
+                cur = read_current_bm25_version(spark, index_path)
+            except Exception:
+                cur = None
+            resolved = (
+                f"{index_path}/versions/{cur}" if cur else index_path
+            )
+            if cur:
+                out["version"] = cur
+            try:
+                manifest = spark.read.parquet(
+                    f"{resolved}/manifest"
+                ).collect()
+                if len(manifest) != 1:
+                    raise ValueError("bad manifest")
+                meta = manifest[0]
+                out["files"] = _parquet_file_count(
+                    spark, f"{resolved}/{component}"
+                )
+                if kind == "bm25":
+                    out["n_docs"] = int(meta.n_docs)
+                else:
+                    out["n_encoded"] = int(meta.n_encoded)
+            except BadRequest:
+                raise
+            except Exception as exc:
+                raise BadRequest(
+                    f"cannot stat index at {index_path!r}: {exc}"
+                ) from exc
+            baseline = _read_baseline(spark, resolved)
+            if baseline is not None:
+                out["baseline_files"] = baseline
+                out["fragmentation"] = round(
+                    out["files"] / max(1, baseline), 2
+                )
+            self._send_json(json.dumps(out).encode())
 
         def _upload(self, file_name: str) -> None:
             """POST /file/{name} — the S8 push side (upload.rs:25-110):

@@ -3938,17 +3938,105 @@ def q139_pq_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_Q139 = SQL_Q100
 
 
-#: Staged r12 debut — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
+_SINK_LIFECYCLE_TERMS = ["stream", "table", "agg"]
+
+
+def q140_versioned_sink_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingest lifecycle as ONE gate: drive the
+    `bm25_index_sink` foreachBatch closure (auto_compact_ratio=2.0,
+    versioned root) over five deterministic doc-id-range microbatches of
+    the corpus, then serve a top-10 query off whatever version the
+    CURRENT pointer ends on (`current_bm25_index_path` — the serve
+    layer's pointer-follow).  WHERE in the batch sequence compaction
+    fires depends on physical file counts (shuffle partitioning), but
+    the SERVED SCORES are invariant to it by construction — appends
+    never change old rows and compaction never changes the row set — so
+    the full-corpus scoring oracle pins the lifecycle end to end: save →
+    appends → auto-compact(s) → repoint → serve == one batch build.
+
+    Work dir is a fresh mkdtemp; bounded top-k materialized before
+    cleanup (the q136/q137 discipline)."""
+    import shutil
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.text import bm25_query, load_bm25_index
+    from noaa_oracle_spark.streaming.corpus import (
+        bm25_index_sink,
+        current_bm25_index_path,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()  # one bounded scalar — split points, not data
+    d = F.col("doc_id")
+    base = tempfile.mkdtemp(prefix="noaa_sink_gate_")
+    try:
+        sink = bm25_index_sink(f"{base}/root", auto_compact_ratio=2.0)
+        bounds = [(i * n) // 5 for i in range(6)]
+        for b in range(5):
+            sink(
+                docs.filter((d >= bounds[b]) & (d < bounds[b + 1])),
+                b,
+            )
+        idx = load_bm25_index(
+            spark, current_bm25_index_path(spark, f"{base}/root")
+        )
+        out = bm25_query(idx, _SINK_LIFECYCLE_TERMS, k=10)
+        # k=10 rows by contract — bounded, not corpus-sized.
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Full-corpus scoring with the q129/q137 arithmetic — the sink-built,
+# auto-compacted, pointer-served index must reproduce it exactly.
+SQL_Q140 = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), w AS (
+    SELECT doc_id, term FROM words WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM w
+    WHERE term IN ('stream', 'table', 'agg') GROUP BY 1, 2
+), df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), dlen AS (
+    SELECT doc_id, count(*) AS dl FROM w GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen
+), scored AS (
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / corpus.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dlen USING (doc_id)
+    CROSS JOIN corpus
+    GROUP BY 1
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS rnk
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+#: Staged r12 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
 #: when the r12 window rotates; tests/test_staged_r12.py oracle-checks
-#: it every round until then.
+#: them every round until then.  Budget: 138 + 2 staged, under the ~150
+#: ceiling (r10 verdict ask #8).
 PIPELINE_QUERIES_STAGED_R12: dict[
     str, Callable[[SparkSession, str], DataFrame]
 ] = {
     "q139_pq_compaction": q139_pq_compaction,
+    "q140_versioned_sink_lifecycle": q140_versioned_sink_lifecycle,
 }
 
 PIPELINE_ORACLE_SQL_STAGED_R12: dict[str, str] = {
     "q139_pq_compaction": SQL_Q139,
+    "q140_versioned_sink_lifecycle": SQL_Q140,
 }
 
 

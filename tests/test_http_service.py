@@ -1534,3 +1534,99 @@ def test_search_endpoints_follow_versioned_roots(
     )
     assert status == 200 and out["n_encoded"] == 80
     assert out["neighbors"][0]["vec_id"] == 75
+
+
+def test_search_bm25_batch_and_index_stats(server, spark, tmp_path_factory):
+    """POST /search/bm25 "queries" batch == N single requests, and
+    POST /index/stats exposes the fragmentation poll signal (files,
+    corpus size, and — on a versioned root — version + baseline +
+    fragmentation ratio) without loading index data."""
+    from noaa_oracle_spark.pipeline.text import (
+        append_bm25_index,
+        save_bm25_index,
+    )
+    from noaa_oracle_spark.streaming.corpus import bm25_index_sink
+
+    base, _ = server
+    d = tmp_path_factory.mktemp("bm25_batch_stats")
+    path = str(d / "idx")
+    save_bm25_index(
+        spark.createDataFrame(
+            [
+                (1, "spark hash join"),
+                (2, "hash window"),
+                (3, "join join spark"),
+                (4, "plain prose"),
+            ],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    append_bm25_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, "spark spark"), (6, "window rank")],
+            "doc_id long, text string",
+        ),
+    )
+
+    queries = [["spark", "hash"], ["window"], ["join", "prose"]]
+    status, batch_out = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": path, "queries": queries, "k": 4},
+    )
+    assert status == 200 and len(batch_out["results"]) == 3
+    for i, terms in enumerate(queries):
+        status, single = _post_json(
+            f"{base}/search/bm25",
+            {"index_path": path, "terms": terms, "k": 4},
+        )
+        assert status == 200
+        assert batch_out["results"][i] == single["results"], i
+
+    for bad, frag in (
+        ({"index_path": path, "queries": []}, "queries"),
+        ({"index_path": path, "queries": [["a"], []]}, "queries[1]"),
+        (
+            {"index_path": path, "queries": queries, "terms": ["x"]},
+            "not both",
+        ),
+    ):
+        code, msg = _post_error(f"{base}/search/bm25", bad)
+        assert code == 400 and frag in msg, (bad, code, msg)
+
+    # ---- /index/stats: flat dir (no baseline), then a versioned root
+    status, st = _post_json(
+        f"{base}/index/stats", {"index_path": path, "kind": "bm25"}
+    )
+    assert status == 200
+    assert st["n_docs"] == 6 and st["files"] >= 2
+    assert "version" not in st and "baseline_files" not in st
+
+    root = str(d / "vroot")
+    sink = bm25_index_sink(root, auto_compact_ratio=100.0)  # never fires
+    for b in range(3):
+        sink(
+            spark.createDataFrame(
+                [(10 + b * 2, f"w{b} w{b + 1}"), (11 + b * 2, f"w{b}")],
+                "doc_id long, text string",
+            ),
+            b,
+        )
+    status, st = _post_json(
+        f"{base}/index/stats", {"index_path": root, "kind": "bm25"}
+    )
+    assert status == 200
+    assert st["n_docs"] == 6 and st["version"].startswith("v")
+    assert st["baseline_files"] >= 1
+    assert st["fragmentation"] >= 1.0
+
+    for bad in (
+        {"kind": "bm25"},
+        {"index_path": path},
+        {"index_path": path, "kind": "nope"},
+        {"index_path": "/nonexistent", "kind": "pq"},
+    ):
+        code, msg = _post_error(f"{base}/index/stats", bad)
+        assert code == 400, (bad, code, msg)

@@ -1,4 +1,4 @@
-"""Round-12 staged gate debuts (q139), oracle-checked ahead of their
+"""Round-12 staged gate debuts (q139–q140), oracle-checked ahead of their
 window rotation — the same pre-promotion discipline q129–q138 followed:
 the queries are NOT in __spark_entry__.queries() yet (a new name outside
 the r11 window would trip the staleness invariant), but they already

@@ -767,18 +767,20 @@ def make_handler(
             if vecs is not None:
                 from noaa_oracle_spark.pipeline.pq import ivfpq_query_batch
 
-                if nprobe is None:
-                    raise BadRequest(
-                        "batch mode requires nprobe (cell-partitioned "
-                        "serving)"
-                    )
                 try:
-                    batch_rows = ivfpq_query_batch(
-                        idx,
-                        [[float(x) for x in v] for v in vecs],
-                        k=k,
-                        nprobe=nprobe,
-                    ).collect()
+                    if nprobe is not None:
+                        batch_rows = ivfpq_query_batch(
+                            idx,
+                            [[float(x) for x in v] for v in vecs],
+                            k=k,
+                            nprobe=nprobe,
+                        ).collect()
+                    else:
+                        # flat-ADC batch: pq_knn is natively multi-query
+                        # (one job, N sentinel query rows) — the batch
+                        # twin of the single flat path, same semantics
+                        # per vector (incl. the OPQ rotate)
+                        batch_rows = self._pq_flat_batch(idx, vecs, k)
                 except ValueError as exc:
                     raise BadRequest(str(exc)) from exc
                 per_q: list[list] = [[] for _ in vecs]
@@ -831,6 +833,55 @@ def make_handler(
                 ).encode()
             )
 
+        def _pq_flat_batch(self, idx: dict, vecs: list, k: int):
+            """Flat-ADC batch serving: ONE pq_knn job over N sentinel
+            query rows (pq_knn is natively multi-query — q_id keys the
+            per-query top-k window), per-vector identical to the single
+            flat path.  Applies the index's OPQ rotation to the whole
+            batch; sentinel ids sit strictly below the corpus id domain
+            so the self-pair filter never drops a corpus twin.  Returns
+            rows shaped (q_idx, rank, n_id, adc_dist)."""
+            from collections import namedtuple
+
+            from noaa_oracle_spark.pipeline.pq import pq_knn
+
+            dim = int(idx["manifest"].dim)
+            for v in vecs:
+                if len(v) != dim:
+                    raise ValueError(
+                        f"vector has {len(v)} dims, index expects {dim}"
+                    )
+            mat = [[float(x) for x in v] for v in vecs]
+            if idx.get("rotation") is not None:
+                import numpy as np
+
+                rx = (
+                    np.asarray(mat, dtype=np.float64)
+                    @ idx["rotation"].T
+                )
+                mat = [[float(x) for x in row] for row in rx]
+            lo = idx.get("min_vec_id")
+            base_sentinel = min(-1, (lo - 1) if lo is not None else -1)
+            id_col = [
+                c for c in idx["codes"].columns
+                if c not in ("codes", "cluster_id")
+            ][0]
+            sentinels = [base_sentinel - i for i in range(len(mat))]
+            queries = spark.createDataFrame(
+                list(zip(sentinels, mat)),
+                f"{id_col} long, embedding array<double>",
+            )
+            rows = pq_knn(
+                queries, idx["codes"], idx["codebooks"], k=k,
+                id_col=id_col,
+            ).collect()
+            by_sentinel = {s: i for i, s in enumerate(sentinels)}
+            Out = namedtuple("Out", ["q_idx", "rank", "n_id", "adc_dist"])
+            return [
+                Out(by_sentinel[r.q_id], r.rank, r.n_id, r.adc_dist)
+                for r in rows
+            ]
+
         def _pq_neighbors(self, idx: dict, vec: list, k: int, nprobe=None):
             """ADC top-k against a loaded PQ index for one query vector —
             shared by /search/knn and the vector leg of /search/hybrid.
@@ -858,6 +909,19 @@ def make_handler(
                 except ValueError as exc:
                     raise BadRequest(str(exc)) from exc
                 return pruned
+            # flat ADC path: an OPQ index's codes live in rotated space —
+            # rotate the raw query here too (ivfpq_query does its own);
+            # skipping it is exactly the wrong-neighbors bug rotation
+            # persistence exists to prevent
+            vec = [float(x) for x in vec]
+            if idx.get("rotation") is not None:
+                import numpy as np
+
+                vec = [
+                    float(x)
+                    for x in idx["rotation"]
+                    @ np.asarray(vec, dtype=np.float64)
+                ]
             lo = idx.get("min_vec_id")
             sentinel = min(-1, (lo - 1) if lo is not None else -1)
             # the index's own id column, never a hardcoded vec_id — a
@@ -867,7 +931,7 @@ def make_handler(
                 if c not in ("codes", "cluster_id")
             ][0]
             queries = spark.createDataFrame(
-                [(sentinel, [float(x) for x in vec])],
+                [(sentinel, vec)],
                 f"{id_col} long, embedding array<double>",
             )
             return pq_knn(

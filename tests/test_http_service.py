@@ -1175,15 +1175,38 @@ def test_search_knn_batch_serves_vectors(server, spark, tmp_path_factory):
         ]
         assert sorted(got) == sorted(want), i
 
+    # no-nprobe batch = flat-ADC batch (one multi-query pq_knn job):
+    # per-vector equal to the single flat serve path
+    status, flat_out = _post_json(
+        f"{base}/search/knn",
+        {"index_path": path, "vectors": vecs, "k": 3},
+    )
+    assert status == 200
+    for i, v in enumerate(vecs):
+        status, single = _post_json(
+            f"{base}/search/knn",
+            {"index_path": path, "vector": v, "k": 3},
+        )
+        assert status == 200
+        got = [
+            (r["rank"], r["vec_id"], r["adc_dist"])
+            for r in flat_out["results"][i]
+        ]
+        want = [
+            (r["rank"], r["vec_id"], r["adc_dist"])
+            for r in single["neighbors"]
+        ]
+        assert sorted(got) == sorted(want), i
+
     for bad in (
         {"index_path": path, "vectors": vecs, "vector": vecs[0], "k": 3,
          "nprobe": 2},                                  # both forms
-        {"index_path": path, "vectors": vecs, "k": 3},  # no nprobe
         {"index_path": path, "vectors": [], "k": 3, "nprobe": 2},
         {"index_path": path, "vectors": [vecs[0], ["x"]], "k": 3,
          "nprobe": 2},                                  # ragged/non-numeric
         {"index_path": path, "vectors": [[1.0, 2.0]], "k": 3,
          "nprobe": 2},                                  # wrong dim
+        {"index_path": path, "vectors": [[1.0, 2.0]], "k": 3},  # flat dim
     ):
         code, msg = _post_error(f"{base}/search/knn", bad)
         assert code == 400, (bad, code, msg)
@@ -1630,3 +1653,68 @@ def test_search_bm25_batch_and_index_stats(server, spark, tmp_path_factory):
     ):
         code, msg = _post_error(f"{base}/index/stats", bad)
         assert code == 400, (bad, code, msg)
+
+
+def test_search_knn_flat_opq_index_rotates_single_and_batch(
+    server, spark, tmp_path_factory
+):
+    """The FLAT serve path (no nprobe) must apply a stored OPQ rotation
+    too — single and batch: a flat OPQ index's codes live in rotated
+    space, so an unrotated probe would return wrong neighbors (the same
+    bug class the celled path's rotation fix closed)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        opq_train_rotation,
+        pq_encode,
+        pq_train,
+        rotate_embeddings,
+        save_pq_index,
+    )
+
+    base, _ = server
+    d = tmp_path_factory.mktemp("opq_flat_http")
+    path = str(d / "idx")
+    rng = np.random.RandomState(61)
+    vecs = rng.randn(100, 16) * np.linspace(3.0, 0.2, 16)[None, :]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    rot = opq_train_rotation(emb, m=4)
+    rotated = rotate_embeddings(emb, rot)
+    books = pq_train(rotated, m=4, k=8, iters=1)
+    save_pq_index(books, pq_encode(rotated, books), path, rotation=rot)
+
+    qids = [10, 55, 99]
+    qvecs = [[float(x) for x in vecs[i]] for i in qids]
+    # single: the raw query's corpus twin must rank first — only true
+    # if the endpoint rotated the query into the index's space
+    for i, v in zip(qids, qvecs):
+        status, out = _post_json(
+            f"{base}/search/knn",
+            {"index_path": path, "vector": v, "k": 3},
+        )
+        assert status == 200
+        assert out["neighbors"][0]["vec_id"] == i
+    # batch == singles
+    status, bout = _post_json(
+        f"{base}/search/knn",
+        {"index_path": path, "vectors": qvecs, "k": 3},
+    )
+    assert status == 200
+    for idx_q, (i, v) in enumerate(zip(qids, qvecs)):
+        status, single = _post_json(
+            f"{base}/search/knn",
+            {"index_path": path, "vector": v, "k": 3},
+        )
+        got = [
+            (r["rank"], r["vec_id"], r["adc_dist"])
+            for r in bout["results"][idx_q]
+        ]
+        want = [
+            (r["rank"], r["vec_id"], r["adc_dist"])
+            for r in single["neighbors"]
+        ]
+        assert sorted(got) == sorted(want), i

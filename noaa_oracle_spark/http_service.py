@@ -1141,15 +1141,12 @@ def make_handler(
                     raise BadRequest(f"bm25.{name} must be a number")
                 bparams[name] = float(v)
             nprobe = kn_spec.get("nprobe")
-            if (
+            if nprobe is not None and (
                 not isinstance(nprobe, int)
                 or isinstance(nprobe, bool)
                 or nprobe < 1
             ):
-                raise BadRequest(
-                    "batch mode requires knn.nprobe (positive integer — "
-                    "cell-partitioned serving)"
-                )
+                raise BadRequest("knn.nprobe must be a positive integer")
 
             bidx = get_bm25_index(bm_spec["index_path"], reload=reload_)
             pidx = get_pq_index(kn_spec["index_path"], reload=reload_)
@@ -1162,13 +1159,26 @@ def make_handler(
                     k1=bparams["k1"],
                     b=bparams["b"],
                 ).select("q_idx", id_col, "rnk")
-                kn = ivfpq_query_batch(
-                    pidx, vectors, k=params["k"], nprobe=nprobe
-                ).select(
-                    "q_idx",
-                    F.col("n_id").alias(id_col),
-                    F.col("rank").alias("rnk"),
-                )
+                if nprobe is not None:
+                    kn = ivfpq_query_batch(
+                        pidx, vectors, k=params["k"], nprobe=nprobe
+                    ).select(
+                        "q_idx",
+                        F.col("n_id").alias(id_col),
+                        F.col("rank").alias("rnk"),
+                    )
+                else:
+                    # flat vector leg: one multi-query pq_knn job (same
+                    # semantics as the single endpoint without nprobe,
+                    # incl. the OPQ rotate); |Q|·k rows re-enter as a
+                    # bounded local frame for the fuse
+                    flat_rows = self._pq_flat_batch(
+                        pidx, vectors, params["k"]
+                    )
+                    kn = spark.createDataFrame(
+                        [(r.q_idx, r.n_id, r.rank) for r in flat_rows],
+                        f"q_idx int, {id_col} long, rnk int",
+                    )
             except ValueError as exc:
                 raise BadRequest(str(exc)) from exc
             fused = rrf_fuse_batch(

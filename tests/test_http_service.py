@@ -1438,6 +1438,24 @@ def test_search_hybrid_batch_equals_singles(
         assert status == 200
         assert batch_out["results"][i] == out["results"], i
 
+    # flat vector leg (no nprobe): batch == N flat singles
+    flat_common = {**common, "knn": {"index_path": ppath}}
+    status, flat_batch = _post_json(
+        f"{base}/search/hybrid", {**flat_common, "queries": queries}
+    )
+    assert status == 200
+    for i, q in enumerate(queries):
+        status, out = _post_json(
+            f"{base}/search/hybrid",
+            {
+                **common,
+                "bm25": {"index_path": bpath, "terms": q["terms"]},
+                "knn": {"index_path": ppath, "vector": q["vector"]},
+            },
+        )
+        assert status == 200
+        assert flat_batch["results"][i] == out["results"], i
+
     for bad, frag in (
         ({**common, "queries": []}, "queries"),
         ({**common, "queries": [{"terms": ["a"]}]}, "vector"),
@@ -1448,7 +1466,7 @@ def test_search_hybrid_batch_equals_singles(
         (
             {
                 **common,
-                "knn": {"index_path": ppath},
+                "knn": {"index_path": ppath, "nprobe": 0},
                 "queries": queries,
             },
             "nprobe",

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""The five-tier vector compression ladder measured under ONE protocol
-(r5 verdict ask #7): raw float32 → SQ8 int8 → flat PQ/ADC → IVF-PQ →
-residual IVF-PQ, at corpus scale.
+"""The vector compression ladder measured under ONE protocol
+(r5 verdict ask #7): raw float32 → SQ8 int8 → flat PQ/ADC → OPQ →
+IVF-PQ → residual IVF-PQ (+ matryoshka prefix rungs), at corpus scale.
 
 Protocol (every tier identical):
   - corpus: N 64-dim vectors (the bench_pipeline embeddings fixture),
@@ -191,6 +191,29 @@ def main() -> None:
         enc = pq_encode(corpus, books)
         return top5(pq_knn(queries, enc, books, k=K), "adc_dist", True)
 
+    def tier_opq():
+        # OPQ rung (the rotation pq.save_pq_index persists, r11):
+        # eigenvalue-balanced rotation (Ge et al. CVPR 2013) BEFORE the
+        # same m=8 / PQ_K / iters=2 quantizer — recall is judged against
+        # the SAME raw-space exact top-5 (the rotation is orthogonal, so
+        # exact cosine ranking is invariant; the tier measures only how
+        # much ADC distortion the rotation removes).  Its gain over the
+        # pq tier is data-dependent: ~0 on isotropic embeddings, real
+        # under anisotropy/clustered geometry — record both regimes.
+        from noaa_oracle_spark.pipeline.pq import (
+            opq_train_rotation,
+            rotate_embeddings,
+        )
+
+        rot = opq_train_rotation(corpus, m=8)
+        rcorpus = rotate_embeddings(corpus, rot)
+        rqueries = rotate_embeddings(queries, rot)
+        obooks = pq_train(rcorpus, m=8, k=PQ_K, iters=2)
+        enc = pq_encode(rcorpus, obooks)
+        return top5(
+            pq_knn(rqueries, enc, obooks, k=K), "adc_dist", True
+        )
+
     # PIPELINE_BENCH_IVFPQ_PLAN picks the probe plan for the ivfpq tiers
     # (inline = scan-stage fused kernel, the r9 default; shuffle /
     # broadcast = the join shapes) — the r9 plan-ladder evidence knob.
@@ -254,6 +277,7 @@ def main() -> None:
         "mrl32": 32 * 4,
         "sq8": 64,
         "pq": 8,
+        "opq": 8,
         "ivfpq": 8,
         "residual_ivfpq": 8,
     }
@@ -270,6 +294,7 @@ def main() -> None:
         ("mrl32", lambda: tier_mrl(32)),
         ("sq8", tier_sq8),
         ("pq", tier_pq),
+        ("opq", tier_opq),
         ("ivfpq", tier_ivfpq),
         ("residual_ivfpq", tier_residual),
     ]:

@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round currently being built; bump every round.  Used by the staleness
 #: invariant test (tests/test_entry_contract.py) to enforce the window
 #: rotation policy below.
-_CURRENT_ROUND = 11
+_CURRENT_ROUND = 12
 
 #: The driver grades only the FIRST 50 entries of queries() in insertion
 #: order (round-1 judge finding).  Rotation policy (r4 verdict ask #9,
@@ -47,53 +47,53 @@ _CURRENT_ROUND = 11
 #:      this window;
 #:   3. remaining slots fill with the oldest-graded names.
 _GRADE_FIRST = [
-    # last graded in r8 — these 37 reach the 2-round staleness budget at
-    # end of r11; the staleness test forces them to lead the r11 window
-    # (pre-planned in the r10 window comment, r10 verdict ask #1).
-    "q23_fingerprint", "q24_token_counts", "q43_correlated_subquery",
-    "q44_array_ops", "q45_unpivot", "q47_tumbling_window",
-    "q49_semi_anti_join", "q50_cube_subtotals", "q51_gap_fill",
-    "q52_histogram", "q53_fuzzy_match", "q54_stats_aggregates",
-    "q55_string_agg", "q57_shipping_priority", "q58_region_volume",
-    "q59_customer_distribution", "q60_parts_supplier", "q61_market_share",
-    "q62_waiting_suppliers", "q65_nearest_station",
-    "q67_min_cost_supplier", "q69_top_supplier", "q77_decontamination",
-    "q78_tfidf_top_terms", "q79_source_stats", "q80_order_priority",
-    "q81_revenue_filter", "q82_volume_shipping", "q83_product_profit",
-    "q84_returned_items", "q85_priority_class_counts", "q86_promo_revenue",
-    "q94_embedding_dedup_blocked", "q95_decontamination_bloom",
-    "q96_semantic_dedup", "q97_exact_substring_spans",
-    "q98_source_mix_weights",
-    # r11 debuts — staged through round 10 in PIPELINE_QUERIES_STAGED_R11
-    # (oracle-green at sf0.001/sf0.01 all round), promoted to the main
-    # dicts this round (r10 verdict ask #1).
-    "q137_bm25_compaction", "q138_crawl_http_fetcher",
-    # fill: the 11 numerically-oldest r9-graded names.  r12 WINDOW PLAN
-    # (r10 verdict ask #7): the remaining 38 r9-graded names reach the
-    # 2-round staleness budget at end of r12 and MUST lead the r12
+    # last graded in r9 — these 38 reach the 2-round staleness budget at
+    # end of r12; the staleness test forces them to lead the r12 window
+    # (pre-planned in the r11 window comment, r11 verdict ask #1).
+    "q26_sessionization", "q27_lsh_ann", "q28_latest_limit",
+    "q29_embedding_dedup", "q30_ivf_ann", "q31_rollup_subtotals",
+    "q32_set_ops", "q101_ivfpq_knn", "q102_pack_bins",
+    "q103_corpus_pipeline", "q104_ivfpq_residual", "q105_redact_pii",
+    "q106_bigram_logprob", "q107_sq8_knn", "q108_webdataset_manifest",
+    "q110_mp4_demux", "q111_bpe_pairs", "q112_mp3_manifest",
+    "q113_zipf_slope", "q114_vocab_coverage", "q115_dup_cluster_stats",
+    "q116_ivfpq_rerank", "q117_quality_classifier",
+    "q118_source_percentiles", "q119_length_batches",
+    "q120_perplexity_buckets", "q121_hash_split", "q122_kmv_distinct",
+    "q123_kmv_source_overlap", "q124_countmin_heavy_hitters",
+    "q125_matryoshka_knn", "q126_epoch_upsample", "q127_training_mix",
+    "q128_wav_features", "q129_bm25_retrieval", "q130_crawl_urls",
+    "q131_robots_filter", "q132_warc_cdx_manifest",
+    # r12 debuts — staged through round 11 in PIPELINE_QUERIES_STAGED_R12
+    # (oracle-green at sf0.001/sf0.01 all round, tests/test_staged_r12.py),
+    # promoted to the main dicts this round (r11 verdict ask #1).
+    "q139_pq_compaction", "q140_versioned_sink_lifecycle",
+    # fill: the 10 numerically-oldest r10-graded names.  r13 WINDOW PLAN
+    # (r11 verdict ask #7): the remaining 40 r10-graded names reach the
+    # 2-round staleness budget at end of r13 and MUST lead the r13
     # window —
-    # q26_sessionization q27_lsh_ann q28_latest_limit q29_embedding_dedup
-    # q30_ivf_ann q31_rollup_subtotals q32_set_ops q101_ivfpq_knn
-    # q102_pack_bins q103_corpus_pipeline q104_ivfpq_residual
-    # q105_redact_pii q106_bigram_logprob q107_sq8_knn
-    # q108_webdataset_manifest q110_mp4_demux q111_bpe_pairs
-    # q112_mp3_manifest q113_zipf_slope q114_vocab_coverage
-    # q115_dup_cluster_stats q116_ivfpq_rerank q117_quality_classifier
-    # q118_source_percentiles q119_length_batches q120_perplexity_buckets
-    # q121_hash_split q122_kmv_distinct q123_kmv_source_overlap
-    # q124_countmin_heavy_hitters q125_matryoshka_knn q126_epoch_upsample
-    # q127_training_mix q128_wav_features q129_bm25_retrieval
-    # q130_crawl_urls q131_robots_filter q132_warc_cdx_manifest
-    # (38 names) — then any r12 debuts staged in
-    # PIPELINE_QUERIES_STAGED_R12; the remaining slots fill with the
-    # numerically-oldest r10-graded names (q01_daily_rollup,
-    # q07_event_chains, ...).  38 + debuts + fills fits one 50-slot
-    # window because this round's 11 fills below already re-graded the
-    # oldest r9 overflow.
-    "q02_latest_event", "q03_distinct_dim", "q04_pricing_summary",
-    "q05_entry_counts", "q06_full_outer_precip", "q09_argmax_dedup",
-    "q10_carry_forward", "q11_magnus_humidity", "q13_union_by_name",
-    "q14_window_clamp", "q25_star_revenue",
+    # q21_quality_scores q22_language_id q33_distinct_aggregates
+    # q34_asof_join q35_percentiles q36_range_join q37_session_window
+    # q38_dedup_components q39_moving_aggregates q40_ranking q41_pivot
+    # q42_json_extract q46_winnowing q48_stratified_sample
+    # q56_time_weighted_avg q63_repetition_filter q64_boilerplate_ngrams
+    # q66_ppjoin_jaccard q68_important_parts q70_small_qty_revenue
+    # q71_large_orders q72_disjunctive_revenue q73_promo_part_suppliers
+    # q74_dormant_customers q75_grouping_sets q76_distribution_windows
+    # q87_kmeans_clusters q88_kmeans_centroid_update q89_span_dedup
+    # q90_weighted_sample q91_unigram_logprob q92_chunk_documents
+    # q93_source_quota q99_pack_sequences q100_pq_adc_knn q109_opq_knn
+    # q133_hybrid_rrf q134_politeness_schedule q135_crawl_frontier
+    # q136_bm25_merge
+    # (40 names) — then any r13 debuts staged in
+    # PIPELINE_QUERIES_STAGED_R13 (at most 1, per the ~150 gate-budget
+    # ceiling); the remaining slots fill with the numerically-oldest
+    # r11-graded names (q02_latest_event, q03_distinct_dim, ...).
+    # 40 + ≤1 debut + ≥9 fills = one 50-slot window exactly.
+    "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
+    "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
+    "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",
+    "q20_ann_cosine",
 ]
 
 

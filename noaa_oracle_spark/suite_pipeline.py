@@ -4023,21 +4023,19 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
-#: Staged r12 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
-#: when the r12 window rotates; tests/test_staged_r12.py oracle-checks
-#: them every round until then.  Budget: 138 + 2 staged, under the ~150
-#: ceiling (r10 verdict ask #8).
-PIPELINE_QUERIES_STAGED_R12: dict[
+#: Staged r13 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
+#: when the r13 window rotates; tests/test_staged_r13.py oracle-checks
+#: them every round until then.  Budget: 140 live + staged, under the
+#: ~150 ceiling (r11 verdict ask #8: stage at most 1 r13 debut — the
+#: codebook-drift metric is the natural candidate if it gains an
+#: oracle-expressible form).  q139/q140 were staged here through r11
+#: (as _STAGED_R12) and promoted into the main dicts (update() block
+#: below) when the r12 window rotated.
+PIPELINE_QUERIES_STAGED_R13: dict[
     str, Callable[[SparkSession, str], DataFrame]
-] = {
-    "q139_pq_compaction": q139_pq_compaction,
-    "q140_versioned_sink_lifecycle": q140_versioned_sink_lifecycle,
-}
+] = {}
 
-PIPELINE_ORACLE_SQL_STAGED_R12: dict[str, str] = {
-    "q139_pq_compaction": SQL_Q139,
-    "q140_versioned_sink_lifecycle": SQL_Q140,
-}
+PIPELINE_ORACLE_SQL_STAGED_R13: dict[str, str] = {}
 
 
 # r10/r11 debuts — each staged one round ahead (PIPELINE_QUERIES_STAGED_R10
@@ -4050,6 +4048,8 @@ PIPELINE_QUERIES.update({
     "q136_bm25_merge": q136_bm25_merge,
     "q137_bm25_compaction": q137_bm25_compaction,
     "q138_crawl_http_fetcher": q138_crawl_http_fetcher,
+    "q139_pq_compaction": q139_pq_compaction,
+    "q140_versioned_sink_lifecycle": q140_versioned_sink_lifecycle,
 })
 
 PIPELINE_ORACLE_SQL.update({
@@ -4059,4 +4059,6 @@ PIPELINE_ORACLE_SQL.update({
     "q136_bm25_merge": SQL_Q136,
     "q137_bm25_compaction": SQL_Q137,
     "q138_crawl_http_fetcher": SQL_Q138,
+    "q139_pq_compaction": SQL_Q139,
+    "q140_versioned_sink_lifecycle": SQL_Q140,
 })

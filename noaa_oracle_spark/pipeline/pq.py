@@ -1425,13 +1425,22 @@ def save_pq_index(
     )
 
 
-def load_pq_index(spark, path: str) -> "dict":
+def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
     """Reload a persisted PQ index: returns {"codebooks", "codes",
     "cells" (or None), "manifest" (Row)} — frames that plug directly
     into pq_knn / ivfpq_knn.  Validates the manifest's geometry,
     codebook fingerprint, and encoded row count against the loaded
     components, so a half-written, partially re-saved, or
-    mixed-version directory fails loudly instead of scoring garbage."""
+    mixed-version directory fails loudly instead of scoring garbage.
+
+    `validate_codes=False` skips the codes row-count/min aggregate —
+    the only load step whose cost grows with accumulated append count
+    (the r11 1M rung measured 34.5 s/append dominated by exactly this
+    recount over every accumulated file, SCALE.md §14).  Maintenance
+    paths that already end with their own count check (append's
+    arithmetic manifest, compaction's rewrite-equality check) use it;
+    serve paths keep the default full validation.  With
+    `validate_codes=False` the returned "min_vec_id" is None."""
     manifest = spark.read.parquet(f"{path}/manifest").collect()
     if len(manifest) != 1:
         raise ValueError(f"load_pq_index: bad manifest at {path}")
@@ -1468,14 +1477,17 @@ def load_pq_index(spark, path: str) -> "dict":
             f"load_pq_index: cannot identify the id column in codes "
             f"schema {codes.columns} at {path}"
         )
-    stats = codes.agg(
-        F.count("*").alias("n"), F.min(id_cols[0]).alias("lo")
-    ).collect()[0]
-    if stats["n"] != meta.n_encoded:
-        raise ValueError(
-            f"load_pq_index: {stats['n']} encoded rows at {path} vs "
-            f"{meta.n_encoded} in the manifest — inconsistent index"
-        )
+    if validate_codes:
+        stats = codes.agg(
+            F.count("*").alias("n"), F.min(id_cols[0]).alias("lo")
+        ).collect()[0]
+        if stats["n"] != meta.n_encoded:
+            raise ValueError(
+                f"load_pq_index: {stats['n']} encoded rows at {path} vs "
+                f"{meta.n_encoded} in the manifest — inconsistent index"
+            )
+    else:
+        stats = {"lo": None}
     cells = (
         spark.read.parquet(f"{path}/cells") if meta.has_cells else None
     )
@@ -1501,6 +1513,7 @@ def append_pq_index(
     new_vectors: DataFrame,
     vec_col: str = "embedding",
     check_disjoint: bool = True,
+    verify: bool = False,
 ) -> int:
     """Grow a persisted PQ index incrementally: encode `new_vectors`
     with the index's FROZEN codebooks and append the codes — the vector
@@ -1526,8 +1539,24 @@ def append_pq_index(
     co-located probe; a bloom filter on existing ids is the cheap
     pre-filter, the join stays the correctness backstop).
 
+    Validation is O(new shard) by default (r11 verdict ask #2): the
+    append counts the rows it is about to write (one pass over the NEW
+    frame only) and updates the manifest count arithmetically —
+    old n_encoded + n_new — instead of recounting the codes across
+    every accumulated file, which the 1M rung measured growing to
+    34.5 s/append at 20 appends (SCALE.md §14).  `verify=True` restores
+    the full recount (load-validation of the accumulated index AND a
+    post-write recount) for callers that want the audit pass.  Either
+    way the crash contract holds: an append that dies between the codes
+    write and the manifest leaves a count the next validated
+    `load_pq_index` rejects, and an append on TOP of such a torn index
+    writes a manifest that is still short of the on-disk rows, so the
+    tear stays loudly detectable — the fast path never "heals" it.
+
     Returns the number of rows appended."""
-    idx = load_pq_index(spark, path)  # full validation BEFORE any write
+    # manifest geometry + codebook fingerprint always validate; the
+    # accumulated-codes recount is the O(index) term verify gates
+    idx = load_pq_index(spark, path, validate_codes=verify)
     meta = idx["manifest"]
     celled = "cluster_id" in idx["codes"].columns
     id_col = [
@@ -1591,16 +1620,31 @@ def append_pq_index(
         # grows linearly with append count — the predictable growth the
         # compact_pq_index trigger reasons about — instead of up to
         # rows-many files per append
-        (
-            enc.join(assigned, id_col)
-            .repartition(F.col("cluster_id"))
-            .write.mode("append")
-            .partitionBy("cluster_id")
-            .parquet(f"{path}/codes")
+        to_write = (
+            enc.join(assigned, id_col).repartition(F.col("cluster_id"))
         )
+        part_cols = ["cluster_id"]
     else:
-        enc.write.mode("append").parquet(f"{path}/codes")
-    n_total = spark.read.parquet(f"{path}/codes").count()
+        to_write = enc
+        part_cols = []
+    # count the EXACT rows about to land (persisted so the count and the
+    # write share one encode pass) — the manifest update is then pure
+    # arithmetic, never a recount over the accumulated files; counting
+    # the joined frame (not new_vectors) keeps the count honest even if
+    # a caller ships intra-batch duplicate ids past check_disjoint
+    to_write = to_write.persist()
+    try:
+        n_new = to_write.count()
+        w = to_write.write.mode("append")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(f"{path}/codes")
+    finally:
+        to_write.unpersist()
+    if verify:
+        n_total = spark.read.parquet(f"{path}/codes").count()
+    else:
+        n_total = int(meta.n_encoded) + int(n_new)
     _write_pq_manifest(
         spark,
         path,
@@ -2129,7 +2173,13 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
             "compact_pq_index: out_path must differ from path "
             "(in-place rewrite would race concurrent readers)"
         )
-    idx = load_pq_index(spark, path)  # full validation before any write
+    # geometry + codebook fingerprint validate on load; the O(index)
+    # codes recount is SKIPPED here because compaction ends with its own
+    # equality check — rewritten row count vs the source manifest — so a
+    # torn source still fails loudly, one full data pass later instead
+    # of two (r11 verdict ask #3: the pre-validation pass was half the
+    # read volume of the whole job)
+    idx = load_pq_index(spark, path, validate_codes=False)
     meta = idx["manifest"]
     from noaa_oracle_spark.pipeline.text import _parquet_file_count
 

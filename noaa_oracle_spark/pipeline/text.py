@@ -1594,20 +1594,24 @@ def _bm25_finalize_manifest(spark, path: str, id_col: str) -> "tuple[int, int]":
     # manifest, not a TypeError (r9 advice); avgdl never divides a
     # score because an empty index has no postings to score.
     avgdl = 0.0 if stats["avgdl"] is None else float(stats["avgdl"])
+    _bm25_write_manifest(
+        spark, path, id_col, int(stats["n_docs"]), avgdl, int(n_postings)
+    )
+    return int(stats["n_docs"]), int(n_postings)
+
+
+def _bm25_write_manifest(
+    spark, path: str, id_col: str, n_docs: int, avgdl: float,
+    n_postings: int,
+) -> None:
+    """The 1-row manifest write shared by the recompute tail
+    (`_bm25_finalize_manifest`) and the O(new shard) arithmetic update
+    in `append_bm25_index`."""
     manifest = spark.createDataFrame(
-        [
-            (
-                1,
-                int(stats["n_docs"]),
-                avgdl,
-                int(n_postings),
-                id_col,
-            )
-        ],
+        [(1, int(n_docs), float(avgdl), int(n_postings), id_col)],
         _BM25_MANIFEST_SCHEMA,
     )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
-    return int(stats["n_docs"]), int(n_postings)
 
 
 def save_bm25_index(
@@ -1660,6 +1664,7 @@ def append_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     check_disjoint: bool = True,
+    verify: bool = False,
 ) -> int:
     """Grow a persisted BM25 index incrementally: tokenize only the NEW
     documents (the shared `_bm25_tf` pass, so grown == fresh by
@@ -1689,9 +1694,26 @@ def append_bm25_index(
 
     `check_disjoint` (default on): a doc id present twice would double-
     count its length in avgdl and its tf rows in scoring; one left-semi
-    join on the id key against the existing doclens.  Returns the
-    number of documents appended."""
-    idx = load_bm25_index(spark, path)  # full validation BEFORE any write
+    join on the id key against the existing doclens.
+
+    Validation is O(new shard) by default (r11 verdict ask #2, the
+    `append_pq_index` discipline): the corpus stats update
+    arithmetically from the persisted NEW tf — n_docs and n_postings
+    add, and avgdl re-derives from the exact integer token total
+    (recovered as round(n_docs·avgdl), exact while the corpus token
+    count stays under 2^52 — ~4.5e15 tokens, comfortably past 100 TB
+    of text) — instead of re-aggregating doclens and recounting
+    postings across every accumulated file.  `verify=True` restores
+    the full recompute.  The crash contract holds either way: an
+    append that dies before the manifest leaves counts the next
+    validated load rejects, and the fast path on top of a torn index
+    writes a manifest still short of the on-disk rows — the tear stays
+    loudly detectable, never silently healed.
+
+    Returns the number of documents appended."""
+    # manifest + id_col sanity always validate; the accumulated-postings
+    # recount is the O(index) term verify gates
+    idx = load_bm25_index(spark, path, validate_postings=verify)
     meta = idx["manifest"]
     if meta.id_col != id_col:
         raise ValueError(
@@ -1729,9 +1751,29 @@ def append_bm25_index(
         _dlen_of(tf, id_col).write.mode("append").parquet(
             f"{path}/doclens"
         )
+        if verify:
+            n_docs, _ = _bm25_finalize_manifest(spark, path, id_col)
+        else:
+            # O(new shard) manifest arithmetic: ONE bounded agg over the
+            # persisted NEW tf (postings rows, token total, distinct
+            # docs); the old token total recovers exactly from the
+            # stored average (integer sum, round-trips through the
+            # double while < 2^52)
+            new_stats = tf.agg(
+                F.count(F.lit(1)).alias("n_postings"),
+                F.sum("tf").alias("tokens"),
+                F.countDistinct(id_col).alias("n_docs"),
+            ).collect()[0]
+            old_tokens = int(round(meta.n_docs * meta.avgdl))
+            n_docs = int(meta.n_docs) + int(new_stats["n_docs"])
+            tokens = old_tokens + int(new_stats["tokens"] or 0)
+            avgdl = 0.0 if n_docs == 0 else tokens / n_docs
+            _bm25_write_manifest(
+                spark, path, id_col, n_docs, avgdl,
+                int(meta.n_postings) + int(new_stats["n_postings"]),
+            )
     finally:
         tf.unpersist()
-    n_docs, _ = _bm25_finalize_manifest(spark, path, id_col)
     return n_docs - int(meta.n_docs)
 
 
@@ -1748,12 +1790,19 @@ def bm25_index_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def load_bm25_index(spark, path: str) -> "dict":
+def load_bm25_index(
+    spark, path: str, validate_postings: bool = True
+) -> "dict":
     """Reload a persisted BM25 index: {"postings", "doclens" (lazy
     DataFrames), "manifest" (Row)} — plugs directly into `bm25_query`.
     Validates the manifest's postings row count against the loaded
     component (one parquet-footer count, no data scan), so a torn
-    re-save fails loudly."""
+    re-save fails loudly.
+
+    `validate_postings=False` skips that count — the one load step
+    whose cost grows with accumulated append count (footer reads +
+    listing over every appended file set).  Maintenance paths that end
+    with their own count check use it; serve paths keep the default."""
     manifest = spark.read.parquet(f"{path}/manifest").collect()
     if len(manifest) != 1:
         raise ValueError(f"load_bm25_index: bad manifest at {path}")
@@ -1764,12 +1813,14 @@ def load_bm25_index(spark, path: str) -> "dict":
             f"{meta.format_version}"
         )
     postings = spark.read.parquet(f"{path}/postings")
-    n_postings = postings.count()
-    if n_postings != meta.n_postings:
-        raise ValueError(
-            f"load_bm25_index: postings count {n_postings} != manifest "
-            f"{meta.n_postings} — torn or partial (re-)save at {path}"
-        )
+    if validate_postings:
+        n_postings = postings.count()
+        if n_postings != meta.n_postings:
+            raise ValueError(
+                f"load_bm25_index: postings count {n_postings} != "
+                f"manifest {meta.n_postings} — torn or partial "
+                f"(re-)save at {path}"
+            )
     doclens = spark.read.parquet(f"{path}/doclens")
     return {"postings": postings, "doclens": doclens, "manifest": meta}
 
@@ -1946,7 +1997,12 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
             "compact_bm25_index: out_path must differ from path "
             "(in-place rewrite would race concurrent readers)"
         )
-    idx = load_bm25_index(spark, path)  # full validation before any write
+    # manifest validates on load; the O(index) postings recount is
+    # SKIPPED because compaction ends with its own equality check — the
+    # rewritten postings count vs the source manifest — so a torn source
+    # still fails loudly, one full pass later instead of two (r11
+    # verdict ask #3, the compact_pq_index discipline)
+    idx = load_bm25_index(spark, path, validate_postings=False)
     id_col = idx["manifest"].id_col
     files_before = _parquet_file_count(spark, f"{path}/postings")
     (
@@ -1956,7 +2012,26 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
         .parquet(f"{out_path}/postings")
     )
     idx["doclens"].write.mode("overwrite").parquet(f"{out_path}/doclens")
-    n_docs, n_postings = _bm25_finalize_manifest(spark, out_path, id_col)
+    # equality check BEFORE the manifest write: a mismatch must leave
+    # out_path manifest-less (unloadable), not self-consistently wrong
+    n_postings = spark.read.parquet(f"{out_path}/postings").count()
+    if n_postings != int(idx["manifest"].n_postings):
+        raise ValueError(
+            f"compact_bm25_index: rewrote {n_postings} postings vs "
+            f"{idx['manifest'].n_postings} in the source manifest — "
+            f"torn source at {path} (out_path is not serveable)"
+        )
+    stats = (
+        spark.read.parquet(f"{out_path}/doclens")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs = int(stats["n_docs"])
+    _bm25_write_manifest(
+        spark, out_path, id_col, n_docs,
+        0.0 if stats["avgdl"] is None else float(stats["avgdl"]),
+        int(n_postings),
+    )
     return {
         "postings_files_before": files_before,
         "postings_files_after": _parquet_file_count(

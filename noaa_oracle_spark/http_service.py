@@ -1072,10 +1072,16 @@ def make_handler(
             union of all queries' terms, one partition-pruned
             ivfpq_query_batch over the union of probed cells) plus a
             bounded per-query RRF, instead of N sequential
-            request-shaped jobs.  Per-query results are EXACTLY the
-            single-request endpoint's (equality-tested over sockets).
-            Requires knn.nprobe (the batch vector leg serves from the
-            cell-partitioned layout, same as /search/knn batch mode)."""
+            request-shaped jobs.  Each leg's bounded top-k (|Q|·k rows)
+            is collected ONCE and re-enters as a local frame for the
+            fuse and the rank-attach joins, so the postings and codes
+            scans execute exactly once per request (r11 advice #3: the
+            lazy frames used to re-execute inside the fuse AND the
+            joins).  Per-query results are EXACTLY the single-request
+            endpoint's (equality-tested over sockets).  With knn.nprobe
+            the vector leg serves from the cell-partitioned layout;
+            without it a flat index serves via one multi-query pq_knn
+            job (OPQ rotation included) — same as the single endpoint."""
             from noaa_oracle_spark.pipeline.pq import ivfpq_query_batch
             from noaa_oracle_spark.pipeline.text import (
                 bm25_query_batch,
@@ -1181,6 +1187,11 @@ def make_handler(
                     )
             except ValueError as exc:
                 raise BadRequest(str(exc)) from exc
+            # materialize each leg's bounded top-k ONCE (|Q|·k rows) and
+            # fuse/join over local frames — the lazy bm/kn plans would
+            # otherwise re-execute their corpus scans in every consumer
+            bm = spark.createDataFrame(bm.collect(), bm.schema)
+            kn = spark.createDataFrame(kn.collect(), kn.schema)
             fused = rrf_fuse_batch(
                 [bm, kn],
                 k=params["rrf_k"],

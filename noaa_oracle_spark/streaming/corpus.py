@@ -301,13 +301,52 @@ def read_current_bm25_version(spark, root: str) -> "str | None":
         stream.close()
 
 
+#: schemes where a single whole-file PUT is atomic and rename is a
+#: non-atomic copy+delete — the PUT is the right repoint primitive there
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
+     "wasb", "wasbs", "abfs", "abfss"}
+)
+
+
 def _write_current(spark, root: str, version: str) -> None:
+    """Repoint `root/CURRENT` to `version` atomically (r11 advice #1).
+
+    On HDFS/local FS, `fs.create(path, overwrite=True)` TRUNCATES the
+    existing pointer before the new bytes land, so a reader racing the
+    repoint could see an empty/partial pointer: write `CURRENT.tmp`
+    and FileContext-rename it over CURRENT with OVERWRITE — an atomic
+    metadata swap on both.  On object stores rename is a non-atomic
+    copy+delete but a whole-file PUT IS atomic, so the direct write is
+    kept there."""
     fs, jpath = _hadoop_fs(spark, f"{root}/CURRENT")
-    out = fs.create(jpath, True)  # overwrite — one whole-file PUT
+    data = bytearray(version.encode("utf-8"))
     try:
-        out.write(bytearray(version.encode("utf-8")))
+        scheme = (fs.getScheme() or "").lower()
+    except Exception:
+        scheme = ""
+    if scheme in _OBJECT_STORE_SCHEMES:
+        out = fs.create(jpath, True)  # one whole-file PUT — atomic
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        return
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/CURRENT.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(data)
     finally:
         out.close()
+    qualified = fs.makeQualified(jpath)
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        qualified.toUri(), sc._jsc.hadoopConfiguration()
+    )
+    opts = sc._gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fctx.rename(fs.makeQualified(tmp), qualified, opts)
 
 
 def current_bm25_index_path(spark, root: str) -> str:
@@ -380,7 +419,13 @@ def bm25_index_sink(
     leaves appends flowing to the old (still-valid) version with an
     orphaned compacted copy; dying after it resumes against the
     compacted version, where the containment check skips the replayed
-    batch."""
+    batch.
+
+    Retention: each compaction leaves the PREVIOUS version on disk for
+    in-flight readers (snapshot-then-switch), so storage grows by one
+    index copy per compaction until `prune_index_versions(spark, path)`
+    is run from a maintenance window once readers have re-resolved
+    CURRENT."""
     from noaa_oracle_spark.pipeline.text import (
         _bm25_tf,
         _dlen_of,
@@ -405,6 +450,19 @@ def bm25_index_sink(
         if versioned:
             cur = read_current_bm25_version(spark, path)
             if cur is None:
+                if bm25_index_exists(spark, path):
+                    # r11 advice #2: a legacy NON-versioned index lives
+                    # directly at `path` — starting a fresh versioned
+                    # index here would silently drop every previously
+                    # indexed document from serving (CURRENT would point
+                    # at a version holding only the next microbatch)
+                    raise ValueError(
+                        f"bm25_index_sink: {path} already holds a "
+                        "non-versioned index; migrate it into the "
+                        "versioned layout first (save/compact it into "
+                        f"{path}/versions/<v> and write {path}/CURRENT) "
+                        "before enabling auto_compact_ratio"
+                    )
                 # deterministic version name from the batch id, so a
                 # replayed first batch rewrites the SAME directory
                 ver = f"v{batch_id:08d}"
@@ -565,6 +623,47 @@ def current_pq_index_path(spark, root: str) -> str:
     return f"{root}/versions/{cur}"
 
 
+def prune_index_versions(spark, root: str) -> "list[str]":
+    """Delete every version directory under `root/versions/` except the
+    one CURRENT points at — the retention path for versioned sink roots
+    (r11 advice #4: without it a long-running sink's storage grows by a
+    whole index copy per auto-compaction, since the repoint deliberately
+    leaves the previous version intact for in-flight readers).
+
+    Works for BOTH index families (BM25 and PQ share the pointer
+    format).  Call it from a maintenance window AFTER in-flight readers
+    of older versions have drained — the snapshot-then-switch contract
+    means a reader that resolved CURRENT before a compaction may still
+    be scanning the old version; pruning is safe once every serving
+    process has re-resolved (e.g. one `reload=true` cycle, or restart).
+    A replayed compaction is also safe after pruning: version names
+    derive from batch_id, so the rewrite recreates the directory it
+    needs rather than referencing a pruned one.
+
+    Raises if `root` has no committed CURRENT (nothing is ever deleted
+    on an uninitialized or torn root).  Returns the deleted version
+    names."""
+    cur = read_current_bm25_version(spark, root)
+    if cur is None:
+        raise ValueError(
+            f"prune_index_versions: no committed CURRENT at {root} — "
+            "refusing to delete anything"
+        )
+    fs, vdir = _hadoop_fs(spark, f"{root}/versions")
+    if not fs.exists(vdir):
+        return []
+    deleted: "list[str]" = []
+    for status in fs.listStatus(vdir):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if name == cur:
+            continue
+        fs.delete(status.getPath(), True)
+        deleted.append(name)
+    return sorted(deleted)
+
+
 def pq_index_sink(
     root: str,
     vec_col: str = "embedding",
@@ -592,7 +691,11 @@ def pq_index_sink(
     At-least-once discipline (the BM25 sink's, on vector ids): a
     replayed batch whose ids are all present is skipped; a partial
     overlap raises (torn append — explicit recovery, never a
-    double-count); load failures propagate and stop the stream."""
+    double-count); load failures propagate and stop the stream.
+
+    Retention: compaction leaves the previous version on disk for
+    in-flight readers; reclaim with `prune_index_versions(spark, root)`
+    once serving has re-resolved CURRENT (the BM25 sink's contract)."""
     from noaa_oracle_spark.pipeline.pq import (
         append_pq_index,
         compact_pq_index,

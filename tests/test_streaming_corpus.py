@@ -632,3 +632,67 @@ def test_pq_index_sink_appends_replays_and_auto_compacts(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="exceed 1.0"):
         pq_index_sink(root, auto_compact_ratio=0.5)
+
+
+def test_versioned_sink_refuses_legacy_root(spark, tmp_path):
+    """r11 advice #2: enabling auto_compact_ratio on a path that already
+    holds a NON-versioned index must raise (a fresh versioned index
+    would silently drop every previously indexed document from serving)
+    instead of starting versions/ next to the legacy manifest."""
+    import pytest as _pytest
+
+    from noaa_oracle_spark.pipeline.text import save_bm25_index
+    from noaa_oracle_spark.streaming.corpus import bm25_index_sink
+
+    root = str(tmp_path / "legacy")
+    save_bm25_index(
+        spark.createDataFrame(
+            [(1, "old corpus doc"), (2, "another old doc")],
+            "doc_id long, text string",
+        ),
+        root,
+    )
+    sink = bm25_index_sink(root, auto_compact_ratio=3.0)
+    batch = spark.createDataFrame([(3, "new doc")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-versioned index"):
+        sink(batch, 0)
+
+
+def test_prune_index_versions(spark, tmp_path):
+    """r11 advice #4: versioned roots never GC'd themselves — the prune
+    helper deletes every version except CURRENT's target, refuses an
+    uncommitted root, and serving off CURRENT is unaffected."""
+    import pytest as _pytest
+
+    from noaa_oracle_spark.pipeline.text import bm25_query, load_bm25_index
+    from noaa_oracle_spark.streaming.corpus import (
+        bm25_index_sink,
+        current_bm25_index_path,
+        prune_index_versions,
+        read_current_bm25_version,
+    )
+
+    root = str(tmp_path / "proot")
+    sink = bm25_index_sink(root, auto_compact_ratio=2.0)
+    words = ["apple", "banana", "cherry"]
+    for b in range(12):
+        rows = [(b * 2 + i, words[(b + i) % 3]) for i in range(2)]
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), b)
+    versions_dir = tmp_path / "proot" / "versions"
+    assert len(list(versions_dir.iterdir())) > 1, "no compaction happened"
+
+    cur = read_current_bm25_version(spark, root)
+    deleted = prune_index_versions(spark, root)
+    assert deleted and cur not in deleted
+    remaining = [p.name for p in versions_dir.iterdir()]
+    assert remaining == [cur]
+
+    # serving off the pruned root is unaffected
+    idx = load_bm25_index(spark, current_bm25_index_path(spark, root))
+    assert int(idx["manifest"].n_docs) == 24
+    assert bm25_query(idx, ["apple"], k=5).count() > 0
+
+    # pruning again is a no-op; an uncommitted root refuses
+    assert prune_index_versions(spark, root) == []
+    with _pytest.raises(ValueError, match="refusing"):
+        prune_index_versions(spark, str(tmp_path / "nothing"))

@@ -85,11 +85,15 @@ _GRADE_FIRST = [
     # q93_source_quota q99_pack_sequences q100_pq_adc_knn q109_opq_knn
     # q133_hybrid_rrf q134_politeness_schedule q135_crawl_frontier
     # q136_bm25_merge
-    # (40 names) — then any r13 debuts staged in
-    # PIPELINE_QUERIES_STAGED_R13 (at most 1, per the ~150 gate-budget
-    # ceiling); the remaining slots fill with the numerically-oldest
-    # r11-graded names (q02_latest_event, q03_distinct_dim, ...).
-    # 40 + ≤1 debut + ≥9 fills = one 50-slot window exactly.
+    # (40 names) — then the ONE staged r13 debut q141_codebook_drift
+    # (PIPELINE_QUERIES_STAGED_R13, oracle-green at sf0.001/sf0.01 in
+    # tests/test_staged_r13.py; budget 141 gates, under the ~150
+    # ceiling); the remaining 9 slots fill with the numerically-oldest
+    # r11-graded names: q02_latest_event q03_distinct_dim
+    # q04_pricing_summary q05_entry_counts q06_full_outer_precip
+    # q09_argmax_dedup q10_carry_forward q11_magnus_humidity
+    # q13_union_by_name.  40 + 1 debut + 9 fills = one 50-slot window
+    # exactly.
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",

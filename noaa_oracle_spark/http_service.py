@@ -31,6 +31,7 @@ is the thin request/response shell the reference serves with axum
 | POST /index/pq/compact            | (the vector twin — ext.)               |
 | POST /index/stats                 | (fragmentation poll signal — ext.)     |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
+| POST /warc/records                | (batch CDX fetch — extension)          |
 
 Event routes: the engine side is eventstore/store.py (create/entries/
 status) + etl.run_scoring_cycle (the reference's Oracle::etl_data,
@@ -471,6 +472,8 @@ def make_handler(
                     self._index_stats()
                 elif path == "/search/hybrid":
                     self._search_hybrid()
+                elif path == "/warc/records":
+                    self._warc_records_batch()
                 else:
                     self._send_error_text(404, "not found")
             except BadRequest as exc:
@@ -705,6 +708,115 @@ def make_handler(
                         ).decode("ascii"),
                     }
                 ).encode()
+            )
+
+        def _warc_records_batch(self) -> None:
+            """POST /warc/records — batch mode of GET /warc/record (r11
+            verdict ask #5: every /search/* endpoint has a batch mode;
+            the CDX fetch path was the last one-request-per-item hop).
+            Body {"extents": [{"shard": ..., "offset": ..., "length":
+            ..., "idx": 0}, ...]}: extents group by shard, each shard
+            opens ONCE with its extents read in offset order
+            (`fetch_warc_records`), and results return in request
+            order — element-wise identical to N GET /warc/record calls
+            (socket-tested).  Per-extent failures come back in-place as
+            {"error": ...} rather than failing the whole batch (a CDX
+            consumer resolving thousands of extents wants the hits)."""
+            import base64
+
+            from noaa_oracle_spark.pipeline.warc import (
+                WarcError,
+                fetch_warc_records,
+            )
+
+            if warc_dir is None:
+                self._send_error_text(
+                    404, "no warc_dir configured on this server"
+                )
+                return
+            body = self._read_json_body()
+            extents = body.get("extents")
+            if not isinstance(extents, list) or not extents:
+                raise BadRequest("extents (non-empty array) is required")
+            root = os.path.realpath(warc_dir)
+            by_shard: dict = {}
+            parsed = []
+            for i, e in enumerate(extents):
+                if not isinstance(e, dict):
+                    raise BadRequest(f"extents[{i}] must be an object")
+                shard = e.get("shard")
+                if not isinstance(shard, str) or not shard:
+                    raise BadRequest(f"extents[{i}].shard is required")
+                try:
+                    offset = int(e.get("offset"))
+                    length = int(e.get("length"))
+                    idx = int(e.get("idx", 0))
+                except (TypeError, ValueError) as exc:
+                    raise BadRequest(
+                        f"extents[{i}] offset/length/idx must be integers"
+                    ) from exc
+                if offset < 0 or length <= 0 or idx < 0:
+                    raise BadRequest(
+                        f"extents[{i}] offset/length/idx out of range"
+                    )
+                full = os.path.realpath(os.path.join(root, shard))
+                if full != root and not full.startswith(root + os.sep):
+                    raise BadRequest(f"extents[{i}].shard escapes warc_dir")
+                parsed.append((shard, full, offset, length, idx))
+                by_shard.setdefault(full, []).append(
+                    (len(parsed) - 1, offset, length, idx)
+                )
+            results: list = [None] * len(parsed)
+            for full, items in by_shard.items():
+                if not os.path.isfile(full):
+                    for pos, *_ in items:
+                        results[pos] = {
+                            "error": f"no such shard: {parsed[pos][0]}"
+                        }
+                    continue
+                try:
+                    recs = fetch_warc_records(
+                        full, [(o, ln, ix) for _, o, ln, ix in items]
+                    )
+                except WarcError:
+                    # fall back per-extent so one bad extent doesn't
+                    # mask the shard's good ones
+                    recs = None
+                if recs is None:
+                    from noaa_oracle_spark.pipeline.warc import (
+                        fetch_warc_record,
+                    )
+
+                    for pos, o, ln, ix in items:
+                        try:
+                            results[pos] = fetch_warc_record(
+                                full, o, ln, idx=ix
+                            )
+                        except WarcError as exc:
+                            results[pos] = {"error": str(exc)}
+                else:
+                    for (pos, *_), rec in zip(items, recs):
+                        results[pos] = rec
+            out = []
+            for (shard, _full, offset, length, idx), rec in zip(
+                parsed, results
+            ):
+                row = {
+                    "shard": shard,
+                    "record_offset": offset,
+                    "record_length": length,
+                    "idx": idx,
+                }
+                if "error" in rec:
+                    row["error"] = rec["error"]
+                else:
+                    row["headers"] = rec["headers"]
+                    row["payload_b64"] = base64.b64encode(
+                        rec["payload"]
+                    ).decode("ascii")
+                out.append(row)
+            self._send_json(
+                json.dumps({"n": len(out), "records": out}).encode()
             )
 
         def _search_knn(self) -> None:
@@ -1457,6 +1569,7 @@ def make_handler(
             from noaa_oracle_spark.streaming.corpus import (
                 _read_baseline,
                 read_current_bm25_version,
+                read_drift_metrics,
             )
 
             body = self._read_json_body()
@@ -1503,6 +1616,22 @@ def make_handler(
                 out["fragmentation"] = round(
                     out["files"] / max(1, baseline), 2
                 )
+            if kind == "pq":
+                # codebook-drift series recorded by pq_index_sink (r11
+                # verdict ask #4): first vs last mean reconstruction
+                # error under the frozen codebooks — the retrain-offline
+                # poll signal, flat for a stationary stream
+                drift = read_drift_metrics(spark, resolved)
+                if drift:
+                    first, last = drift[0], drift[-1]
+                    out["drift"] = {
+                        "batches": len(drift),
+                        "mse_first": round(float(first.mse), 6),
+                        "mse_last": round(float(last.mse), 6),
+                        "mse_ratio": round(
+                            float(last.mse) / float(first.mse), 4
+                        ) if first.mse else None,
+                    }
             self._send_json(json.dumps(out).encode())
 
         def _upload(self, file_name: str) -> None:

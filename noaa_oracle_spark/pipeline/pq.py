@@ -296,16 +296,23 @@ def _probe_map(probes: DataFrame, q_index: "dict") -> "dict":
     }
 
 
-def _encode_block(sv, books: "dict", sub_len: int):
+def _encode_block(sv, books: "dict", sub_len: int, with_error: bool = False):
     """PQ-encode an (n × dim) float64 block: per subspace, 6-dp-rounded
     squared distances then first-minimum code — the `_assign_codes` math
     verbatim, applied to whole rows instead of exploded (id, sub) rows
     (per-(row, code) summation is independent of batch composition, so
-    the two forms are bit-identical; asserted in tests)."""
+    the two forms are bit-identical; asserted in tests).
+
+    `with_error=True` also returns the per-row reconstruction error —
+    the sum over subspaces of the chosen code's (already computed)
+    squared distance, i.e. ‖x − decode(encode(x))‖² in the index's
+    geometry.  Free: it reuses the argmin distances the encode computes
+    anyway (r11 verdict ask #4 — the codebook-drift signal)."""
     import numpy as np
 
     m = len(books)
     codes = np.empty((sv.shape[0], m), np.int64)
+    err = np.zeros(sv.shape[0], np.float64) if with_error else None
     for s in range(m):
         cb = books[s]
         sub = sv[:, s * sub_len : (s + 1) * sub_len]
@@ -313,6 +320,10 @@ def _encode_block(sv, books: "dict", sub_len: int):
             ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), 6
         )
         codes[:, s] = d.argmin(axis=1)  # first (lowest) code on ties
+        if with_error:
+            err += d.min(axis=1)
+    if with_error:
+        return codes, err
     return codes
 
 
@@ -321,8 +332,13 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_error: bool = False,
 ) -> DataFrame:
     """Compress: (id, codes array<int>) — the persisted representation.
+    `with_error=True` adds a `qerr` double column (per-row
+    reconstruction error, reused from the encode's own argmin
+    distances) for the drift metric; callers drop it before persisting
+    codes.
 
     Fused map-side form (r9 verdict ask #2): one `_encode_block` kernel
     over whole vectors on the scan stage — the exact `_assign_codes`
@@ -344,12 +360,13 @@ def pq_encode(
 
     books = _books_dict(codebooks)
     sub_len = books[0].shape[1]
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ]
+    if with_error:
+        fields.append(T.StructField("qerr", T.DoubleType()))
+    schema = T.StructType(fields)
 
     def kernel(batches):
         for pdf in batches:
@@ -358,13 +375,19 @@ def pq_encode(
             sv = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            codes = _encode_block(sv, books, sub_len)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "codes": codes.astype(np.int32).tolist(),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+            }
+            if with_error:
+                codes, err = _encode_block(
+                    sv, books, sub_len, with_error=True
+                )
+                out["codes"] = codes.astype(np.int32).tolist()
+                out["qerr"] = err
+            else:
+                codes = _encode_block(sv, books, sub_len)
+                out["codes"] = codes.astype(np.int32).tolist()
+            yield pd.DataFrame(out)
 
     return spread(corpus.select(id_col, vec_col)).mapInPandas(kernel, schema)
 
@@ -1514,6 +1537,7 @@ def append_pq_index(
     vec_col: str = "embedding",
     check_disjoint: bool = True,
     verify: bool = False,
+    metrics_out: "dict | None" = None,
 ) -> int:
     """Grow a persisted PQ index incrementally: encode `new_vectors`
     with the index's FROZEN codebooks and append the codes — the vector
@@ -1552,6 +1576,18 @@ def append_pq_index(
     `load_pq_index` rejects, and an append on TOP of such a torn index
     writes a manifest that is still short of the on-disk rows, so the
     tear stays loudly detectable — the fast path never "heals" it.
+
+    `metrics_out` (a dict, filled in place) requests the codebook-drift
+    signal (r11 verdict ask #4): the append's OWN encode pass also
+    emits each row's reconstruction error (the argmin distances it
+    computes anyway — zero extra passes; the mean folds into the same
+    bounded count action), and the dict comes back with
+    {"n": rows_appended, "mse": mean reconstruction error} in the
+    index's stored geometry.  A drifting embedding distribution
+    quantizes ever worse under frozen codebooks; a rising mse against
+    the version's first-batch baseline is the retrain-offline signal
+    (`pq_index_sink` persists it per microbatch; /index/stats surfaces
+    it).
 
     Returns the number of rows appended."""
     # manifest geometry + codebook fingerprint always validate; the
@@ -1593,7 +1629,8 @@ def append_pq_index(
                 f"the index at {path} — ids must be disjoint"
             )
     enc = pq_encode(
-        new_vectors, idx["codebooks"], id_col=id_col, vec_col=vec_col
+        new_vectors, idx["codebooks"], id_col=id_col, vec_col=vec_col,
+        with_error=metrics_out is not None,
     )
     if celled:
         # cell-partitioned layout (save_ivfpq_index): route the new
@@ -1634,8 +1671,23 @@ def append_pq_index(
     # a caller ships intra-batch duplicate ids past check_disjoint
     to_write = to_write.persist()
     try:
-        n_new = to_write.count()
-        w = to_write.write.mode("append")
+        if metrics_out is not None:
+            # the drift metric folds into the SAME bounded action the
+            # arithmetic manifest needs; qerr never lands in the codes
+            # files (schema unchanged on disk)
+            row = to_write.agg(
+                F.count(F.lit(1)).alias("n"), F.avg("qerr").alias("mse")
+            ).collect()[0]
+            n_new = int(row["n"])
+            metrics_out["n"] = n_new
+            metrics_out["mse"] = (
+                None if row["mse"] is None else float(row["mse"])
+            )
+            out_frame = to_write.drop("qerr")
+        else:
+            n_new = to_write.count()
+            out_frame = to_write
+        w = out_frame.write.mode("append")
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(f"{path}/codes")
@@ -2165,14 +2217,20 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
     volume — bench_index_maintenance measures the fragmented-vs-
     compacted serve delta that justifies it.
 
-    Returns {"codes_files_before", "codes_files_after", "n_encoded"}."""
+    Returns {"codes_files_before", "codes_files_after", "n_encoded",
+    "timings"} — timings break the job into its phases (load/listing,
+    codes rewrite, verify count, codebooks/cells+manifest) so the rung
+    can attribute the cost (r11 verdict ask #3)."""
     import os
+    import time as _time
 
     if os.path.abspath(out_path) == os.path.abspath(path):
         raise ValueError(
             "compact_pq_index: out_path must differ from path "
             "(in-place rewrite would race concurrent readers)"
         )
+    timings: "dict[str, float]" = {}
+    t0 = _time.time()
     # geometry + codebook fingerprint validate on load; the O(index)
     # codes recount is SKIPPED here because compaction ends with its own
     # equality check — rewritten row count vs the source manifest — so a
@@ -2184,9 +2242,8 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
     from noaa_oracle_spark.pipeline.text import _parquet_file_count
 
     files_before = _parquet_file_count(spark, f"{path}/codes")
-    idx["codebooks"].write.mode("overwrite").parquet(
-        f"{out_path}/codebooks"
-    )
+    timings["load_and_listing_s"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     if "cluster_id" in idx["codes"].columns:
         (
             idx["codes"]
@@ -2197,15 +2254,22 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
         )
     else:
         idx["codes"].write.mode("overwrite").parquet(f"{out_path}/codes")
-    if idx["cells"] is not None:
-        idx["cells"].write.mode("overwrite").parquet(f"{out_path}/cells")
+    timings["codes_rewrite_s"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     n_encoded = spark.read.parquet(f"{out_path}/codes").count()
+    timings["verify_count_s"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     if n_encoded != int(meta.n_encoded):
         raise ValueError(
             f"compact_pq_index: rewrote {n_encoded} rows vs "
             f"{meta.n_encoded} in the source manifest — aborting before "
             f"the manifest write (out_path is not serveable)"
         )
+    idx["codebooks"].write.mode("overwrite").parquet(
+        f"{out_path}/codebooks"
+    )
+    if idx["cells"] is not None:
+        idx["cells"].write.mode("overwrite").parquet(f"{out_path}/cells")
     _write_pq_manifest(
         spark,
         out_path,
@@ -2218,10 +2282,12 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
         n_encoded=n_encoded,
         rotation=idx["rotation"],
     )
+    timings["aux_writes_s"] = round(_time.time() - t0, 2)
     return {
         "codes_files_before": files_before,
         "codes_files_after": _parquet_file_count(
             spark, f"{out_path}/codes"
         ),
         "n_encoded": int(n_encoded),
+        "timings": timings,
     }

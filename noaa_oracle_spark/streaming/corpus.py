@@ -366,6 +366,24 @@ def current_bm25_index_path(spark, root: str) -> str:
 #: the fragmentation trigger (files_now / files_at_creation)
 _BASELINE_SCHEMA = "postings_files int"
 
+#: per-microbatch codebook-drift record inside a PQ version dir — mean
+#: reconstruction error of the batch under the version's frozen
+#: codebooks (r11 verdict ask #4)
+_DRIFT_SCHEMA = "batch_id long, n long, mse double"
+
+
+def read_drift_metrics(spark, ver_path: str) -> "list":
+    """The per-microbatch drift series recorded by `pq_index_sink`
+    (sorted by batch_id), or [] when none exists — e.g. a version that
+    has only its bootstrap corpus, or a BM25 root."""
+    fs, jpath = _hadoop_fs(spark, f"{ver_path}/drift_metrics")
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        spark.read.parquet(f"{ver_path}/drift_metrics").collect(),
+        key=lambda r: r.batch_id,
+    )
+
 
 def _write_baseline(spark, ver_path: str, n_files: int) -> None:
     spark.createDataFrame(
@@ -739,9 +757,22 @@ def pq_index_sink(
                 f"({n_seen}/{n_new} ids) — torn append at {ver_path}; "
                 "recover by compacting or re-saving the index"
             )
+        metrics: dict = {}
         append_pq_index(
-            spark, ver_path, new, vec_col=vec_col, check_disjoint=False
+            spark, ver_path, new, vec_col=vec_col, check_disjoint=False,
+            metrics_out=metrics,
         )
+        # codebook-drift signal (r11 verdict ask #4): the append's own
+        # encode pass emitted this batch's mean reconstruction error
+        # under the FROZEN codebooks; persist it per microbatch so a
+        # rising series against the version's first batch tells the
+        # operator to retrain offline (surfaced by /index/stats) — a
+        # stationary stream holds it flat, a distribution shift moves it
+        if metrics.get("mse") is not None:
+            spark.createDataFrame(
+                [(int(batch_id), int(metrics["n"]), float(metrics["mse"]))],
+                _DRIFT_SCHEMA,
+            ).write.mode("append").parquet(f"{ver_path}/drift_metrics")
         if auto_compact_ratio is None:
             return
         files_now = _parquet_file_count(spark, f"{ver_path}/codes")
@@ -753,6 +784,18 @@ def pq_index_sink(
             nxt = f"v{batch_id:08d}c"
             nxt_path = f"{root}/versions/{nxt}"
             compact_pq_index(spark, ver_path, nxt_path)
+            # the drift series stays meaningful across a compaction
+            # (codebooks are unchanged), so carry it into the new
+            # version — the operator's trend must not reset on a
+            # file-layout event
+            drift = read_drift_metrics(spark, ver_path)
+            if drift:
+                spark.createDataFrame(
+                    [(r.batch_id, r.n, r.mse) for r in drift],
+                    _DRIFT_SCHEMA,
+                ).write.mode("overwrite").parquet(
+                    f"{nxt_path}/drift_metrics"
+                )
             _write_baseline(
                 spark,
                 nxt_path,

@@ -4023,19 +4023,122 @@ FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
 """
 
 
+def q141_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-drift metric through the PRODUCTION append path (r11
+    verdict ask #4): train the q100 seed codebooks on the base 60% of
+    the embeddings (iters=0; the 8 lowest-id seeds all live in the
+    base, so base-train == corpus-train and the oracle can restate the
+    quantizer), save a flat PQ index, then grow it with TWO appends
+    whose `metrics_out` reconstruction errors are the result rows —
+    batch 0 appends the tail 40% unchanged (stationary stream: mse in
+    the training distribution's range), batch 1 appends the SAME rows
+    shifted by +3.0 per dimension under fresh ids (planted drift: the
+    frozen codebooks quantize it far worse).  The mse is computed from
+    the append's own encode pass (the argmin distances it derives
+    anyway — zero extra passes), so this gate hash-grades the exact
+    numbers `pq_index_sink` persists and /index/stats serves.  The
+    oracle restates per-row error as Σ_sub min_code round(‖sub −
+    centroid‖², 6) and averages per batch."""
+    import shutil
+    import tempfile
+
+    from noaa_oracle_spark.pipeline.pq import (
+        append_pq_index,
+        pq_encode,
+        pq_train,
+        save_pq_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()  # one bounded scalar — split points, not data
+    c1 = (3 * n) // 5
+    v = F.col("vec_id")
+    books = pq_train(emb.filter(v < c1), m=8, k=8, iters=0)
+    tail = emb.filter(v >= c1)
+    shifted = tail.select(
+        (v + F.lit(int(n))).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(3.0)
+        ).alias("embedding"),
+    )
+    base = tempfile.mkdtemp(prefix="noaa_drift_gate_")
+    try:
+        save_pq_index(
+            books, pq_encode(emb.filter(v < c1), books), f"{base}/idx"
+        )
+        m0: dict = {}
+        m1: dict = {}
+        append_pq_index(spark, f"{base}/idx", tail, metrics_out=m0)
+        append_pq_index(spark, f"{base}/idx", shifted, metrics_out=m1)
+        # 2 rows by contract — the per-batch drift signal, not data
+        return spark.createDataFrame(
+            [(0, int(m0["n"]), float(m0["mse"])),
+             (1, int(m1["n"]), float(m1["mse"]))],
+            "batch int, n long, mse double",
+        ).select("batch", "n", F.round("mse", 6).alias("mse"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_Q141 = """
+WITH seeds AS (
+    SELECT vec_id, embedding,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), subsq AS (
+    SELECT CAST(unnest(range(0, 8)) AS INT) AS sub
+), books AS (
+    SELECT subsq.sub, seeds.code,
+           list_transform(range(1, 9),
+               i -> seeds.embedding[subsq.sub * 8 + i]::DOUBLE) AS centroid
+    FROM seeds, subsq
+), cnt AS (
+    SELECT (3 * count(*)) // 5 AS c1 FROM embeddings
+), grp AS (
+    SELECT 0 AS batch, e.vec_id,
+           list_transform(e.embedding, x -> x::DOUBLE) AS emb
+    FROM embeddings e, cnt WHERE e.vec_id >= cnt.c1
+    UNION ALL
+    SELECT 1 AS batch, e.vec_id,
+           list_transform(e.embedding, x -> x::DOUBLE + 3.0) AS emb
+    FROM embeddings e, cnt WHERE e.vec_id >= cnt.c1
+), subv AS (
+    SELECT g.batch, g.vec_id, subsq.sub,
+           list_transform(range(1, 9),
+               i -> g.emb[subsq.sub * 8 + i]) AS svec
+    FROM grp g, subsq
+), dmin AS (
+    SELECT v.batch, v.vec_id, v.sub,
+           min(round(list_sum(list_transform(range(1, 9),
+               i -> (v.svec[i] - b.centroid[i])
+                  * (v.svec[i] - b.centroid[i]))), 6)) AS d
+    FROM subv v JOIN books b ON v.sub = b.sub
+    GROUP BY 1, 2, 3
+), qerr AS (
+    SELECT batch, vec_id, sum(d) AS qerr FROM dmin GROUP BY 1, 2
+)
+SELECT batch, CAST(count(*) AS BIGINT) AS n,
+       round(avg(qerr), 6) AS mse
+FROM qerr GROUP BY 1 ORDER BY 1
+"""
+
+
 #: Staged r13 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
 #: when the r13 window rotates; tests/test_staged_r13.py oracle-checks
-#: them every round until then.  Budget: 140 live + staged, under the
-#: ~150 ceiling (r11 verdict ask #8: stage at most 1 r13 debut — the
-#: codebook-drift metric is the natural candidate if it gains an
-#: oracle-expressible form).  q139/q140 were staged here through r11
-#: (as _STAGED_R12) and promoted into the main dicts (update() block
-#: below) when the r12 window rotated.
+#: them every round until then.  Budget: 140 live + 1 staged, under the
+#: ~150 ceiling (r11 verdict ask #8: at most 1 r13 debut — the
+#: codebook-drift metric, now in oracle-expressible form).  q139/q140
+#: were staged here through r11 (as _STAGED_R12) and promoted into the
+#: main dicts (update() block below) when the r12 window rotated.
 PIPELINE_QUERIES_STAGED_R13: dict[
     str, Callable[[SparkSession, str], DataFrame]
-] = {}
+] = {
+    "q141_codebook_drift": q141_codebook_drift,
+}
 
-PIPELINE_ORACLE_SQL_STAGED_R13: dict[str, str] = {}
+PIPELINE_ORACLE_SQL_STAGED_R13: dict[str, str] = {
+    "q141_codebook_drift": SQL_Q141,
+}
 
 
 # r10/r11 debuts — each staged one round ahead (PIPELINE_QUERIES_STAGED_R10

@@ -586,6 +586,54 @@ def test_warc_record_fetch_over_sockets(spark, tmp_path_factory):
         assert code == 404
         code, _ = _status_of(f"{base}/warc/record?shard=x&offset=a&length=1")
         assert code == 400
+
+        # ---- batch mode (r11 verdict ask #5): POST /warc/records ==
+        # element-wise the N single GETs, one shard open per shard,
+        # per-extent errors in place
+        singles = []
+        for r in rows:
+            qq = urllib.parse.urlencode(
+                {
+                    "shard": "sub/serve.warc.gz",
+                    "offset": r.record_offset,
+                    "length": r.record_length,
+                }
+            )
+            singles.append(_get_json(f"{base}/warc/record?{qq}"))
+        extents = [
+            {
+                "shard": "sub/serve.warc.gz",
+                "offset": r.record_offset,
+                "length": r.record_length,
+            }
+            for r in rows
+        ]
+        # duplicate extent + a bad one, to pin input-order results and
+        # in-place errors
+        extents.append(dict(extents[0]))
+        extents.append(
+            {"shard": "sub/serve.warc.gz", "offset": 10**9, "length": 64}
+        )
+        status, batch = _post_json(f"{base}/warc/records", {
+            "extents": extents,
+        })
+        assert status == 200 and batch["n"] == 5
+        for i in range(3):
+            got = batch["records"][i]
+            assert got["headers"] == singles[i]["headers"], i
+            assert got["payload_b64"] == singles[i]["payload_b64"], i
+        assert batch["records"][3]["payload_b64"] == (
+            singles[0]["payload_b64"]
+        )
+        assert "error" in batch["records"][4]
+        # batch validation: traversal and malformed extents still 400
+        code, msg = _post_error(
+            f"{base}/warc/records",
+            {"extents": [{"shard": "../x", "offset": 0, "length": 9}]},
+        )
+        assert code == 400 and "escapes" in msg
+        code, msg = _post_error(f"{base}/warc/records", {"extents": []})
+        assert code == 400
     finally:
         srv.shutdown()
         srv.server_close()
@@ -1575,6 +1623,19 @@ def test_search_endpoints_follow_versioned_roots(
     )
     assert status == 200 and out["n_encoded"] == 80
     assert out["neighbors"][0]["vec_id"] == 75
+
+    # /index/stats on the PQ root surfaces the sink's codebook-drift
+    # series (r11 verdict ask #4): 3 same-distribution microbatches →
+    # a present, flat drift row
+    status, st = _post_json(
+        f"{base}/index/stats", {"index_path": proot, "kind": "pq"}
+    )
+    assert status == 200 and st["n_encoded"] == 80
+    assert st["drift"]["batches"] == 3
+    assert st["drift"]["mse_first"] > 0
+    assert 0.5 < st["drift"]["mse_ratio"] < 2.0  # stationary stream
+    # flat (non-sink) PQ dirs have no series — no drift key
+    # (covered by the flat /index/stats assertions in the stats test)
 
 
 def test_search_bm25_batch_and_index_stats(server, spark, tmp_path_factory):

@@ -237,6 +237,38 @@ def fetch_warc_record(
     return recs[idx]
 
 
+def fetch_warc_records(
+    shard_path: str, extents: "list[tuple[int, int, int]]"
+) -> "list[dict]":
+    """Fetch MANY records from one shard in a single pass — the batch
+    twin of `fetch_warc_record` (r11 verdict ask #5): the shard opens
+    ONCE, extents are read in offset order (sequential-friendly on
+    local disk; on an object store the sorted extents coalesce into
+    the fewest ranged GETs), duplicate (offset, length) extents parse
+    once, and results return in the INPUT order.  Each extent is
+    (offset, length, idx) with `fetch_warc_record`'s exact semantics —
+    batch == N singles, asserted in tests.  Raises WarcError on the
+    first extent that does not parse to enough records."""
+    parsed: "dict[tuple[int, int], list]" = {}
+    with open(shard_path, "rb") as f:
+        for offset, length, _idx in sorted(set(
+            (o, ln, 0) for o, ln, _ in extents
+        )):
+            f.seek(offset)
+            parsed[(offset, length)] = parse_warc(f.read(length))
+    out = []
+    for offset, length, idx in extents:
+        recs = parsed[(offset, length)]
+        if idx < 0 or len(recs) <= idx:
+            raise WarcError(
+                f"no record {idx} at {shard_path!r} "
+                f"offset={offset} length={length} "
+                f"({len(recs)} records parse)"
+            )
+        out.append(recs[idx])
+    return out
+
+
 def build_warc(
     records: "list[dict]",
     member_gzip: bool = True,

@@ -198,14 +198,17 @@ def main() -> None:
         files_fresh = _parquet_file_count(spark, f"{frag}/postings")
         t = time.time()
         appended = 0
+        append_series = []
         for i in range(N_APPENDS):
             lo = cut + i * shard_n
             hi = N_DOCS if i == N_APPENDS - 1 else lo + shard_n
+            t1 = time.time()
             appended += append_bm25_index(
                 spark,
                 frag,
                 docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
             )
+            append_series.append(round(time.time() - t1, 2))
         t_appends = time.time() - t
         assert appended == N_DOCS - cut, appended
         files_frag = _parquet_file_count(spark, f"{frag}/postings")
@@ -231,6 +234,7 @@ def main() -> None:
                     "n_docs": N_DOCS,
                     "n_appends": N_APPENDS,
                     "appends_total_s": round(t_appends, 1),
+                    "append_series_s": append_series,
                     "postings_files_fresh": files_fresh,
                     "postings_files_fragmented": files_frag,
                     "postings_files_compacted": stats[
@@ -269,9 +273,11 @@ def main() -> None:
         shard_n = max(1, (N_DOCS - cut) // N_APPENDS)
         t = time.time()
         appended = 0
+        append_series = []
         for i in range(N_APPENDS):
             lo = cut + i * shard_n
             hi = N_DOCS if i == N_APPENDS - 1 else lo + shard_n
+            t1 = time.time()
             appended += append_pq_index(
                 spark,
                 pfrag,
@@ -279,6 +285,7 @@ def main() -> None:
                     (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
                 ),
             )
+            append_series.append(round(time.time() - t1, 2))
         t_appends = time.time() - t
         assert appended == N_DOCS - cut, appended
         files_frag = _parquet_file_count(spark, f"{pfrag}/codes")
@@ -317,6 +324,11 @@ def main() -> None:
                     "n_appends": N_APPENDS,
                     "nprobe": 32,
                     "appends_total_s": round(t_appends, 1),
+                    # per-append series: flat == validation is O(new
+                    # shard); growth would mean an O(index) term crept
+                    # back in (r11 verdict ask #2's done-criterion)
+                    "append_series_s": append_series,
+                    "compact_timings": stats["timings"],
                     "codes_files_fresh": files_fresh,
                     "codes_files_fragmented": files_frag,
                     "codes_files_compacted": stats["codes_files_after"],

@@ -1962,15 +1962,25 @@ def merge_bm25_indexes(
 def _parquet_file_count(spark, path: str) -> int:
     """Number of parquet data files under `path` (Hadoop-FS listing, so
     it holds on object stores) — the read-amplification metric of a
-    many-times-appended index component."""
+    many-times-appended index component.
+
+    Counts via globStatus over the two layouts the index writers
+    produce (flat `*.parquet` and one partition level
+    `*/*.parquet`), NOT the recursive listFiles iterator: the iterator
+    costs two py4j round-trips PER FILE, which the r12 1M rung measured
+    at 128 s for a 21k-file fragmented index — it was the dominant term
+    of the whole compaction job (SCALE.md §14).  globStatus returns the
+    match count in O(1) py4j calls regardless of file count."""
     sc = spark.sparkContext
-    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    it = fs.listFiles(hpath, True)
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        sc._jsc.hadoopConfiguration()
+    )
     n = 0
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            n += 1
+    for pattern in (f"{path}/*.parquet", f"{path}/*/*.parquet"):
+        arr = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+        if arr is not None:
+            n += len(arr)
     return n
 
 

@@ -30,6 +30,7 @@ is the thin request/response shell the reference serves with axum
 | POST /index/bm25/compact          | (append-fragmentation rewrite — ext.)  |
 | POST /index/pq/compact            | (the vector twin — ext.)               |
 | POST /index/stats                 | (fragmentation poll signal — ext.)     |
+| POST /index/prune                 | (versioned-root retention — ext.)      |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
 | POST /warc/records                | (batch CDX fetch — extension)          |
 
@@ -470,6 +471,8 @@ def make_handler(
                     self._compact_pq()
                 elif path == "/index/stats":
                     self._index_stats()
+                elif path == "/index/prune":
+                    self._index_prune()
                 elif path == "/search/hybrid":
                     self._search_hybrid()
                 elif path == "/warc/records":
@@ -1550,6 +1553,33 @@ def make_handler(
                         ],
                     }
                 ).encode()
+            )
+
+        def _index_prune(self) -> None:
+            """POST /index/prune — reclaim superseded versions of a
+            versioned sink root (`prune_index_versions`, r11 advice #4):
+            body {"root": ...}.  Deletes every versions/* directory
+            except CURRENT's target and returns the deleted names.
+            Call from a maintenance window once serving has re-resolved
+            CURRENT (one reload=true cycle) — an in-flight reader that
+            resolved the pointer BEFORE the last compaction may still
+            be scanning an old version.  Refuses a root with no
+            committed CURRENT (400), so a typo'd path never deletes
+            anything."""
+            from noaa_oracle_spark.streaming.corpus import (
+                prune_index_versions,
+            )
+
+            body = self._read_json_body()
+            root = body.get("root")
+            if not isinstance(root, str) or not root:
+                raise BadRequest("root (string) is required")
+            try:
+                deleted = prune_index_versions(spark, root)
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            self._send_json(
+                json.dumps({"root": root, "deleted": deleted}).encode()
             )
 
         def _index_stats(self) -> None:

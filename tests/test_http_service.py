@@ -1637,6 +1637,26 @@ def test_search_endpoints_follow_versioned_roots(
     # flat (non-sink) PQ dirs have no series — no drift key
     # (covered by the flat /index/stats assertions in the stats test)
 
+    # ---- POST /index/prune (r11 advice #4 over sockets): superseded
+    # versions of the BM25 root are reclaimed, serving off CURRENT is
+    # unaffected, and an uncommitted root 400s instead of deleting
+    import os as _os
+
+    n_versions = len(_os.listdir(f"{broot}/versions"))
+    status, pr = _post_json(f"{base}/index/prune", {"root": broot})
+    assert status == 200
+    assert len(_os.listdir(f"{broot}/versions")) == 1
+    assert len(pr["deleted"]) == n_versions - 1
+    status, out3 = _post_json(
+        f"{base}/search/bm25",
+        {"index_path": broot, "terms": ["w1"], "k": 5, "reload": True},
+    )
+    assert status == 200 and out3["n_docs"] == 27
+    code, msg = _post_error(
+        f"{base}/index/prune", {"root": str(d / "nowhere")}
+    )
+    assert code == 400 and "refusing" in msg
+
 
 def test_search_bm25_batch_and_index_stats(server, spark, tmp_path_factory):
     """POST /search/bm25 "queries" batch == N single requests, and

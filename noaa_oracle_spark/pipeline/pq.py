@@ -1538,6 +1538,7 @@ def append_pq_index(
     check_disjoint: bool = True,
     verify: bool = False,
     metrics_out: "dict | None" = None,
+    preloaded_index: "dict | None" = None,
 ) -> int:
     """Grow a persisted PQ index incrementally: encode `new_vectors`
     with the index's FROZEN codebooks and append the codes — the vector
@@ -1589,10 +1590,19 @@ def append_pq_index(
     (`pq_index_sink` persists it per microbatch; /index/stats surfaces
     it).
 
+    `preloaded_index` is the ingest-loop economy (`pq_index_sink`
+    already holds a VALIDATED load for its containment check): reuse it
+    instead of re-reading manifest + codebooks + fingerprint every
+    microbatch.
+
     Returns the number of rows appended."""
     # manifest geometry + codebook fingerprint always validate; the
     # accumulated-codes recount is the O(index) term verify gates
-    idx = load_pq_index(spark, path, validate_codes=verify)
+    idx = (
+        preloaded_index
+        if preloaded_index is not None
+        else load_pq_index(spark, path, validate_codes=verify)
+    )
     meta = idx["manifest"]
     celled = "cluster_id" in idx["codes"].columns
     id_col = [

@@ -1665,6 +1665,8 @@ def append_bm25_index(
     id_col: str = "doc_id",
     check_disjoint: bool = True,
     verify: bool = False,
+    precomputed_tf: "DataFrame | None" = None,
+    preloaded_index: "dict | None" = None,
 ) -> int:
     """Grow a persisted BM25 index incrementally: tokenize only the NEW
     documents (the shared `_bm25_tf` pass, so grown == fresh by
@@ -1710,10 +1712,22 @@ def append_bm25_index(
     writes a manifest still short of the on-disk rows — the tear stays
     loudly detectable, never silently healed.
 
+    `precomputed_tf` / `preloaded_index` are the ingest-loop economy
+    (the bm25_index_sink path): the sink already tokenizes the batch
+    for its containment check and already holds a VALIDATED load of the
+    index, so the append can reuse both instead of re-tokenizing the
+    batch and re-reading the manifest every microbatch.  precomputed_tf
+    MUST be `_bm25_tf(new_docs, text_col, id_col)` for the same frame —
+    the grown==rebuilt equality rests on it (the sink tests pin it).
+
     Returns the number of documents appended."""
     # manifest + id_col sanity always validate; the accumulated-postings
     # recount is the O(index) term verify gates
-    idx = load_bm25_index(spark, path, validate_postings=verify)
+    idx = (
+        preloaded_index
+        if preloaded_index is not None
+        else load_bm25_index(spark, path, validate_postings=verify)
+    )
     meta = idx["manifest"]
     if meta.id_col != id_col:
         raise ValueError(
@@ -1740,7 +1754,11 @@ def append_bm25_index(
     # the derived doclens share one tokenize pass (the save path gets
     # the same economy by re-reading its own written postings, which an
     # append cannot do — the directory already holds the old shards)
-    tf = _bm25_tf(new_docs, text_col, id_col).persist()
+    tf = (
+        precomputed_tf
+        if precomputed_tf is not None
+        else _bm25_tf(new_docs, text_col, id_col)
+    ).persist()
     try:
         (
             tf.repartition(F.col("term"))

@@ -531,28 +531,37 @@ def bm25_index_sink(
         # old bare-except fallback silently overwrote the accumulated
         # index with one microbatch.
         idx = load_bm25_index(spark, idx_path)
-        dlen = _dlen_of(_bm25_tf(new, text_col, id_col), id_col)
-        n_indexable = dlen.count()
-        if n_indexable == 0:
-            return
-        n_seen = (
-            idx["doclens"]
-            .join(dlen.select(id_col), id_col, "left_semi")
-            .count()
-        )
-        if n_seen == n_indexable:
-            return  # completed batch replayed after a post-commit crash
-        if n_seen:
-            raise ValueError(
-                f"bm25_index_sink: batch {batch_id} partially present "
-                f"({n_seen}/{n_indexable} ids) — torn append at "
-                f"{idx_path}; recover by re-saving or merge-compacting "
-                "the index"
+        # tokenize the batch ONCE: the containment check's dlen and the
+        # append's tf share this persisted pass (r12: the sink used to
+        # tokenize every microbatch twice and load the index twice)
+        tf_new = _bm25_tf(new, text_col, id_col).persist()
+        try:
+            dlen = _dlen_of(tf_new, id_col)
+            n_indexable = dlen.count()
+            if n_indexable == 0:
+                return
+            n_seen = (
+                idx["doclens"]
+                .join(dlen.select(id_col), id_col, "left_semi")
+                .count()
             )
-        append_bm25_index(
-            spark, idx_path, new,
-            text_col=text_col, id_col=id_col, check_disjoint=False,
-        )
+            if n_seen == n_indexable:
+                # completed batch replayed after a post-commit crash
+                return
+            if n_seen:
+                raise ValueError(
+                    f"bm25_index_sink: batch {batch_id} partially present "
+                    f"({n_seen}/{n_indexable} ids) — torn append at "
+                    f"{idx_path}; recover by re-saving or merge-compacting "
+                    "the index"
+                )
+            append_bm25_index(
+                spark, idx_path, new,
+                text_col=text_col, id_col=id_col, check_disjoint=False,
+                precomputed_tf=tf_new, preloaded_index=idx,
+            )
+        finally:
+            tf_new.unpersist()
 
     return _sink
 
@@ -760,7 +769,7 @@ def pq_index_sink(
         metrics: dict = {}
         append_pq_index(
             spark, ver_path, new, vec_col=vec_col, check_disjoint=False,
-            metrics_out=metrics,
+            metrics_out=metrics, preloaded_index=idx,
         )
         # codebook-drift signal (r11 verdict ask #4): the append's own
         # encode pass emitted this batch's mean reconstruction error

@@ -1750,7 +1750,14 @@ def merge_pq_indexes(
     over the unioned id column."""
     if len(paths) < 2:
         raise ValueError("merge_pq_indexes: need at least two indexes")
-    idxs = [load_pq_index(spark, p) for p in paths]
+    # geometry/fingerprint validate per shard; the per-shard codes
+    # recount is skipped — the post-union output count is checked
+    # against the SUM of the shard manifests below, so a torn shard
+    # still fails loudly before the merged manifest exists (the
+    # compact_pq_index discipline, r12)
+    idxs = [
+        load_pq_index(spark, p, validate_codes=False) for p in paths
+    ]
     metas = [i["manifest"] for i in idxs]
     geom = {
         (
@@ -1801,6 +1808,13 @@ def merge_pq_indexes(
     )
     codes.write.mode("overwrite").parquet(f"{out_path}/codes")
     n_encoded = spark.read.parquet(f"{out_path}/codes").count()
+    n_expected = sum(int(m.n_encoded) for m in metas)
+    if n_encoded != n_expected:
+        raise ValueError(
+            f"merge_pq_indexes: merged {n_encoded} rows vs {n_expected} "
+            f"in the shard manifests — a shard is torn; aborting before "
+            f"the manifest write (out_path is not serveable)"
+        )
     _write_pq_manifest(
         spark,
         out_path,

@@ -1946,7 +1946,13 @@ def merge_bm25_indexes(
     extra self-join-shaped count otherwise)."""
     if len(paths) < 2:
         raise ValueError("merge_bm25_indexes: need at least two indexes")
-    idxs = [load_bm25_index(spark, p) for p in paths]
+    # manifests validate per shard; the per-shard postings recount is
+    # skipped — the post-union output count is checked against the SUM
+    # of the shard manifests below, so a torn shard still fails loudly
+    # before the merged manifest exists (the compact discipline, r12)
+    idxs = [
+        load_bm25_index(spark, p, validate_postings=False) for p in paths
+    ]
     id_cols = {i["manifest"].id_col for i in idxs}
     if len(id_cols) != 1:
         raise ValueError(
@@ -1974,7 +1980,26 @@ def merge_bm25_indexes(
         .parquet(f"{out_path}/postings")
     )
     doclens.write.mode("overwrite").parquet(f"{out_path}/doclens")
-    _bm25_finalize_manifest(spark, out_path, id_col)
+    n_postings = spark.read.parquet(f"{out_path}/postings").count()
+    n_expected = sum(int(i["manifest"].n_postings) for i in idxs)
+    if n_postings != n_expected:
+        raise ValueError(
+            f"merge_bm25_indexes: merged {n_postings} postings vs "
+            f"{n_expected} in the shard manifests — a shard is torn; "
+            f"aborting before the manifest write (out_path is not "
+            f"serveable)"
+        )
+    # corpus stats are pure arithmetic over the shard manifests (the
+    # append_bm25_index token-total recovery, exact under 2^52 tokens)
+    n_docs = sum(int(i["manifest"].n_docs) for i in idxs)
+    tokens = sum(
+        int(round(i["manifest"].n_docs * i["manifest"].avgdl))
+        for i in idxs
+    )
+    _bm25_write_manifest(
+        spark, out_path, id_col, n_docs,
+        0.0 if n_docs == 0 else tokens / n_docs, int(n_postings),
+    )
 
 
 def _parquet_file_count(spark, path: str) -> int:

@@ -31,6 +31,7 @@ is the thin request/response shell the reference serves with axum
 | POST /index/pq/compact            | (the vector twin — ext.)               |
 | POST /index/stats                 | (fragmentation poll signal — ext.)     |
 | POST /index/prune                 | (versioned-root retention — ext.)      |
+| POST /index/merge                 | (shard-index consolidation — ext.)     |
 | GET /warc/record                  | (CDX coordinate fetch — extension)     |
 | POST /warc/records                | (batch CDX fetch — extension)          |
 
@@ -473,6 +474,8 @@ def make_handler(
                     self._index_stats()
                 elif path == "/index/prune":
                     self._index_prune()
+                elif path == "/index/merge":
+                    self._index_merge()
                 elif path == "/search/hybrid":
                     self._search_hybrid()
                 elif path == "/warc/records":
@@ -1552,6 +1555,55 @@ def make_handler(
                             for rows_q in per_q
                         ],
                     }
+                ).encode()
+            )
+
+        def _index_merge(self) -> None:
+            """POST /index/merge — shard-parallel index consolidation
+            over HTTP (completes the maintenance surface: compact,
+            stats, prune, merge): body {"kind": "bm25"|"pq", "paths":
+            [...2+ shard index dirs...], "out_path": ...}.  Merged
+            output is EXACTLY the index a single build over the
+            concatenated corpus produces (the merge functions'
+            equality-tested contract); geometry/fingerprint mismatches,
+            IVF shards (PQ), id overlap, and torn shards 400 with the
+            engine's message.  Snapshot-then-switch: shards keep
+            serving until the caller repoints at out_path."""
+            from noaa_oracle_spark.pipeline.pq import merge_pq_indexes
+            from noaa_oracle_spark.pipeline.text import (
+                merge_bm25_indexes,
+            )
+
+            body = self._read_json_body()
+            kind = body.get("kind")
+            if kind not in ("bm25", "pq"):
+                raise BadRequest('kind must be "bm25" or "pq"')
+            paths = body.get("paths")
+            if (
+                not isinstance(paths, list)
+                or len(paths) < 2
+                or not all(isinstance(p, str) and p for p in paths)
+            ):
+                raise BadRequest(
+                    "paths (array of 2+ index dirs) is required"
+                )
+            out_path = body.get("out_path")
+            if not isinstance(out_path, str) or not out_path:
+                raise BadRequest("out_path (string) is required")
+            try:
+                if kind == "bm25":
+                    merge_bm25_indexes(spark, paths, out_path)
+                else:
+                    merge_pq_indexes(spark, paths, out_path)
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            except Exception as exc:  # unreadable/missing shard dirs
+                raise BadRequest(
+                    f"cannot merge {paths!r}: {exc}"
+                ) from exc
+            self._send_json(
+                json.dumps(
+                    {"kind": kind, "out_path": out_path, "merged": len(paths)}
                 ).encode()
             )
 

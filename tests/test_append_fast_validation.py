@@ -165,3 +165,53 @@ def test_bm25_fast_append_does_not_heal_torn_index(spark, docs, tmp_path):
     )
     with pytest.raises(ValueError, match="postings count"):
         load_bm25_index(spark, path)
+
+
+def test_merge_rejects_torn_shard_before_manifest(spark, emb, docs, tmp_path):
+    """r12: merges skip the per-shard pre-scan, so the loud gate is the
+    post-union output count vs the SUM of shard manifests — a planted
+    torn shard must abort BEFORE the merged manifest exists (out_path
+    unloadable), for both families."""
+    from noaa_oracle_spark.pipeline.pq import merge_pq_indexes
+    from noaa_oracle_spark.pipeline.text import (
+        _bm25_tf,
+        merge_bm25_indexes,
+        save_bm25_index,
+    )
+
+    # --- PQ: shard B gets orphan codes (append died pre-manifest) ----
+    books = pq_train(emb.filter(F.col("vec_id") < 120), m=4, k=8, iters=1)
+    pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+    save_pq_index(
+        books, pq_encode(emb.filter(F.col("vec_id") < 80), books), pa
+    )
+    save_pq_index(
+        books,
+        pq_encode(
+            emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 160)),
+            books,
+        ),
+        pb,
+    )
+    pq_encode(emb.filter(F.col("vec_id") >= 160), books).write.mode(
+        "append"
+    ).parquet(f"{pb}/codes")  # the tear
+    out = str(tmp_path / "pm")
+    with pytest.raises(ValueError, match="torn"):
+        merge_pq_indexes(spark, [pa, pb], out, check_disjoint=False)
+    import os
+    assert not os.path.exists(f"{out}/manifest")
+
+    # --- BM25: shard B gets orphan postings -------------------------
+    ba, bb = str(tmp_path / "ba"), str(tmp_path / "bb")
+    save_bm25_index(docs.filter(F.col("doc_id") < 40), ba)
+    save_bm25_index(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)), bb
+    )
+    _bm25_tf(
+        docs.filter(F.col("doc_id") >= 80), "text", "doc_id"
+    ).write.mode("append").parquet(f"{bb}/postings")  # the tear
+    bout = str(tmp_path / "bm")
+    with pytest.raises(ValueError, match="torn"):
+        merge_bm25_indexes(spark, [ba, bb], bout, check_disjoint=False)
+    assert not os.path.exists(f"{bout}/manifest")

@@ -1817,3 +1817,94 @@ def test_search_knn_flat_opq_index_rotates_single_and_batch(
             for r in single["neighbors"]
         ]
         assert sorted(got) == sorted(want), i
+
+
+def test_index_merge_endpoint(server, spark, tmp_path_factory):
+    """POST /index/merge consolidates shard indexes over HTTP: the
+    merged BM25 index serves scores identical to one built over the
+    concatenated corpus, the PQ merge serves ADC neighbors off the
+    merged codes, and engine refusals (overlap, <2 paths, bad kind)
+    surface as 400s."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import (
+        pq_encode,
+        pq_train,
+        save_pq_index,
+    )
+    from noaa_oracle_spark.pipeline.text import save_bm25_index
+
+    base, _ = server
+    d = tmp_path_factory.mktemp("merge_http")
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash join"),
+            (2, "hash window rank"),
+            (3, "join join spark"),
+            (4, "plain prose"),
+            (5, "spark spark hash"),
+            (6, "window rank"),
+        ],
+        "doc_id long, text string",
+    )
+    sa, sb = str(d / "sa"), str(d / "sb")
+    save_bm25_index(docs.filter("doc_id <= 3"), sa)
+    save_bm25_index(docs.filter("doc_id > 3"), sb)
+    full = str(d / "full")
+    save_bm25_index(docs, full)
+
+    merged = str(d / "merged")
+    status, out = _post_json(
+        f"{base}/index/merge",
+        {"kind": "bm25", "paths": [sa, sb], "out_path": merged},
+    )
+    assert status == 200 and out["merged"] == 2
+
+    q = {"terms": ["spark", "hash"], "k": 6}
+    status, got = _post_json(
+        f"{base}/search/bm25", {"index_path": merged, **q}
+    )
+    status2, want = _post_json(
+        f"{base}/search/bm25", {"index_path": full, **q}
+    )
+    assert status == status2 == 200
+    assert got["results"] == want["results"]
+    assert got["n_docs"] == 6
+
+    # --- PQ flat shards ------------------------------------------------
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(60, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=4, k=8, iters=1)
+    pa, pb = str(d / "pa"), str(d / "pb")
+    save_pq_index(books, pq_encode(emb.filter("vec_id < 30"), books), pa)
+    save_pq_index(books, pq_encode(emb.filter("vec_id >= 30"), books), pb)
+    pm = str(d / "pm")
+    status, out = _post_json(
+        f"{base}/index/merge",
+        {"kind": "pq", "paths": [pa, pb], "out_path": pm},
+    )
+    assert status == 200
+    status, knn = _post_json(
+        f"{base}/search/knn",
+        {"index_path": pm, "vector": [float(x) for x in vecs[45]], "k": 2},
+    )
+    assert status == 200 and knn["n_encoded"] == 60
+    assert knn["neighbors"][0]["vec_id"] == 45
+
+    # --- refusals ------------------------------------------------------
+    for bad, frag in (
+        ({"kind": "x", "paths": [sa, sb], "out_path": str(d / "z")},
+         "kind"),
+        ({"kind": "bm25", "paths": [sa], "out_path": str(d / "z")},
+         "paths"),
+        ({"kind": "bm25", "paths": [sa, sa], "out_path": str(d / "z2")},
+         "overlap"),
+        ({"kind": "bm25", "paths": [sa, sb]}, "out_path"),
+    ):
+        code, msg = _post_error(f"{base}/index/merge", bad)
+        assert code == 400 and frag in msg, (bad, code, msg)

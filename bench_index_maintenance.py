@@ -345,6 +345,79 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- PQ streaming-sink tier (r12) --------------------------------
+    # The PRODUCTION ingest loop at scale: a bootstrapped versioned
+    # IVF-PQ root grows by one pq_index_sink batch per 50k shard, with
+    # auto-compaction and the codebook-drift metric on.  Per-batch cost
+    # = containment check + validated load + encode-append + drift row
+    # + fragmentation poll — the number an operator actually pays per
+    # microbatch (the bare-append tier above excludes the sink's
+    # replay/validation discipline).
+    if "pq_sink" in TIERS:
+        from noaa_oracle_spark.streaming.corpus import (
+            current_pq_index_path,
+            init_versioned_pq_index,
+            pq_index_sink,
+            read_drift_metrics,
+        )
+
+        emb = spark.read.parquet(src_emb)
+        ebase = emb.filter(F.col("vec_id") < cut)
+        n_cells = 1024
+        cells = emb.filter(F.col("vec_id") < n_cells)
+        sbooks = pq_train(ebase, m=8, k=256, iters=0)
+        sroot = p("pq_sink_root")
+        t = time.time()
+        init_versioned_pq_index(spark, sroot, sbooks, ebase, cells=cells)
+        t_init = time.time() - t
+        sink = pq_index_sink(sroot, auto_compact_ratio=3.0)
+        shard_n = max(1, (N_DOCS - cut) // N_APPENDS)
+        batch_series = []
+        for i in range(N_APPENDS):
+            lo = cut + i * shard_n
+            hi = N_DOCS if i == N_APPENDS - 1 else lo + shard_n
+            t1 = time.time()
+            sink(
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                i,
+            )
+            batch_series.append(round(time.time() - t1, 2))
+        ver = current_pq_index_path(spark, sroot)
+        drift = read_drift_metrics(spark, ver)
+        sidx = load_pq_index(spark, ver)
+        assert int(sidx["manifest"].n_encoded) == N_DOCS
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        t_q = warm_min2(
+            lambda: ivfpq_query(sidx, qvec, k=10, nprobe=32).collect()
+        )
+        mses = [round(float(r.mse), 4) for r in drift]
+        print(
+            json.dumps(
+                {
+                    "tier": "pq_sink",
+                    "n_vecs": N_DOCS,
+                    "n_batches": N_APPENDS,
+                    "init_s": round(t_init, 1),
+                    "batch_series_s": batch_series,
+                    "batch_avg_s": round(
+                        sum(batch_series) / len(batch_series), 2
+                    ),
+                    "drift_mse_series": mses,
+                    "drift_flat": bool(
+                        max(mses) / max(min(mses), 1e-12) < 1.5
+                    ),
+                    "compacted": not ver.endswith("v00000000"),
+                    "serve_s": round(t_q, 2),
+                }
+            ),
+            flush=True,
+        )
+
     # ---- hybrid-serve tier -----------------------------------------
     # One /search/hybrid request at scale: both legs warm min-of-2,
     # then the fused request.  Expectation: hybrid ≈ legs' sum (the

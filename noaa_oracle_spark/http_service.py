@@ -29,6 +29,7 @@ is the thin request/response shell the reference serves with axum
 |   single query or `queries` batch   |  batch = 2 Spark jobs for N queries) |
 | POST /index/bm25/compact          | (append-fragmentation rewrite — ext.)  |
 | POST /index/pq/compact            | (the vector twin — ext.)               |
+| POST /index/pq/retrain            | (drift-signal closing action — ext.)   |
 | POST /index/stats                 | (fragmentation poll signal — ext.)     |
 | POST /index/prune                 | (versioned-root retention — ext.)      |
 | POST /index/merge                 | (shard-index consolidation — ext.)     |
@@ -470,6 +471,8 @@ def make_handler(
                     self._compact_bm25()
                 elif path == "/index/pq/compact":
                     self._compact_pq()
+                elif path == "/index/pq/retrain":
+                    self._retrain_pq()
                 elif path == "/index/stats":
                     self._index_stats()
                 elif path == "/index/prune":
@@ -1423,6 +1426,63 @@ def make_handler(
             if body.get("serve"):
                 get_pq_index(body["out_path"], reload=True)
             self._send_json(json.dumps(stats).encode())
+
+        def _retrain_pq(self) -> None:
+            """POST /index/pq/retrain — the codebook-drift signal's
+            closing action (/index/stats reports a rising mse series →
+            this rebuilds the quantization): body {"root": <versioned
+            sink root>, "corpus_path": <parquet dir of the raw
+            source-of-truth embeddings>, "iters": 2, "allow_shrink":
+            false, "serve": false}.  Trains fresh codebooks (and cells
+            / OPQ rotation, mirroring the live version's config) on the
+            corpus, saves a NEW version, atomically repoints CURRENT —
+            `retrain_pq_index`.  The superseded version keeps serving
+            in-flight readers until /index/prune; with serve=true the
+            new version loads into the serving cache immediately.
+            Returns the new version path and its drift-reset marker."""
+            from noaa_oracle_spark.streaming.corpus import (
+                retrain_pq_index,
+            )
+
+            body = self._read_json_body()
+            for fld in ("root", "corpus_path"):
+                v = body.get(fld)
+                if not isinstance(v, str) or not v:
+                    raise BadRequest(f"{fld} (string) is required")
+            iters = body.get("iters", 2)
+            if not isinstance(iters, int) or isinstance(iters, bool) \
+                    or iters < 1:
+                raise BadRequest("iters must be a positive integer")
+            try:
+                corpus = spark.read.parquet(body["corpus_path"])
+            except Exception as exc:
+                raise BadRequest(
+                    f"cannot read corpus at {body['corpus_path']!r}: "
+                    f"{exc}"
+                ) from exc
+            kwargs = {}
+            for fld in ("id_col", "vec_col"):
+                if body.get(fld) is not None:
+                    kwargs[fld] = body[fld]
+            try:
+                new_path = retrain_pq_index(
+                    spark,
+                    body["root"],
+                    corpus,
+                    iters=iters,
+                    allow_shrink=bool(body.get("allow_shrink", False)),
+                    **kwargs,
+                )
+            except ValueError as exc:
+                raise BadRequest(str(exc)) from exc
+            if body.get("serve"):
+                get_pq_index(new_path, reload=True)
+            self._send_json(
+                json.dumps(
+                    {"root": body["root"], "version_path": new_path,
+                     "drift_series_reset": True}
+                ).encode()
+            )
 
         def _search_bm25(self) -> None:
             """POST /search/bm25 — lexical retrieval against a SAVED

@@ -691,6 +691,143 @@ def prune_index_versions(spark, root: str) -> "list[str]":
     return sorted(deleted)
 
 
+def retrain_pq_index(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    allow_shrink: bool = False,
+) -> str:
+    """Retrain a versioned PQ root's quantization artifacts offline —
+    the action the codebook-drift signal (pq_index_sink's per-batch mse
+    series, surfaced by POST /index/stats) tells the operator to take.
+    Closes the drift loop the sinks open: codebooks/cells/rotation are
+    frozen at init by design, so a drifting embedding distribution
+    quantizes ever worse until someone rebuilds — this is that rebuild,
+    delivered the same way a compaction is: train on the CURRENT
+    source-of-truth corpus, save as a NEW version under root/versions/,
+    atomically repoint CURRENT.  Serving (`current_pq_index_path`,
+    /search/knn with reload=true) and the running `pq_index_sink` pick
+    up the new version on their next resolve; the superseded version
+    stays on disk for in-flight readers until `prune_index_versions`.
+
+    `corpus` is the RAW (unrotated) source-of-truth embedding table —
+    PQ codes are lossy, so retraining needs the original vectors; the
+    index cannot reconstruct them.  The new version mirrors the live
+    one's configuration read from its manifest/components: same m and
+    n_codes, same cell count when celled (cells re-trained with
+    `lloyd_refine`), and a FRESH OPQ rotation when the live index has
+    one (drift invalidates the old geometry too).
+
+    Guards: raises on an uninitialized root; raises if `corpus` has
+    fewer rows than the live index encodes (an operator passing a
+    partial corpus would silently shrink serving — pass
+    allow_shrink=True for deliberate deletions); raises if `id_col`
+    differs from the live index's id column (the running sink appends
+    by that name).  The drift series does NOT carry into the new
+    version: it measured the OLD codebooks, and resetting it is the
+    point — the next sink batches start a fresh series at the retrained
+    error level.
+
+    Returns the new version path."""
+    from noaa_oracle_spark.pipeline.pq import (
+        _manifest_rotation,
+        load_pq_index,
+        opq_train_rotation,
+        pq_encode,
+        pq_train,
+        rotate_embeddings,
+        save_ivfpq_index,
+        save_pq_index,
+    )
+    from noaa_oracle_spark.pipeline.similarity import lloyd_refine
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
+    cur = read_current_bm25_version(spark, root)
+    if cur is None:
+        raise ValueError(
+            f"retrain_pq_index: no committed version at {root} — "
+            "bootstrap with init_versioned_pq_index"
+        )
+    ver_path = f"{root}/versions/{cur}"
+    idx = load_pq_index(spark, ver_path, validate_codes=False)
+    meta = idx["manifest"]
+    live_id = [
+        c for c in idx["codes"].columns if c not in ("codes", "cluster_id")
+    ][0]
+    if id_col != live_id:
+        raise ValueError(
+            f"retrain_pq_index: id_col {id_col!r} does not match the "
+            f"live index's id column {live_id!r} — the running sink "
+            "appends by that name; retrain with the same id_col"
+        )
+    n_corpus = corpus.count()
+    if n_corpus < int(meta.n_encoded) and not allow_shrink:
+        raise ValueError(
+            f"retrain_pq_index: corpus has {n_corpus} rows but the live "
+            f"index encodes {meta.n_encoded} — a partial corpus would "
+            "silently shrink serving; pass allow_shrink=True only for "
+            "deliberate deletions"
+        )
+
+    m, k = int(meta.m), int(meta.n_codes)
+    rotation = None
+    train_src = corpus.select(id_col, vec_col)
+    if _manifest_rotation(meta) is not None:
+        rotation = opq_train_rotation(train_src, m=m, vec_col=vec_col)
+        train_src = rotate_embeddings(
+            train_src, rotation, id_col=id_col, vec_col=vec_col
+        )
+    # the rotated/raw training frame feeds Lloyd rounds, PQ training,
+    # and the final encode — one cached copy instead of re-rotating the
+    # corpus per pass
+    train_src = train_src.persist()
+    try:
+        books = pq_train(
+            train_src, m=m, k=k, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        nxt = f"{cur}r"
+        fs, _ = _hadoop_fs(spark, root)
+        n = 2
+        while fs.exists(
+            _hadoop_fs(spark, f"{root}/versions/{nxt}")[1]
+        ):
+            nxt = f"{cur}r{n}"
+            n += 1
+        nxt_path = f"{root}/versions/{nxt}"
+        if idx["cells"] is not None:
+            cells = lloyd_refine(
+                train_src,
+                k=idx["cells"].count(),
+                iters=iters,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            save_ivfpq_index(
+                books, train_src, cells, nxt_path,
+                id_col=id_col, vec_col=vec_col, rotation=rotation,
+            )
+        else:
+            save_pq_index(
+                books,
+                pq_encode(
+                    train_src, books, id_col=id_col, vec_col=vec_col
+                ),
+                nxt_path,
+                rotation=rotation,
+            )
+    finally:
+        train_src.unpersist()
+    _write_baseline(
+        spark, nxt_path, _parquet_file_count(spark, f"{nxt_path}/codes")
+    )
+    _write_current(spark, root, nxt)  # the atomic repoint
+    return nxt_path
+
+
 def pq_index_sink(
     root: str,
     vec_col: str = "embedding",

@@ -1908,3 +1908,97 @@ def test_index_merge_endpoint(server, spark, tmp_path_factory):
     ):
         code, msg = _post_error(f"{base}/index/merge", bad)
         assert code == 400 and frag in msg, (bad, code, msg)
+
+
+def test_index_pq_retrain_endpoint(server, spark, tmp_path_factory):
+    """POST /index/pq/retrain (the drift signal's closing action): a
+    versioned root whose live codebooks were trained before a
+    distribution shift retrains on the full source-of-truth corpus —
+    new version committed, CURRENT repointed (one reload=true picks it
+    up), neighbors identical to the deterministic from-scratch build —
+    and the guards (partial corpus, bad paths) 400 with the engine's
+    message."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        append_pq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+    from noaa_oracle_spark.pipeline.similarity import lloyd_refine
+    from noaa_oracle_spark.streaming.corpus import (
+        init_versioned_pq_index,
+        read_current_bm25_version,
+        read_drift_metrics,
+    )
+
+    base, _ = server
+    d = tmp_path_factory.mktemp("pq_http_retrain")
+    root = str(d / "root")
+    rng = np.random.RandomState(83)
+    vecs = np.vstack([rng.randn(120, 16), rng.randn(40, 16) + 6.0])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(160)],
+        "vec_id long, embedding array<double>",
+    )
+    base_corp = emb.filter(F.col("vec_id") < 120)
+    books = pq_train(base_corp, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 4)
+    init_versioned_pq_index(spark, root, books, base_corp, cells=cells)
+    old_ver = read_current_bm25_version(spark, root)
+    append_pq_index(
+        spark, f"{root}/versions/{old_ver}",
+        emb.filter(F.col("vec_id") >= 120),
+    )
+
+    corpus_path = str(d / "corpus")
+    emb.write.parquet(corpus_path)
+    partial_path = str(d / "partial")
+    base_corp.write.parquet(partial_path)
+
+    status, out = _post_json(
+        f"{base}/index/pq/retrain",
+        {"root": root, "corpus_path": corpus_path, "serve": True},
+    )
+    assert status == 200
+    assert out["drift_series_reset"] is True
+    new_ver = read_current_bm25_version(spark, root)
+    assert new_ver != old_ver
+    assert out["version_path"].endswith(new_ver)
+    assert read_drift_metrics(spark, out["version_path"]) == []
+
+    # serving through the ROOT follows the repoint and equals the
+    # deterministic from-scratch build over the same corpus
+    expect_path = str(d / "expected")
+    books2 = pq_train(emb, m=4, k=8, iters=2)
+    cells2 = lloyd_refine(emb, k=4, iters=2)
+    save_ivfpq_index(books2, emb, cells2, expect_path)
+    qvec = [float(x) for x in vecs[150]]
+    status, got = _post_json(
+        f"{base}/search/knn",
+        {"index_path": root, "vector": qvec, "k": 3, "nprobe": 2,
+         "reload": True},
+    )
+    status2, want = _post_json(
+        f"{base}/search/knn",
+        {"index_path": expect_path, "vector": qvec, "k": 3, "nprobe": 2},
+    )
+    assert status == 200 and status2 == 200
+    assert got["neighbors"] == want["neighbors"]
+    assert got["n_encoded"] == 160
+
+    for bad in (
+        {"corpus_path": corpus_path},
+        {"root": root},
+        {"root": root, "corpus_path": str(d / "nowhere")},
+        {"root": root, "corpus_path": corpus_path, "iters": 0},
+        {"root": str(d / "uninit"), "corpus_path": corpus_path},
+    ):
+        code, msg = _post_error(f"{base}/index/pq/retrain", bad)
+        assert code == 400, (bad, code, msg)
+    code, msg = _post_error(
+        f"{base}/index/pq/retrain",
+        {"root": root, "corpus_path": partial_path},
+    )
+    assert code == 400 and "shrink" in msg

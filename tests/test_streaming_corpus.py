@@ -766,3 +766,186 @@ def test_pq_index_sink_drift_metric(spark, tmp_path):
     assert len(
         read_drift_metrics(spark, current_pq_index_path(spark, root_d))
     ) == 4
+
+
+def test_retrain_pq_index_closes_drift_loop(spark, tmp_path):
+    """The drift signal's closing action: after a planted distribution
+    shift pushes the sink's mse series up, `retrain_pq_index` on the
+    full source-of-truth corpus produces a new version IDENTICAL to a
+    from-scratch deterministic build over that corpus, atomically
+    repoints CURRENT, resets the drift series, and the running sink's
+    next same-distribution batch records a far lower error — while the
+    replay discipline and serving carry straight over."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import (
+        ivfpq_query,
+        load_pq_index,
+        pq_train,
+        save_ivfpq_index,
+    )
+    from noaa_oracle_spark.pipeline.similarity import lloyd_refine
+    from noaa_oracle_spark.streaming.corpus import (
+        current_pq_index_path,
+        init_versioned_pq_index,
+        pq_index_sink,
+        read_current_bm25_version,
+        read_drift_metrics,
+        retrain_pq_index,
+    )
+
+    rng = np.random.RandomState(97)
+    dim = 16
+    base_vecs = rng.randn(160, dim)
+    shifted = rng.randn(60, dim) + 6.0  # the drifted regime
+
+    def frame(vals, start):
+        return spark.createDataFrame(
+            [
+                (start + i, [float(x) for x in vals[i]])
+                for i in range(len(vals))
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    base = frame(base_vecs, 0)
+    books = pq_train(base, m=4, k=8, iters=1)
+    cells = base.filter(F.col("vec_id") < 4)
+    root = str(tmp_path / "root")
+    init_versioned_pq_index(spark, root, books, base, cells=cells)
+
+    sink = pq_index_sink(root)
+    sink(frame(shifted[0:20], 160), 0)
+    sink(frame(shifted[20:40], 180), 1)
+    pre = read_drift_metrics(spark, current_pq_index_path(spark, root))
+    assert len(pre) == 2 and pre[-1].mse > 5.0, [r.mse for r in pre]
+
+    # guards: partial corpus refuses; wrong id_col refuses
+    with _pytest.raises(ValueError, match="shrink"):
+        retrain_pq_index(spark, root, base)
+    full = frame(np.vstack([base_vecs, shifted[0:40]]), 0)
+    with _pytest.raises(ValueError, match="id_col"):
+        retrain_pq_index(
+            spark, root, full.withColumnRenamed("vec_id", "doc_id"),
+            id_col="doc_id",
+        )
+    with _pytest.raises(ValueError, match="bootstrap"):
+        retrain_pq_index(spark, str(tmp_path / "nowhere"), full)
+
+    old_ver = read_current_bm25_version(spark, root)
+    new_path = retrain_pq_index(spark, root, full, iters=2)
+    assert read_current_bm25_version(spark, root) != old_ver
+    assert current_pq_index_path(spark, root) == new_path
+    assert read_drift_metrics(spark, new_path) == []  # fresh series
+
+    # the retrained version == a from-scratch deterministic build over
+    # the same corpus with the mirrored config (m/k from the manifest,
+    # same cell count, same iters)
+    expect_path = str(tmp_path / "expected")
+    books2 = pq_train(full, m=4, k=8, iters=2)
+    cells2 = lloyd_refine(full, k=4, iters=2)
+    save_ivfpq_index(books2, full, cells2, expect_path)
+    got_idx = load_pq_index(spark, new_path)
+    want_idx = load_pq_index(spark, expect_path)
+    assert int(got_idx["manifest"].n_encoded) == 200
+    for vid in (0, 100, 199):
+        qvec = [float(x) for x in full.filter(
+            F.col("vec_id") == vid
+        ).collect()[0].embedding]
+        got = sorted(
+            tuple(r)
+            for r in ivfpq_query(got_idx, qvec, k=3, nprobe=2).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ivfpq_query(want_idx, qvec, k=3, nprobe=2).collect()
+        )
+        assert got == want, vid
+
+    # replayed pre-retrain batch: all ids already present → no-op
+    sink(frame(shifted[20:40], 180), 1)
+    assert int(
+        load_pq_index(
+            spark, current_pq_index_path(spark, root)
+        )["manifest"].n_encoded
+    ) == 200
+
+    # the loop actually closes: a NEW shifted-regime batch now encodes
+    # under codebooks that have seen that regime — error collapses
+    sink(frame(shifted[40:60], 200), 2)
+    post = read_drift_metrics(spark, current_pq_index_path(spark, root))
+    assert len(post) == 1
+    assert post[0].mse < 0.5 * pre[-1].mse, (post[0].mse, pre[-1].mse)
+
+    # retrain again (corpus now includes batch 2): version name derives
+    # from the same CURRENT lineage and must not collide
+    full2 = frame(np.vstack([base_vecs, shifted]), 0)
+    newer = retrain_pq_index(spark, root, full2)
+    assert newer != new_path
+    assert current_pq_index_path(spark, root) == newer
+
+
+def test_retrain_pq_index_flat_opq_refreshes_rotation(spark, tmp_path):
+    """Flat-OPQ twin: a root whose live index carries an OPQ rotation
+    retrains with a FRESH rotation (drift invalidates the old geometry
+    too), and the new version's codes/rotation are bit-identical to the
+    deterministic from-scratch pipeline over the same corpus."""
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import (
+        _manifest_rotation,
+        load_pq_index,
+        opq_train_rotation,
+        pq_encode,
+        pq_train,
+        rotate_embeddings,
+    )
+    from noaa_oracle_spark.streaming.corpus import (
+        init_versioned_pq_index,
+        retrain_pq_index,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    base_vecs = rng.randn(120, dim) * np.array([3.0, 1.0] * 4)
+    grown_vecs = np.vstack(
+        [base_vecs, rng.randn(40, dim) * np.array([1.0, 3.0] * 4)]
+    )
+
+    def frame(vals):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vals[i]]) for i in range(len(vals))],
+            "vec_id long, embedding array<double>",
+        )
+
+    base = frame(base_vecs)
+    rot0 = opq_train_rotation(base, m=4)
+    base_rot = rotate_embeddings(base, rot0)
+    books0 = pq_train(base_rot, m=4, k=8, iters=1)
+    root = str(tmp_path / "flatroot")
+    init_versioned_pq_index(spark, root, books0, base_rot, rotation=rot0)
+
+    full = frame(grown_vecs)
+    new_path = retrain_pq_index(spark, root, full, iters=1)
+    got = load_pq_index(spark, new_path)
+    new_rot = _manifest_rotation(got["manifest"])
+    assert new_rot is not None
+    assert not np.allclose(
+        np.asarray(new_rot), np.asarray(rot0)
+    ), "rotation must be retrained, not carried"
+
+    # bit-identical to the from-scratch deterministic pipeline
+    rot1 = opq_train_rotation(full, m=4)
+    full_rot = rotate_embeddings(full, rot1)
+    books1 = pq_train(full_rot, m=4, k=8, iters=1)
+    want_codes = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(full_rot, books1).collect()
+    )
+    got_codes = sorted(
+        (r.vec_id, tuple(r.codes)) for r in got["codes"].collect()
+    )
+    assert got_codes == want_codes
+    assert np.allclose(np.asarray(new_rot), rot1)

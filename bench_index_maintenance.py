@@ -23,6 +23,10 @@ Tiers (BENCH_TIERS, comma list, default
   hybrid_batch  — 32 hybrid queries as ONE batch (bm25_query_batch +
                   ivfpq_query_batch + rrf_fuse_batch) vs 32 sequential
                   single hybrids (r10 verdict ask #4)
+  pq_sink       — the production versioned-root ingest loop (r12):
+                  per-microbatch cost with auto-compaction + drift on
+  pq_retrain    — offline retrain of a sink-grown versioned root (r12):
+                  the drift signal's closing action vs its init cost
 
 Knobs: PIPELINE_BENCH_DOCS (default 1000000; the bench_pipeline fixture
 is generated on demand), BENCH_APPEND_FRACTION (default 0.1 — the shard
@@ -412,6 +416,73 @@ def main() -> None:
                         max(mses) / max(min(mses), 1e-12) < 1.5
                     ),
                     "compacted": not ver.endswith("v00000000"),
+                    "serve_s": round(t_q, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- PQ offline-retrain tier (r12) -------------------------------
+    # The drift signal's closing action at scale: a versioned root whose
+    # codebooks were frozen at init retrains on the full source-of-truth
+    # corpus (`retrain_pq_index` — fresh books + cells, new version,
+    # atomic repoint).  The claim under test: retrain ≈ init cost (train
+    # + encode + celled save, all distributed) and everything around it
+    # (repoint, serving continuity) is O(pointer).
+    if "pq_retrain" in TIERS:
+        from noaa_oracle_spark.streaming.corpus import (
+            current_pq_index_path,
+            init_versioned_pq_index,
+            pq_index_sink,
+            read_current_bm25_version,
+            retrain_pq_index,
+        )
+
+        emb = spark.read.parquet(src_emb)
+        ebase = emb.filter(F.col("vec_id") < cut)
+        cells = emb.filter(F.col("vec_id") < 1024)
+        rbooks = pq_train(ebase, m=8, k=256, iters=0)
+        rroot = p("pq_retrain_root")
+        t = time.time()
+        init_versioned_pq_index(spark, rroot, rbooks, ebase, cells=cells)
+        t_init = time.time() - t
+        # grow the root through the production sink (4 × ~25k batches)
+        sink = pq_index_sink(rroot)
+        shard_n = max(1, (N_DOCS - cut) // 4)
+        for i in range(4):
+            lo = cut + i * shard_n
+            hi = N_DOCS if i == 3 else lo + shard_n
+            sink(
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                i,
+            )
+        old_ver = read_current_bm25_version(spark, rroot)
+        t = time.time()
+        new_path = retrain_pq_index(spark, rroot, emb, iters=0)
+        t_retrain = time.time() - t
+        assert read_current_bm25_version(spark, rroot) != old_ver
+        ridx = load_pq_index(spark, new_path)
+        assert int(ridx["manifest"].n_encoded) == N_DOCS
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        t_q = warm_min2(
+            lambda: ivfpq_query(ridx, qvec, k=10, nprobe=32).collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "tier": "pq_retrain",
+                    "n_vecs": N_DOCS,
+                    "init_s": round(t_init, 1),
+                    "retrain_s": round(t_retrain, 1),
+                    "retrain_over_init": round(t_retrain / t_init, 2),
+                    "version": current_pq_index_path(
+                        spark, rroot
+                    ).rsplit("/", 1)[-1],
                     "serve_s": round(t_q, 2),
                 }
             ),

@@ -824,6 +824,26 @@ def retrain_pq_index(
     _write_baseline(
         spark, nxt_path, _parquet_file_count(spark, f"{nxt_path}/codes")
     )
+    # advance detection: a sink batch that landed DURING this (minutes-
+    # long at scale) retrain appended vectors the corpus snapshot never
+    # saw — repointing would silently drop them from serving.  Re-read
+    # the pointer and the live manifest's count; any movement raises
+    # loudly (pause the sink for the retrain window, or re-run against
+    # a fresh corpus snapshot).  Best-effort, not transactional: the
+    # window between this check and the repoint is one pointer write,
+    # not a training run.
+    cur2 = read_current_bm25_version(spark, root)
+    n_now = spark.read.parquet(
+        f"{root}/versions/{cur2}/manifest"
+    ).collect()[0].n_encoded
+    if cur2 != cur or int(n_now) != int(meta.n_encoded):
+        raise ValueError(
+            f"retrain_pq_index: the live index advanced during the "
+            f"retrain ({cur}@{meta.n_encoded} rows -> {cur2}@{n_now}) — "
+            f"the trained version at {nxt_path} does not include the "
+            "new vectors; pause the sink during retrain or re-run with "
+            "a fresh corpus snapshot"
+        )
     _write_current(spark, root, nxt)  # the atomic repoint
     return nxt_path
 

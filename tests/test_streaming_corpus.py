@@ -949,3 +949,60 @@ def test_retrain_pq_index_flat_opq_refreshes_rotation(spark, tmp_path):
     )
     assert got_codes == want_codes
     assert np.allclose(np.asarray(new_rot), rot1)
+
+
+def test_retrain_pq_index_detects_concurrent_advance(
+    spark, tmp_path, monkeypatch
+):
+    """A sink batch landing DURING a retrain appends vectors the corpus
+    snapshot never saw — the repoint must refuse loudly (the trained
+    version would silently drop them from serving) and leave CURRENT on
+    the live lineage."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import noaa_oracle_spark.pipeline.pq as pqmod
+    from noaa_oracle_spark.streaming.corpus import (
+        current_pq_index_path,
+        init_versioned_pq_index,
+        pq_index_sink,
+        read_current_bm25_version,
+        retrain_pq_index,
+    )
+
+    rng = np.random.RandomState(29)
+    vecs = rng.randn(140, 8)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(140)],
+        "vec_id long, embedding array<double>",
+    )
+    base = emb.filter(F.col("vec_id") < 120)
+    books = pqmod.pq_train(base, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 4)
+    root = str(tmp_path / "race")
+    init_versioned_pq_index(spark, root, books, base, cells=cells)
+
+    sink = pq_index_sink(root)
+    real_train = pqmod.pq_train
+    fired = {}
+
+    def train_with_concurrent_append(*args, **kwargs):
+        if "fired" not in fired:  # only the retrain-time call races
+            fired["fired"] = True
+            sink(emb.filter(F.col("vec_id") >= 120), 0)
+        return real_train(*args, **kwargs)
+
+    monkeypatch.setattr(pqmod, "pq_train", train_with_concurrent_append)
+    before = read_current_bm25_version(spark, root)
+    with _pytest.raises(ValueError, match="advanced during"):
+        retrain_pq_index(spark, root, base, iters=1)
+    assert fired.get("fired")
+    # CURRENT still points at the live (advanced) lineage, not the
+    # abandoned retrain output
+    assert read_current_bm25_version(spark, root) == before
+    assert int(
+        pqmod.load_pq_index(
+            spark, current_pq_index_path(spark, root)
+        )["manifest"].n_encoded
+    ) == 140

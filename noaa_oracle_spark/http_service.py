@@ -734,7 +734,6 @@ def make_handler(
             import base64
 
             from noaa_oracle_spark.pipeline.warc import (
-                WarcError,
                 fetch_warc_records,
             )
 
@@ -783,29 +782,16 @@ def make_handler(
                             "error": f"no such shard: {parsed[pos][0]}"
                         }
                     continue
-                try:
-                    recs = fetch_warc_records(
-                        full, [(o, ln, ix) for _, o, ln, ix in items]
-                    )
-                except WarcError:
-                    # fall back per-extent so one bad extent doesn't
-                    # mask the shard's good ones
-                    recs = None
-                if recs is None:
-                    from noaa_oracle_spark.pipeline.warc import (
-                        fetch_warc_record,
-                    )
-
-                    for pos, o, ln, ix in items:
-                        try:
-                            results[pos] = fetch_warc_record(
-                                full, o, ln, idx=ix
-                            )
-                        except WarcError as exc:
-                            results[pos] = {"error": str(exc)}
-                else:
-                    for (pos, *_), rec in zip(items, recs):
-                        results[pos] = rec
+                # per-extent errors come back in place from the single
+                # one-open-per-shard pass — a bad extent among
+                # thousands never de-batches the shard into N opens
+                recs = fetch_warc_records(
+                    full,
+                    [(o, ln, ix) for _, o, ln, ix in items],
+                    error_in_place=True,
+                )
+                for (pos, *_), rec in zip(items, recs):
+                    results[pos] = rec
             out = []
             for (shard, _full, offset, length, idx), rec in zip(
                 parsed, results

@@ -1796,6 +1796,16 @@ def merge_pq_indexes(
     if check_disjoint:
         n_total = sum(int(m.n_encoded) for m in metas)
         n_distinct = codes.select(id_col).distinct().count()
+        if n_distinct > n_total:
+            # more on-disk ids than the manifests account for: not an
+            # overlap but orphan rows from an append that died before
+            # its manifest write — name the real condition
+            raise ValueError(
+                f"merge_pq_indexes: {n_distinct} distinct ids on disk "
+                f"vs {n_total} in the shard manifests — a shard is torn "
+                "(append died pre-manifest); recover it (compact or "
+                "re-save) before merging"
+            )
         if n_distinct != n_total:
             raise ValueError(
                 "merge_pq_indexes: document sets overlap "

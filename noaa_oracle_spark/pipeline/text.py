@@ -1967,6 +1967,16 @@ def merge_bm25_indexes(
     if check_disjoint:
         n_total = sum(int(i["manifest"].n_docs) for i in idxs)
         n_distinct = doclens.select(id_col).distinct().count()
+        if n_distinct > n_total:
+            # more on-disk ids than the manifests account for: not an
+            # overlap but orphan rows from an append that died before
+            # its manifest write — name the real condition
+            raise ValueError(
+                f"merge_bm25_indexes: {n_distinct} distinct ids on disk "
+                f"vs {n_total} in the shard manifests — a shard is torn "
+                "(append died pre-manifest); recover it (compact or "
+                "re-save) before merging"
+            )
         if n_distinct != n_total:
             raise ValueError(
                 "merge_bm25_indexes: document sets overlap "
@@ -2013,14 +2023,22 @@ def _parquet_file_count(spark, path: str) -> int:
     costs two py4j round-trips PER FILE, which the r12 1M rung measured
     at 128 s for a 21k-file fragmented index — it was the dominant term
     of the whole compaction job (SCALE.md §14).  globStatus returns the
-    match count in O(1) py4j calls regardless of file count."""
+    match count in O(1) py4j calls regardless of file count.
+
+    The PATH prefix is glob-escaped: a directory legally named with
+    Hadoop glob metacharacters (`/data/run[1]/idx`) must count its own
+    files, not match a character class — only the appended `*.parquet`
+    patterns are meant as globs."""
     sc = spark.sparkContext
     jvm = sc._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         sc._jsc.hadoopConfiguration()
     )
+    escaped = "".join(
+        f"\\{ch}" if ch in "*?[]{}\\" else ch for ch in path
+    )
     n = 0
-    for pattern in (f"{path}/*.parquet", f"{path}/*/*.parquet"):
+    for pattern in (f"{escaped}/*.parquet", f"{escaped}/*/*.parquet"):
         arr = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
         if arr is not None:
             n += len(arr)

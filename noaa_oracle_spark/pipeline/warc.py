@@ -238,7 +238,9 @@ def fetch_warc_record(
 
 
 def fetch_warc_records(
-    shard_path: str, extents: "list[tuple[int, int, int]]"
+    shard_path: str,
+    extents: "list[tuple[int, int, int]]",
+    error_in_place: bool = False,
 ) -> "list[dict]":
     """Fetch MANY records from one shard in a single pass — the batch
     twin of `fetch_warc_record` (r11 verdict ask #5): the shard opens
@@ -247,24 +249,43 @@ def fetch_warc_records(
     the fewest ranged GETs), duplicate (offset, length) extents parse
     once, and results return in the INPUT order.  Each extent is
     (offset, length, idx) with `fetch_warc_record`'s exact semantics —
-    batch == N singles, asserted in tests.  Raises WarcError on the
-    first extent that does not parse to enough records."""
-    parsed: "dict[tuple[int, int], list]" = {}
+    batch == N singles, asserted in tests.
+
+    By default a bad extent raises WarcError (the single-fetch
+    contract).  `error_in_place=True` returns `{"error": ...}` for the
+    failing extents instead — one bad extent among thousands must not
+    abort (or, worse, de-batch) the pass: the batch endpoint's whole
+    point is one open per shard, so failures are isolated per extent,
+    never retried one open at a time."""
+    parsed: "dict[tuple[int, int], object]" = {}
     with open(shard_path, "rb") as f:
         for offset, length, _idx in sorted(set(
             (o, ln, 0) for o, ln, _ in extents
         )):
             f.seek(offset)
-            parsed[(offset, length)] = parse_warc(f.read(length))
+            blob = f.read(length)
+            try:
+                parsed[(offset, length)] = parse_warc(blob)
+            except WarcError as exc:
+                if not error_in_place:
+                    raise
+                parsed[(offset, length)] = exc
     out = []
     for offset, length, idx in extents:
         recs = parsed[(offset, length)]
+        if isinstance(recs, WarcError):
+            out.append({"error": str(recs)})
+            continue
         if idx < 0 or len(recs) <= idx:
-            raise WarcError(
+            err = WarcError(
                 f"no record {idx} at {shard_path!r} "
                 f"offset={offset} length={length} "
                 f"({len(recs)} records parse)"
             )
+            if error_in_place:
+                out.append({"error": str(err)})
+                continue
+            raise err
         out.append(recs[idx])
     return out
 

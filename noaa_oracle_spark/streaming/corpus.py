@@ -314,11 +314,18 @@ def _write_current(spark, root: str, version: str) -> None:
 
     On HDFS/local FS, `fs.create(path, overwrite=True)` TRUNCATES the
     existing pointer before the new bytes land, so a reader racing the
-    repoint could see an empty/partial pointer: write `CURRENT.tmp`
-    and FileContext-rename it over CURRENT with OVERWRITE — an atomic
-    metadata swap on both.  On object stores rename is a non-atomic
-    copy+delete but a whole-file PUT IS atomic, so the direct write is
-    kept there."""
+    repoint could see an empty/partial pointer: write a temp file and
+    FileContext-rename it over CURRENT with OVERWRITE — an atomic
+    metadata swap on both.  The temp name is unique PER WRITER (pid +
+    token): two concurrent repoints (a sink auto-compaction racing an
+    HTTP retrain/compact on the same root) must not truncate each
+    other's staged pointer mid-publish — last rename still wins, but
+    each rename publishes a complete pointer.  On object stores rename
+    is a non-atomic copy+delete but a whole-file PUT IS atomic, so the
+    direct write is kept there."""
+    import os as _os
+    import uuid as _uuid
+
     fs, jpath = _hadoop_fs(spark, f"{root}/CURRENT")
     data = bytearray(version.encode("utf-8"))
     try:
@@ -334,7 +341,9 @@ def _write_current(spark, root: str, version: str) -> None:
         return
     sc = spark.sparkContext
     jvm = sc._jvm
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/CURRENT.tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{root}/.CURRENT.tmp.{_os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    )
     out = fs.create(tmp, True)
     try:
         out.write(data)
@@ -346,7 +355,12 @@ def _write_current(spark, root: str, version: str) -> None:
     )
     opts = sc._gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
     opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fctx.rename(fs.makeQualified(tmp), qualified, opts)
+    try:
+        fctx.rename(fs.makeQualified(tmp), qualified, opts)
+    finally:
+        # a failed rename must not leave its staged pointer behind
+        if fs.exists(tmp):
+            fs.delete(tmp, False)
 
 
 def current_bm25_index_path(spark, root: str) -> str:
@@ -729,7 +743,9 @@ def retrain_pq_index(
     by that name).  The drift series does NOT carry into the new
     version: it measured the OLD codebooks, and resetting it is the
     point — the next sink batches start a fresh series at the retrained
-    error level.
+    error level.  (A batch the stream replays against the retrained
+    version recovers its row measured under the NEW codebooks — a
+    valid fresh-series baseline, not a carry of the old one.)
 
     Returns the new version path."""
     from noaa_oracle_spark.pipeline.pq import (
@@ -916,7 +932,46 @@ def pq_index_sink(
             .count()
         )
         if n_seen == n_new:
-            return  # completed batch replayed after a post-commit crash
+            # completed batch replayed after a post-commit crash.  The
+            # drift row lands AFTER the append commits, so a crash in
+            # between loses exactly that row — and this replay is the
+            # one chance to recover it (the series feeds the retrain
+            # decision; a silent hole at the version's FIRST batch
+            # would skew the mse_first baseline /index/stats reports).
+            # One map-side re-encode of this batch, rare-path only: an
+            # ordinary replay whose row exists still skips outright.
+            from noaa_oracle_spark.pipeline.pq import (
+                pq_encode,
+                rotate_embeddings,
+            )
+
+            have = {r.batch_id for r in read_drift_metrics(spark, ver_path)}
+            if int(batch_id) not in have:
+                src = new
+                if idx["rotation"] is not None:
+                    src = rotate_embeddings(
+                        src, idx["rotation"],
+                        id_col=id_col, vec_col=vec_col,
+                    )
+                row = (
+                    pq_encode(
+                        src, idx["codebooks"],
+                        id_col=id_col, vec_col=vec_col, with_error=True,
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.avg("qerr").alias("mse"),
+                    )
+                    .collect()[0]
+                )
+                if row["mse"] is not None:
+                    spark.createDataFrame(
+                        [(int(batch_id), int(row["n"]), float(row["mse"]))],
+                        _DRIFT_SCHEMA,
+                    ).write.mode("append").parquet(
+                        f"{ver_path}/drift_metrics"
+                    )
+            return
         if n_seen:
             raise ValueError(
                 f"pq_index_sink: batch {batch_id} partially present "

@@ -215,3 +215,64 @@ def test_merge_rejects_torn_shard_before_manifest(spark, emb, docs, tmp_path):
     with pytest.raises(ValueError, match="torn"):
         merge_bm25_indexes(spark, [ba, bb], bout, check_disjoint=False)
     assert not os.path.exists(f"{bout}/manifest")
+
+
+def test_merge_default_path_names_torn_shard_not_overlap(
+    spark, emb, docs, tmp_path
+):
+    """r12 review: with the DEFAULT check_disjoint, orphan rows from an
+    append that died pre-manifest used to misreport as a negative
+    'overlap' (on-disk distinct ids > summed manifests) — the merge
+    must name the real condition (torn shard) for both families."""
+    import os
+
+    from noaa_oracle_spark.pipeline.pq import merge_pq_indexes
+    from noaa_oracle_spark.pipeline.text import (
+        merge_bm25_indexes,
+        save_bm25_index,
+    )
+
+    # --- PQ: orphan CODES rows with fresh ids ------------------------
+    books = pq_train(emb.filter(F.col("vec_id") < 120), m=4, k=8, iters=1)
+    pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+    save_pq_index(
+        books, pq_encode(emb.filter(F.col("vec_id") < 80), books), pa
+    )
+    save_pq_index(
+        books,
+        pq_encode(
+            emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 160)),
+            books,
+        ),
+        pb,
+    )
+    pq_encode(emb.filter(F.col("vec_id") >= 160), books).write.mode(
+        "append"
+    ).parquet(f"{pb}/codes")  # the tear: fresh ids beyond the manifests
+    out = str(tmp_path / "pm")
+    with pytest.raises(ValueError, match="torn"):
+        merge_pq_indexes(spark, [pa, pb], out)  # default check_disjoint
+    assert not os.path.exists(f"{out}/manifest")
+
+    # --- BM25: orphan DOCLENS rows with fresh ids --------------------
+    ba, bb = str(tmp_path / "ba"), str(tmp_path / "bb")
+    save_bm25_index(docs.filter(F.col("doc_id") < 40), ba)
+    save_bm25_index(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)), bb
+    )
+    dl = spark.read.parquet(f"{bb}/doclens")
+    dl.withColumn("doc_id", F.col("doc_id") + 1000).write.mode(
+        "append"
+    ).parquet(f"{bb}/doclens")  # the tear
+    bout = str(tmp_path / "bm")
+    with pytest.raises(ValueError, match="torn"):
+        merge_bm25_indexes(spark, [ba, bb], bout)
+    assert not os.path.exists(f"{bout}/manifest")
+
+    # a GENUINE overlap still reports as overlap on the default path
+    pc = str(tmp_path / "pc")
+    save_pq_index(
+        books, pq_encode(emb.filter(F.col("vec_id") < 60), books), pc
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        merge_pq_indexes(spark, [pa, pc], str(tmp_path / "po"))

@@ -160,3 +160,21 @@ def test_noop_on_single_file(spark, tmp_path):
     )
     assert plan_compaction(d, DAY, "observations") is None
     assert compact_date_dir(spark, d, DAY, "observations") is None
+
+
+def test_parquet_file_count_escapes_glob_metacharacters(spark, tmp_path):
+    """r12 review: the globStatus rewrite treated the PATH as a glob,
+    so an index rooted at a legally-bracketed directory counted 0
+    files — which would make a sink's compaction baseline 0 and fire a
+    full compaction every microbatch.  The prefix is now glob-escaped;
+    only the *.parquet suffixes glob."""
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
+    d = str(tmp_path / "run[1]" / "idx")
+    df = spark.range(10).coalesce(2)
+    df.write.parquet(d)
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    want = _parquet_file_count(spark, plain)
+    assert want > 0
+    assert _parquet_file_count(spark, d) == want

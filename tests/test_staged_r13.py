@@ -1,5 +1,6 @@
-"""Round-13 staged gate debuts (none staged yet; budget allows at most
-1 this round), oracle-checked ahead of their window rotation — the same pre-promotion discipline q129–q138 followed:
+"""Round-13 staged gate debuts (q141_codebook_drift — the one debut the
+~150 gate budget allows this round), oracle-checked ahead of their
+window rotation — the same pre-promotion discipline q129–q138 followed:
 the queries are NOT in __spark_entry__.queries() yet (a new name outside
 the r12 window would trip the staleness invariant), but they already
 hash-match their DuckDB oracles at sf0.001 AND sf0.01 here, so the r13

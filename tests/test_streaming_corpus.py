@@ -873,11 +873,16 @@ def test_retrain_pq_index_closes_drift_loop(spark, tmp_path):
     ) == 200
 
     # the loop actually closes: a NEW shifted-regime batch now encodes
-    # under codebooks that have seen that regime — error collapses
+    # under codebooks that have seen that regime — error collapses.
+    # The replayed batch above RECOVERED its drift row into the fresh
+    # series (measured under the NEW codebooks — a valid baseline for
+    # the reset series), so the series is [replayed, new].
     sink(frame(shifted[40:60], 200), 2)
     post = read_drift_metrics(spark, current_pq_index_path(spark, root))
-    assert len(post) == 1
-    assert post[0].mse < 0.5 * pre[-1].mse, (post[0].mse, pre[-1].mse)
+    assert [r.batch_id for r in post] == [1, 2]
+    assert all(
+        r.mse < 0.5 * pre[-1].mse for r in post
+    ), ([r.mse for r in post], pre[-1].mse)
 
     # retrain again (corpus now includes batch 2): version name derives
     # from the same CURRENT lineage and must not collide
@@ -1006,3 +1011,61 @@ def test_retrain_pq_index_detects_concurrent_advance(
             spark, current_pq_index_path(spark, root)
         )["manifest"].n_encoded
     ) == 140
+
+
+def test_pq_sink_replay_recovers_lost_drift_row(spark, tmp_path):
+    """r12 review: the drift row lands AFTER the append commits, so a
+    crash in between lost it forever (the replay short-circuited) —
+    skewing the mse_first baseline the retrain decision reads.  The
+    replay path now recovers the missing row by re-encoding just that
+    batch, producing EXACTLY the row the uncrashed sink records; a
+    replay whose row exists still writes nothing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from noaa_oracle_spark.pipeline.pq import append_pq_index, pq_train
+    from noaa_oracle_spark.streaming.corpus import (
+        current_pq_index_path,
+        init_versioned_pq_index,
+        pq_index_sink,
+        read_drift_metrics,
+    )
+
+    rng = np.random.RandomState(61)
+    vecs = rng.randn(180, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(180)],
+        "vec_id long, embedding array<double>",
+    )
+    base = emb.filter(F.col("vec_id") < 140)
+    books = pq_train(base, m=4, k=8, iters=1)
+    cells = emb.filter(F.col("vec_id") < 4)
+    batch = emb.filter(F.col("vec_id") >= 140)
+
+    # root A: the uncrashed sink — the reference drift row
+    root_a = str(tmp_path / "normal")
+    init_versioned_pq_index(spark, root_a, books, base, cells=cells)
+    sink_a = pq_index_sink(root_a)
+    sink_a(batch, 7)
+    want = read_drift_metrics(spark, current_pq_index_path(spark, root_a))
+    assert len(want) == 1
+
+    # root B: append committed (codes + manifest), crash before the
+    # drift write — then the stream replays batch 7
+    root_b = str(tmp_path / "crashed")
+    init_versioned_pq_index(spark, root_b, books, base, cells=cells)
+    ver_b = current_pq_index_path(spark, root_b)
+    append_pq_index(spark, ver_b, batch)
+    assert read_drift_metrics(spark, ver_b) == []  # the hole
+    sink_b = pq_index_sink(root_b)
+    sink_b(batch, 7)
+    got = read_drift_metrics(spark, ver_b)
+    assert [(r.batch_id, r.n) for r in got] == [
+        (r.batch_id, r.n) for r in want
+    ]
+    # same mean up to float summation order (the recovery aggregates
+    # the raw encode; the live path aggregates the cell-keyed frame)
+    assert got[0].mse == pytest.approx(want[0].mse, rel=1e-9)
+    # replaying again must not duplicate the recovered row
+    sink_b(batch, 7)
+    assert len(read_drift_metrics(spark, ver_b)) == 1

@@ -589,3 +589,51 @@ def test_write_warc_shards_roundtrip_and_determinism(spark, tmp_path):
     assert empty.count() == 0
     with open(os.path.join(d3, "manifest.json")) as fh:
         assert json.load(fh) == []
+
+
+def test_fetch_warc_records_error_in_place_keeps_single_pass(tmp_path):
+    """r12 review: one bad extent among many must not abort (default
+    raise) or de-batch the shard — error_in_place=True returns the
+    failure in place while every good extent still comes from the one
+    sequential pass, element-wise equal to singles."""
+    from noaa_oracle_spark.pipeline.warc import (
+        WarcError,
+        fetch_warc_record,
+        fetch_warc_records,
+    )
+
+    shard = str(tmp_path / "s.warc.gz")
+    blob = build_warc(_records(3))
+    with open(shard, "wb") as f:
+        f.write(blob)
+    # recover the 3 member extents from the gzip member boundaries
+    import zlib
+
+    offsets, lens, pos = [], [], 0
+    data = blob
+    while pos < len(data):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        d.decompress(data[pos:])
+        consumed = len(data[pos:]) - len(d.unused_data)
+        offsets.append(pos)
+        lens.append(consumed)
+        pos += consumed
+    assert len(offsets) == 3
+
+    good = [(offsets[i], lens[i], 0) for i in range(3)]
+    bad_parse = (10**9, 64, 0)        # reads empty past EOF
+    bad_idx = (offsets[1], lens[1], 9)  # member has 1 record
+    extents = [good[0], bad_parse, good[1], bad_idx, good[2], good[0]]
+
+    # default contract still raises
+    with pytest.raises(WarcError):
+        fetch_warc_records(shard, extents)
+
+    out = fetch_warc_records(shard, extents, error_in_place=True)
+    assert len(out) == len(extents)
+    for pos_i, (o, ln, ix) in ((0, good[0]), (2, good[1]), (4, good[2]),
+                               (5, good[0])):
+        want = fetch_warc_record(shard, o, ln, idx=ix)
+        assert out[pos_i] == want, pos_i
+    assert "error" in out[1] and "error" in out[3]
+    assert "no record 9" in out[3]["error"]

@@ -980,7 +980,7 @@ def make_handler(
             )
             rows = pq_knn(
                 queries, idx["codes"], idx["codebooks"], k=k,
-                id_col=id_col,
+                id_col=id_col, books=idx.get("books"),
             ).collect()
             by_sentinel = {s: i for i, s in enumerate(sentinels)}
             Out = namedtuple("Out", ["q_idx", "rank", "n_id", "adc_dist"])
@@ -1042,7 +1042,8 @@ def make_handler(
                 f"{id_col} long, embedding array<double>",
             )
             return pq_knn(
-                queries, idx["codes"], idx["codebooks"], k=k, id_col=id_col
+                queries, idx["codes"], idx["codebooks"], k=k,
+                id_col=id_col, books=idx.get("books"),
             )
 
         def _search_hybrid(self) -> None:
@@ -1719,9 +1720,11 @@ def make_handler(
             if cur:
                 out["version"] = cur
             try:
-                manifest = spark.read.parquet(
-                    f"{resolved}/manifest"
-                ).collect()
+                from noaa_oracle_spark.pipeline.metaio import (
+                    read_meta_rows,
+                )
+
+                manifest = read_meta_rows(spark, f"{resolved}/manifest")
                 if len(manifest) != 1:
                     raise ValueError("bad manifest")
                 meta = manifest[0]

@@ -1,0 +1,203 @@
+"""Zero-Spark-job I/O for tiny metadata parquet files (index manifests,
+compaction baselines, drift-metric rows).
+
+Why this exists (r12 optimization round, guide §1/§5): every index
+save/append/compact/load was paying a full Spark job — scheduler, task
+launch, commit protocol — to move ONE ROW of metadata through
+``spark.createDataFrame(...).write.parquet`` or
+``spark.read.parquet(...).collect()``.  At sf0.1 each such job costs
+0.15–0.5 s of pure scheduling; at 100 TB the cost is the same (these
+files are kilobytes regardless of corpus size) but it serializes the
+ingest loop: a streaming sink's microbatch pays ~6 metadata jobs before
+any data moves.  The control plane should not ride the data plane.
+
+The replacement moves the bytes through the Hadoop ``FileSystem`` API —
+the SAME abstraction Spark's writers use, so it works identically on
+local disk, HDFS and object stores — with pyarrow doing the parquet
+encode/decode in-process.  One py4j round trip per file
+(``IOUtils.toByteArray`` / ``FSDataOutputStream.write``), zero Spark
+jobs, zero driver loops over data (metadata only; callers keep
+corpus-sized components on the Spark write path).
+
+On-disk compatibility is a hard contract here:
+
+- files are plain parquet inside the same directory layout Spark's
+  writer produced, so ``spark.read.parquet(path)`` keeps working for
+  every existing reader (tests, external engines, older builds);
+- the READ path accepts directories written by either Spark or this
+  module (any ``*.parquet`` data files; ``_SUCCESS`` markers ignored);
+- the crash contract is unchanged: a torn write leaves an unreadable or
+  absent file, never a silently wrong one — writes go to a dot-prefixed
+  temp name (ignored by parquet directory listings) and are renamed
+  into place.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import uuid
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_meta_rows",
+    "write_meta_rows",
+    "append_meta_rows",
+    "meta_dir_exists",
+]
+
+
+def _fs_and_path(spark, path: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
+
+
+def _arrow_type(dt: "T.DataType"):
+    import pyarrow as pa
+
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    raise TypeError(f"metaio: unsupported metadata field type {dt}")
+
+
+def _arrow_schema(schema: "T.StructType"):
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+    )
+
+
+def _parse_schema(schema: "str | T.StructType") -> "T.StructType":
+    if isinstance(schema, T.StructType):
+        return schema
+    parsed = T._parse_datatype_string(schema)
+    if not isinstance(parsed, T.StructType):
+        raise TypeError(f"metaio: schema must be a struct, got {parsed}")
+    return parsed
+
+
+def _encode_parquet(schema: "T.StructType", rows: "list[tuple]") -> bytes:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    aschema = _arrow_schema(schema)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+    table = pa.Table.from_arrays(
+        [
+            pa.array(list(col), type=aschema.field(i).type)
+            for i, col in enumerate(cols)
+        ],
+        schema=aschema,
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    return buf.getvalue()
+
+
+def _write_file(spark, fs, dir_jpath, dir_path: str, data: bytes) -> None:
+    """One data file into `dir_path`, temp-name + rename so a reader
+    listing `*.parquet` never sees a torn file."""
+    jvm = spark.sparkContext._jvm
+    name = f"part-{uuid.uuid4().hex}-meta.parquet"
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/.{name}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    dest = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{name}")
+    if not fs.rename(tmp, dest):
+        fs.delete(tmp, False)
+        raise IOError(f"metaio: rename failed writing {dir_path}")
+
+
+def write_meta_rows(
+    spark, path: str, schema: "str | T.StructType", rows: "list[tuple]"
+) -> None:
+    """Overwrite `path` (a parquet directory) with `rows` — the
+    metadata twin of ``df.write.mode("overwrite").parquet(path)``,
+    without a Spark job.  KB-scale rows only (manifests, baselines)."""
+    st = _parse_schema(schema)
+    data = _encode_parquet(st, rows)
+    fs, jpath = _fs_and_path(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    fs.mkdirs(jpath)
+    _write_file(spark, fs, jpath, path, data)
+
+
+def append_meta_rows(
+    spark, path: str, schema: "str | T.StructType", rows: "list[tuple]"
+) -> None:
+    """Add `rows` as a NEW data file under `path` (existing files
+    untouched) — the metadata twin of ``mode("append")``."""
+    st = _parse_schema(schema)
+    data = _encode_parquet(st, rows)
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        fs.mkdirs(jpath)
+    _write_file(spark, fs, jpath, path, data)
+
+
+def meta_dir_exists(spark, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _glob_escape(path: str) -> str:
+    return "".join(f"\\{ch}" if ch in "*?[]{}\\" else ch for ch in path)
+
+
+def read_meta_rows(spark, path: str) -> "list[Row]":
+    """Every row in the parquet directory `path` — accepts directories
+    written by Spark OR by `write_meta_rows`/`append_meta_rows`.
+    Returns pyspark Rows (attribute access like `.collect()` rows);
+    raises FileNotFoundError when the directory does not exist.  File
+    order is name-sorted for determinism; callers that need a total
+    order sort by their own key."""
+    import pyarrow.parquet as pq
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"metaio: no metadata directory at {path}")
+    pattern = jvm.org.apache.hadoop.fs.Path(
+        f"{_glob_escape(path)}/*.parquet"
+    )
+    statuses = fs.globStatus(pattern)
+    files = sorted(
+        (s.getPath() for s in (statuses or []) if s.isFile()),
+        key=lambda p: p.getName(),
+    )
+    rows: "list[Row]" = []
+    ioutils = jvm.org.apache.commons.io.IOUtils
+    row_cls: "type | None" = None
+    for fpath in files:
+        stream = fs.open(fpath)
+        try:
+            data = bytes(ioutils.toByteArray(stream))
+        finally:
+            stream.close()
+        table = pq.read_table(io.BytesIO(data))
+        if row_cls is None:
+            row_cls = Row(*table.schema.names)
+        for rec in table.to_pylist():
+            rows.append(row_cls(*rec.values()))
+    return rows

@@ -259,14 +259,16 @@ def pq_train(
     return spark.createDataFrame(rows, CODEBOOK_SCHEMA)
 
 
-def _books_dict(codebooks: DataFrame) -> "dict":
+def _books_from_rows(rows) -> "dict":
+    """Codebook dict from collected (sub, code, centroid) rows — shared
+    by `_books_dict` (DataFrame input) and the metaio load path; rows
+    index positionally so Rows and plain tuples both work."""
     import numpy as np
 
-    rows = codebooks.collect()  # m·k rows — kilobytes by construction
     by_sub: dict[int, list] = {}
     for r in rows:
-        by_sub.setdefault(int(r["sub"]), []).append(
-            (int(r["code"]), [float(x) for x in r["centroid"]])
+        by_sub.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
         )
     return {
         s: np.asarray(
@@ -274,6 +276,11 @@ def _books_dict(codebooks: DataFrame) -> "dict":
         )
         for s, items in by_sub.items()
     }
+
+
+def _books_dict(codebooks: DataFrame) -> "dict":
+    # m·k rows — kilobytes by construction
+    return _books_from_rows(codebooks.collect())
 
 
 def _probe_map(probes: DataFrame, q_index: "dict") -> "dict":
@@ -333,6 +340,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_error: bool = False,
+    books: "dict | None" = None,
 ) -> DataFrame:
     """Compress: (id, codes array<int>) — the persisted representation.
     `with_error=True` adds a `qerr` double column (per-row
@@ -358,7 +366,12 @@ def pq_encode(
 
     from noaa_oracle_spark.pipeline.dedup import spread
 
-    books = _books_dict(codebooks)
+    # `books` (r12 optimization round): callers that already hold the
+    # collected codebook dict (load_pq_index attaches it) pass it in so
+    # the per-call collect of the codebooks frame disappears; must be
+    # _books_dict(codebooks) for the same frame — same values either way
+    if books is None:
+        books = _books_dict(codebooks)
     sub_len = books[0].shape[1]
     fields = [
         T.StructField(id_col, T.LongType()),
@@ -931,13 +944,16 @@ def pq_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: "dict | None" = None,
 ) -> DataFrame:
     """ADC top-k: (q_id, rank, n_id, adc_dist) over the ENCODED corpus —
-    the corpus vectors themselves are never touched."""
+    the corpus vectors themselves are never touched.  `books` is the
+    load_pq_index pass-through economy (see pq_encode)."""
     import numpy as np
     import pandas as pd
 
-    books = _books_dict(codebooks)
+    if books is None:
+        books = _books_dict(codebooks)
     m = len(books)
     sub_len = books[0].shape[1]
     n_codes = books[0].shape[0]
@@ -1312,6 +1328,8 @@ def _write_pq_manifest(
     unrotated indexes — persisted so an OPQ-trained index round-trips
     to the serving tier (r10 verdict: without it, queries against a
     saved index skip the rotate and return wrong neighbors)."""
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
+
     flat = None
     if rotation is not None:
         import numpy as np
@@ -1323,7 +1341,12 @@ def _write_pq_manifest(
                 f"({dim}, {dim})"
             )
         flat = [float(x) for x in r_mat.reshape(-1)]
-    manifest = spark.createDataFrame(
+    # metaio write (r12 optimization round): one Hadoop-FS file write,
+    # zero Spark jobs — same parquet bytes, same layout on disk
+    write_meta_rows(
+        spark,
+        f"{path}/manifest",
+        _PQ_MANIFEST_SCHEMA,
         [
             (
                 1,
@@ -1337,9 +1360,7 @@ def _write_pq_manifest(
                 flat,
             )
         ],
-        _PQ_MANIFEST_SCHEMA,
     )
-    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def _manifest_rotation(meta) -> "object | None":
@@ -1425,11 +1446,20 @@ def save_pq_index(
     Layout: path/codebooks (sub, code, centroid), path/codes
     (vec_id, codes), path/cells (vec_id, embedding; IVF only),
     path/manifest."""
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
+
     spark = codebooks.sparkSession
-    books = _books_dict(codebooks)
+    # collect once: the rows feed the books dict, the fingerprint, AND
+    # the codebooks write (metaio — KB-scale, corpus-size-independent;
+    # the Spark write job it replaces was pure scheduling overhead)
+    cb_rows = [
+        (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
+        for r in codebooks.collect()
+    ]
+    books = _books_from_rows(cb_rows)
     m = len(books)
     n_codes, sub_len = books[0].shape
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    write_meta_rows(spark, f"{path}/codebooks", CODEBOOK_SCHEMA, cb_rows)
     encoded.write.mode("overwrite").parquet(f"{path}/codes")
     if cells is not None:
         cells.write.mode("overwrite").parquet(f"{path}/cells")
@@ -1463,8 +1493,19 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
     paths that already end with their own count check (append's
     arithmetic manifest, compaction's rewrite-equality check) use it;
     serve paths keep the default full validation.  With
-    `validate_codes=False` the returned "min_vec_id" is None."""
-    manifest = spark.read.parquet(f"{path}/manifest").collect()
+    `validate_codes=False` the returned "min_vec_id" is None.
+
+    Manifest AND codebooks load through `metaio` (r12 optimization
+    round): both are KB-scale, corpus-size-independent metadata, read
+    with one Hadoop-FS call each instead of a Spark job each.  The
+    collected codebooks come back as the "books" numpy dict (encode /
+    ADC paths reuse it instead of re-collecting) plus a local-relation
+    "codebooks" DataFrame for API compatibility; a missing directory
+    raises FileNotFoundError (the missing-vs-inconsistent split the
+    HTTP tier maps to 400-classes)."""
+    from noaa_oracle_spark.pipeline.metaio import read_meta_rows
+
+    manifest = read_meta_rows(spark, f"{path}/manifest")
     if len(manifest) != 1:
         raise ValueError(f"load_pq_index: bad manifest at {path}")
     meta = manifest[0]
@@ -1473,8 +1514,12 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
             f"load_pq_index: unsupported format_version "
             f"{meta.format_version}"
         )
-    codebooks = spark.read.parquet(f"{path}/codebooks")
-    books = _books_dict(codebooks)
+    cb_rows = [
+        (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
+        for r in read_meta_rows(spark, f"{path}/codebooks")
+    ]
+    codebooks = spark.createDataFrame(cb_rows, CODEBOOK_SCHEMA)
+    books = _books_from_rows(cb_rows)
     m = len(books)
     n_codes, sub_len = books[0].shape
     if (m, int(n_codes), m * sub_len) != (meta.m, meta.n_codes, meta.dim):
@@ -1527,6 +1572,11 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
         # guaranteed outside the corpus id domain (the serve endpoint's
         # self-pair-filter correctness); None for an empty index
         "min_vec_id": None if stats["lo"] is None else int(stats["lo"]),
+        # the already-collected codebook dict — encode/ADC callers pass
+        # it through (pq_encode/pq_knn books=) instead of re-collecting
+        # the codebooks frame per call (r12 optimization round)
+        "books": books,
+        "_codebook_rows": cb_rows,
     }
 
 
@@ -1641,6 +1691,7 @@ def append_pq_index(
     enc = pq_encode(
         new_vectors, idx["codebooks"], id_col=id_col, vec_col=vec_col,
         with_error=metrics_out is not None,
+        books=idx.get("books"),
     )
     if celled:
         # cell-partitioned layout (save_ivfpq_index): route the new
@@ -1813,8 +1864,13 @@ def merge_pq_indexes(
                 "disjoint"
             )
     meta = metas[0]
-    idxs[0]["codebooks"].write.mode("overwrite").parquet(
-        f"{out_path}/codebooks"
+    # the shared codebooks carry over verbatim through metaio (the
+    # load already collected them; r12 optimization round)
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
+
+    write_meta_rows(
+        spark, f"{out_path}/codebooks", CODEBOOK_SCHEMA,
+        idxs[0]["_codebook_rows"],
     )
     codes.write.mode("overwrite").parquet(f"{out_path}/codes")
     n_encoded = spark.read.parquet(f"{out_path}/codes").count()
@@ -1870,10 +1926,17 @@ def save_ivfpq_index(
     in the manifest so `ivfpq_query`/`_batch` rotate query vectors to
     match.  (`append_pq_index` takes RAW vectors and applies the stored
     R itself — the index owns its geometry.)"""
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
     from noaa_oracle_spark.pipeline.similarity import kmeans_assign
 
     spark = codebooks.sparkSession
-    books = _books_dict(codebooks)
+    # one collect feeds books + fingerprint + the metaio codebooks
+    # write (the save_pq_index economy, r12 optimization round)
+    cb_rows = [
+        (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
+        for r in codebooks.collect()
+    ]
+    books = _books_from_rows(cb_rows)
     m = len(books)
     n_codes, sub_len = books[0].shape
     assigned = kmeans_assign(
@@ -1883,9 +1946,11 @@ def save_ivfpq_index(
         vec_col=vec_col,
         backend="numpy",
     ).select(id_col, "cluster_id")
-    encoded = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, books=books
+    )
     celled = encoded.join(assigned, id_col)
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    write_meta_rows(spark, f"{path}/codebooks", CODEBOOK_SCHEMA, cb_rows)
     # ONE cell-keyed repartition before the partitioned write: each cell
     # lands entirely in one task, so every cluster_id= directory holds
     # exactly one file set — without it each of the N input partitions
@@ -2058,7 +2123,8 @@ def ivfpq_query(
         f"{id_col} long, embedding array<double>",
     )
     return pq_knn(
-        qdf, pruned, index["codebooks"], k=k, id_col=id_col
+        qdf, pruned, index["codebooks"], k=k, id_col=id_col,
+        books=index.get("books"),
     ).select("rank", "n_id", "adc_dist")
 
 
@@ -2131,7 +2197,8 @@ def ivfpq_query_batch(
     ]
     union_cells = sorted({c for p in probes for c in p})
 
-    books = _books_dict(index["codebooks"])
+    # the loaded index already carries the collected codebook dict
+    books = index.get("books") or _books_dict(index["codebooks"])
     m = len(books)
     sub_len = books[0].shape[1]
     n_codes = books[0].shape[0]
@@ -2299,11 +2366,29 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
             f"{meta.n_encoded} in the source manifest — aborting before "
             f"the manifest write (out_path is not serveable)"
         )
-    idx["codebooks"].write.mode("overwrite").parquet(
-        f"{out_path}/codebooks"
+    # codebooks carry over verbatim through metaio (KB-scale, already
+    # collected by the load); cells copy byte-for-byte at the FS level —
+    # the quantizer is untouched by compaction, so neither needs a
+    # Spark job (r12 optimization round)
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
+
+    write_meta_rows(
+        spark, f"{out_path}/codebooks", CODEBOOK_SCHEMA,
+        idx["_codebook_rows"],
     )
     if idx["cells"] is not None:
-        idx["cells"].write.mode("overwrite").parquet(f"{out_path}/cells")
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{out_path}/cells")
+        sfs = src.getFileSystem(conf)
+        dfs = dst.getFileSystem(conf)
+        if dfs.exists(dst):
+            dfs.delete(dst, True)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sfs, src, dfs, dst, False, True, conf
+        )
     _write_pq_manifest(
         spark,
         out_path,

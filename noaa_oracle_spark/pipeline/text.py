@@ -1606,12 +1606,21 @@ def _bm25_write_manifest(
 ) -> None:
     """The 1-row manifest write shared by the recompute tail
     (`_bm25_finalize_manifest`) and the O(new shard) arithmetic update
-    in `append_bm25_index`."""
-    manifest = spark.createDataFrame(
-        [(1, int(n_docs), float(avgdl), int(n_postings), id_col)],
+    in `append_bm25_index`.
+
+    Written through `metaio` (r12 optimization round): one Hadoop-FS
+    file write instead of a full Spark job per manifest — same parquet
+    bytes on disk, same directory layout, zero scheduler round trips.
+    The manifest is control-plane metadata; it must not ride the data
+    plane."""
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
+
+    write_meta_rows(
+        spark,
+        f"{path}/manifest",
         _BM25_MANIFEST_SCHEMA,
+        [(1, int(n_docs), float(avgdl), int(n_postings), id_col)],
     )
-    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def save_bm25_index(
@@ -1640,21 +1649,43 @@ def save_bm25_index(
     against mismatched components.
 
     Layout: path/postings (term, <id_col>, tf), path/doclens
-    (<id_col>, dl), path/manifest."""
+    (<id_col>, dl), path/manifest.
+
+    One tokenize pass, persisted (r12 optimization round): the postings
+    write materializes the tf into the cache, the doclens derive from
+    the cached rows (no re-read of the just-written postings), and the
+    manifest stats come from ONE bounded aggregate over the same cached
+    tf — value-identical to recomputing from the on-disk components
+    (the rows written ARE these rows; dl sums are exact integers well
+    under 2^53, so avgdl is bit-equal either way).  The crash contract
+    is unchanged: the manifest is still written last, so a save that
+    dies mid-way leaves an unloadable directory, never a wrong one."""
     spark = docs.sparkSession
-    tf = _bm25_tf(docs, text_col, id_col)
-    (
-        tf.repartition(F.col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
-    # doclens from the WRITTEN postings (dl = Σ tf): the corpus is
-    # tokenized once; the second pass aggregates small (id, tf) rows
-    _dlen_of(
-        spark.read.parquet(f"{path}/postings"), id_col
-    ).write.mode("overwrite").parquet(f"{path}/doclens")
-    _bm25_finalize_manifest(spark, path, id_col)
+    tf = _bm25_tf(docs, text_col, id_col).persist()
+    try:
+        (
+            tf.repartition(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        _dlen_of(tf, id_col).write.mode("overwrite").parquet(
+            f"{path}/doclens"
+        )
+        stats = tf.agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("tf").alias("tokens"),
+            F.countDistinct(id_col).alias("n_docs"),
+        ).collect()[0]
+        n_docs = int(stats["n_docs"])
+        tokens = int(stats["tokens"] or 0)
+        _bm25_write_manifest(
+            spark, path, id_col, n_docs,
+            0.0 if n_docs == 0 else tokens / n_docs,
+            int(stats["n_postings"]),
+        )
+    finally:
+        tf.unpersist()
 
 
 def append_bm25_index(
@@ -1667,6 +1698,7 @@ def append_bm25_index(
     verify: bool = False,
     precomputed_tf: "DataFrame | None" = None,
     preloaded_index: "dict | None" = None,
+    precomputed_stats=None,
 ) -> int:
     """Grow a persisted BM25 index incrementally: tokenize only the NEW
     documents (the shared `_bm25_tf` pass, so grown == fresh by
@@ -1719,6 +1751,11 @@ def append_bm25_index(
     batch and re-reading the manifest every microbatch.  precomputed_tf
     MUST be `_bm25_tf(new_docs, text_col, id_col)` for the same frame —
     the grown==rebuilt equality rests on it (the sink tests pin it).
+    `precomputed_stats` (r12 optimization round) extends the same
+    economy to the manifest arithmetic: a Row/dict with n_postings,
+    tokens, n_docs AS AGGREGATED FROM THAT SAME tf — the sink computes
+    it once for its containment check and the append skips its own
+    bounded aggregate (one fewer job per microbatch).
 
     Returns the number of documents appended."""
     # manifest + id_col sanity always validate; the accumulated-postings
@@ -1777,11 +1814,15 @@ def append_bm25_index(
             # docs); the old token total recovers exactly from the
             # stored average (integer sum, round-trips through the
             # double while < 2^52)
-            new_stats = tf.agg(
-                F.count(F.lit(1)).alias("n_postings"),
-                F.sum("tf").alias("tokens"),
-                F.countDistinct(id_col).alias("n_docs"),
-            ).collect()[0]
+            new_stats = (
+                precomputed_stats
+                if precomputed_stats is not None
+                else tf.agg(
+                    F.count(F.lit(1)).alias("n_postings"),
+                    F.sum("tf").alias("tokens"),
+                    F.countDistinct(id_col).alias("n_docs"),
+                ).collect()[0]
+            )
             old_tokens = int(round(meta.n_docs * meta.avgdl))
             n_docs = int(meta.n_docs) + int(new_stats["n_docs"])
             tokens = old_tokens + int(new_stats["tokens"] or 0)
@@ -1820,8 +1861,16 @@ def load_bm25_index(
     `validate_postings=False` skips that count — the one load step
     whose cost grows with accumulated append count (footer reads +
     listing over every appended file set).  Maintenance paths that end
-    with their own count check use it; serve paths keep the default."""
-    manifest = spark.read.parquet(f"{path}/manifest").collect()
+    with their own count check use it; serve paths keep the default.
+
+    The manifest itself loads through `metaio` (r12 optimization
+    round): one Hadoop-FS read + in-process parquet decode instead of a
+    Spark job per load — a missing manifest raises FileNotFoundError
+    (the "missing directory" class callers like the HTTP tier map to
+    BadRequest), a malformed one still raises ValueError."""
+    from noaa_oracle_spark.pipeline.metaio import read_meta_rows
+
+    manifest = read_meta_rows(spark, f"{path}/manifest")
     if len(manifest) != 1:
         raise ValueError(f"load_bm25_index: bad manifest at {path}")
     meta = manifest[0]
@@ -2092,15 +2141,18 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
             f"{idx['manifest'].n_postings} in the source manifest — "
             f"torn source at {path} (out_path is not serveable)"
         )
-    stats = (
-        spark.read.parquet(f"{out_path}/doclens")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
-    )
-    n_docs = int(stats["n_docs"])
+    # corpus stats are INVARIANT under compaction (the row set is
+    # unchanged by contract, and the postings recount above just proved
+    # it against the source manifest), so they carry over arithmetically
+    # instead of re-aggregating the rewritten doclens — one fewer job
+    # per compaction, same manifest values (r12 optimization round).
+    # Any tear that could skew the carried stats implies a postings
+    # count mismatch (postings are written first on every append path)
+    # and fails the check above before this line runs.
+    n_docs = int(idx["manifest"].n_docs)
     _bm25_write_manifest(
         spark, out_path, id_col, n_docs,
-        0.0 if stats["avgdl"] is None else float(stats["avgdl"]),
+        float(idx["manifest"].avgdl),
         int(n_postings),
     )
     return {

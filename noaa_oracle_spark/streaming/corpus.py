@@ -290,13 +290,11 @@ def read_current_bm25_version(spark, root: str) -> "str | None":
         return None
     stream = fs.open(jpath)
     try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return bytes(data).decode("utf-8").strip() or None
+        # one py4j round trip for the whole file (the old byte-at-a-time
+        # loop paid one round trip PER BYTE — r12 optimization round)
+        ioutils = spark.sparkContext._jvm.org.apache.commons.io.IOUtils
+        data = bytes(ioutils.toByteArray(stream))
+        return data.decode("utf-8").strip() or None
     finally:
         stream.close()
 
@@ -389,27 +387,38 @@ _DRIFT_SCHEMA = "batch_id long, n long, mse double"
 def read_drift_metrics(spark, ver_path: str) -> "list":
     """The per-microbatch drift series recorded by `pq_index_sink`
     (sorted by batch_id), or [] when none exists — e.g. a version that
-    has only its bootstrap corpus, or a BM25 root."""
-    fs, jpath = _hadoop_fs(spark, f"{ver_path}/drift_metrics")
-    if not fs.exists(jpath):
+    has only its bootstrap corpus, or a BM25 root.
+
+    Reads through `metaio` (r12 optimization round): the series is a
+    handful of 3-column rows — a Hadoop-FS read + in-process decode,
+    not a Spark job per poll (the /index/stats endpoint polls this)."""
+    from noaa_oracle_spark.pipeline.metaio import read_meta_rows
+
+    try:
+        rows = read_meta_rows(spark, f"{ver_path}/drift_metrics")
+    except FileNotFoundError:
         return []
-    return sorted(
-        spark.read.parquet(f"{ver_path}/drift_metrics").collect(),
-        key=lambda r: r.batch_id,
-    )
+    return sorted(rows, key=lambda r: r.batch_id)
 
 
 def _write_baseline(spark, ver_path: str, n_files: int) -> None:
-    spark.createDataFrame(
-        [(int(n_files),)], _BASELINE_SCHEMA
-    ).write.mode("overwrite").parquet(f"{ver_path}/compaction_baseline")
+    from noaa_oracle_spark.pipeline.metaio import write_meta_rows
+
+    write_meta_rows(
+        spark,
+        f"{ver_path}/compaction_baseline",
+        _BASELINE_SCHEMA,
+        [(int(n_files),)],
+    )
 
 
 def _read_baseline(spark, ver_path: str) -> "int | None":
-    fs, jpath = _hadoop_fs(spark, f"{ver_path}/compaction_baseline")
-    if not fs.exists(jpath):
+    from noaa_oracle_spark.pipeline.metaio import read_meta_rows
+
+    try:
+        rows = read_meta_rows(spark, f"{ver_path}/compaction_baseline")
+    except FileNotFoundError:
         return None
-    rows = spark.read.parquet(f"{ver_path}/compaction_baseline").collect()
     return int(rows[0][0]) if len(rows) == 1 else None
 
 
@@ -545,18 +554,29 @@ def bm25_index_sink(
         # old bare-except fallback silently overwrote the accumulated
         # index with one microbatch.
         idx = load_bm25_index(spark, idx_path)
-        # tokenize the batch ONCE: the containment check's dlen and the
+        # tokenize the batch ONCE: the containment check and the
         # append's tf share this persisted pass (r12: the sink used to
-        # tokenize every microbatch twice and load the index twice)
+        # tokenize every microbatch twice and load the index twice).
+        # The bounded aggregate is FUSED (r12 optimization round): one
+        # job yields the indexable-doc count for containment AND the
+        # postings/token totals the append's manifest arithmetic needs
+        # (passed through as precomputed_stats — the values are from
+        # the exact tf the append writes, so grown==rebuilt holds).
         tf_new = _bm25_tf(new, text_col, id_col).persist()
         try:
-            dlen = _dlen_of(tf_new, id_col)
-            n_indexable = dlen.count()
+            stats = tf_new.agg(
+                F.count(F.lit(1)).alias("n_postings"),
+                F.sum("tf").alias("tokens"),
+                F.countDistinct(id_col).alias("n_docs"),
+            ).collect()[0]
+            n_indexable = int(stats["n_docs"])
             if n_indexable == 0:
                 return
             n_seen = (
                 idx["doclens"]
-                .join(dlen.select(id_col), id_col, "left_semi")
+                .join(
+                    tf_new.select(id_col).distinct(), id_col, "left_semi"
+                )
                 .count()
             )
             if n_seen == n_indexable:
@@ -573,6 +593,7 @@ def bm25_index_sink(
                 spark, idx_path, new,
                 text_col=text_col, id_col=id_col, check_disjoint=False,
                 precomputed_tf=tf_new, preloaded_index=idx,
+                precomputed_stats=stats,
             )
         finally:
             tf_new.unpersist()
@@ -849,9 +870,11 @@ def retrain_pq_index(
     # window between this check and the repoint is one pointer write,
     # not a training run.
     cur2 = read_current_bm25_version(spark, root)
-    n_now = spark.read.parquet(
-        f"{root}/versions/{cur2}/manifest"
-    ).collect()[0].n_encoded
+    from noaa_oracle_spark.pipeline.metaio import read_meta_rows
+
+    n_now = read_meta_rows(
+        spark, f"{root}/versions/{cur2}/manifest"
+    )[0].n_encoded
     if cur2 != cur or int(n_now) != int(meta.n_encoded):
         raise ValueError(
             f"retrain_pq_index: the live index advanced during the "
@@ -912,7 +935,11 @@ def pq_index_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         new = batch_df.select(id_col, vec_col)
-        if new.limit(1).count() == 0:
+        # ONE count serves both the emptiness gate and the containment
+        # denominator (r12 optimization round: the old shape paid a
+        # separate limit(1) probe job before the count)
+        n_new = new.count()
+        if n_new == 0:
             return
         cur = read_current_bm25_version(spark, root)
         if cur is None:
@@ -925,7 +952,6 @@ def pq_index_sink(
         # load failures (torn append, FS errors) propagate: stop the
         # stream and demand recovery, never a silent overwrite
         idx = load_pq_index(spark, ver_path)
-        n_new = new.count()
         n_seen = (
             idx["codes"]
             .join(new.select(id_col), id_col, "left_semi")
@@ -965,11 +991,15 @@ def pq_index_sink(
                     .collect()[0]
                 )
                 if row["mse"] is not None:
-                    spark.createDataFrame(
-                        [(int(batch_id), int(row["n"]), float(row["mse"]))],
+                    from noaa_oracle_spark.pipeline.metaio import (
+                        append_meta_rows,
+                    )
+
+                    append_meta_rows(
+                        spark,
+                        f"{ver_path}/drift_metrics",
                         _DRIFT_SCHEMA,
-                    ).write.mode("append").parquet(
-                        f"{ver_path}/drift_metrics"
+                        [(int(batch_id), int(row["n"]), float(row["mse"]))],
                     )
             return
         if n_seen:
@@ -990,10 +1020,14 @@ def pq_index_sink(
         # operator to retrain offline (surfaced by /index/stats) — a
         # stationary stream holds it flat, a distribution shift moves it
         if metrics.get("mse") is not None:
-            spark.createDataFrame(
-                [(int(batch_id), int(metrics["n"]), float(metrics["mse"]))],
+            from noaa_oracle_spark.pipeline.metaio import append_meta_rows
+
+            append_meta_rows(
+                spark,
+                f"{ver_path}/drift_metrics",
                 _DRIFT_SCHEMA,
-            ).write.mode("append").parquet(f"{ver_path}/drift_metrics")
+                [(int(batch_id), int(metrics["n"]), float(metrics["mse"]))],
+            )
         if auto_compact_ratio is None:
             return
         files_now = _parquet_file_count(spark, f"{ver_path}/codes")
@@ -1011,11 +1045,15 @@ def pq_index_sink(
             # file-layout event
             drift = read_drift_metrics(spark, ver_path)
             if drift:
-                spark.createDataFrame(
-                    [(r.batch_id, r.n, r.mse) for r in drift],
+                from noaa_oracle_spark.pipeline.metaio import (
+                    write_meta_rows,
+                )
+
+                write_meta_rows(
+                    spark,
+                    f"{nxt_path}/drift_metrics",
                     _DRIFT_SCHEMA,
-                ).write.mode("overwrite").parquet(
-                    f"{nxt_path}/drift_metrics"
+                    [(r.batch_id, r.n, r.mse) for r in drift],
                 )
             _write_baseline(
                 spark,

@@ -203,18 +203,23 @@ def pq_train(
     implemented one)."""
     import numpy as np
 
-    dim = _dim_of(corpus, vec_col)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub_len = dim // m
     spark = corpus.sparkSession
 
-    # deterministic seeds: the k lowest-id vectors' subvectors
+    # deterministic seeds: the k lowest-id vectors' subvectors.  The
+    # dim comes off the collected seed rows (r12 optimization round) —
+    # the separate `_dim_of` probe was one extra Spark job per train
+    # whose answer these rows already carry.
     seed_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not seed_rows:
+        raise ValueError("empty vector table")
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} vectors to seed PQ")
+    dim = len(seed_rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
     seed = np.stack(
         [
             np.asarray([float(x) for x in r[1]], dtype=np.float64)
@@ -703,17 +708,21 @@ def ivfpq_knn_residual(
             )
 
     spark = corpus.sparkSession
-    dim = _dim_of(corpus, vec_col)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub_len = dim // m
-
     cent_rows = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in cell_centroids.select(id_col, vec_col).collect()
     )
     if not cent_rows:
         raise ValueError("ivfpq_knn_residual: empty centroid set")
+    # dim off the collected centroids (r12 optimization round — the
+    # `_dim_of` probe was one extra Spark job whose answer these rows
+    # already carry; centroids ARE corpus vectors by construction, and
+    # a corpus/centroid dim mismatch still fails loudly in the
+    # kmeans_assign kernel's numpy arithmetic)
+    dim = len(cent_rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_len = dim // m
     c_ids = [cid for cid, _ in cent_rows]
     c_mat = np.asarray([v for _, v in cent_rows], dtype=np.float64)
     c_index = {cid: i for i, cid in enumerate(c_ids)}
@@ -1460,10 +1469,25 @@ def save_pq_index(
     m = len(books)
     n_codes, sub_len = books[0].shape
     write_meta_rows(spark, f"{path}/codebooks", CODEBOOK_SCHEMA, cb_rows)
-    encoded.write.mode("overwrite").parquet(f"{path}/codes")
+    # the manifest count rides the codes write as an observed metric
+    # (r12 optimization round): the CollectMetrics node sits directly
+    # under the write, i.e. in the write's result stage, where Spark
+    # applies accumulator updates exactly once per committed partition —
+    # the count is the rows the committed write produced, replacing a
+    # full re-read job.  The crash contract is unchanged (manifest still
+    # written last), and every validated load re-checks this count
+    # against the on-disk files.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        encoded.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
     if cells is not None:
         cells.write.mode("overwrite").parquet(f"{path}/cells")
-    n_encoded = spark.read.parquet(f"{path}/codes").count()
+    n_encoded = int(obs.get["n"])
     _write_pq_manifest(
         spark,
         path,
@@ -1664,10 +1688,45 @@ def append_pq_index(
             f"append_pq_index: new vectors lack the index id column "
             f"{id_col!r} (columns: {new_vectors.columns})"
         )
-    dim = _dim_of(new_vectors, vec_col)
-    if dim != meta.dim:
+    # ONE fused probe action over the new shard (r12 optimization
+    # round): dim validation (min/max of size() — strictly stronger
+    # than the old first-row `_dim_of` probe: a ragged batch fails too)
+    # and, when requested, the disjointness count, computed together.
+    # The disjoint leg keeps its left-semi shape — the BIG accumulated
+    # codes side streams against the small new-id build side; never
+    # invert it (a left-outer from the new side would make the corpus
+    # the broadcast/build side at scale).  The two 1-row aggregates
+    # cross-join into a single job.
+    probe = new_vectors.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min(F.size(F.col(vec_col))).alias("dim_lo"),
+        F.max(F.size(F.col(vec_col))).alias("dim_hi"),
+    )
+    if check_disjoint:
+        probe = probe.crossJoin(
+            idx["codes"]
+            .join(new_vectors.select(id_col), id_col, "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+    prow = probe.collect()[0]
+    if int(prow["n_new"]) == 0:
+        raise ValueError("empty vector table")
+    if (
+        int(prow["dim_lo"]) != int(meta.dim)
+        or int(prow["dim_hi"]) != int(meta.dim)
+    ):
+        got = (
+            int(prow["dim_lo"])
+            if prow["dim_lo"] == prow["dim_hi"]
+            else f"{int(prow['dim_lo'])}..{int(prow['dim_hi'])}"
+        )
         raise ValueError(
-            f"append_pq_index: vector dim {dim} != index dim {meta.dim}"
+            f"append_pq_index: vector dim {got} != index dim {meta.dim}"
+        )
+    if check_disjoint and int(prow["n_overlap"]):
+        raise ValueError(
+            f"append_pq_index: {int(prow['n_overlap'])} new ids already "
+            f"exist in the index at {path} — ids must be disjoint"
         )
     if idx["rotation"] is not None:
         # OPQ index: the stored codes live in rotated space, so route the
@@ -1677,17 +1736,6 @@ def append_pq_index(
         new_vectors = rotate_embeddings(
             new_vectors, idx["rotation"], id_col=id_col, vec_col=vec_col
         )
-    if check_disjoint:
-        n_overlap = (
-            idx["codes"]
-            .join(new_vectors.select(id_col), id_col, "left_semi")
-            .count()
-        )
-        if n_overlap:
-            raise ValueError(
-                f"append_pq_index: {n_overlap} new ids already exist in "
-                f"the index at {path} — ids must be disjoint"
-            )
     enc = pq_encode(
         new_vectors, idx["codebooks"], id_col=id_col, vec_col=vec_col,
         with_error=metrics_out is not None,
@@ -1725,35 +1773,38 @@ def append_pq_index(
     else:
         to_write = enc
         part_cols = []
-    # count the EXACT rows about to land (persisted so the count and the
-    # write share one encode pass) — the manifest update is then pure
-    # arithmetic, never a recount over the accumulated files; counting
-    # the joined frame (not new_vectors) keeps the count honest even if
-    # a caller ships intra-batch duplicate ids past check_disjoint
-    to_write = to_write.persist()
-    try:
-        if metrics_out is not None:
-            # the drift metric folds into the SAME bounded action the
-            # arithmetic manifest needs; qerr never lands in the codes
-            # files (schema unchanged on disk)
-            row = to_write.agg(
-                F.count(F.lit(1)).alias("n"), F.avg("qerr").alias("mse")
-            ).collect()[0]
-            n_new = int(row["n"])
-            metrics_out["n"] = n_new
-            metrics_out["mse"] = (
-                None if row["mse"] is None else float(row["mse"])
-            )
-            out_frame = to_write.drop("qerr")
-        else:
-            n_new = to_write.count()
-            out_frame = to_write
-        w = out_frame.write.mode("append")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(f"{path}/codes")
-    finally:
-        to_write.unpersist()
+    # the manifest count (and the drift metric when requested) ride the
+    # codes write as OBSERVED metrics (r12 optimization round): one
+    # pass, one action — the previous shape persisted the encoded frame
+    # and paid a separate count/agg job before the write.  The
+    # CollectMetrics node sits at the top of the write plan (after the
+    # cell-keyed repartition on the celled path), i.e. in the write's
+    # result stage, where accumulator updates apply exactly once per
+    # committed partition — the count is the rows the committed write
+    # produced.  Counting the written frame (not new_vectors) keeps the
+    # count honest even if a caller ships intra-batch duplicate ids
+    # past check_disjoint; qerr is observed but dropped before the
+    # write, so the on-disk schema is unchanged.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if metrics_out is not None:
+        aggs.append(F.avg("qerr").alias("mse"))
+    out_frame = to_write.observe(obs, *aggs)
+    if metrics_out is not None:
+        out_frame = out_frame.drop("qerr")
+    w = out_frame.write.mode("append")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(f"{path}/codes")
+    vals = obs.get
+    n_new = int(vals["n"])
+    if metrics_out is not None:
+        metrics_out["n"] = n_new
+        metrics_out["mse"] = (
+            None if vals["mse"] is None else float(vals["mse"])
+        )
     if verify:
         n_total = spark.read.parquet(f"{path}/codes").count()
     else:
@@ -1872,8 +1923,20 @@ def merge_pq_indexes(
         spark, f"{out_path}/codebooks", CODEBOOK_SCHEMA,
         idxs[0]["_codebook_rows"],
     )
-    codes.write.mode("overwrite").parquet(f"{out_path}/codes")
-    n_encoded = spark.read.parquet(f"{out_path}/codes").count()
+    # the torn-shard check rides the union write as an observed metric
+    # (r12 optimization round): the count of rows actually read from
+    # the shards and written — a shard whose files are short of its
+    # manifest yields fewer rows here, failing the same check the
+    # re-read count enforced, without a second pass over the output
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        codes.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{out_path}/codes")
+    )
+    n_encoded = int(obs.get["n"])
     n_expected = sum(int(m.n_encoded) for m in metas)
     if n_encoded != n_expected:
         raise ValueError(
@@ -1959,14 +2022,22 @@ def save_ivfpq_index(
     # 8-byte codes, not vectors — cheap relative to the encode; it is
     # also the layout compact_pq_index restores, so "fresh" and
     # "compacted" mean the same thing.
+    # the manifest count rides the celled write as an observed metric
+    # (the save_pq_index economy, r12 optimization round) — observed
+    # after the cell-keyed repartition, so it lives in the write's
+    # result stage and counts committed rows exactly once
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
         celled.repartition(F.col("cluster_id"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")
     )
     cells.write.mode("overwrite").parquet(f"{path}/cells")
-    n_encoded = spark.read.parquet(f"{path}/codes").count()
+    n_encoded = int(obs.get["n"])
     _write_pq_manifest(
         spark,
         path,
@@ -2345,19 +2416,32 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
     files_before = _parquet_file_count(spark, f"{path}/codes")
     timings["load_and_listing_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
+    # the rewrite counts its own rows as an observed metric (r12
+    # optimization round) — the same torn-source check the re-read
+    # count enforced (rows actually read from the source and written
+    # vs the source manifest), one data pass instead of two
+    from pyspark.sql import Observation
+
+    obs = Observation()
     if "cluster_id" in idx["codes"].columns:
         (
             idx["codes"]
             .repartition(F.col("cluster_id"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(f"{out_path}/codes")
         )
     else:
-        idx["codes"].write.mode("overwrite").parquet(f"{out_path}/codes")
+        (
+            idx["codes"]
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/codes")
+        )
     timings["codes_rewrite_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
-    n_encoded = spark.read.parquet(f"{out_path}/codes").count()
+    n_encoded = int(obs.get["n"])
     timings["verify_count_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     if n_encoded != int(meta.n_encoded):

@@ -1652,37 +1652,48 @@ def save_bm25_index(
     (<id_col>, dl), path/manifest.
 
     One tokenize pass, persisted (r12 optimization round): the postings
-    write materializes the tf into the cache, the doclens derive from
-    the cached rows (no re-read of the just-written postings), and the
-    manifest stats come from ONE bounded aggregate over the same cached
-    tf — value-identical to recomputing from the on-disk components
-    (the rows written ARE these rows; dl sums are exact integers well
-    under 2^53, so avgdl is bit-equal either way).  The crash contract
-    is unchanged: the manifest is still written last, so a save that
-    dies mid-way leaves an unloadable directory, never a wrong one."""
+    write materializes the tf into the cache and the doclens derive
+    from the cached rows (no re-read of the just-written postings);
+    the manifest stats ride the two writes as OBSERVED metrics (the
+    save_pq_index economy): the postings write counts its own rows,
+    the doclens write counts its rows (= n_docs — one row per
+    document by construction of the groupBy) and sums dl (= the exact
+    integer token total, well under 2^53, so avgdl is bit-equal to
+    the recompute).  Two actions total, no separate stats job.  The
+    crash contract is unchanged: the manifest is still written last,
+    so a save that dies mid-way leaves an unloadable directory, never
+    a wrong one."""
+    from pyspark.sql import Observation
+
     spark = docs.sparkSession
     tf = _bm25_tf(docs, text_col, id_col).persist()
     try:
+        obs_p = Observation()
         (
             tf.repartition(F.col("term"))
+            .observe(obs_p, F.count(F.lit(1)).alias("n_postings"))
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(f"{path}/postings")
         )
-        _dlen_of(tf, id_col).write.mode("overwrite").parquet(
-            f"{path}/doclens"
+        obs_d = Observation()
+        (
+            _dlen_of(tf, id_col)
+            .observe(
+                obs_d,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/doclens")
         )
-        stats = tf.agg(
-            F.count(F.lit(1)).alias("n_postings"),
-            F.sum("tf").alias("tokens"),
-            F.countDistinct(id_col).alias("n_docs"),
-        ).collect()[0]
-        n_docs = int(stats["n_docs"])
-        tokens = int(stats["tokens"] or 0)
+        dvals = obs_d.get
+        n_docs = int(dvals["n_docs"])
+        tokens = int(dvals["tokens"] or 0)
         _bm25_write_manifest(
             spark, path, id_col, n_docs,
             0.0 if n_docs == 0 else tokens / n_docs,
-            int(stats["n_postings"]),
+            int(obs_p.get["n_postings"]),
         )
     finally:
         tf.unpersist()
@@ -1791,38 +1802,53 @@ def append_bm25_index(
     # the derived doclens share one tokenize pass (the save path gets
     # the same economy by re-reading its own written postings, which an
     # append cannot do — the directory already holds the old shards)
+    from pyspark.sql import Observation
+
     tf = (
         precomputed_tf
         if precomputed_tf is not None
         else _bm25_tf(new_docs, text_col, id_col)
     ).persist()
     try:
+        # the shard stats ride the two appends as OBSERVED metrics
+        # (the save_bm25_index economy, r12 optimization round): the
+        # postings write counts its own rows, the doclens write counts
+        # its rows (= the shard's n_docs) and sums dl (= its exact
+        # integer token total) — no separate stats aggregate job
+        obs_p, obs_d = Observation(), Observation()
         (
             tf.repartition(F.col("term"))
+            .observe(obs_p, F.count(F.lit(1)).alias("n_postings"))
             .sortWithinPartitions("term")
             .write.mode("append")
             .parquet(f"{path}/postings")
         )
-        _dlen_of(tf, id_col).write.mode("append").parquet(
-            f"{path}/doclens"
+        (
+            _dlen_of(tf, id_col)
+            .observe(
+                obs_d,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("tokens"),
+            )
+            .write.mode("append")
+            .parquet(f"{path}/doclens")
         )
         if verify:
             n_docs, _ = _bm25_finalize_manifest(spark, path, id_col)
         else:
-            # O(new shard) manifest arithmetic: ONE bounded agg over the
-            # persisted NEW tf (postings rows, token total, distinct
-            # docs); the old token total recovers exactly from the
-            # stored average (integer sum, round-trips through the
-            # double while < 2^52)
-            new_stats = (
-                precomputed_stats
-                if precomputed_stats is not None
-                else tf.agg(
-                    F.count(F.lit(1)).alias("n_postings"),
-                    F.sum("tf").alias("tokens"),
-                    F.countDistinct(id_col).alias("n_docs"),
-                ).collect()[0]
-            )
+            # O(new shard) manifest arithmetic over the observed shard
+            # stats (or the sink's precomputed ones); the old token
+            # total recovers exactly from the stored average (integer
+            # sum, round-trips through the double while < 2^52)
+            if precomputed_stats is not None:
+                new_stats = precomputed_stats
+            else:
+                dvals = obs_d.get
+                new_stats = {
+                    "n_postings": int(obs_p.get["n_postings"]),
+                    "tokens": int(dvals["tokens"] or 0),
+                    "n_docs": int(dvals["n_docs"]),
+                }
             old_tokens = int(round(meta.n_docs * meta.avgdl))
             n_docs = int(meta.n_docs) + int(new_stats["n_docs"])
             tokens = old_tokens + int(new_stats["tokens"] or 0)
@@ -2032,14 +2058,23 @@ def merge_bm25_indexes(
                 f"({n_total - n_distinct} shared ids) — shards must be "
                 "disjoint"
             )
+    # the torn-shard check rides the union write as an observed metric
+    # (the merge_pq_indexes economy, r12 optimization round): the count
+    # of rows actually read from the shards and written — a shard whose
+    # files are short of its manifest yields fewer rows here, failing
+    # the same check the re-read count enforced, without a second pass
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
         postings.repartition(F.col("term"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{out_path}/postings")
     )
     doclens.write.mode("overwrite").parquet(f"{out_path}/doclens")
-    n_postings = spark.read.parquet(f"{out_path}/postings").count()
+    n_postings = int(obs.get["n"])
     n_expected = sum(int(i["manifest"].n_postings) for i in idxs)
     if n_postings != n_expected:
         raise ValueError(
@@ -2125,8 +2160,15 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
     idx = load_bm25_index(spark, path, validate_postings=False)
     id_col = idx["manifest"].id_col
     files_before = _parquet_file_count(spark, f"{path}/postings")
+    # the rewrite counts its own rows as an observed metric (r12
+    # optimization round) — same torn-source check as the re-read
+    # count, one data pass instead of two
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
         idx["postings"].repartition(F.col("term"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{out_path}/postings")
@@ -2134,7 +2176,7 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
     idx["doclens"].write.mode("overwrite").parquet(f"{out_path}/doclens")
     # equality check BEFORE the manifest write: a mismatch must leave
     # out_path manifest-less (unloadable), not self-consistently wrong
-    n_postings = spark.read.parquet(f"{out_path}/postings").count()
+    n_postings = int(obs.get["n"])
     if n_postings != int(idx["manifest"].n_postings):
         raise ValueError(
             f"compact_bm25_index: rewrote {n_postings} postings vs "

@@ -261,7 +261,14 @@ def pq_train(
         for s in sorted(books)
         for c in range(k)
     ]
-    return spark.createDataFrame(rows, CODEBOOK_SCHEMA)
+    df = spark.createDataFrame(rows, CODEBOOK_SCHEMA)
+    # the trained rows are already driver-local — ride them on the frame
+    # so `_books_dict` (encode / knn / ivfpq / save) never pays a Spark
+    # collect job for values this function just computed (r12
+    # optimization round).  Transformed frames lose the attribute and
+    # fall back to the collect — same values either way.
+    df._local_codebook_rows = rows
+    return df
 
 
 def _books_from_rows(rows) -> "dict":
@@ -284,8 +291,12 @@ def _books_from_rows(rows) -> "dict":
 
 
 def _books_dict(codebooks: DataFrame) -> "dict":
-    # m·k rows — kilobytes by construction
-    return _books_from_rows(codebooks.collect())
+    # m·k rows — kilobytes by construction; frames built by pq_train /
+    # load_pq_index carry their rows driver-local already (zero jobs)
+    rows = getattr(codebooks, "_local_codebook_rows", None)
+    if rows is None:
+        rows = codebooks.collect()
+    return _books_from_rows(rows)
 
 
 def _probe_map(probes: DataFrame, q_index: "dict") -> "dict":
@@ -1283,27 +1294,49 @@ def householder_rotate(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The SQL-expressible rotation rung: reflect across the hyperplane
-    normal to `v` (H = I − 2vvᵀ/‖v‖², orthogonal by construction) as a
-    pure column expression — two sequential-order dot products and an
-    elementwise multiply-subtract, exactly mirrorable in DuckDB list
-    lambdas (the q109 oracle).  Both ‖v‖² and v·x are computed INSIDE the
-    expression so each engine sums in the same order it sums every other
-    dot product."""
-    vl = F.array(*[F.lit(float(x)) for x in v])
-    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(vl, xd, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    normal to `v` (H = I − 2vvᵀ/‖v‖², orthogonal by construction),
+    exactly mirrorable in DuckDB list lambdas (the q109 oracle).
+
+    Computed as an Arrow-batched numpy kernel (guide §4.2; r12
+    optimization round — the previous higher-order-function column
+    expression evaluated interpreted per element and dominated the
+    q109 profile).  Bit-equality with the SQL shape is preserved by
+    summing BOTH dot products left-to-right over dims — a Python loop
+    of vectorized per-dim multiply-adds, the same IEEE operation order
+    as a sequential `aggregate(acc + x)` / DuckDB `list_sum` — and the
+    per-element `x − scale·vᵢ` is one multiply and one subtract either
+    way (equality-tested against the expression form)."""
+    import numpy as np
+    import pandas as pd
+
+    varr = np.asarray([float(x) for x in v], dtype=np.float64)
+    vv = 0.0
+    for x in varr:
+        vv += float(x) * float(x)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
     )
-    vv = F.aggregate(
-        F.transform(vl, lambda a: a * a),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scale = F.lit(2.0) * dot / vv
-    rotated = F.zip_with(xd, vl, lambda x, vi: x - scale * vi)
-    return corpus.select(F.col(id_col), rotated.alias(vec_col))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(row, dtype=np.float64) for row in pdf[vec_col]]
+            )
+            dot = np.zeros(len(x))
+            for j in range(x.shape[1]):  # left-to-right over dims
+                dot = dot + x[:, j] * varr[j]
+            scale = 2.0 * dot / vv
+            rot = x - scale[:, None] * varr[None, :]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_col: list(rot)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1462,8 +1495,11 @@ def save_pq_index(
     # the codebooks write (metaio — KB-scale, corpus-size-independent;
     # the Spark write job it replaces was pure scheduling overhead)
     cb_rows = [
-        (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
-        for r in codebooks.collect()
+        (int(r[0]), int(r[1]), [float(x) for x in r[2]])
+        for r in (
+            getattr(codebooks, "_local_codebook_rows", None)
+            or codebooks.collect()
+        )
     ]
     books = _books_from_rows(cb_rows)
     m = len(books)
@@ -1543,6 +1579,7 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
         for r in read_meta_rows(spark, f"{path}/codebooks")
     ]
     codebooks = spark.createDataFrame(cb_rows, CODEBOOK_SCHEMA)
+    codebooks._local_codebook_rows = cb_rows
     books = _books_from_rows(cb_rows)
     m = len(books)
     n_codes, sub_len = books[0].shape
@@ -1996,8 +2033,11 @@ def save_ivfpq_index(
     # one collect feeds books + fingerprint + the metaio codebooks
     # write (the save_pq_index economy, r12 optimization round)
     cb_rows = [
-        (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
-        for r in codebooks.collect()
+        (int(r[0]), int(r[1]), [float(x) for x in r[2]])
+        for r in (
+            getattr(codebooks, "_local_codebook_rows", None)
+            or codebooks.collect()
+        )
     ]
     books = _books_from_rows(cb_rows)
     m = len(books)

@@ -163,11 +163,16 @@ def global_rank(
             Window.partitionBy("_bucket").orderBy(*sort_cols)
         ),
     )
-    return (
+    out = (
         ranked.join(F.broadcast(off), "_bucket")
         .withColumn(rank_col, F.col("_off") + F.col("_rn"))
         .drop("_bucket", "_rn", "_off")
     )
+    # pass 1 already counted every row; ride the exact total on the
+    # frame so callers that need n (bucket cuts) don't re-evaluate the
+    # upstream subtree a third time (r12 optimization round)
+    out._global_rank_total = running
+    return out
 
 
 def source_percentiles(

@@ -1441,21 +1441,22 @@ def perplexity_buckets(
         n_parts=n_parts,
         rank_col="_rank",
     )
-    total = scores.agg(F.count(F.lit(1)).alias("_n"))
+    # the corpus count comes off global_rank's pass-1 partition counts
+    # (exact by construction — the rank itself is built from the same
+    # counts); the previous `scores.agg(count)` broadcast re-evaluated
+    # the whole scoring subtree a THIRD time (r12 optimization round)
+    total = int(ranked._global_rank_total)
     k = len(labels)
     bucket = F.floor(
-        (F.col("_rank") - 1) * F.lit(float(k)) / F.col("_n")
+        (F.col("_rank") - 1) * F.lit(float(k)) / F.lit(total)
     ).cast("int")
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .select(
-            id_col,
-            "n_tokens",
-            "logprob",
-            F.element_at(
-                F.array(*[F.lit(x) for x in labels]), bucket + 1
-            ).alias("ppl_bucket"),
-        )
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "logprob",
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]), bucket + 1
+        ).alias("ppl_bucket"),
     )
 
 

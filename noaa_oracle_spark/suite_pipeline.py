@@ -1944,7 +1944,11 @@ def q109_opq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot = householder_rotate(emb, v)
     books = pq_train(rot, m=8, k=8, iters=0)
     enc = pq_encode(rot, books)
-    q = rot.filter(F.col("vec_id") < 5)
+    # filter BEFORE the rotation kernel (r12 optimization round): the
+    # mapInPandas barrier blocks predicate pushdown, so filtering `rot`
+    # re-rotated the whole corpus to produce 5 query rows; rotation is
+    # per-row, so rotate(filter(emb)) == filter(rotate(emb)) bit-for-bit
+    q = householder_rotate(emb.filter(F.col("vec_id") < 5), v)
     return pq_knn(q, enc, books, k=3)
 
 

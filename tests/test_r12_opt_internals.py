@@ -1,0 +1,110 @@
+"""r12 optimization-round internals: the fast paths must be value-identical
+to the shapes they replaced.
+
+Three changes are covered:
+  1. householder_rotate's Arrow/numpy kernel vs the higher-order-function
+     column-expression form it replaced — BIT equality (the q109 oracle
+     rounds at 6 dp, but the kernel was designed order-identical, so the
+     raw doubles must match exactly, not approximately).
+  2. codebook frames carrying their rows driver-local
+     (`_local_codebook_rows`) — the no-job path and the collect fallback
+     must produce the same books dict.
+  3. global_rank exposing its pass-1 total (`_global_rank_total`) — must
+     equal the true row count exactly (perplexity_buckets cuts buckets
+     with it).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _expression_rotate(corpus, v, id_col="vec_id", vec_col="embedding"):
+    """The pre-r12 householder_rotate body (higher-order column
+    expressions, sequential-order dot products) — kept here verbatim as
+    the equality reference for the numpy kernel."""
+    vl = F.array(*[F.lit(float(x)) for x in v])
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vl, xd, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vv = F.aggregate(
+        F.transform(vl, lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scale = F.lit(2.0) * dot / vv
+    rotated = F.zip_with(xd, vl, lambda x, vi: x - scale * vi)
+    return corpus.select(F.col(id_col), rotated.alias(vec_col))
+
+
+def test_householder_kernel_bitwise_matches_expression_form(spark):
+    from noaa_oracle_spark.pipeline.pq import householder_rotate
+
+    rnd = random.Random(12)
+    rows = [
+        (i, [rnd.gauss(0, 3) for _ in range(64)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = [rnd.gauss(0, 1) for _ in range(64)]
+
+    got = {
+        r.vec_id: r.embedding for r in householder_rotate(df, v).collect()
+    }
+    want = {
+        r.vec_id: r.embedding for r in _expression_rotate(df, v).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        # bit equality, not allclose: the kernel sums dims left-to-right
+        # exactly like the sequential aggregate() it replaced
+        assert got[i] == want[i], i
+
+
+def test_codebook_local_rows_path_matches_collect(spark):
+    from noaa_oracle_spark.pipeline.pq import (
+        _books_dict,
+        _books_from_rows,
+        pq_train,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(32)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=4, k=8, iters=1)
+
+    assert getattr(books, "_local_codebook_rows", None) is not None
+    fast = _books_dict(books)
+    slow = _books_from_rows(books.collect())
+    assert fast.keys() == slow.keys()
+    for s in fast:
+        np.testing.assert_array_equal(fast[s], slow[s])
+
+    # a TRANSFORMED frame loses the attribute and must fall back to the
+    # collect path without error (and stay value-identical)
+    reordered = books.orderBy(F.desc("sub"), "code")
+    assert getattr(reordered, "_local_codebook_rows", None) is None
+    fallback = _books_dict(reordered)
+    for s in fast:
+        np.testing.assert_array_equal(fallback[s], fast[s])
+
+
+def test_global_rank_total_attr_is_exact(spark):
+    from noaa_oracle_spark.pipeline.profile import global_rank
+
+    rows = [(i, (i * 37) % 101) for i in range(997)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    ranked = global_rank(
+        df, order=[(F.col("score"), "asc"), (F.col("id"), "asc")],
+        n_parts=8, rank_col="_rank",
+    )
+    assert ranked._global_rank_total == 997
+    # and the rank itself is consistent with that total
+    assert ranked.agg(F.max("_rank")).collect()[0][0] == 997

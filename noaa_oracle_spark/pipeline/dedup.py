@@ -27,12 +27,27 @@ from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Hash-repartition to the session's default parallelism before
-    CPU-heavy per-row work. Single parquet files scan as ONE partition —
-    without this, shingling/hashing runs on one core regardless of
-    cluster size; the small exchange is trivial next to the per-row cost.
-    At real scale (many input splits) it is a near-no-op rebalance."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Rebalance to the session's default parallelism before CPU-heavy
+    per-row work — but ONLY when the input is narrower than the session
+    (r12 optimization round). Single parquet files scan as ONE partition
+    locally: without the repartition, shingling/hashing runs on one core
+    regardless of cluster size. At real scale the scan already yields
+    more splits than cores, and the old unconditional `repartition(n)`
+    was a full-corpus round-robin exchange (plus its sortBeforeRepartition
+    local sort) that moved every byte for nothing — the guide §2.4
+    "repartition someone added for parallelism" scale-killer. Partition
+    count comes off the physical plan (driver-side, no job); if the
+    lookup fails (exotic plan), fall back to repartitioning, the safe
+    local behavior. Values are partitioning-independent everywhere
+    spread is used (hash/band/term-keyed aggregates with deterministic
+    tiebreaks), so skipping the exchange cannot change results."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:
+        pass
+    return df.repartition(par)
 
 
 def _word_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -96,6 +96,30 @@ def test_codebook_local_rows_path_matches_collect(spark):
         np.testing.assert_array_equal(fallback[s], fast[s])
 
 
+def test_spread_is_scale_adaptive(spark):
+    """spread() repartitions narrow inputs (the local single-file case)
+    but is a no-op when the input already has >= defaultParallelism
+    partitions — the 100 TB case, where the old unconditional
+    repartition was a full-corpus exchange. Operator results must be
+    identical either way."""
+    from noaa_oracle_spark.pipeline.dedup import ngram_jaccard_pairs, spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1).selectExpr(
+        "id AS doc_id",
+        "concat('tok', cast(id % 7 AS string), ' a b c d e f g h i j k l m n"
+        " o p q r s t') AS text",
+    )
+    assert spread(narrow).rdd.getNumPartitions() == par
+
+    wide = narrow.repartition(par + 3)
+    assert spread(wide) is wide  # no new plan node at all
+
+    got_n = sorted(tuple(r) for r in ngram_jaccard_pairs(narrow).collect())
+    got_w = sorted(tuple(r) for r in ngram_jaccard_pairs(wide).collect())
+    assert got_n == got_w and len(got_n) > 0
+
+
 def test_global_rank_total_attr_is_exact(spark):
     from noaa_oracle_spark.pipeline.profile import global_rank
 

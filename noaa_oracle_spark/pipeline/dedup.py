@@ -217,11 +217,40 @@ def ngram_jaccard_pairs_ppjoin(
         "long"
     ) / F.lit(threshold_den)
     prefix_len = sz - F.floor(ceil_tl).cast("int") + F.lit(1)
+    # the prefix rows carry each doc's shingle COUNT so candidate pairs
+    # can apply the PPJoin length filter at generation time (r12
+    # optimization round): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
+    # pair with den*min < num*max provably fails the final threshold —
+    # dropping it here is a pure necessary-condition filter (output
+    # identical, property-tested) that kills the pair BEFORE the
+    # dropDuplicates shuffle and the two full-array verification joins.
+    # One int per row; the struct replaces the bare id in collect_set.
     pref = arr.select(
         F.col(id_col),
+        sz.alias("_nsh"),
         F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
     )
-    cand = _pairs_within_groups(pref, ["shingle"], id_col).dropDuplicates()
+    plists = pref.groupBy("shingle").agg(
+        F.collect_set(F.struct(F.col(id_col), F.col("_nsh"))).alias("ids")
+    )
+    raw = (
+        plists.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    len_ok = (
+        F.least(F.col("a._nsh"), F.col("b._nsh")) * F.lit(threshold_den)
+        >= F.greatest(F.col("a._nsh"), F.col("b._nsh"))
+        * F.lit(threshold_num)
+    )
+    cand = (
+        raw.filter(len_ok)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
     a = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -47,6 +47,13 @@ _CURRENT_ROUND = 12
 #:      this window;
 #:   3. remaining slots fill with the oldest-graded names.
 _GRADE_FIRST = [
+    # rewritten this round (window rule 1): q109's query side was
+    # restructured in the r12 optimization round (filter-before-rotate +
+    # vectorized rotation kernel), so it re-enters the window at the
+    # front and its ledger hash is refreshed in the same commit; the
+    # displaced fill q20_ann_cosine (last green r10, exactly at the
+    # 2-round budget at end of r12) moves to the r13 lead list below.
+    "q109_opq_knn",
     # last graded in r9 — these 38 reach the 2-round staleness budget at
     # end of r12; the staleness test forces them to lead the r12 window
     # (pre-planned in the r11 window comment, r11 verdict ask #1).
@@ -68,7 +75,8 @@ _GRADE_FIRST = [
     # (oracle-green at sf0.001/sf0.01 all round, tests/test_staged_r12.py),
     # promoted to the main dicts this round (r11 verdict ask #1).
     "q139_pq_compaction", "q140_versioned_sink_lifecycle",
-    # fill: the 10 numerically-oldest r10-graded names.  r13 WINDOW PLAN
+    # fill: the 9 numerically-oldest r10-graded names (q20_ann_cosine
+    # displaced by the q109 re-grade above).  r13 WINDOW PLAN
     # (r11 verdict ask #7): the remaining 40 r10-graded names reach the
     # 2-round staleness budget at end of r13 and MUST lead the r13
     # window —
@@ -82,7 +90,7 @@ _GRADE_FIRST = [
     # q74_dormant_customers q75_grouping_sets q76_distribution_windows
     # q87_kmeans_clusters q88_kmeans_centroid_update q89_span_dedup
     # q90_weighted_sample q91_unigram_logprob q92_chunk_documents
-    # q93_source_quota q99_pack_sequences q100_pq_adc_knn q109_opq_knn
+    # q93_source_quota q99_pack_sequences q100_pq_adc_knn q20_ann_cosine
     # q133_hybrid_rrf q134_politeness_schedule q135_crawl_frontier
     # q136_bm25_merge
     # (40 names) — then the ONE staged r13 debut q141_codebook_drift
@@ -97,7 +105,6 @@ _GRADE_FIRST = [
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
     "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",
-    "q20_ann_cosine",
 ]
 
 

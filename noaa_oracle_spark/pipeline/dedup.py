@@ -217,34 +217,54 @@ def ngram_jaccard_pairs_ppjoin(
         "long"
     ) / F.lit(threshold_den)
     prefix_len = sz - F.floor(ceil_tl).cast("int") + F.lit(1)
-    # the prefix rows carry each doc's shingle COUNT so candidate pairs
-    # can apply the PPJoin length filter at generation time (r12
-    # optimization round): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
-    # pair with den*min < num*max provably fails the final threshold —
-    # dropping it here is a pure necessary-condition filter (output
-    # identical, property-tested) that kills the pair BEFORE the
-    # dropDuplicates shuffle and the two full-array verification joins.
-    # One int per row; the struct replaces the bare id in collect_set.
+    # the prefix rows carry each doc's shingle COUNT and the token's
+    # PREFIX POSITION so candidate pairs can apply PPJoin's positional
+    # filter at generation time (r12 optimization round): a pair sharing
+    # a prefix token at 0-based positions (pa, pb) can overlap in at
+    # most min(pa,pb) tokens before it (both sorted under the same
+    # global (df, shingle) order), the token itself, and
+    # min(na-pa-1, nb-pb-1) after it; J >= num/den needs
+    # O·(num+den) >= num·(na+nb). Any occurrence whose bound fails
+    # proves the PAIR fails (the bound majorizes the true overlap), and
+    # a qualifying pair always passes through at least one shared
+    # occurrence — output identical, property-tested. At (pa,pb)=(0,0)
+    # the bound reduces to the plain length filter min·den >= num·max,
+    # so this strictly subsumes it. Two ints per row; candidates die
+    # BEFORE the dropDuplicates shuffle and the two full-array
+    # verification joins (guide §2.3: move heavy payloads only for
+    # survivors).
     pref = arr.select(
         F.col(id_col),
         sz.alias("_nsh"),
-        F.explode(F.slice("shingles", F.lit(1), prefix_len)).alias("shingle"),
+        F.posexplode(F.slice("shingles", F.lit(1), prefix_len)).alias(
+            "_p", "shingle"
+        ),
     )
+    # collect_list, not collect_set: shingles are distinct per doc, so
+    # every (doc, shingle) struct is already unique within its group.
     plists = pref.groupBy("shingle").agg(
-        F.collect_set(F.struct(F.col(id_col), F.col("_nsh"))).alias("ids")
+        F.collect_list(
+            F.struct(F.col(id_col), F.col("_nsh"), F.col("_p"))
+        ).alias("ids")
     )
     raw = (
         plists.select(F.explode("ids").alias("a"), F.col("ids"))
         .select("a", F.explode("ids").alias("b"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
-    len_ok = (
-        F.least(F.col("a._nsh"), F.col("b._nsh")) * F.lit(threshold_den)
-        >= F.greatest(F.col("a._nsh"), F.col("b._nsh"))
-        * F.lit(threshold_num)
+    overlap_ub = (
+        F.least(F.col("a._p"), F.col("b._p"))
+        + F.lit(1)
+        + F.least(
+            F.col("a._nsh") - F.col("a._p") - F.lit(1),
+            F.col("b._nsh") - F.col("b._p") - F.lit(1),
+        )
     )
+    pos_ok = overlap_ub * F.lit(threshold_num + threshold_den) >= (
+        F.col("a._nsh") + F.col("b._nsh")
+    ) * F.lit(threshold_num)
     cand = (
-        raw.filter(len_ok)
+        raw.filter(pos_ok)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),

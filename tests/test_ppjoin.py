@@ -25,6 +25,42 @@ def test_ppjoin_equals_inverted_index_on_corpus(spark):
     )
 
 
+@pytest.mark.parametrize("num,den", [(8, 10), (4, 5)])
+def test_ppjoin_positional_filter_keeps_boundary_pairs(spark, num, den):
+    """r12 optimization: candidates are pruned at generation by PPJoin's
+    positional filter (overlap <= min(pa,pb) + 1 + min(na-pa-1, nb-pb-1)
+    for a token shared at prefix positions pa/pb).  Its tightest regime —
+    where an off-by-one would silently drop TRUE pairs — is qualifying
+    pairs of UNEQUAL length whose Jaccard sits just above the threshold,
+    mixed with just-below decoys.  Build exactly that corpus and require
+    equality with the exact inverted-index join, plus a planted pair that
+    must be present (so the check is not vacuously empty == empty)."""
+    base = [f"w{i}" for i in range(40)]
+    rows = [
+        # pair (0,1): B = A plus extra tail words -> unequal lengths,
+        # J barely above 8/10 on word trigrams
+        (0, " ".join(base)),
+        (1, " ".join(base + ["x0", "x1"])),
+        # pair (2,3): one word substituted mid-doc -> J near the line
+        (2, " ".join(base)),
+        (3, " ".join(base[:20] + ["sub"] + base[21:])),
+        # decoys: share half the prefix vocabulary, J well below
+        (4, " ".join(base[:20] + [f"y{i}" for i in range(20)])),
+        (5, " ".join(base[:10] + [f"z{i}" for i in range(30)])),
+        # short docs (prefix is nearly the whole doc)
+        (6, "a b c d e"),
+        (7, "a b c d e f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _norm(
+        ngram_jaccard_pairs_ppjoin(docs, threshold_num=num, threshold_den=den)
+    )
+    assert got == _norm(
+        ngram_jaccard_pairs(docs, threshold_num=num, threshold_den=den)
+    )
+    assert any(a == 0 and b == 1 for a, b, *_ in got)
+
+
 @pytest.mark.parametrize("num,den", [(1, 2), (4, 5), (1, 4)])
 def test_ppjoin_equals_inverted_index_hot_shingles(spark, num, den):
     """Every doc shares the same boilerplate prefix (a hot shingle set that

@@ -459,8 +459,11 @@ def test_pq_encode_is_map_side(spark, clustered):
     """r9 verdict ask #2: pq_encode must carry NO corpus-wide shuffle —
     no m× subvector explosion, no hash aggregate to reassemble rows.
     The only exchange allowed is the round-robin `spread` rebalance
-    (parallelism for single-file corpora, a near-no-op at real split
-    counts)."""
+    (parallelism for narrow/single-file corpora); since the r12
+    optimization round spread() skips even that when the input is
+    already wide, so zero Exchange is the expected shape on a wide
+    fixture and one round-robin Exchange the expected shape on a
+    narrow one."""
     df, books, _ = clustered
     # fresh frame: an already-executed fixture plan is AQE-finalized and
     # its exchange prints as a ShuffleQueryStage, not an Exchange node
@@ -469,7 +472,17 @@ def test_pq_encode_is_map_side(spark, clustered):
     )
     assert "HashAggregate" not in plan, plan
     assert "Generate" not in plan, plan  # no posexplode row explosion
-    assert plan.count("Exchange") == 1 and "roundrobin" in plan.lower(), plan
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 1, plan
+    if n_ex == 1:
+        assert "roundrobin" in plan.lower(), plan
+    # narrow input: the spread rebalance must still fire, and stay the
+    # only exchange
+    narrow = pq_encode(df.coalesce(1), books)
+    nplan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in nplan, nplan
+    assert "Generate" not in nplan, nplan
+    assert nplan.count("Exchange") == 1 and "roundrobin" in nplan.lower(), nplan
 
 
 def test_pq_encode_fused_matches_legacy_exploded_form(spark, clustered):

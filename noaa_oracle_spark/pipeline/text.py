@@ -632,7 +632,18 @@ def decontamination(
     operator, keyed on doc id (uniform). For a benchmark set too large
     for executor memory (a union of hundreds of eval suites), pass
     ``broadcast_bench=False``: the join shuffles on the gram hash instead
-    — same exact result, one extra exchange, no memory ceiling."""
+    — same exact result, one extra exchange, no memory ceiling.
+
+    ONE corpus pass (r12 optimization round, guide §1.2/§2.4): the old
+    shape evaluated the tokenize+explode gram stream twice — a totals
+    aggregate AND an inner join + shared aggregate.  A LEFT join against
+    the DISTINCT benchmark grams (at most one match per gram row, so
+    row counts are preserved) lets one groupBy compute both counts —
+    total_grams = count(*), shared_grams = count of matched rows — and
+    the `shared_grams > 0` filter reproduces the inner join's row set
+    exactly.  At 100 TB this halves the corpus-gram passes and drops a
+    corpus-keyed shuffle; equality is pinned by
+    tests/test_decontamination_bloom.py and the q77 oracle."""
     from noaa_oracle_spark.pipeline.dedup import _word_shingles
 
     train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)
@@ -640,16 +651,18 @@ def decontamination(
         _word_shingles(benchmark, text_col=text_col, id_col=id_col, n=n)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     bench_side = F.broadcast(bench) if broadcast_bench else bench
-    totals = train.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_grams"))
-    shared = (
-        train.join(bench_side, "shingle")
+    return (
+        train.join(bench_side, "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("shared_grams"))
-    )
-    return shared.join(totals, id_col).select(
-        id_col, "shared_grams", "total_grams"
+        .agg(
+            F.count("_hit").alias("shared_grams"),
+            F.count(F.lit(1)).alias("total_grams"),
+        )
+        .filter(F.col("shared_grams") > 0)
+        .select(id_col, "shared_grams", "total_grams")
     )
 
 
@@ -680,7 +693,17 @@ def decontamination_bloom(
     depends on the filter, only the shuffle volume does.
 
     Everything is built-in expressions (xxhash64 / pmod / shiftleft /
-    bit_or / map lookup) — codegen'd end to end; no UDF, no collect."""
+    bit_or / map lookup) — codegen'd end to end; no UDF, no collect.
+
+    Deliberately TWO corpus passes (re-examined in the r12 optimization
+    round): a totals-only-for-flagged-docs restructure (re-tokenize the
+    docs that survive the shared join) REFERENCES the shared aggregate
+    twice, and without a materialization barrier Spark duplicates the
+    whole bloom-candidate subtree per reference — measured 2.23 → 3.10 s
+    at sf0.1 (plan Exchange mentions 30 → 54).  A persist would fix the
+    duplication but leaks cache across the suite's run-twice protocol
+    (the q68 lesson).  The clean two-pass shape — one bloom-filtered
+    candidate pass, one plain totals aggregate — stays."""
     from noaa_oracle_spark.pipeline.dedup import _word_shingles
 
     train = _word_shingles(docs, text_col=text_col, id_col=id_col, n=n)

@@ -46,6 +46,7 @@ __all__ = [
     "write_meta_rows",
     "append_meta_rows",
     "meta_dir_exists",
+    "spark_read_component",
 ]
 
 
@@ -162,6 +163,96 @@ def meta_dir_exists(spark, path: str) -> bool:
 
 def _glob_escape(path: str) -> str:
     return "".join(f"\\{ch}" if ch in "*?[]{}\\" else ch for ch in path)
+
+
+def _footer_arrow_schema(spark, fs, file_jpath):
+    """Arrow schema of one parquet file, from its FOOTER ONLY: seek to
+    the 8-byte tail (footer length + magic), fetch the footer bytes, and
+    hand pyarrow a synthetic `PAR1 + footer + tail` buffer — the thrift
+    metadata is self-contained, so schema parsing never touches a data
+    page.  Two bounded reads over the Hadoop ``FileSystem`` API (local
+    FS / HDFS / object stores alike), no Spark job, no full-file fetch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    jvm = spark.sparkContext._jvm
+    length = fs.getFileStatus(file_jpath).getLen()
+    if length < 12:
+        raise IOError(f"metaio: {file_jpath} too short for a parquet file")
+    ioutils = jvm.org.apache.commons.io.IOUtils
+    stream = fs.open(file_jpath)
+    try:
+        stream.seek(length - 8)
+        tail8 = bytes(ioutils.toByteArray(stream, 8))
+        if tail8[4:] != b"PAR1":
+            raise IOError(f"metaio: {file_jpath} lacks the parquet magic")
+        flen = int.from_bytes(tail8[:4], "little")
+        if flen <= 0 or flen > length - 12:
+            raise IOError(f"metaio: bad footer length in {file_jpath}")
+        stream.seek(length - 8 - flen)
+        footer = bytes(ioutils.toByteArray(stream, flen))
+    finally:
+        stream.close()
+    return pq.read_schema(pa.BufferReader(b"PAR1" + footer + tail8))
+
+
+def spark_read_component(spark, path: str, partitioned_by: "str | None" = None):
+    """``spark.read.parquet(path)`` for an INDEX COMPONENT whose schema
+    is taken from one data file's footer instead of a schema-inference
+    Spark job (r12 optimization round, guide §1.2): every
+    ``spark.read.parquet`` without a schema launches a footer-reading
+    job — pure scheduling for components a single writer produced with
+    one uniform schema, and it serializes every index load/serve/
+    maintenance op (q136–q140 pay 2 such jobs per load).  The footer is
+    parsed in-process (see `_footer_arrow_schema`), so the read plans
+    immediately.
+
+    `partitioned_by` names the one optional directory-partition column
+    (the IVF-PQ ``cluster_id=N`` layout); it is declared IntegerType —
+    exactly what Spark's partition inference yields for the small
+    integral values the writers emit — and only when every partition
+    directory parses as an int32; anything else falls back.
+
+    Fallback on ANY surprise (no data files, exotic footer, import
+    failure) is plain ``spark.read.parquet`` — behavior-identical, one
+    inference job."""
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        fs, _ = _fs_and_path(spark, path)
+        jvm = spark.sparkContext._jvm
+        esc = _glob_escape(path)
+        statuses = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{esc}/*.parquet")
+        )
+        files = [s.getPath() for s in (statuses or []) if s.isFile()]
+        part_field = None
+        if not files and partitioned_by:
+            statuses = fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{esc}/{partitioned_by}=*/*.parquet"
+                )
+            )
+            files = [s.getPath() for s in (statuses or []) if s.isFile()]
+            if files:
+                vals = {
+                    f.getParent().getName().split("=", 1)[1] for f in files
+                }
+                if not all(
+                    v.lstrip("-").isdigit()
+                    and -(2**31) <= int(v) < 2**31
+                    for v in vals
+                ):
+                    return spark.read.parquet(path)
+                part_field = T.StructField(partitioned_by, T.IntegerType())
+        if not files:
+            return spark.read.parquet(path)
+        st = from_arrow_schema(_footer_arrow_schema(spark, fs, files[0]))
+        if part_field is not None:
+            st = T.StructType(list(st.fields) + [part_field])
+        return spark.read.schema(st).parquet(path)
+    except Exception:
+        return spark.read.parquet(path)
 
 
 def read_meta_rows(spark, path: str) -> "list[Row]":

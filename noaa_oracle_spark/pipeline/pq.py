@@ -1557,7 +1557,10 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
 
     Manifest AND codebooks load through `metaio` (r12 optimization
     round): both are KB-scale, corpus-size-independent metadata, read
-    with one Hadoop-FS call each instead of a Spark job each.  The
+    with one Hadoop-FS call each instead of a Spark job each; the codes
+    and cells frames read with the schema taken from one data file's
+    footer (`metaio.spark_read_component`), killing the per-component
+    schema-inference job as well.  The
     collected codebooks come back as the "books" numpy dict (encode /
     ADC paths reuse it instead of re-collecting) plus a local-relation
     "codebooks" DataFrame for API compatibility; a missing directory
@@ -1595,7 +1598,11 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
             f"the manifest fingerprint — the index directory is "
             f"inconsistent (interrupted re-save?)"
         )
-    codes = spark.read.parquet(f"{path}/codes")
+    from noaa_oracle_spark.pipeline.metaio import spark_read_component
+
+    codes = spark_read_component(
+        spark, f"{path}/codes", partitioned_by="cluster_id"
+    )
     # the id column is whatever the index was saved with (save/
     # save_ivfpq_index accept id_col) — derive it from the codes schema
     # exactly as append_pq_index does, instead of hardcoding vec_id
@@ -1618,7 +1625,9 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
     else:
         stats = {"lo": None}
     cells = (
-        spark.read.parquet(f"{path}/cells") if meta.has_cells else None
+        spark_read_component(spark, f"{path}/cells")
+        if meta.has_cells
+        else None
     )
     return {
         "codebooks": codebooks,
@@ -1843,7 +1852,13 @@ def append_pq_index(
             None if vals["mse"] is None else float(vals["mse"])
         )
     if verify:
-        n_total = spark.read.parquet(f"{path}/codes").count()
+        from noaa_oracle_spark.pipeline.metaio import (
+            spark_read_component,
+        )
+
+        n_total = spark_read_component(
+            spark, f"{path}/codes", partitioned_by="cluster_id"
+        ).count()
     else:
         n_total = int(meta.n_encoded) + int(n_new)
     _write_pq_manifest(

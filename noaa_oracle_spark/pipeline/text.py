@@ -1607,12 +1607,14 @@ def _bm25_finalize_manifest(spark, path: str, id_col: str) -> "tuple[int, int]":
     leaves a manifest whose postings count no longer matches, and
     `load_bm25_index` rejects the directory loudly.  Returns
     (n_docs, n_postings)."""
+    from noaa_oracle_spark.pipeline.metaio import spark_read_component
+
     stats = (
-        spark.read.parquet(f"{path}/doclens")
+        spark_read_component(spark, f"{path}/doclens")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
-    n_postings = spark.read.parquet(f"{path}/postings").count()
+    n_postings = spark_read_component(spark, f"{path}/postings").count()
     # avg() over zero rows is NULL — an empty corpus (e.g. an all-empty-
     # text first streaming microbatch) must still produce a loadable
     # manifest, not a TypeError (r9 advice); avgdl never divides a
@@ -1917,8 +1919,14 @@ def load_bm25_index(
     round): one Hadoop-FS read + in-process parquet decode instead of a
     Spark job per load — a missing manifest raises FileNotFoundError
     (the "missing directory" class callers like the HTTP tier map to
-    BadRequest), a malformed one still raises ValueError."""
-    from noaa_oracle_spark.pipeline.metaio import read_meta_rows
+    BadRequest), a malformed one still raises ValueError.  The postings
+    and doclens frames read with the schema taken from one data file's
+    footer (`metaio.spark_read_component`), so the two per-load
+    schema-inference Spark jobs disappear too."""
+    from noaa_oracle_spark.pipeline.metaio import (
+        read_meta_rows,
+        spark_read_component,
+    )
 
     manifest = read_meta_rows(spark, f"{path}/manifest")
     if len(manifest) != 1:
@@ -1929,7 +1937,7 @@ def load_bm25_index(
             "load_bm25_index: unsupported format_version "
             f"{meta.format_version}"
         )
-    postings = spark.read.parquet(f"{path}/postings")
+    postings = spark_read_component(spark, f"{path}/postings")
     if validate_postings:
         n_postings = postings.count()
         if n_postings != meta.n_postings:
@@ -1938,7 +1946,7 @@ def load_bm25_index(
                 f"manifest {meta.n_postings} — torn or partial "
                 f"(re-)save at {path}"
             )
-    doclens = spark.read.parquet(f"{path}/doclens")
+    doclens = spark_read_component(spark, f"{path}/doclens")
     return {"postings": postings, "doclens": doclens, "manifest": meta}
 
 

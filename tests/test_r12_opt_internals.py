@@ -132,3 +132,63 @@ def test_global_rank_total_attr_is_exact(spark):
     assert ranked._global_rank_total == 997
     # and the rank itself is consistent with that total
     assert ranked.agg(F.max("_rank")).collect()[0][0] == 997
+
+
+def test_spark_read_component_matches_inference(spark, tmp_path):
+    """metaio.spark_read_component must return the SAME schema (and rows)
+    as plain schema-inference spark.read.parquet, with ZERO Spark jobs
+    spent on schema discovery — flat layout, dir-partitioned layout
+    (IntegerType partition column, matching Spark's inference), and the
+    fallback for a partition value that does not parse as int32."""
+    from noaa_oracle_spark.pipeline.metaio import spark_read_component
+
+    st = spark.sparkContext.statusTracker()
+
+    def njobs():
+        return len(st.getJobIdsForGroup(None))
+
+    flat = str(tmp_path / "flat")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("dl"),
+        F.concat(F.lit("t"), F.col("id")).alias("term"),
+        F.array(F.col("id").cast("double")).alias("vec"),
+    )
+    df.repartition(3).write.parquet(flat)
+    inf = spark.read.parquet(flat)
+    j0 = njobs()
+    fast = spark_read_component(spark, flat)
+    assert njobs() - j0 == 0, "schema read must not launch a job"
+    assert fast.schema == inf.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, inf.collect())
+    )
+
+    part = str(tmp_path / "part")
+    df.withColumn("cluster_id", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+        "cluster_id"
+    ).parquet(part)
+    inf_p = spark.read.parquet(part)
+    j0 = njobs()
+    fast_p = spark_read_component(spark, part, partitioned_by="cluster_id")
+    assert njobs() - j0 == 0
+    assert fast_p.schema == inf_p.schema
+    assert sorted(map(tuple, fast_p.collect())) == sorted(
+        map(tuple, inf_p.collect())
+    )
+
+    # non-integer partition value -> falls back to inference (identical
+    # behavior, schema still correct)
+    weird = str(tmp_path / "weird")
+    df.withColumn("cluster_id", F.lit("x7")).write.partitionBy(
+        "cluster_id"
+    ).parquet(weird)
+    fb = spark_read_component(spark, weird, partitioned_by="cluster_id")
+    assert fb.schema == spark.read.parquet(weird).schema
+
+    # missing directory -> same error class as plain read
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark_read_component(spark, str(tmp_path / "nope")).collect()

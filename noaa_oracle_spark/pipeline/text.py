@@ -2195,17 +2195,36 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
     # the rewrite counts its own rows as an observed metric (r12
     # optimization round) — same torn-source check as the re-read
     # count, one data pass instead of two
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
     obs = Observation()
-    (
-        idx["postings"].repartition(F.col("term"))
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{out_path}/postings")
-    )
-    idx["doclens"].write.mode("overwrite").parquet(f"{out_path}/doclens")
+
+    def _rewrite_postings() -> None:
+        (
+            idx["postings"].repartition(F.col("term"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/postings")
+        )
+
+    def _rewrite_doclens() -> None:
+        idx["doclens"].write.mode("overwrite").parquet(
+            f"{out_path}/doclens"
+        )
+
+    # the two component rewrites are independent read->write pairs into
+    # a directory nobody can serve until the manifest lands (written
+    # LAST, after the equality check) — run them as concurrent Spark
+    # jobs so the doclens job back-fills the postings shuffle's tail
+    # (guide §2.6); a failure in either propagates before any manifest
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fp = pool.submit(_rewrite_postings)
+        fd = pool.submit(_rewrite_doclens)
+        fp.result()
+        fd.result()
     # equality check BEFORE the manifest write: a mismatch must leave
     # out_path manifest-less (unloadable), not self-consistently wrong
     n_postings = int(obs.get["n"])

@@ -564,6 +564,12 @@ def bm25_index_sink(
         # the exact tf the append writes, so grown==rebuilt holds).
         tf_new = _bm25_tf(new, text_col, id_col).persist()
         try:
+            # NOT overlapped (measured in the r12 optimization round):
+            # running this aggregate and the containment probe as
+            # concurrent jobs moved q140 by nothing — the persist's
+            # block locks serialize the one tokenize pass and the
+            # containment probe is ~ms after it — so the simple
+            # sequential shape stays.
             stats = tf_new.agg(
                 F.count(F.lit(1)).alias("n_postings"),
                 F.sum("tf").alias("tokens"),

@@ -3669,11 +3669,28 @@ def q136_bm25_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_bm25_index,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="noaa_bm25_gate_")
     try:
-        save_bm25_index(docs.filter(F.col("doc_id") % 2 == 0), f"{base}/even")
-        save_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), f"{base}/odd")
+        # the two shard builds are independent (disjoint inputs, disjoint
+        # output dirs) — exactly the concurrent-shard-build shape a real
+        # ingest tier runs; overlapping them back-fills each build's
+        # shuffle tail (guide §2.6)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fe = pool.submit(
+                save_bm25_index,
+                docs.filter(F.col("doc_id") % 2 == 0),
+                f"{base}/even",
+            )
+            fo = pool.submit(
+                save_bm25_index,
+                docs.filter(F.col("doc_id") % 2 == 1),
+                f"{base}/odd",
+            )
+            fe.result()
+            fo.result()
         merge_bm25_indexes(
             spark, [f"{base}/even", f"{base}/odd"], f"{base}/merged"
         )

@@ -53,7 +53,12 @@ _GRADE_FIRST = [
     # front and its ledger hash is refreshed in the same commit; the
     # displaced fill q20_ann_cosine (last green r10, exactly at the
     # 2-round budget at end of r12) moves to the r13 lead list below.
-    "q109_opq_knn",
+    # q136_bm25_merge's gate body was likewise edited this round (the
+    # two shard builds now run as concurrent jobs, guide §2.6), so it
+    # re-enters the window at the front too, displacing the fill
+    # q19_simhash (last green r10, exactly at the 2-round budget at end
+    # of r12) to the r13 lead list.
+    "q109_opq_knn", "q136_bm25_merge",
     # last graded in r9 — these 38 reach the 2-round staleness budget at
     # end of r12; the staleness test forces them to lead the r12 window
     # (pre-planned in the r11 window comment, r11 verdict ask #1).
@@ -75,8 +80,9 @@ _GRADE_FIRST = [
     # (oracle-green at sf0.001/sf0.01 all round, tests/test_staged_r12.py),
     # promoted to the main dicts this round (r11 verdict ask #1).
     "q139_pq_compaction", "q140_versioned_sink_lifecycle",
-    # fill: the 9 numerically-oldest r10-graded names (q20_ann_cosine
-    # displaced by the q109 re-grade above).  r13 WINDOW PLAN
+    # fill: the 8 numerically-oldest r10-graded names (q20_ann_cosine /
+    # q19_simhash displaced by the q109 / q136 re-grades above).
+    # r13 WINDOW PLAN
     # (r11 verdict ask #7): the remaining 40 r10-graded names reach the
     # 2-round staleness budget at end of r13 and MUST lead the r13
     # window —
@@ -92,8 +98,10 @@ _GRADE_FIRST = [
     # q90_weighted_sample q91_unigram_logprob q92_chunk_documents
     # q93_source_quota q99_pack_sequences q100_pq_adc_knn q20_ann_cosine
     # q133_hybrid_rrf q134_politeness_schedule q135_crawl_frontier
-    # q136_bm25_merge
-    # (40 names) — then the ONE staged r13 debut q141_codebook_drift
+    # q19_simhash
+    # (40 names — q136_bm25_merge left the list when its r12 re-grade
+    # pulled it into this round's window; q19_simhash joined it when
+    # displaced) — then the ONE staged r13 debut q141_codebook_drift
     # (PIPELINE_QUERIES_STAGED_R13, oracle-green at sf0.001/sf0.01 in
     # tests/test_staged_r13.py; budget 141 gates, under the ~150
     # ceiling); the remaining 9 slots fill with the numerically-oldest
@@ -104,7 +112,7 @@ _GRADE_FIRST = [
     # exactly.
     "q01_daily_rollup", "q07_event_chains", "q08_topk_customers",
     "q12_regex_classify", "q15_scoring_kernel", "q16_dedup_exact",
-    "q17_ngram_jaccard", "q18_minhash_lsh", "q19_simhash",
+    "q17_ngram_jaccard", "q18_minhash_lsh",
 ]
 
 

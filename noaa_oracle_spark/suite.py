@@ -118,6 +118,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -131,9 +132,31 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+#: Inferred base-table schemas, memoized per parquet path (r12
+#: optimization round, guide §1.2/§6): every `load` without a schema
+#: launches a footer-reading schema-inference job — pure scheduling,
+#: repeated for every query of a 140-query suite run over the same
+#: immutable testdata files.  The memo stores the EXACT StructType the
+#: first inference returned for that path, so later reads are
+#: behavior-identical by construction (the timestamp-shape
+#: normalization below keys off the same dtypes either way).  Process-
+#: local metadata only — the catalog role an Iceberg/Hive manifest
+#: plays at scale; no data or results are cached, and a fresh process
+#: (every driver bench/verify invocation) starts empty.  Invariant: a
+#: path's contents never change within one process (testdata is
+#: regenerated only between rounds, i.e. between processes).
+_SCHEMA_MEMO: "dict[str, T.StructType]" = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    known = _SCHEMA_MEMO.get(path)
+    if known is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(known).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts as TIMESTAMP(NANOS); with nanosAsLong it reads as int64
         # nanoseconds. Floor-divide to micros = the same truncation DuckDB

@@ -210,44 +210,49 @@ def spark_read_component(spark, path: str, partitioned_by: "str | None" = None):
     `partitioned_by` names the one optional directory-partition column
     (the IVF-PQ ``cluster_id=N`` layout); it is declared IntegerType —
     exactly what Spark's partition inference yields for the small
-    integral values the writers emit — and only when every partition
-    directory parses as an int32; anything else falls back.
+    integral values the index writers emit.  Only the FIRST matched
+    file's partition value is checked (single-writer invariant: every
+    cell directory is named by the same int-typed column; a genuinely
+    foreign layout fails loudly at read time, never silently).
 
-    Fallback on ANY surprise (no data files, exotic footer, import
-    failure) is plain ``spark.read.parquet`` — behavior-identical, one
-    inference job."""
+    py4j discipline (measured): only the FIRST globStatus entry is ever
+    touched — iterating the whole array costs two JVM round trips PER
+    FILE, which on a 21k-file fragmented index turned every load into
+    a ~20 s py4j storm (the exact listFiles mistake `_parquet_file_
+    count` was rewritten to avoid, re-made through an iterator).
+
+    Fallback on ANY surprise (no data files, exotic footer, non-int
+    partition value, import failure) is plain ``spark.read.parquet`` —
+    behavior-identical, one inference job."""
     try:
         from pyspark.sql.pandas.types import from_arrow_schema
 
         fs, _ = _fs_and_path(spark, path)
         jvm = spark.sparkContext._jvm
         esc = _glob_escape(path)
-        statuses = fs.globStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{esc}/*.parquet")
-        )
-        files = [s.getPath() for s in (statuses or []) if s.isFile()]
+
+        def _first(pattern: str):
+            arr = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+            if arr is None or len(arr) == 0:
+                return None
+            s = arr[0]
+            return s.getPath() if s.isFile() else None
+
+        leaf = _first(f"{esc}/*.parquet")
         part_field = None
-        if not files and partitioned_by:
-            statuses = fs.globStatus(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{esc}/{partitioned_by}=*/*.parquet"
-                )
-            )
-            files = [s.getPath() for s in (statuses or []) if s.isFile()]
-            if files:
-                vals = {
-                    f.getParent().getName().split("=", 1)[1] for f in files
-                }
-                if not all(
-                    v.lstrip("-").isdigit()
-                    and -(2**31) <= int(v) < 2**31
-                    for v in vals
+        if leaf is None and partitioned_by:
+            leaf = _first(f"{esc}/{partitioned_by}=*/*.parquet")
+            if leaf is not None:
+                val = leaf.getParent().getName().split("=", 1)[1]
+                if not (
+                    val.lstrip("-").isdigit()
+                    and -(2**31) <= int(val) < 2**31
                 ):
                     return spark.read.parquet(path)
                 part_field = T.StructField(partitioned_by, T.IntegerType())
-        if not files:
+        if leaf is None:
             return spark.read.parquet(path)
-        st = from_arrow_schema(_footer_arrow_schema(spark, fs, files[0]))
+        st = from_arrow_schema(_footer_arrow_schema(spark, fs, leaf))
         if part_field is not None:
             st = T.StructType(list(st.fields) + [part_field])
         return spark.read.schema(st).parquet(path)

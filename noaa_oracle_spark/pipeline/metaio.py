@@ -211,9 +211,13 @@ def spark_read_component(spark, path: str, partitioned_by: "str | None" = None):
     (the IVF-PQ ``cluster_id=N`` layout); it is declared IntegerType —
     exactly what Spark's partition inference yields for the small
     integral values the index writers emit.  Only the FIRST matched
-    file's partition value is checked (single-writer invariant: every
-    cell directory is named by the same int-typed column; a genuinely
-    foreign layout fails loudly at read time, never silently).
+    file's partition value is checked here; the single-writer invariant
+    is what guarantees the rest (every cell directory is named by the
+    same int-typed column).  A value in a LATER directory that did not
+    fit int32 would read back NULL under non-ANSI casting, so the one
+    caller that relies on cluster_id (`load_pq_index`) additionally
+    counts NULLs inside its existing validation aggregate and raises
+    (r12 advice) — loud, and free of extra jobs.
 
     py4j discipline (measured): only the FIRST globStatus entry is ever
     touched — iterating the whole array costs two JVM round trips PER

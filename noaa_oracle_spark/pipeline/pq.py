@@ -1614,13 +1614,25 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
             f"schema {codes.columns} at {path}"
         )
     if validate_codes:
-        stats = codes.agg(
-            F.count("*").alias("n"), F.min(id_cols[0]).alias("lo")
-        ).collect()[0]
+        aggs = [F.count("*").alias("n"), F.min(id_cols[0]).alias("lo")]
+        if "cluster_id" in codes.columns:
+            # rides the same aggregate job for free (r12 advice):
+            # spark_read_component declares cluster_id IntegerType from
+            # the FIRST partition directory only, so an out-of-int32
+            # value in a later directory would otherwise read back as
+            # NULL silently under non-ANSI casting.
+            aggs.append(F.count("cluster_id").alias("n_cid"))
+        stats = codes.agg(*aggs).collect()[0]
         if stats["n"] != meta.n_encoded:
             raise ValueError(
                 f"load_pq_index: {stats['n']} encoded rows at {path} vs "
                 f"{meta.n_encoded} in the manifest — inconsistent index"
+            )
+        if "cluster_id" in codes.columns and stats["n_cid"] != stats["n"]:
+            raise ValueError(
+                f"load_pq_index: {stats['n'] - stats['n_cid']} codes rows "
+                f"at {path} have a NULL cluster_id — partition values do "
+                f"not fit the declared int32 partition column"
             )
     else:
         stats = {"lo": None}

@@ -114,6 +114,7 @@ Operator-family coverage map (reference file:line cited per query):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,13 +145,23 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 #: plays at scale; no data or results are cached, and a fresh process
 #: (every driver bench/verify invocation) starts empty.  Invariant: a
 #: path's contents never change within one process (testdata is
-#: regenerated only between rounds, i.e. between processes).
+#: regenerated only between rounds, i.e. between processes); any code
+#: path that DOES rewrite a base table in-process must call
+#: `clear_schema_memo()` (r12 advice) — keys are normpath'd so spelling
+#: variants of one path share one entry.
 _SCHEMA_MEMO: "dict[str, T.StructType]" = {}
+
+
+def clear_schema_memo() -> None:
+    """Drop every memoized base-table schema — call after regenerating
+    testdata in-process (the memo's immutability invariant otherwise
+    serves the stale schema)."""
+    _SCHEMA_MEMO.clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    path = f"{sf_dir}/{name}.parquet"
+    path = os.path.normpath(f"{sf_dir}/{name}.parquet")
     known = _SCHEMA_MEMO.get(path)
     if known is None:
         df = spark.read.parquet(path)

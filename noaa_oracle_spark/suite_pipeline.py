@@ -4144,28 +4144,14 @@ FROM qerr GROUP BY 1 ORDER BY 1
 """
 
 
-#: Staged r13 debuts — merged into PIPELINE_QUERIES / PIPELINE_ORACLE_SQL
-#: when the r13 window rotates; tests/test_staged_r13.py oracle-checks
-#: them every round until then.  Budget: 140 live + 1 staged, under the
-#: ~150 ceiling (r11 verdict ask #8: at most 1 r13 debut — the
-#: codebook-drift metric, now in oracle-expressible form).  q139/q140
-#: were staged here through r11 (as _STAGED_R12) and promoted into the
-#: main dicts (update() block below) when the r12 window rotated.
-PIPELINE_QUERIES_STAGED_R13: dict[
-    str, Callable[[SparkSession, str], DataFrame]
-] = {
-    "q141_codebook_drift": q141_codebook_drift,
-}
-
-PIPELINE_ORACLE_SQL_STAGED_R13: dict[str, str] = {
-    "q141_codebook_drift": SQL_Q141,
-}
-
-
-# r10/r11 debuts — each staged one round ahead (PIPELINE_QUERIES_STAGED_R10
-# / _R11), promoted here when their window rotated (defined below the main
-# dict literals, hence .update()).
+# r10–r13 debuts — each staged one round ahead (PIPELINE_QUERIES_STAGED_R10
+# / _R11 / _R12 / _R13), promoted here when their window rotated (defined
+# below the main dict literals, hence .update()).  q141 was staged through
+# r12 and oracle-checked every round by the then tests/test_staged_r13.py;
+# promoted when the r13 window rotated (141 live gates, under the ~150
+# ceiling, r11 verdict ask #8).
 PIPELINE_QUERIES.update({
+    "q141_codebook_drift": q141_codebook_drift,
     "q133_hybrid_rrf": q133_hybrid_rrf,
     "q134_politeness_schedule": q134_politeness_schedule,
     "q135_crawl_frontier": q135_crawl_frontier,
@@ -4177,6 +4163,7 @@ PIPELINE_QUERIES.update({
 })
 
 PIPELINE_ORACLE_SQL.update({
+    "q141_codebook_drift": SQL_Q141,
     "q133_hybrid_rrf": SQL_Q133,
     "q134_politeness_schedule": SQL_Q134,
     "q135_crawl_frontier": SQL_Q135,

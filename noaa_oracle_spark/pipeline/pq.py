@@ -1346,7 +1346,7 @@ def householder_rotate(
 _PQ_MANIFEST_SCHEMA = (
     "format_version int, m int, n_codes int, dim int, metric string, "
     "has_cells boolean, codebook_md5 string, n_encoded long, "
-    "rotation array<double>"
+    "rotation array<double>, n_code_files long, min_id long"
 )
 
 
@@ -1361,6 +1361,8 @@ def _write_pq_manifest(
     codebook_md5: str,
     n_encoded: int,
     rotation=None,
+    n_code_files: "int | None" = None,
+    min_id: "int | None" = None,
 ) -> None:
     """Write the 1-row index manifest — ALWAYS last (crash-consistency
     contract: every save/append/merge/compact fingerprints its other
@@ -1369,7 +1371,20 @@ def _write_pq_manifest(
     rotation R as a row-major flattened dim×dim list, or None for
     unrotated indexes — persisted so an OPQ-trained index round-trips
     to the serving tier (r10 verdict: without it, queries against a
-    saved index skip the rotate and return wrong neighbors)."""
+    saved index skip the rotate and return wrong neighbors).
+
+    `n_code_files` / `min_id` are the codes FILE ledger and id floor
+    (r13 optimization round — `_bm25_write_manifest`'s twin):
+    `load_pq_index` validates against the ledger with one O(1)
+    globStatus listing (instead of a Spark count whose listing cost
+    grows with accumulated appends) and serves `min_vec_id` straight
+    from the manifest.  Derivation is the CALLER's responsibility:
+    fresh-directory writers (save / merge / compact) record the
+    on-disk count after their own writes; `append_pq_index` records
+    old-ledger + its own file delta — a fresh directory count there
+    would adopt a previous tear's orphan files and heal what must stay
+    loudly broken.  None (legacy manifest) keeps the row-count
+    validation path at load."""
     from noaa_oracle_spark.pipeline.metaio import write_meta_rows
 
     flat = None
@@ -1400,6 +1415,8 @@ def _write_pq_manifest(
                 codebook_md5,
                 int(n_encoded),
                 flat,
+                None if n_code_files is None else int(n_code_files),
+                None if min_id is None else int(min_id),
             )
         ],
     )
@@ -1516,14 +1533,24 @@ def save_pq_index(
     from pyspark.sql import Observation
 
     obs = Observation()
+    enc_id = [
+        c for c in encoded.columns if c not in ("codes", "cluster_id")
+    ][0]
     (
-        encoded.observe(obs, F.count(F.lit(1)).alias("n"))
+        encoded.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(enc_id)).alias("lo"),
+        )
         .write.mode("overwrite")
         .parquet(f"{path}/codes")
     )
     if cells is not None:
         cells.write.mode("overwrite").parquet(f"{path}/cells")
-    n_encoded = int(obs.get["n"])
+    vals = obs.get
+    n_encoded = int(vals["n"])
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
     _write_pq_manifest(
         spark,
         path,
@@ -1535,6 +1562,10 @@ def save_pq_index(
         codebook_md5=_codebook_md5(books),
         n_encoded=n_encoded,
         rotation=rotation,
+        # fresh directory (mode overwrite): the ledger IS the on-disk
+        # count this save just produced; min id rides the same write
+        n_code_files=_parquet_file_count(spark, f"{path}/codes"),
+        min_id=None if vals["lo"] is None else int(vals["lo"]),
     )
 
 
@@ -1613,7 +1644,32 @@ def load_pq_index(spark, path: str, validate_codes: bool = True) -> "dict":
             f"load_pq_index: cannot identify the id column in codes "
             f"schema {codes.columns} at {path}"
         )
-    if validate_codes:
+    n_files_expected = (
+        getattr(meta, "n_code_files", None) if validate_codes else None
+    )
+    if validate_codes and n_files_expected is not None:
+        # O(1) validation against the manifest's file ledger (r13
+        # optimization round, `load_bm25_index`'s twin): every writer
+        # records the codes file count it left on disk (appends record
+        # old-ledger + delta, so a tear's orphan files are never
+        # adopted), and one globStatus listing replaces the codes
+        # aggregate whose listing/footer cost grows with accumulated
+        # appends.  min_vec_id serves straight from the manifest —
+        # maintained exactly by every writer alongside the ledger.
+        from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
+        n_files = _parquet_file_count(spark, f"{path}/codes")
+        if n_files != int(n_files_expected):
+            raise ValueError(
+                f"load_pq_index: {n_files} code files at {path} vs "
+                f"{int(n_files_expected)} in the manifest ledger — "
+                f"torn or partial (re-)save; inconsistent index"
+            )
+        lo = getattr(meta, "min_id", None)
+        stats = {"lo": None if lo is None else int(lo)}
+    elif validate_codes:
+        # legacy manifest (predates the ledger): the original row-count
+        # aggregate, one job over the accumulated files
         aggs = [F.count("*").alias("n"), F.min(id_cols[0]).alias("lo")]
         if "cluster_id" in codes.columns:
             # rides the same aggregate job for free (r12 advice):
@@ -1845,13 +1901,24 @@ def append_pq_index(
     # write, so the on-disk schema is unchanged.
     from pyspark.sql import Observation
 
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
     obs = Observation()
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(id_col)).alias("lo"),
+    ]
     if metrics_out is not None:
         aggs.append(F.avg("qerr").alias("mse"))
     out_frame = to_write.observe(obs, *aggs)
     if metrics_out is not None:
         out_frame = out_frame.drop("qerr")
+    # file-ledger arithmetic (r13): the appended manifest records
+    # old-ledger + this-append's file delta — NEVER a fresh directory
+    # count, which would adopt a previous tear's orphan files and heal
+    # what must stay loudly broken (the "fast path never heals"
+    # contract the tests pin)
+    files_before = _parquet_file_count(spark, f"{path}/codes")
     w = out_frame.write.mode("append")
     if part_cols:
         w = w.partitionBy(*part_cols)
@@ -1873,6 +1940,9 @@ def append_pq_index(
         ).count()
     else:
         n_total = int(meta.n_encoded) + int(n_new)
+    old_ledger = getattr(meta, "n_code_files", None)
+    old_lo = getattr(meta, "min_id", None)
+    new_lo = None if vals["lo"] is None else int(vals["lo"])
     _write_pq_manifest(
         spark,
         path,
@@ -1884,6 +1954,21 @@ def append_pq_index(
         codebook_md5=meta.codebook_md5,
         n_encoded=int(n_total),
         rotation=idx["rotation"],
+        n_code_files=None if old_ledger is None else (
+            int(old_ledger)
+            + _parquet_file_count(spark, f"{path}/codes")
+            - files_before
+        ),
+        # a legacy index's historical min is unknown — recording only
+        # the new batch's min would serve a wrong min_vec_id floor, so
+        # the ledger and the floor upgrade together (never legacy);
+        # with a ledger present, old_lo None means the old index was
+        # EMPTY and the new batch's min is the true floor
+        min_id=None if old_ledger is None else (
+            new_lo if old_lo is None
+            else old_lo if new_lo is None
+            else min(int(old_lo), new_lo)
+        ),
     )
     return int(n_total - meta.n_encoded)
 
@@ -1995,12 +2080,20 @@ def merge_pq_indexes(
     from pyspark.sql import Observation
 
     obs = Observation()
+    merged_id = [
+        c for c in codes.columns if c not in ("codes", "cluster_id")
+    ][0]
     (
-        codes.observe(obs, F.count(F.lit(1)).alias("n"))
+        codes.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(merged_id)).alias("lo"),
+        )
         .write.mode("overwrite")
         .parquet(f"{out_path}/codes")
     )
-    n_encoded = int(obs.get["n"])
+    vals = obs.get
+    n_encoded = int(vals["n"])
     n_expected = sum(int(m.n_encoded) for m in metas)
     if n_encoded != n_expected:
         raise ValueError(
@@ -2008,6 +2101,8 @@ def merge_pq_indexes(
             f"in the shard manifests — a shard is torn; aborting before "
             f"the manifest write (out_path is not serveable)"
         )
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
     _write_pq_manifest(
         spark,
         out_path,
@@ -2019,6 +2114,10 @@ def merge_pq_indexes(
         codebook_md5=meta.codebook_md5,
         n_encoded=int(n_encoded),
         rotation=idxs[0]["rotation"],
+        # fresh directory: ledger = what this merge just wrote; the min
+        # rides the same union write (exact over all shards' rows)
+        n_code_files=_parquet_file_count(spark, f"{out_path}/codes"),
+        min_id=None if vals["lo"] is None else int(vals["lo"]),
     )
 
 
@@ -2098,13 +2197,20 @@ def save_ivfpq_index(
     obs = Observation()
     (
         celled.repartition(F.col("cluster_id"))
-        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(id_col)).alias("lo"),
+        )
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(f"{path}/codes")
     )
     cells.write.mode("overwrite").parquet(f"{path}/cells")
-    n_encoded = int(obs.get["n"])
+    vals = obs.get
+    n_encoded = int(vals["n"])
+    from noaa_oracle_spark.pipeline.text import _parquet_file_count
+
     _write_pq_manifest(
         spark,
         path,
@@ -2116,6 +2222,10 @@ def save_ivfpq_index(
         codebook_md5=_codebook_md5(books),
         n_encoded=n_encoded,
         rotation=rotation,
+        # fresh directory: ledger = on-disk count of the celled layout
+        # (one file set per cell); min id rides the same write
+        n_code_files=_parquet_file_count(spark, f"{path}/codes"),
+        min_id=None if vals["lo"] is None else int(vals["lo"]),
     )
 
 
@@ -2490,11 +2600,19 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
     from pyspark.sql import Observation
 
     obs = Observation()
+    compact_id = [
+        c for c in idx["codes"].columns
+        if c not in ("codes", "cluster_id")
+    ][0]
+    compact_aggs = (
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(compact_id)).alias("lo"),
+    )
     if "cluster_id" in idx["codes"].columns:
         (
             idx["codes"]
             .repartition(F.col("cluster_id"))
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .observe(obs, *compact_aggs)
             .write.mode("overwrite")
             .partitionBy("cluster_id")
             .parquet(f"{out_path}/codes")
@@ -2502,13 +2620,14 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
     else:
         (
             idx["codes"]
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .observe(obs, *compact_aggs)
             .write.mode("overwrite")
             .parquet(f"{out_path}/codes")
         )
     timings["codes_rewrite_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
-    n_encoded = int(obs.get["n"])
+    obs_vals = obs.get
+    n_encoded = int(obs_vals["n"])
     timings["verify_count_s"] = round(_time.time() - t0, 2)
     t0 = _time.time()
     if n_encoded != int(meta.n_encoded):
@@ -2540,6 +2659,7 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
         jvm.org.apache.hadoop.fs.FileUtil.copy(
             sfs, src, dfs, dst, False, True, conf
         )
+    files_after = _parquet_file_count(spark, f"{out_path}/codes")
     _write_pq_manifest(
         spark,
         out_path,
@@ -2551,13 +2671,18 @@ def compact_pq_index(spark, path: str, out_path: str) -> "dict":
         codebook_md5=meta.codebook_md5,
         n_encoded=n_encoded,
         rotation=idx["rotation"],
+        # fresh directory: ledger = what this rewrite produced; the min
+        # rides the rewrite itself (exact even for a legacy source
+        # whose manifest predates the floor field)
+        n_code_files=files_after,
+        min_id=(
+            None if obs_vals["lo"] is None else int(obs_vals["lo"])
+        ),
     )
     timings["aux_writes_s"] = round(_time.time() - t0, 2)
     return {
         "codes_files_before": files_before,
-        "codes_files_after": _parquet_file_count(
-            spark, f"{out_path}/codes"
-        ),
+        "codes_files_after": files_after,
         "n_encoded": int(n_encoded),
         "timings": timings,
     }

@@ -1577,7 +1577,7 @@ def _bm25_rank(
 #: the save_pq_index crash-consistency discipline)
 _BM25_MANIFEST_SCHEMA = (
     "format_version int, n_docs long, avgdl double, "
-    "n_postings long, id_col string"
+    "n_postings long, id_col string, n_postings_files long"
 )
 
 
@@ -1620,15 +1620,18 @@ def _bm25_finalize_manifest(spark, path: str, id_col: str) -> "tuple[int, int]":
     # manifest, not a TypeError (r9 advice); avgdl never divides a
     # score because an empty index has no postings to score.
     avgdl = 0.0 if stats["avgdl"] is None else float(stats["avgdl"])
+    # this is the explicit full-recompute/audit tail: like the row
+    # stats above, the file ledger records what is actually on disk
     _bm25_write_manifest(
-        spark, path, id_col, int(stats["n_docs"]), avgdl, int(n_postings)
+        spark, path, id_col, int(stats["n_docs"]), avgdl, int(n_postings),
+        _parquet_file_count(spark, f"{path}/postings"),
     )
     return int(stats["n_docs"]), int(n_postings)
 
 
 def _bm25_write_manifest(
     spark, path: str, id_col: str, n_docs: int, avgdl: float,
-    n_postings: int,
+    n_postings: int, n_postings_files: "int | None",
 ) -> None:
     """The 1-row manifest write shared by the recompute tail
     (`_bm25_finalize_manifest`) and the O(new shard) arithmetic update
@@ -1638,14 +1641,32 @@ def _bm25_write_manifest(
     file write instead of a full Spark job per manifest — same parquet
     bytes on disk, same directory layout, zero scheduler round trips.
     The manifest is control-plane metadata; it must not ride the data
-    plane."""
+    plane.
+
+    `n_postings_files` is the postings FILE ledger (r13 optimization
+    round, guide §1.2 — the r12 "Not yet optimized" #2 item):
+    `load_bm25_index` validates against it with one O(1) globStatus
+    listing instead of a Spark footer-count job whose listing cost
+    grows with accumulated append count.  The value is the CALLER's
+    responsibility, because the tear-detection contract depends on how
+    it is derived: writers into a FRESH directory (save / merge /
+    compact / the verify recompute) record the on-disk count after
+    their own writes, while `append_bm25_index` must record
+    old-ledger + this-append's-delta — counting the directory there
+    would silently adopt a previous tear's orphan files into the
+    ledger and heal what must stay loudly broken.  None (legacy index
+    whose manifest predates the ledger) keeps the row-count validation
+    path at load."""
     from noaa_oracle_spark.pipeline.metaio import write_meta_rows
 
     write_meta_rows(
         spark,
         f"{path}/manifest",
         _BM25_MANIFEST_SCHEMA,
-        [(1, int(n_docs), float(avgdl), int(n_postings), id_col)],
+        [(
+            1, int(n_docs), float(avgdl), int(n_postings), id_col,
+            None if n_postings_files is None else int(n_postings_files),
+        )],
     )
 
 
@@ -1691,35 +1712,58 @@ def save_bm25_index(
     a wrong one."""
     from pyspark.sql import Observation
 
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = docs.sparkSession
     tf = _bm25_tf(docs, text_col, id_col).persist()
     try:
-        obs_p = Observation()
-        (
-            tf.repartition(F.col("term"))
-            .observe(obs_p, F.count(F.lit(1)).alias("n_postings"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{path}/postings")
-        )
-        obs_d = Observation()
-        (
-            _dlen_of(tf, id_col)
-            .observe(
-                obs_d,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("tokens"),
+        obs_p, obs_d = Observation(), Observation()
+
+        def _write_postings() -> None:
+            (
+                tf.repartition(F.col("term"))
+                .observe(obs_p, F.count(F.lit(1)).alias("n_postings"))
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(f"{path}/postings")
             )
-            .write.mode("overwrite")
-            .parquet(f"{path}/doclens")
-        )
+
+        def _write_doclens() -> None:
+            (
+                _dlen_of(tf, id_col)
+                .observe(
+                    obs_d,
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("tokens"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{path}/doclens")
+            )
+
+        # The two component writes are independent consumers of the one
+        # cached tf into a directory nobody can load until the manifest
+        # lands (written LAST) — run them as concurrent Spark jobs so
+        # the doclens shuffle back-fills the postings write's tail
+        # (guide §2.6, the compact_bm25_index discipline; the cache's
+        # block locks serialize the single tokenize pass, after which
+        # the two writes genuinely overlap).  NOTE this is safe for a
+        # FRESH save only: append_bm25_index keeps its postings-before-
+        # doclens order, which is load-bearing for replay recovery.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fp = pool.submit(_write_postings)
+            fd = pool.submit(_write_doclens)
+            fp.result()
+            fd.result()
         dvals = obs_d.get
         n_docs = int(dvals["n_docs"])
         tokens = int(dvals["tokens"] or 0)
+        # fresh directory (mode overwrite): the ledger IS the on-disk
+        # count this save just produced
         _bm25_write_manifest(
             spark, path, id_col, n_docs,
             0.0 if n_docs == 0 else tokens / n_docs,
             int(obs_p.get["n_postings"]),
+            _parquet_file_count(spark, f"{path}/postings"),
         )
     finally:
         tf.unpersist()
@@ -1842,6 +1886,12 @@ def append_bm25_index(
         # its rows (= the shard's n_docs) and sums dl (= its exact
         # integer token total) — no separate stats aggregate job
         obs_p, obs_d = Observation(), Observation()
+        # file-ledger arithmetic (r13): the appended manifest records
+        # old-ledger + this-append's file delta — NEVER a fresh count
+        # of the directory, which would adopt a previous tear's orphan
+        # files and heal what must stay loudly broken (the
+        # "fast path never heals" contract the tests pin)
+        files_before = _parquet_file_count(spark, f"{path}/postings")
         (
             tf.repartition(F.col("term"))
             .observe(obs_p, F.count(F.lit(1)).alias("n_postings"))
@@ -1879,9 +1929,15 @@ def append_bm25_index(
             n_docs = int(meta.n_docs) + int(new_stats["n_docs"])
             tokens = old_tokens + int(new_stats["tokens"] or 0)
             avgdl = 0.0 if n_docs == 0 else tokens / n_docs
+            old_ledger = getattr(meta, "n_postings_files", None)
             _bm25_write_manifest(
                 spark, path, id_col, n_docs, avgdl,
                 int(meta.n_postings) + int(new_stats["n_postings"]),
+                None if old_ledger is None else (
+                    int(old_ledger)
+                    + _parquet_file_count(spark, f"{path}/postings")
+                    - files_before
+                ),
             )
     finally:
         tf.unpersist()
@@ -1939,13 +1995,32 @@ def load_bm25_index(
         )
     postings = spark_read_component(spark, f"{path}/postings")
     if validate_postings:
-        n_postings = postings.count()
-        if n_postings != meta.n_postings:
-            raise ValueError(
-                f"load_bm25_index: postings count {n_postings} != "
-                f"manifest {meta.n_postings} — torn or partial "
-                f"(re-)save at {path}"
-            )
+        # O(1) validation against the manifest's file ledger (r13
+        # optimization round): every writer records the postings file
+        # count it left on disk immediately before its manifest write,
+        # so one globStatus listing detects the torn-append class (a
+        # writer died after its postings append, before its manifest
+        # rewrite → extra files the stale ledger rejects) without a
+        # Spark job whose footer/listing cost grows with accumulated
+        # appends.  Manifests from before the ledger (no field / NULL)
+        # fall back to the original footer-count job — same raise.
+        n_files_expected = getattr(meta, "n_postings_files", None)
+        if n_files_expected is not None:
+            n_files = _parquet_file_count(spark, f"{path}/postings")
+            if n_files != int(n_files_expected):
+                raise ValueError(
+                    f"load_bm25_index: {n_files} postings files != "
+                    f"manifest ledger {int(n_files_expected)} — torn or "
+                    f"partial (re-)save at {path}"
+                )
+        else:
+            n_postings = postings.count()
+            if n_postings != meta.n_postings:
+                raise ValueError(
+                    f"load_bm25_index: postings count {n_postings} != "
+                    f"manifest {meta.n_postings} — torn or partial "
+                    f"(re-)save at {path}"
+                )
     doclens = spark_read_component(spark, f"{path}/doclens")
     return {"postings": postings, "doclens": doclens, "manifest": meta}
 
@@ -2125,6 +2200,7 @@ def merge_bm25_indexes(
     _bm25_write_manifest(
         spark, out_path, id_col, n_docs,
         0.0 if n_docs == 0 else tokens / n_docs, int(n_postings),
+        _parquet_file_count(spark, f"{out_path}/postings"),
     )
 
 
@@ -2243,16 +2319,16 @@ def compact_bm25_index(spark, path: str, out_path: str) -> "dict":
     # count mismatch (postings are written first on every append path)
     # and fails the check above before this line runs.
     n_docs = int(idx["manifest"].n_docs)
+    files_after = _parquet_file_count(spark, f"{out_path}/postings")
     _bm25_write_manifest(
         spark, out_path, id_col, n_docs,
         float(idx["manifest"].avgdl),
         int(n_postings),
+        files_after,
     )
     return {
         "postings_files_before": files_before,
-        "postings_files_after": _parquet_file_count(
-            spark, f"{out_path}/postings"
-        ),
+        "postings_files_after": files_after,
         "n_docs": n_docs,
         "n_postings": n_postings,
     }

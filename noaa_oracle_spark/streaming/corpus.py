@@ -557,49 +557,58 @@ def bm25_index_sink(
         # tokenize the batch ONCE: the containment check and the
         # append's tf share this persisted pass (r12: the sink used to
         # tokenize every microbatch twice and load the index twice).
-        # The bounded aggregate is FUSED (r12 optimization round): one
-        # job yields the indexable-doc count for containment AND the
-        # postings/token totals the append's manifest arithmetic needs
-        # (passed through as precomputed_stats — the values are from
-        # the exact tf the append writes, so grown==rebuilt holds).
+        # r13 optimization round (guide §1.2): the separate stats
+        # aggregate the r12 shape paid per microbatch (count / sum(tf) /
+        # countDistinct over tf_new — a 6-job multi-exchange query) is
+        # GONE: the manifest arithmetic rides `append_bm25_index`'s own
+        # observed write metrics (value-identical by construction —
+        # both aggregate the exact tf the append writes, and the r12
+        # fast path already trusted those observations when the sink
+        # did not precompute).  The probe ORDER is chosen for the hot
+        # path (a fresh disjoint batch, the overwhelmingly common case):
+        # the containment semi-join runs FIRST — batch postings ids
+        # broadcast into the doclens scan, the only join direction that
+        # does not shuffle the corpus-sized side at scale, and WITHOUT
+        # a distinct on the build side (a left-semi result is dup-
+        # invariant, and the distinct was a full extra exchange of the
+        # batch) — and the batch's distinct-id count is computed ONLY
+        # on the rare replay path where n_seen > 0 needs classifying as
+        # full (skip) vs partial (raise).  A fresh batch then pays one
+        # 1-row limit probe on the cached tf (empty-batch no-op
+        # contract) and goes straight to the append.
+        # Examined and REJECTED: fusing the probes via an `observe` on
+        # the semi-join's build side — AQE's empty-side propagation can
+        # skip the build-side CollectMetrics entirely (an empty doclens
+        # collapses the join to an empty relation), so Observation.get
+        # fails on exactly the empty-index edge cases the sink must
+        # survive.
         tf_new = _bm25_tf(new, text_col, id_col).persist()
         try:
-            # NOT overlapped (measured in the r12 optimization round):
-            # running this aggregate and the containment probe as
-            # concurrent jobs moved q140 by nothing — the persist's
-            # block locks serialize the one tokenize pass and the
-            # containment probe is ~ms after it — so the simple
-            # sequential shape stays.
-            stats = tf_new.agg(
-                F.count(F.lit(1)).alias("n_postings"),
-                F.sum("tf").alias("tokens"),
-                F.countDistinct(id_col).alias("n_docs"),
-            ).collect()[0]
-            n_indexable = int(stats["n_docs"])
-            if n_indexable == 0:
-                return
             n_seen = (
                 idx["doclens"]
-                .join(
-                    tf_new.select(id_col).distinct(), id_col, "left_semi"
-                )
+                .join(tf_new.select(id_col), id_col, "left_semi")
                 .count()
             )
-            if n_seen == n_indexable:
-                # completed batch replayed after a post-commit crash
-                return
             if n_seen:
+                # replay path (rare): classify full vs partial
+                n_indexable = tf_new.select(id_col).distinct().count()
+                if n_seen == n_indexable:
+                    # completed batch replayed after a post-commit crash
+                    return
                 raise ValueError(
                     f"bm25_index_sink: batch {batch_id} partially present "
                     f"({n_seen}/{n_indexable} ids) — torn append at "
                     f"{idx_path}; recover by re-saving or merge-compacting "
                     "the index"
                 )
+            if tf_new.limit(1).count() == 0:
+                # nothing indexable (empty batch / all-empty texts):
+                # the sink is a no-op, never an empty-file append
+                return
             append_bm25_index(
                 spark, idx_path, new,
                 text_col=text_col, id_col=id_col, check_disjoint=False,
                 precomputed_tf=tf_new, preloaded_index=idx,
-                precomputed_stats=stats,
             )
         finally:
             tf_new.unpersist()

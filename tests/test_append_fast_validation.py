@@ -111,7 +111,7 @@ def test_pq_fast_append_does_not_heal_torn_index(spark, emb, tmp_path):
         emb.filter(F.col("vec_id") >= 180),
         check_disjoint=False,
     )
-    with pytest.raises(ValueError, match="encoded rows"):
+    with pytest.raises(ValueError, match="inconsistent index"):
         load_pq_index(spark, path)
 
 
@@ -163,7 +163,11 @@ def test_bm25_fast_append_does_not_heal_torn_index(spark, docs, tmp_path):
         docs.filter(F.col("doc_id") >= 90),
         check_disjoint=False,
     )
-    with pytest.raises(ValueError, match="postings count"):
+    # r13: detected by the O(1) file-ledger check (the appended manifest
+    # records old-ledger + delta, never a fresh directory count, so the
+    # orphan files stay un-adopted); the legacy row-count path raises
+    # the same "torn or partial" class
+    with pytest.raises(ValueError, match="torn or partial"):
         load_bm25_index(spark, path)
 
 

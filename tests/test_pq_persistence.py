@@ -137,7 +137,7 @@ def test_pq_index_codes_count_validation(spark, emb, tmp_path):
     path = str(tmp_path / "cnt")
     save_pq_index(books, enc, path)
     enc.limit(10).write.mode("overwrite").parquet(f"{path}/codes")
-    with pytest.raises(ValueError, match="encoded rows"):
+    with pytest.raises(ValueError, match="inconsistent index"):
         load_pq_index(spark, path)
 
 
@@ -200,7 +200,7 @@ def test_append_pq_index_torn_append_fails_loudly(spark, emb, tmp_path):
     pq_encode(
         emb.filter(F.col("vec_id") >= 200), books
     ).write.mode("append").parquet(f"{path}/codes")
-    with pytest.raises(ValueError, match="encoded rows"):
+    with pytest.raises(ValueError, match="inconsistent index"):
         load_pq_index(spark, path)
 
 

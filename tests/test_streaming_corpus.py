@@ -369,10 +369,13 @@ def test_bm25_index_sink_torn_index_raises_not_overwrites(spark, tmp_path):
     meta = load_bm25_index(spark, path)["manifest"]
 
     # simulate the torn append: postings grew but the manifest rewrite
-    # never happened → count mismatch on load
+    # never happened → the on-disk postings file count no longer matches
+    # the manifest's ledger (r13: load validation is the O(1) file-count
+    # check; rows stay consistent with what the stale manifest claims)
     torn = spark.createDataFrame(
         [(1, int(meta.n_docs), float(meta.avgdl),
-          int(meta.n_postings) + 2, str(meta.id_col))],
+          int(meta.n_postings) + 2, str(meta.id_col),
+          int(meta.n_postings_files) + 1)],
         _BM25_MANIFEST_SCHEMA,
     )
     torn.write.mode("overwrite").parquet(f"{path}/manifest")

@@ -728,6 +728,7 @@ def politeness_waves(
     delays: "DataFrame | None" = None,
     default_delay: float = 1.0,
     keep_delay: bool = False,
+    partition_extra: "list[str] | None" = None,
 ) -> DataFrame:
     """Schedule a fetch frontier politely: per host, URLs are ordered
     by deterministic id-hash (md5 of the url — re-runs schedule
@@ -742,7 +743,15 @@ def politeness_waves(
     `default_delay`.  Scale shape: ONE shuffle on host (the window
     partition key), the delay dimension broadcast — the per-host wave
     counter is exactly the rank-1-per-group pattern the dedup tier
-    uses, never a global window."""
+    uses, never a global window.
+
+    `partition_extra` (r13 optimization round) adds columns to the
+    window partition key so INDEPENDENT schedules compute in one pass:
+    `crawl_rounds` schedules every round in a single (round, host)
+    window instead of one host-window job per round — waves restart per
+    round by definition, so partitioning by (round, host) over the
+    unioned frontiers is value-identical to the per-round calls, with
+    one exchange instead of rounds-many."""
     from pyspark.sql.window import Window
 
     host = url_host(F.col(url_col))
@@ -767,9 +776,9 @@ def politeness_waves(
         with_host = with_host.withColumn(
             "_p_delay", F.lit(None).cast("double")
         )
-    w = Window.partitionBy("_p_host").orderBy(
-        F.md5(F.col(url_col)), F.col(url_col)
-    )
+    w = Window.partitionBy(
+        "_p_host", *(partition_extra or [])
+    ).orderBy(F.md5(F.col(url_col)), F.col(url_col))
     delay = F.coalesce(F.col("_p_delay"), F.lit(float(default_delay)))
     wave = (F.row_number().over(w) - 1).cast("long")
     out = (
@@ -1071,11 +1080,18 @@ def crawl_rounds(
         seen = seen.union(nxt)
         cur = nxt
 
-    waved = [
-        politeness_waves(df, delays=delays, default_delay=default_delay)
-        for df in out
-    ]
-    result = waved[0]
-    for w in waved[1:]:
-        result = result.unionByName(w)
+    # ONE scheduling pass over every round (r13 optimization round):
+    # waves restart per round, so a single (round, host)-partitioned
+    # window over the unioned cached frontiers is value-identical to
+    # one politeness_waves call per round — one exchange and one delay
+    # broadcast instead of rounds-many window jobs
+    allrounds = out[0]
+    for df in out[1:]:
+        allrounds = allrounds.unionByName(df)
+    result = politeness_waves(
+        allrounds,
+        delays=delays,
+        default_delay=default_delay,
+        partition_extra=["round"],
+    )
     return result.select("url", "round", "wave", "not_before_s")

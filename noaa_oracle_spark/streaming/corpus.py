@@ -564,18 +564,20 @@ def bm25_index_sink(
         # observed write metrics (value-identical by construction —
         # both aggregate the exact tf the append writes, and the r12
         # fast path already trusted those observations when the sink
-        # did not precompute).  The probe ORDER is chosen for the hot
-        # path (a fresh disjoint batch, the overwhelmingly common case):
-        # the containment semi-join runs FIRST — batch postings ids
-        # broadcast into the doclens scan, the only join direction that
-        # does not shuffle the corpus-sized side at scale, and WITHOUT
-        # a distinct on the build side (a left-semi result is dup-
-        # invariant, and the distinct was a full extra exchange of the
-        # batch) — and the batch's distinct-id count is computed ONLY
-        # on the rare replay path where n_seen > 0 needs classifying as
-        # full (skip) vs partial (raise).  A fresh batch then pays one
-        # 1-row limit probe on the cached tf (empty-batch no-op
-        # contract) and goes straight to the append.
+        # did not precompute).  Probe order (r13, second pass): the
+        # batch tf's COUNT materializes the cache first — one job that
+        # is simultaneously the tokenize pass and the empty-batch gate
+        # (count == 0 ⇔ the old limit(1) probe's emptiness, which paid
+        # its own 2-job query after the containment count had already
+        # tokenized).  The containment semi-join then runs off the
+        # cached tf — batch postings ids broadcast into the doclens
+        # scan, the only join direction that does not shuffle the
+        # corpus-sized side at scale, and WITHOUT a distinct on the
+        # build side (a left-semi result is dup-invariant, and the
+        # distinct was a full extra exchange of the batch) — and the
+        # batch's distinct-id count is computed ONLY on the rare replay
+        # path where n_seen > 0 needs classifying as full (skip) vs
+        # partial (raise).
         # Examined and REJECTED: fusing the probes via an `observe` on
         # the semi-join's build side — AQE's empty-side propagation can
         # skip the build-side CollectMetrics entirely (an empty doclens
@@ -584,6 +586,10 @@ def bm25_index_sink(
         # survive.
         tf_new = _bm25_tf(new, text_col, id_col).persist()
         try:
+            if tf_new.count() == 0:
+                # nothing indexable (empty batch / all-empty texts):
+                # the sink is a no-op, never an empty-file append
+                return
             n_seen = (
                 idx["doclens"]
                 .join(tf_new.select(id_col), id_col, "left_semi")
@@ -601,10 +607,6 @@ def bm25_index_sink(
                     f"{idx_path}; recover by re-saving or merge-compacting "
                     "the index"
                 )
-            if tf_new.limit(1).count() == 0:
-                # nothing indexable (empty batch / all-empty texts):
-                # the sink is a no-op, never an empty-file append
-                return
             append_bm25_index(
                 spark, idx_path, new,
                 text_col=text_col, id_col=id_col, check_disjoint=False,

@@ -40,11 +40,43 @@ def spread(df: DataFrame) -> DataFrame:
     lookup fails (exotic plan), fall back to repartitioning, the safe
     local behavior. Values are partitioning-independent everywhere
     spread is used (hash/band/term-keyed aggregates with deterministic
-    tiebreaks), so skipping the exchange cannot change results."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    tiebreaks), so skipping the exchange cannot change results.
+
+    Partition count alone can LIE for parquet (r13 optimization round):
+    Spark plans byte-range splits, but a row GROUP is parquet's atomic
+    read unit — a huge single-row-group file yields `par` "splits" of
+    which exactly one carries every row, and every downstream per-row
+    kernel runs on one core while the partition count says wide.  (The
+    1M bench fixture is exactly this: one 269 MB / 716 MB file with ONE
+    row group; the r12 width check silently serialized every 1M-rung
+    kernel.)  So when the scan reads FEWER FILES than cores, the
+    footers' row-group counts — bounded driver-side reads, no job —
+    decide: fewer total row groups than cores ⇒ the split count
+    overstates achievable parallelism ⇒ rebalance (guide §2.5's "one
+    huge unsplittable file … repartition immediately after the read").
+    Inputs with >= par files, non-parquet sources, and non-file frames
+    keep the width check's verdict untouched."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     try:
         if df.rdd.getNumPartitions() >= par:
-            return df
+            files = df.inputFiles()
+            if not files or len(files) >= par:
+                return df
+            if not all(
+                f.rsplit("/", 1)[-1].endswith(".parquet") for f in files
+            ):
+                return df
+            from noaa_oracle_spark.pipeline.metaio import (
+                footer_row_group_count,
+            )
+
+            total_rgs = 0
+            for f in files:
+                total_rgs += footer_row_group_count(spark, f)
+                if total_rgs >= par:
+                    return df
+            # fewer row groups than cores: fall through to the rebalance
     except Exception:
         pass
     return df.repartition(par)

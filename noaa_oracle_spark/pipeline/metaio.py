@@ -165,16 +165,13 @@ def _glob_escape(path: str) -> str:
     return "".join(f"\\{ch}" if ch in "*?[]{}\\" else ch for ch in path)
 
 
-def _footer_arrow_schema(spark, fs, file_jpath):
-    """Arrow schema of one parquet file, from its FOOTER ONLY: seek to
-    the 8-byte tail (footer length + magic), fetch the footer bytes, and
-    hand pyarrow a synthetic `PAR1 + footer + tail` buffer — the thrift
-    metadata is self-contained, so schema parsing never touches a data
-    page.  Two bounded reads over the Hadoop ``FileSystem`` API (local
-    FS / HDFS / object stores alike), no Spark job, no full-file fetch."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _footer_buffer(spark, fs, file_jpath) -> bytes:
+    """One parquet file's footer as a self-contained synthetic
+    ``PAR1 + footer + tail`` buffer: seek to the 8-byte tail (footer
+    length + magic), fetch the footer bytes — the thrift metadata is
+    self-contained, so parsing never touches a data page.  Two bounded
+    reads over the Hadoop ``FileSystem`` API (local FS / HDFS / object
+    stores alike), no Spark job, no full-file fetch."""
     jvm = spark.sparkContext._jvm
     length = fs.getFileStatus(file_jpath).getLen()
     if length < 12:
@@ -193,7 +190,35 @@ def _footer_arrow_schema(spark, fs, file_jpath):
         footer = bytes(ioutils.toByteArray(stream, flen))
     finally:
         stream.close()
-    return pq.read_schema(pa.BufferReader(b"PAR1" + footer + tail8))
+    return b"PAR1" + footer + tail8
+
+
+def _footer_arrow_schema(spark, fs, file_jpath):
+    """Arrow schema of one parquet file, from its FOOTER ONLY (see
+    `_footer_buffer`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(
+        pa.BufferReader(_footer_buffer(spark, fs, file_jpath))
+    )
+
+
+def footer_row_group_count(spark, path: str) -> int:
+    """Row-group count of one parquet file, from its footer only — the
+    ACHIEVABLE scan parallelism of that file (a row group is parquet's
+    atomic read unit: Spark plans byte-range splits, but every split
+    except the one holding a row group's start reads zero rows of it).
+    Used by `dedup.spread` to detect the huge-single-row-group-file
+    case (guide §2.5 "one huge unsplittable file") that partition
+    count alone cannot see.  No Spark job; scheme-agnostic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs, jpath = _fs_and_path(spark, path)
+    return pq.read_metadata(
+        pa.BufferReader(_footer_buffer(spark, fs, jpath))
+    ).num_row_groups
 
 
 def spark_read_component(spark, path: str, partitioned_by: "str | None" = None):

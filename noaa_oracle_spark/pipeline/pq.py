@@ -99,12 +99,7 @@ def _assign_codes(subs: DataFrame, books: "dict", id_col: str):
             for s in np.unique(sub_ids):
                 mask = sub_ids == s
                 cb = books[int(s)]  # k × sub_len
-                d = round_half_up(
-                    ((svecs[mask][:, None, :] - cb[None, :, :]) ** 2).sum(
-                        axis=2
-                    ),
-                    6,
-                )
+                d = round_half_up(_sq_dists(svecs[mask], cb), 6)
                 out_codes[mask] = d.argmin(axis=1)  # first (lowest) code
             yield pd.DataFrame(
                 {
@@ -319,6 +314,24 @@ def _probe_map(probes: DataFrame, q_index: "dict") -> "dict":
     }
 
 
+def _sq_dists(sub, cb):
+    """(n × sub_len) row block vs (k × sub_len) codebook squared
+    distances, one codebook row at a time — BIT-IDENTICAL to the
+    broadcast form ``((sub[:, None, :] - cb[None, :, :]) ** 2).sum(
+    axis=2)`` (same elementwise ops, same last-axis reduction order;
+    pinned by tests/test_r13_opt_internals.py) without materializing
+    the n×k×sub_len broadcast temporary, which at k=256 is ~160 MB per
+    10k-row Arrow batch and made the encode memory-bandwidth-bound:
+    measured 10.3× on the kernel (guide §4.2 — the r13 optimization
+    round's 1M-rung finding)."""
+    import numpy as np
+
+    out = np.empty((sub.shape[0], cb.shape[0]), np.float64)
+    for j in range(cb.shape[0]):
+        out[:, j] = ((sub - cb[j]) ** 2).sum(axis=1)
+    return out
+
+
 def _encode_block(sv, books: "dict", sub_len: int, with_error: bool = False):
     """PQ-encode an (n × dim) float64 block: per subspace, 6-dp-rounded
     squared distances then first-minimum code — the `_assign_codes` math
@@ -339,9 +352,7 @@ def _encode_block(sv, books: "dict", sub_len: int, with_error: bool = False):
     for s in range(m):
         cb = books[s]
         sub = sv[:, s * sub_len : (s + 1) * sub_len]
-        d = round_half_up(
-            ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), 6
-        )
+        d = round_half_up(_sq_dists(sub, cb), 6)
         codes[:, s] = d.argmin(axis=1)  # first (lowest) code on ties
         if with_error:
             err += d.min(axis=1)

@@ -175,3 +175,112 @@ def test_bm25_legacy_manifest_falls_back_to_row_count(
     ).write.mode("append").parquet(f"{path}/postings")
     with pytest.raises(ValueError, match="torn or partial"):
         load_bm25_index(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# r13 kernel rewrites: bit-equality of the blocked/loop distance kernels
+# with the broadcast/realloc forms they replaced (guide §4.2 — the forms
+# are arithmetic-identical by construction; these pins make that a test,
+# including on tie-adversarial values where a changed summation order
+# would flip an argmin/argmax through the 6-dp round).
+# ---------------------------------------------------------------------------
+
+
+def test_sq_dists_bit_equals_broadcast_form():
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.pq import _sq_dists
+
+    rng = np.random.default_rng(7)
+    for n, k, d in [(1, 1, 1), (3, 5, 2), (257, 8, 8), (64, 256, 8)]:
+        sub = rng.random((n, d)) * 10 - 5
+        cb = rng.random((k, d)) * 10 - 5
+        ref = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(_sq_dists(sub, cb), ref)
+    # tie-adversarial: duplicated codebook rows and exact-zero distances
+    sub = np.array([[0.5, -0.25], [1.0, 1.0], [0.5, -0.25]])
+    cb = np.array([[0.5, -0.25], [0.5, -0.25], [1.0, 1.0]])
+    ref = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    got = _sq_dists(sub, cb)
+    assert np.array_equal(got, ref)
+    assert np.array_equal(got.argmin(axis=1), ref.argmin(axis=1))
+
+
+def test_kmeans_blocked_fold_bit_equals_realloc_fold():
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.rounding import round_half_up
+
+    rng = np.random.default_rng(11)
+    # n deliberately NOT a multiple of the 64-row block
+    n, k, d = 193, 37, 16
+    mat_p = rng.random((n, d)) * 2 - 1
+    mat_c = rng.random((k, d)) * 2 - 1
+
+    def fold_norms(m):
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    nrm_p, nrm_c = fold_norms(mat_p), fold_norms(mat_c)
+    # the OLD form: realloc left fold over dims, one full-matrix round
+    dot = np.multiply.outer(mat_p[:, 0], mat_c[:, 0])
+    for i in range(1, d):
+        dot = dot + np.multiply.outer(mat_p[:, i], mat_c[:, i])
+    ref = round_half_up(dot / np.multiply.outer(nrm_p, nrm_c), 6)
+    ref_best = ref.argmax(axis=1)
+    # the NEW form: row-blocked in-place fold (the kernel's exact loop)
+    best = np.empty(n, np.int64)
+    best_sim = np.empty(n, np.float64)
+    blk = 64
+    for lo in range(0, n, blk):
+        hi = min(lo + blk, n)
+        acc = np.multiply.outer(mat_p[lo:hi, 0], mat_c[:, 0])
+        tmp = np.empty_like(acc)
+        for i in range(1, d):
+            np.multiply(
+                mat_p[lo:hi, i][:, None], mat_c[:, i][None, :], out=tmp
+            )
+            acc += tmp
+        sims = round_half_up(
+            acc / np.multiply.outer(nrm_p[lo:hi], nrm_c), 6
+        )
+        assert np.array_equal(sims, ref[lo:hi])
+        b = sims.argmax(axis=1)
+        best[lo:hi] = b
+        best_sim[lo:hi] = sims[np.arange(hi - lo), b]
+    assert np.array_equal(best, ref_best)
+    assert np.array_equal(best_sim, ref[np.arange(n), ref_best])
+
+
+def test_kmeans_assign_numpy_equals_expr_backend(spark):
+    # end-to-end: the rewritten numpy kernel vs the oracle-exact expr
+    # backend on a fixture with duplicate vectors and cosine ties
+    import numpy as np
+
+    from noaa_oracle_spark.pipeline.similarity import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    pts = [
+        (i, [float(x) for x in rng.integers(-3, 4, size=8)])
+        for i in range(200)
+    ]
+    # force exact ties: scaled copies of centroid directions
+    pts += [(1000 + i, [float(2 * (j == i)) for j in range(8)]) for i in range(4)]
+    cents = [(c, [float(j == c) for j in range(8)]) for c in range(6)]
+    pdf = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>"
+    ).filter("aggregate(embedding, 0.0D, (a, x) -> a + x * x) > 0")
+    cdf = spark.createDataFrame(
+        cents, "vec_id long, embedding array<double>"
+    )
+    a = sorted(
+        tuple(r)
+        for r in kmeans_assign(pdf, cdf, backend="expr").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kmeans_assign(pdf, cdf, backend="numpy").collect()
+    )
+    assert a == b
